@@ -1,0 +1,324 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.Num._
+
+/** Relational core of the engine: every scan/filter/projection/join/agg/
+  * window/set-op/limit shape in SURVEY.md §2, re-expressed over the test
+  * star schema. Names carry the §2 operator ids they cover.
+  *
+  * Scale notes (100 TB posture):
+  *  - filters & projections sit directly on the parquet scan → Catalyst
+  *    pushes predicates + prunes columns (verified via .explain in specs);
+  *  - dimension joins (region/nation/part/supplier) are broadcast — no
+  *    shuffle of the fact table;
+  *  - aggregations are partial-aggregate friendly (sum/count/min/max);
+  *  - top-k uses orderBy+limit which Spark executes as TakeOrdered
+  *    (per-partition heap + driver merge of k rows, no full sort).
+  */
+object CoreQueries {
+
+  /** TPC-H Q1 pricing summary — the flagship agg (A1/A2 count surface +
+    * §2.10 math). Exact decimal accumulation, double output.
+    */
+  val q1PricingSummary: QueryDef = QueryDef(
+    "tpch_q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * (CAST(1 AS DOUBLE) + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.filter(col("l_shipdate") <= tsNtz("1998-09-02 00:00:00"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(discPrice, 6).as("sum_disc_price"),
+        dsum(discPrice * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** S1/F1: "watermark IS NULL" control scan — keys never ingested.
+    * customers with no orders via LEFT ANTI join (= NOT EXISTS).
+    */
+  val s1NewKeys: QueryDef = QueryDef(
+    "s1_f1_new_keys_anti",
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  /** S2/F2: staleness scan — keys whose watermark (= latest order date) is
+    * older than a cutoff. Aggregate watermark then broadcast-join back.
+    */
+  val s2StaleKeys: QueryDef = QueryDef(
+    "s2_f2_stale_keys",
+    """SELECT c.c_custkey, c.c_name, w.last_fetched
+      |FROM customer c
+      |JOIN (SELECT o_custkey, MAX(o_orderdate) AS last_fetched
+      |      FROM orders GROUP BY o_custkey) w
+      |  ON w.o_custkey = c.c_custkey
+      |WHERE w.last_fetched < TIMESTAMP '1999-01-01 00:00:00'""".stripMargin) { (s, dir) =>
+    val wm = Tables.orders(s, dir)
+      .groupBy("o_custkey").agg(max("o_orderdate").as("last_fetched"))
+      .filter(col("last_fetched") < tsNtz("1999-01-01 00:00:00"))
+    Tables.customer(s, dir)
+      .join(wm, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("last_fetched"))
+  }
+
+  /** K9: watermark table — per-key high-water-mark, advanced only when the
+    * batch is non-empty (HAVING n > 0 is implicit for group-by, asserted
+    * explicitly to mirror tasks.py:134-135 advance-iff-count>0).
+    */
+  val k9Watermark: QueryDef = QueryDef(
+    "k9_watermark_advance",
+    """SELECT o_custkey AS key, MAX(o_orderdate) AS last_fetched, COUNT(*) AS batch_rows
+      |FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |GROUP BY o_custkey HAVING COUNT(*) > 0""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= tsNtz("2000-01-01 00:00:00"))
+      .groupBy(col("o_custkey").as("key"))
+      .agg(max("o_orderdate").as("last_fetched"), count(lit(1)).as("batch_rows"))
+      .filter(col("batch_rows") > 0)
+  }
+
+  /** F10: dispatch guard predicates — drop keys with missing handle/URL
+    * analog (null segment / non-positive balance).
+    */
+  val f10Guards: QueryDef = QueryDef(
+    "f10_dispatch_guards",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_mktsegment IS NOT NULL AND c_acctbal > CAST(0 AS DOUBLE) AND c_name IS NOT NULL""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .filter(col("c_mktsegment").isNotNull && col("c_acctbal") > lit(0.0) && col("c_name").isNotNull)
+      .select("c_custkey", "c_name", "c_acctbal")
+  }
+
+  /** §2.7-1: dispatch fan-out as a broadcast join — fact rows enriched with
+    * their dimension attributes, grouped per dimension key. The dimension
+    * side is explicitly broadcast: at 100 TB the fact table never shuffles.
+    */
+  val jBroadcastEnrich: QueryDef = QueryDef(
+    "j1_broadcast_enrich",
+    """SELECT p.p_brand, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY p.p_brand""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** Multi-hop star join (TPC-H Q5 shape): all dimensions broadcast, single
+    * shuffle for the final aggregation.
+    */
+  val jStarRevenue: QueryDef = QueryDef(
+    "j2_star_join_revenue",
+    """SELECT n.n_name,
+      |  CAST(SUM(CAST(l.l_extendedprice * (CAST(1 AS DOUBLE) - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA' AND s.s_nationkey = c.c_nationkey
+      |GROUP BY n.n_name""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = broadcast(Tables.customer(s, dir))
+    val su = broadcast(Tables.supplier(s, dir))
+    val n = broadcast(Tables.nation(s, dir))
+    val r = broadcast(Tables.region(s, dir))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Left semi join (EXISTS): keys that have at least one urgent order. */
+  val jSemi: QueryDef = QueryDef(
+    "j3_semi_exists",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin) { (s, dir) =>
+    val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Left outer join with null-handling (coalesce on the missing side). */
+  val jOuter: QueryDef = QueryDef(
+    "j4_left_outer_coalesce",
+    """SELECT c.c_custkey, COALESCE(w.n_orders, 0) AS n_orders,
+      |  CAST(COALESCE(w.spend, 0) AS DOUBLE) AS spend
+      |FROM customer c
+      |LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders,
+      |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |           FROM orders GROUP BY o_custkey) w
+      |  ON w.o_custkey = c.c_custkey""".stripMargin) { (s, dir) =>
+    val w = Tables.orders(s, dir).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+    Tables.customer(s, dir)
+      .join(w, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(
+        col("c_custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).cast(DoubleType).as("spend"))
+  }
+
+  /** L2: global top-k by recency with unique tiebreak — Spark plans this as
+    * TakeOrderedAndProject (per-partition heap, no global sort).
+    */
+  val topKRecency: QueryDef = QueryDef(
+    "l2_topk_recency",
+    """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+      |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 30""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .limit(30)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+  }
+
+  /** L2 per-group: top-3 orders per market segment via ranked window. */
+  val topKPerGroup: QueryDef = QueryDef(
+    "l3_topk_per_group",
+    """SELECT * FROM (
+      |  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+      |                       ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) t
+      |WHERE rk <= 3""".stripMargin) { (s, dir) =>
+    val joined = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    joined.select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+  }
+
+  /** U1: Reddit dual-query union → dedup → cap, with total order. */
+  val unionDedupCap: QueryDef = QueryDef(
+    "u1_union_dedup_cap",
+    """SELECT DISTINCT o_orderkey, o_orderdate, o_totalprice FROM (
+      |  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders WHERE o_totalprice > CAST(100000 AS DOUBLE))
+      |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 30""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_totalprice",
+      "o_orderpriority")
+    val a = o.filter(col("o_orderpriority") === "1-URGENT")
+    val b = o.filter(col("o_totalprice") > lit(100000.0))
+    a.unionByName(b)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .distinct()
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .limit(30)
+  }
+
+  /** §2.9 set ops beyond the reference's union: INTERSECT / EXCEPT. */
+  val intersectExcept: QueryDef = QueryDef(
+    "u2_intersect_except",
+    """SELECT o_custkey, 'both' AS tag FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |UNION ALL
+      |SELECT o_custkey, 'urgent_only' AS tag FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val finished = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    urgent.intersect(finished).withColumn("tag", lit("both"))
+      .unionByName(urgent.except(finished).withColumn("tag", lit("urgent_only")))
+  }
+
+  /** K3-analog composite-key dedup: keep one deterministic representative
+    * per composite key (min id), plus the duplicate count — the engine's
+    * idempotent-sink primitive expressed as an auditable query.
+    */
+  val kCompositeDedup: QueryDef = QueryDef(
+    "k3_composite_dedup",
+    """SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_dups
+      |FROM events GROUP BY user_id, event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(min("event_id").as("first_event_id"), count(lit(1)).as("n_dups"))
+  }
+
+  /** A1: per-key batch counts (the reference's insert-count return value). */
+  val a1Counts: QueryDef = QueryDef(
+    "a1_batch_counts",
+    """SELECT o_custkey, o_orderpriority, COUNT(*) AS n
+      |FROM orders GROUP BY o_custkey, o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).groupBy("o_custkey", "o_orderpriority").agg(count(lit(1)).as("n"))
+  }
+
+  /** Window suite: running totals (exact decimal), sequence numbers, and
+    * inter-order gaps via LAG — the §7 analytics layer's trend primitives.
+    */
+  val wRunning: QueryDef = QueryDef(
+    "w1_running_total",
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast(DoubleType).as("running_spend"),
+      row_number().over(w).as("order_seq"))
+  }
+
+  val wLagGap: QueryDef = QueryDef(
+    "w2_lag_gap_days",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(DATE_DIFF('day',
+      |    LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |    o_orderdate) AS BIGINT) AS days_since_prev
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+        .cast(LongType).as("days_since_prev"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    q1PricingSummary, s1NewKeys, s2StaleKeys, k9Watermark, f10Guards,
+    jBroadcastEnrich, jStarRevenue, jSemi, jOuter,
+    topKRecency, topKPerGroup, unionDedupCap, intersectExcept,
+    kCompositeDedup, a1Counts, wRunning, wLagGap)
+}
