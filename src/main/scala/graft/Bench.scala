@@ -1,24 +1,47 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line `{"metric":"total","value":…,"queries":{…},…}`.
+  *
+  * Hygiene (per r1 verdict):
+  *  - a warmup pass at sf0.001 first, so session/codegen startup cost isn't
+  *    attributed to whichever query happens to run first;
+  *  - materialization through the `noop` sink, not `.count()` — count lets
+  *    Catalyst prune every column the count doesn't need, under-measuring
+  *    projection/expression work;
+  *  - failures are NOT swallowed into timings: a failed query reports -1,
+  *    is listed in "failed", and the process exits non-zero.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val warmupDir = "/root/testdata/sf0.001"
+    val spark = Sessions.local(appName = "graft-bench")
+
+    def materialize(name: String, dir: String): Either[String, Double] =
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable => Left(s"$name: ${e.getMessage}") }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    if (new java.io.File(warmupDir).isDirectory)
+      names.foreach(materialize(_, warmupDir)) // warmup: ignore outcome
+
+    val results = names.map(n => n -> materialize(n, sfDir))
+    val failed = results.collect { case (n, Left(err)) =>
+      System.err.println(s"[bench] FAILED $err"); n
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (n, Right(sec)) => s"\"$n\":$sec"
+      case (n, Left(_))    => s"\"$n\":-1"
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(sec)) => sec }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

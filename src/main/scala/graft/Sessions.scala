@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical SparkSession construction for every entry point (Verify, Bench,
+  * Probe, tests). Session-scoped configuration lives HERE, not inside table
+  * loaders or queries — a loader that flips session conf mid-query silently
+  * changes the semantics of every later read (see ADVICE r1 on
+  * `nanosAsLong`).
+  *
+  * Scale posture: `spark.sql.shuffle.partitions` tracks core count locally;
+  * on a real cluster AQE coalesces/splits post-shuffle partitions at runtime,
+  * so the static number only seeds the initial plan.
+  */
+object Sessions {
+
+  /** Default parallelism: env override, else 32 (the driver's local[32]). */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def local(threads: String = cpus, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects natively;
+      // read as raw nanos longs (Tables.events truncates to micros).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE on: runtime shuffle coalescing, skew-join splitting, and
+      // broadcast demotion — the knobs that make the same plan survive a
+      // 1000-executor cluster.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -36,14 +36,17 @@ object Tables {
     * DuckDB's own ns→us truncation when it reads the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // Spark rejects TIMESTAMP(NANOS) parquet columns outright; read them as
-    // raw nanos longs and truncate to micros ourselves (same truncation
-    // DuckDB applies when reading the file natively).
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Spark rejects TIMESTAMP(NANOS) parquet columns outright; with
+    // `spark.sql.legacy.parquet.nanosAsLong` (set at session construction —
+    // see Sessions.local) they arrive as raw nanos longs, which we truncate
+    // to micros ourselves. `div` is exact integral division — `floor(a/b)`
+    // would round through double and drift by 1µs at epoch-ns magnitude
+    // (~1.7e18 > 2^53). Truncation-toward-zero matches DuckDB's own ns→µs
+    // conversion for the post-1970 data in these tables.
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }

@@ -129,8 +129,12 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
   }
 
-  /** Multi-hop star join (TPC-H Q5 shape): all dimensions broadcast, single
-    * shuffle for the final aggregation.
+  /** Multi-hop star join (TPC-H Q5 shape). Only the genuinely small
+    * dimensions (nation, region — bounded cardinality) are broadcast
+    * unconditionally; customer and supplier scale with the fact data
+    * (TPC-H customer ≈ lineitem/40), so their strategy is left to
+    * Catalyst/AQE, which broadcasts them at bench SF and falls back to
+    * shuffle joins at 100 TB instead of OOMing the driver.
     */
   val jStarRevenue: QueryDef = QueryDef(
     "j2_star_join_revenue",
@@ -147,8 +151,8 @@ object CoreQueries {
       |GROUP BY n.n_name""".stripMargin) { (s, dir) =>
     val li = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
-    val c = broadcast(Tables.customer(s, dir))
-    val su = broadcast(Tables.supplier(s, dir))
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
     val n = broadcast(Tables.nation(s, dir))
     val r = broadcast(Tables.region(s, dir))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -208,7 +212,15 @@ object CoreQueries {
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
   }
 
-  /** L2 per-group: top-3 orders per market segment via ranked window. */
+  /** L2 per-group: top-3 orders per market segment — TWO-PHASE top-k.
+    * `c_mktsegment` has ~5 distinct values, so a single window
+    * `PARTITION BY c_mktsegment` funnels the whole join output into ≤5
+    * tasks — fine at sf0.1, dead at 100×. Instead: phase 1 ranks within
+    * (segment, salt) — SALT_BUCKETS× more parallelism, each bucket keeps
+    * only its local top-3 — then phase 2 re-ranks the ≤ 3·SALT_BUCKETS·|segments|
+    * survivors (a few hundred rows at any scale). The global top-3 of a
+    * segment is always contained in the union of its per-salt top-3s.
+    */
   val topKPerGroup: QueryDef = QueryDef(
     "l3_topk_per_group",
     """SELECT * FROM (
@@ -217,11 +229,21 @@ object CoreQueries {
       |                       ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) t
       |WHERE rk <= 3""".stripMargin) { (s, dir) =>
+    val SaltBuckets = 64
     val joined = Tables.orders(s, dir)
       .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-    val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    joined.select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rk", row_number().over(w))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+    val order = Seq(col("o_totalprice").desc, col("o_orderkey"))
+    val wLocal = Window
+      .partitionBy(col("c_mktsegment"), pmod(hash(col("o_orderkey")), lit(SaltBuckets)))
+      .orderBy(order: _*)
+    val survivors = joined
+      .withColumn("rk", row_number().over(wLocal))
+      .filter(col("rk") <= 3)
+      .drop("rk")
+    val wGlobal = Window.partitionBy("c_mktsegment").orderBy(order: _*)
+    survivors
+      .withColumn("rk", row_number().over(wGlobal))
       .filter(col("rk") <= 3)
   }
 

@@ -19,9 +19,12 @@ object Num {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
-  /** Deterministic average: exact decimal sum, then one double division. */
+  /** Deterministic average: exact decimal sum, then one double division.
+    * Divides by `count(c)` (nulls excluded) to match SQL AVG semantics on
+    * nullable columns; identical to COUNT(*) on non-null inputs.
+    */
   def davg(c: Column, scale: Int = 2): Column =
-    dsum(c, scale) / count(lit(1))
+    dsum(c, scale) / count(c)
 
   /** Epoch milliseconds of an NTZ timestamp under the UTC session zone —
     * matches DuckDB's `epoch_ms` on the same naive value.
