@@ -1,0 +1,128 @@
+package graft.analytics
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.Norm
+
+/** Text-analysis tier over the `documents` table — the operations a
+  * large-scale training-data pipeline runs per document: quality scoring,
+  * language ID, token counting, fingerprinting. Fills the reference's empty
+  * `preprocessors/clean.py` / `inference/sentiment.py` extension points
+  * (SURVEY.md §2.12) with deterministic, codegen-friendly built-ins.
+  *
+  * Scale: every query is scan → project (+ one partial-aggregable groupBy);
+  * ratios are single int→double divisions (bit-identical on both engines),
+  * fingerprints are md5 (identical hex on both engines). No UDFs.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  private def words(c: Column): Column = split(c, " ")
+  private def nIn(c: Column, set: Seq[String]): Column =
+    size(filter(words(c), w => w.isin(set.map(lit): _*)))
+
+  /** Per-document quality metrics: token count, average word length,
+    * stopword / punctuation / digit ratios, and a composite score — the
+    * standard heuristics pre-training corpora filter on (length,
+    * symbol density, stopword density).
+    */
+  val qualityScore: QueryDef = QueryDef(
+    "tx_quality_score",
+    s"""SELECT doc_id,
+       |  length(string_split(text, ' ')) AS n_words,
+       |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(string_split(text, ' ')) AS avg_word_len,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / length(string_split(text, ' ')) AS stop_ratio,
+       |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+       |  least(CAST(1 AS DOUBLE), length(string_split(text, ' ')) / CAST(200 AS DOUBLE))
+       |    * (CAST(1 AS DOUBLE) - CAST(len(list_filter(string_split(text, ' '), w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / length(string_split(text, ' ')))
+       |    AS quality
+       |FROM documents""".stripMargin) { (s, dir) =>
+    val t = col("text")
+    val nWords = size(words(t))
+    val stopRatio = nIn(t, stopwords).cast(DoubleType) / nWords
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      (length(regexp_replace(t, " ", "")).cast(DoubleType) / nWords).as("avg_word_len"),
+      stopRatio.as("stop_ratio"),
+      (length(regexp_replace(t, "[^.,!?;:]", "")).cast(DoubleType) / length(t)).as("punct_ratio"),
+      (length(regexp_replace(t, "[^0-9]", "")).cast(DoubleType) / length(t)).as("digit_ratio"),
+      (least(lit(1.0), nWords / lit(200.0)) * (lit(1.0) - stopRatio)).as("quality"))
+  }
+
+  /** Marker-word language ID (n-gram-heuristic tier): score each candidate
+    * language by marker hits, argmax with a fixed precedence tie-break,
+    * compared against the labeled `lang` column. Accuracy is a property of
+    * the markers, not the engine — the oracle checks the computation.
+    */
+  val langId: QueryDef = QueryDef(
+    "tx_lang_id",
+    """SELECT doc_id, lang,
+      |  len(list_filter(string_split(text, ' '), w -> w IN ('the','a','is','of'))) AS en_score,
+      |  len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und'))) AS de_score,
+      |  len(list_filter(string_split(text, ' '), w -> w IN ('el','la','los','y'))) AS es_score,
+      |  CASE
+      |    WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the','a','is','of'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und')))
+      |     AND len(list_filter(string_split(text, ' '), w -> w IN ('the','a','is','of'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('el','la','los','y')))
+      |    THEN 'en'
+      |    WHEN len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('el','la','los','y')))
+      |    THEN 'de' ELSE 'es' END AS predicted
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val t = col("text")
+    val en = nIn(t, Seq("the", "a", "is", "of"))
+    val de = nIn(t, Seq("der", "die", "das", "und"))
+    val es = nIn(t, Seq("el", "la", "los", "y"))
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      en.as("en_score"), de.as("de_score"), es.as("es_score"),
+      when(en >= de && en >= es, "en").when(de >= es, "de").otherwise("es").as("predicted"))
+  }
+
+  /** Token counting: whitespace tokens, regex word-ish tokens (a BPE-style
+    * pre-tokenizer split: letter runs / digit runs / single symbols), and
+    * the chars/4 transformer-token estimate.
+    */
+  val tokenCount: QueryDef = QueryDef(
+    "tx_token_count",
+    """SELECT source,
+      |  SUM(length(string_split(text, ' '))) AS ws_tokens,
+      |  SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS re_tokens,
+      |  SUM((length(text) + 3) // 4) AS est_bpe_tokens,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(
+        sum(size(split(col("text"), " "))).as("ws_tokens"),
+        sum(size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))).as("re_tokens"),
+        sum(expr("(length(text) + 3) div 4")).as("est_bpe_tokens"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /** Document fingerprinting: md5 over raw and cleaned text (identical hex
+    * digests on any engine), plus an 80-char-prefix block fingerprint — the
+    * cheap first-pass key near-dup pipelines bucket on.
+    */
+  val fingerprint: QueryDef = QueryDef(
+    "tx_fingerprint",
+    """SELECT doc_id,
+      |  md5(text) AS fp_raw,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp_clean,
+      |  md5(substr(text, 1, 80)) AS fp_prefix
+      |FROM documents""".stripMargin) { (s, dir) =>
+    // cleanText uses \p{L}\p{N}; documents are ASCII so the oracle's
+    // [a-z0-9 ] after lower() is the same class. \s+ ≡ ' +' on
+    // single-line text.
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      md5(col("text")).as("fp_raw"),
+      md5(Norm.cleanText(col("text"))).as("fp_clean"),
+      md5(substring(col("text"), 1, 80)).as("fp_prefix"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(qualityScore, langId, tokenCount, fingerprint)
+}
