@@ -1,0 +1,164 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.Norm
+
+/** Deduplication tier over `documents` — the dedup family a training-data
+  * pipeline needs at 100 TB, each expressed so the heavy stages are
+  * bucket-local (no all-pairs crossJoin anywhere):
+  *
+  *  - exact dedup: hash-groupBy on the full content fingerprint;
+  *  - block dedup: groupBy on a prefix fingerprint (cheap first pass);
+  *  - MinHash+LSH near-dup: shingle → K minhashes → banded bucket keys →
+  *    bucket self-join (candidates only from shared buckets) → exact
+  *    n-gram Jaccard verification on the candidate pairs;
+  *  - SimHash: per-doc 16-bit bit-majority signature.
+  *
+  * Scale notes: the LSH bucket join shuffles on band_key, whose cardinality
+  * grows with the corpus — candidate pairs are O(dups + collisions), never
+  * O(n²). Jaccard verification joins candidates back to shingle sets by
+  * doc_id (shuffle on doc_id, well distributed). All hashing is md5
+  * (identical hex on every engine — the oracle recomputes the pipeline in
+  * SQL and must agree bit-for-bit).
+  */
+object DedupQueries {
+
+  /** Shared clean-text expr, oracle-side (ASCII corpus ≡ Norm.cleanText). */
+  private val CleanSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Oracle-side shingle set: distinct 3-word shingles of the cleaned text. */
+  private val ShinglesSql =
+    s"""list_distinct(CASE WHEN length(words) >= 3
+       |  THEN list_transform(range(1, length(words)-1), i -> array_to_string(words[i:i+2], ' '))
+       |  ELSE [] END)""".stripMargin
+  private val BaseSql =
+    s"""SELECT doc_id, $ShinglesSql AS shingles
+       |FROM (SELECT doc_id, string_split($CleanSql, ' ') AS words FROM documents)""".stripMargin
+
+  /** Spark-side shingle set (must mirror BaseSql exactly). */
+  private def shingleSet = {
+    val words = split(Norm.cleanText(col("text")), " ")
+    array_distinct(
+      when(size(words) >= 3,
+        transform(sequence(lit(1), size(words) - 2),
+          i => concat_ws(" ", slice(words, i, lit(3)))))
+        .otherwise(array().cast(ArrayType(StringType))))
+  }
+
+  /** Exact dedup (hash-groupBy): one deterministic keeper per content
+    * fingerprint — the K1-K8 ON-CONFLICT semantics applied to documents.
+    */
+  val exact: QueryDef = QueryDef(
+    "dd_exact",
+    """SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n
+      |FROM documents GROUP BY md5(text)""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
+  }
+
+  /** Block dedup: 80-char-prefix fingerprint groups with >1 member — the
+    * cheap first-pass blocking key; finds the corpus's planted near-dups.
+    */
+  val blockPrefix: QueryDef = QueryDef(
+    "dd_block_prefix",
+    """SELECT md5(substr(text, 1, 80)) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+      |FROM documents GROUP BY md5(substr(text, 1, 80)) HAVING COUNT(*) > 1""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(md5(substring(col("text"), 1, 80)).as("fp"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") > 1)
+  }
+
+  private val K = 9      // minhash functions
+  private val Bands = 3  // bands of R rows each: P(candidate) = 1-(1-J^R)^Bands
+  private val R = 3
+
+  /** MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
+    * Emits (doc_a, doc_b, jaccard) for candidate pairs with J ≥ 0.5.
+    * Minhash_k(doc) = lexicographic min of md5("k:" ++ shingle) — a valid
+    * permutation-free minhash family, chosen because md5 hex strings order
+    * identically everywhere.
+    */
+  val minhashLsh: QueryDef = QueryDef(
+    "dd_minhash_lsh",
+    s"""WITH base AS ($BaseSql),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    [list_aggregate(list_transform(shingles, s -> md5(CAST(k AS VARCHAR) || ':' || s)), 'min') for k in range(0, $K)] AS sig
+       |  FROM base),
+       |bands AS (
+       |  SELECT doc_id,
+       |    unnest([CAST(b AS VARCHAR) || '|' || sig[b*$R+1] || '|' || sig[b*$R+2] || '|' || sig[b*$R+3] for b in range(0, $Bands)]) AS band_key
+       |  FROM sigs),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT * FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+       |  FROM pairs
+       |  JOIN base sa ON sa.doc_id = doc_a
+       |  JOIN base sb ON sb.doc_id = doc_b) t
+       |WHERE jaccard >= 0.5""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir).select(col("doc_id"), shingleSet.as("shingles"))
+    val sigCols = (0 until K).map { k =>
+      array_min(transform(col("shingles"), sh => md5(concat(lit(s"$k:"), sh)))).as(s"h$k")
+    }
+    val sigs = base.select(col("doc_id") +: sigCols: _*)
+    val bandKeys = array((0 until Bands).map { b =>
+      concat_ws("|", lit(b.toString), col(s"h${b * R}"), col(s"h${b * R + 1}"), col(s"h${b * R + 2}"))
+    }: _*)
+    val bands = sigs.select(col("doc_id"), explode(bandKeys).as("band_key"))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    pairs
+      .join(base.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        inter.cast(DoubleType) / (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash: 16-bit bit-majority signature over distinct cleaned words
+    * (bit j = majority of md5(word) hex-digit j's top bit). Near-dups land
+    * at small Hamming distance; here we emit the signature itself.
+    */
+  val simhash: QueryDef = {
+    val sumsSql = (0 until 16).map { j =>
+      s"SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(w), ${j + 1}, 1)) >= 9 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n      |    ")
+    val codeSql = (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    QueryDef(
+      "dd_simhash",
+      s"""SELECT doc_id, $codeSql AS simhash
+         |FROM (
+         |  SELECT doc_id,
+         |    $sumsSql
+         |  FROM (SELECT doc_id, unnest(list_distinct(string_split($CleanSql, ' '))) AS w FROM documents) t
+         |  GROUP BY doc_id) m""".stripMargin) { (s, dir) =>
+      val exploded = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(split(Norm.cleanText(col("text")), " "))).as("w"))
+      val sums = (0 until 16).map { j =>
+        sum(when(expr(s"instr('0123456789abcdef', substr(md5(w), ${j + 1}, 1))") >= 9, 1)
+          .otherwise(-1)).as(s"s$j")
+      }
+      val code = (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      exploded.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), code.as("simhash"))
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(exact, blockPrefix, minhashLsh, simhash)
+}
