@@ -1,0 +1,110 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Vec
+
+/** Similarity search over the `embeddings` table (`array<float>` vectors).
+  *
+  *  - ann_bruteforce_topk: exact top-k for a small probe set. The probe set
+  *    is broadcast and streamed against the corpus — O(|probes|·n), linear
+  *    in corpus size, the correct exact baseline at any scale (this is a
+  *    broadcast nested-loop by design, NOT an n² all-pairs join).
+  *  - ann_lsh_topk: sign-LSH bucketed variant — probes only score vectors
+  *    in their own hyperplane-sign bucket (equi-join on the bucket code),
+  *    trading recall for a corpus-partition-local search. The scale path:
+  *    bucket count grows with `bits`, the join shuffles on the code.
+  *
+  * Ranking uses the same two-phase salted top-k as l3 so the per-probe
+  * window never funnels the whole corpus into |probes| tasks.
+  */
+object AnnQueries {
+
+  private val ProbeCount = 5
+  private val TopK = 10
+  private val SaltBuckets = 64
+
+  /** Oracle-side cosine, operand-ordered identically to Vec.cosine. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  val bruteForce: QueryDef = QueryDef(
+    "ann_bruteforce_topk",
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |probes AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < $ProbeCount),
+       |scored AS (
+       |  SELECT probe_id, v.vec_id AS neighbor_id, ${cosSql("pe", "e")} AS cosine
+       |  FROM probes, v WHERE v.vec_id <> probe_id)
+       |SELECT probe_id, neighbor_id, cosine, rank FROM (
+       |  SELECT probe_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $TopK""".stripMargin) { (s, dir) =>
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
+    val probes = v.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+    val scored = v.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        Vec.cosine(col("pe"), col("e")).as("cosine"))
+    val order = Seq(col("cosine").desc, col("neighbor_id"))
+    val wLocal = Window
+      .partitionBy(col("probe_id"), pmod(hash(col("neighbor_id")), lit(SaltBuckets)))
+      .orderBy(order: _*)
+    val survivors = scored.withColumn("rk", row_number().over(wLocal))
+      .filter(col("rk") <= TopK).drop("rk")
+    val wGlobal = Window.partitionBy("probe_id").orderBy(order: _*)
+    survivors.withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= TopK)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
+  private val Bits = 4
+  private val LshK = 5
+  private val maskList: Seq[Int] = 0 +: (0 until Bits).map(1 << _)
+
+  /** Oracle-side sign bucket, mirrored from Vec.signBucket. */
+  private val bucketSql: String =
+    (1 to Bits).map(j => s"(CASE WHEN e[$j] > 0 THEN ${1 << (j - 1)} ELSE 0 END)").mkString(" + ")
+
+  val lshTopK: QueryDef = QueryDef(
+    "ann_lsh_topk",
+    s"""WITH v AS (
+       |  SELECT vec_id, e, $bucketSql AS bucket
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+       |probes AS (
+       |  SELECT probe_id, pe, unnest([xor(bucket, m) for m in [${maskList.mkString(", ")}]]) AS bucket
+       |  FROM (SELECT vec_id AS probe_id, e AS pe, bucket FROM v WHERE vec_id < $ProbeCount)),
+       |scored AS (
+       |  SELECT probe_id, v.vec_id AS neighbor_id, ${cosSql("pe", "e")} AS cosine
+       |  FROM probes JOIN v USING (bucket) WHERE v.vec_id <> probe_id)
+       |SELECT probe_id, neighbor_id, cosine, rank FROM (
+       |  SELECT probe_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $LshK""".stripMargin) { (s, dir) =>
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
+      .withColumn("bucket", Vec.signBucket(col("e"), Bits))
+    // Multiprobe: each probe also searches every bucket at Hamming
+    // distance 1 from its own code (flip one sign bit) — the standard
+    // recall fix for sign-LSH without growing the table count. The probed
+    // codes are pairwise distinct, so each corpus vector scores at most
+    // once per probe (no dedup shuffle needed).
+    val masks = array(maskList.map(lit): _*)
+    val probes = v.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+        explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    val scored = v.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        Vec.cosine(col("pe"), col("e")).as("cosine"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= LshK)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
+  val defs: Seq[QueryDef] = Seq(bruteForce, lshTopK)
+}
