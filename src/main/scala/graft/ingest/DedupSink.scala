@@ -1,0 +1,85 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The idempotent dedup-append sink — the reference's
+  * `INSERT … ON CONFLICT (key) DO NOTHING` (SURVEY.md §2.5 K1-K8,
+  * utils/db_helpers.py:92-300) re-expressed as:
+  *
+  *   1. within-batch dedup: one deterministic representative per conflict
+  *      key (row_number over a caller-supplied total-order tiebreak — NOT
+  *      dropDuplicates, whose surviving row is partition-order-dependent);
+  *   2. cross-batch dedup: null-safe LEFT ANTI join against the existing
+  *      sink's keys;
+  *   3. append.
+  *
+  * Re-ingesting any batch is a no-op (exactly-once effect from
+  * at-least-once fetch). NULL-key semantics: Postgres ON CONFLICT treats
+  * NULLs as distinct (duplicate NULL-key rows keep inserting); we use
+  * null-safe equality (`<=>`) so NULL keys dedup like values — the saner
+  * behavior for an analytics sink, documented as a deliberate divergence
+  * (SURVEY.md §7.4-2).
+  *
+  * Scale: the anti-join shuffles batch + existing keys only (existing is
+  * pruned to key columns at scan, and the join key is the natural
+  * partitioning of the sink); with a Delta/Iceberg sink this becomes
+  * `MERGE WHEN NOT MATCHED INSERT` with file skipping. Parquet-dir append
+  * keeps the same logical contract for the hermetic tests.
+  */
+final case class AppendResult(inserted: Long, perGroup: Map[String, Long])
+
+object DedupSink {
+
+  /** Append `batch` to the parquet sink at `path`, deduplicating on `key`.
+    * Returns insert counts (total and, when `groupCol` is set, per group —
+    * one row per group, driver-safe).
+    *
+    * Counts are materialized BEFORE the write: the fresh-rows plan reads the
+    * sink path it is about to append to, and Spark invalidates/refreshes
+    * plans on that path after the write — a post-write evaluation would see
+    * its own insertions in the anti-join and report 0.
+    */
+  def append(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      key: Seq[String],
+      tiebreak: Seq[Column],
+      groupCol: Option[String] = None): AppendResult = {
+    // Total order: caller tiebreak first, then every remaining column —
+    // the surviving representative is independent of partitioning.
+    // nulls_last so a fully-populated duplicate beats a sparse one (e.g.
+    // Reddit's dual-query union where only one copy carries the preview).
+    val keySet = key.toSet
+    val rest = batch.columns.filterNot(keySet).map(col(_).asc_nulls_last).toSeq
+    val w = Window.partitionBy(key.map(col): _*).orderBy(tiebreak ++ rest: _*)
+    val deduped = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val fresh =
+      if (new java.io.File(path).exists()) {
+        val existing = spark.read.parquet(path).select(key.map(col): _*)
+        val cond = key.map(k => deduped(k) <=> existing(k)).reduce(_ && _)
+        deduped.join(existing, cond, "left_anti")
+      } else deduped
+    val cached = fresh.cache()
+    try {
+      val perGroup = groupCol match {
+        case Some(g) =>
+          cached.groupBy(g).count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        case None => Map.empty[String, Long]
+      }
+      val total = if (groupCol.isDefined) perGroup.values.sum else cached.count()
+      if (total > 0)
+        cached.write.mode("append").parquet(path)
+      else if (!new java.io.File(path).exists())
+        // materialize an empty sink so downstream reads see the schema
+        cached.write.mode("overwrite").parquet(path)
+      AppendResult(total, perGroup)
+    } finally cached.unpersist()
+  }
+}
