@@ -1,0 +1,97 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.Num._
+import graft.streaming.EventsStream
+
+/** Event/stream analytics (SURVEY.md §2.11 + the verdict's ev_ asks):
+  * the exactly-once streaming ingest proven as an oracle-checked query,
+  * plus sessionization and tumbling-window aggregation over `events`.
+  */
+object StreamQueries {
+
+  private def rmRf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmRf)
+    f.delete(); ()
+  }
+
+  /** Exactly-once effect from an at-least-once feed: drain the events
+    * parquet through Structured Streaming (AvailableNow + foreachBatch →
+    * dedup sink) TWICE — the second run with a fresh checkpoint replays
+    * the entire source, the duplicate-delivery worst case — then return the
+    * sink. Oracle: the events table itself (event_id is the conflict key);
+    * any double-insert would fail rows_match.
+    */
+  val exactlyOnce: QueryDef = QueryDef(
+    "ev_stream_exactly_once",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events") { (s, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_ev_$tag")
+    rmRf(base); base.mkdirs()
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(src.getPath, "events.parquet"))
+    val sink = s"${base.getPath}/sink"
+    EventsStream.drain(s, src.getPath, sink, s"${base.getPath}/ckpt1")
+    EventsStream.drain(s, src.getPath, sink, s"${base.getPath}/ckpt2") // full replay
+    s.read.parquet(sink)
+  }
+
+  /** Sessionization: 30-minute-gap sessions per user (gaps-and-islands) —
+    * the batch analog of `session_window`, with the same two-phase shape
+    * Structured Streaming state would keep per key. Partitioned by user_id:
+    * distributes with key cardinality at scale.
+    */
+  val sessionize: QueryDef = QueryDef(
+    "ev_sessionize",
+    """WITH m AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, event_id,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM m)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  CAST(epoch_ms(MIN(ts)) AS BIGINT) AS start_ms,
+      |  CAST(epoch_ms(MAX(ts)) AS BIGINT) AS end_ms
+      |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val newSession = when(
+      lag(col("ts"), 1).over(w).isNull ||
+        unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)) > 1800000L, 1)
+      .otherwise(0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_s", newSession)
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_millis(min("ts")).as("start_ms"),
+        unix_millis(max("ts")).as("end_ms"))
+  }
+
+  /** Tumbling-window aggregation: hourly per-type counts and exact-decimal
+    * value sums — `window(ts, "1 hour")` semantics via date_trunc (both
+    * engines agree on the bucket boundary).
+    */
+  val tumbling: QueryDef = QueryDef(
+    "ev_tumbling_window",
+    """SELECT event_type, date_trunc('hour', ts) AS hour_start, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type, date_trunc('hour', ts)""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(exactlyOnce, sessionize, tumbling)
+}
