@@ -16,7 +16,8 @@ object SparkEntry {
   /** All declared queries, each optionally paired with a DuckDB oracle. */
   def allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ NormQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ AnnQueries.defs ++ StreamQueries.defs
+      DedupQueries.defs ++ AnnQueries.defs ++ StreamQueries.defs ++
+      MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,42 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Oracle coverage for the multimodal plumbing: the `mapPartitions` featurizer
+  * runs over real binary columns on the Spark side; the oracle recomputes the
+  * same features from the md5 hex string arithmetically. All outputs are
+  * exact integers.
+  */
+object MultimodalQueries {
+
+  private def hexVal(c: String): String = s"(strpos('0123456789abcdef', $c) - 1)"
+
+  val byteHistogram: QueryDef = {
+    val histSql = (0 until 16).map { j =>
+      val d = java.lang.Integer.toHexString(j)
+      s"len(list_filter(range(0, 16), i -> substr(md5(text), i*2+1, 1) = '$d')) AS h$d"
+    }.mkString(",\n      |  ")
+    QueryDef(
+      "mm_byte_histogram",
+      s"""SELECT doc_id AS media_id,
+         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  16 AS n_bytes,
+         |  ${hexVal("substr(md5(text), 1, 1)")} * 16 + ${hexVal("substr(md5(text), 2, 1)")} AS width,
+         |  ${hexVal("substr(md5(text), 3, 1)")} * 16 + ${hexVal("substr(md5(text), 4, 1)")} AS height,
+         |  CASE WHEN doc_id % 3 = 2 THEN 4 ELSE 0 END AS n_frames,
+         |  $histSql
+         |FROM documents""".stripMargin) { (s, dir) =>
+      val media = Multimodal.syntheticMedia(s, Tables.documents(s, dir))
+      val feats = Multimodal.features(media)
+      val histCols = (0 until 16).map(j =>
+        col("histogram")(j).as(s"h${java.lang.Integer.toHexString(j)}"))
+      feats.toDF().select(
+        Seq(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"), col("n_frames")) ++ histCols: _*)
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(byteHistogram)
+}

@@ -1,0 +1,38 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import Multimodal._
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("featurizer decodes binary content deterministically per partition") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRecord(1L, "image", Array[Byte](0x10, 0x20, 0x30)),
+      MediaRecord(2L, "video", Array[Byte](0x7f, 0x00, 0x11, 0x22, 0x33)),
+      MediaRecord(3L, "audio", Array.empty[Byte])).toDS().repartition(3)
+    val f = features(media).collect().map(x => x.media_id -> x).toMap
+    assert(f(1L).width == 0x10 && f(1L).height == 0x20 && f(1L).n_bytes == 3)
+    assert(f(1L).n_frames == 0) // not video
+    assert(f(2L).n_frames == 2) // ceil(5/4)
+    assert(f(2L).width == 0x7f && f(2L).height == 0)
+    assert(f(3L).n_bytes == 0 && f(3L).histogram.sum == 0)
+    // histogram counts high nibbles: 0x10,0x20,0x30 -> bins 1,2,3
+    assert(f(1L).histogram(1) == 1 && f(1L).histogram(2) == 1 && f(1L).histogram(3) == 1)
+  }
+
+  test("synthetic media round-trips through binary parquet with metadata") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = syntheticMedia(spark, docs)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mm").toString
+    media.write.mode("overwrite").parquet(tmp)
+    val back = spark.read.parquet(tmp).as[MediaRecord]
+    assert(back.count() == docs.count())
+    val sample = back.filter($"media_id" === 0L).head()
+    assert(sample.content.length == 16) // md5 = 16 bytes
+    assert(Set("image", "audio", "video").contains(sample.kind))
+  }
+}
