@@ -30,6 +30,8 @@ object Sessions {
       // broadcast demotion — the knobs that make the same plan survive a
       // 1000-executor cluster.
       .config("spark.sql.adaptive.enabled", "true")
+      // custom Catalyst expressions (graft_rolling_hash, …)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -124,5 +124,50 @@ object TextQueries {
       md5(substring(col("text"), 1, 80)).as("fp_prefix"))
   }
 
-  val defs: Seq[QueryDef] = Seq(qualityScore, langId, tokenCount, fingerprint)
+  /** Rolling-hash fingerprint via the custom codegen'd Catalyst expression
+    * (graft.plans.RollingHash, registered through GraftExtensions). The
+    * oracle reproduces the byte fold with a list_reduce over codepoints.
+    */
+  val rollingHash: QueryDef = QueryDef(
+    "tx_rolling_hash",
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), call_function("graft_rolling_hash", col("text")).as("fp"))
+  }
+
+  private val posLex = Seq("fast", "good", "great", "best")
+  private val negLex = Seq("slow", "bad", "worst", "error")
+
+  /** Sentiment scoring (fills the reference's empty inference/sentiment.py
+    * extension point): lexicon hit counts per document, rolled up per
+    * source — all integer arithmetic plus one exact division.
+    */
+  val sentiment: QueryDef = {
+    def lexSql(words: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), w -> w IN (${words.map("'" + _ + "'").mkString(",")})))"
+    QueryDef(
+      "tx_sentiment",
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  SUM(CASE WHEN ${lexSql(posLex)} > ${lexSql(negLex)} THEN 1 ELSE 0 END) AS pos_docs,
+         |  SUM(CASE WHEN ${lexSql(posLex)} < ${lexSql(negLex)} THEN 1 ELSE 0 END) AS neg_docs,
+         |  CAST(SUM(${lexSql(posLex)} - ${lexSql(negLex)}) AS DOUBLE) / COUNT(*) AS mean_score
+         |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+      val score = nIn(col("text"), posLex) - nIn(col("text"), negLex)
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(score > 0, 1).otherwise(0)).as("pos_docs"),
+          sum(when(score < 0, 1).otherwise(0)).as("neg_docs"),
+          (sum(score).cast(DoubleType) / count(lit(1))).as("mean_score"))
+    }
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(qualityScore, langId, tokenCount, fingerprint, rollingHash, sentiment)
 }
