@@ -247,7 +247,12 @@ object CoreQueries {
       .filter(col("rk") <= 3)
   }
 
-  /** U1: Reddit dual-query union → dedup → cap, with total order. */
+  /** U1: Reddit dual-query union → dedup → cap, with total order.
+    * Because DISTINCT follows the union, UNION ALL of two filters over the
+    * SAME table is equivalent to one scan with the disjunction — half the
+    * IO at 100 TB (r1 verdict finding). The oracle keeps the reference's
+    * dual-query shape; the plans agree on the result.
+    */
   val unionDedupCap: QueryDef = QueryDef(
     "u1_union_dedup_cap",
     """SELECT DISTINCT o_orderkey, o_orderdate, o_totalprice FROM (
@@ -255,11 +260,8 @@ object CoreQueries {
       |  UNION ALL
       |  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders WHERE o_totalprice > CAST(100000 AS DOUBLE))
       |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 30""".stripMargin) { (s, dir) =>
-    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_totalprice",
-      "o_orderpriority")
-    val a = o.filter(col("o_orderpriority") === "1-URGENT")
-    val b = o.filter(col("o_totalprice") > lit(100000.0))
-    a.unionByName(b)
+    Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" || col("o_totalprice") > lit(100000.0))
       .select("o_orderkey", "o_orderdate", "o_totalprice")
       .distinct()
       .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
