@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.Norm
+import graft.ingest.DedupSink
 
 /** Deduplication tier over `documents` — the dedup family a training-data
   * pipeline needs at 100 TB, each expressed so the heavy stages are
@@ -167,5 +168,34 @@ object DedupQueries {
     }
   }
 
-  val defs: Seq[QueryDef] = Seq(exact, blockPrefix, minhashLsh, simhash)
+  private def rmRf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmRf)
+    f.delete(); ()
+  }
+
+  /** The K1-K8 WRITE PATH itself, oracle-checked: append the same batch
+    * through the real DedupSink twice (the ON-CONFLICT re-ingest case) and
+    * return the sink. The oracle states the postcondition in SQL: exactly
+    * one row per conflict key — the min-event_id representative (the sink's
+    * deterministic total-order pick). A duplicate insert or a different
+    * representative fails the hash compare.
+    */
+  val sinkIdempotence: QueryDef = QueryDef(
+    "k1_sink_idempotence",
+    """SELECT user_id, event_type, event_id, value FROM (
+      |  SELECT user_id, event_type, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+      |  FROM events) t WHERE rn = 1""".stripMargin) { (s, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_k1_$tag")
+    rmRf(base); base.mkdirs()
+    val sink = s"${base.getPath}/sink"
+    val batch = Tables.events(s, dir).select("user_id", "event_type", "event_id", "value")
+    val key = Seq("user_id", "event_type")
+    DedupSink.append(s, sink, batch, key, Seq(col("event_id")))
+    DedupSink.append(s, sink, batch, key, Seq(col("event_id"))) // re-ingest: must be a no-op
+    s.read.parquet(sink)
+  }
+
+  val defs: Seq[QueryDef] = Seq(exact, blockPrefix, minhashLsh, simhash, sinkIdempotence)
 }

@@ -41,13 +41,18 @@ object DedupSink {
     * plans on that path after the write — a post-write evaluation would see
     * its own insertions in the anti-join and report 0.
     */
+  /** `partitionBy`: physical layout columns for the sink (the engine's one
+    * owned physical decision, SURVEY.md §4 — fact tables partition by
+    * company so per-company analytics and the watermark path prune files).
+    */
   def append(
       spark: SparkSession,
       path: String,
       batch: DataFrame,
       key: Seq[String],
       tiebreak: Seq[Column],
-      groupCol: Option[String] = None): AppendResult = {
+      groupCol: Option[String] = None,
+      partitionBy: Seq[String] = Nil): AppendResult = {
     // Total order: caller tiebreak first, then every remaining column —
     // the surviving representative is independent of partitioning.
     // nulls_last so a fully-populated duplicate beats a sparse one (e.g.
@@ -74,11 +79,14 @@ object DedupSink {
         case None => Map.empty[String, Long]
       }
       val total = if (groupCol.isDefined) perGroup.values.sum else cached.count()
-      if (total > 0)
-        cached.write.mode("append").parquet(path)
+      def writer(mode: String) = {
+        val w = cached.write.mode(mode)
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+      }
+      if (total > 0) writer("append")
       else if (!new java.io.File(path).exists())
         // materialize an empty sink so downstream reads see the schema
-        cached.write.mode("overwrite").parquet(path)
+        writer("overwrite")
       AppendResult(total, perGroup)
     } finally cached.unpersist()
   }

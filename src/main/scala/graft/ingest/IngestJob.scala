@@ -89,7 +89,8 @@ object IngestJob {
     val (_, key) = Schemas.sinks(spec.sinkName)
     val res = DedupSink.append(
       spark, s"$warehouse/${spec.sinkName}", all, key, spec.tiebreak.map(col),
-      groupCol = Some("company_name"))
+      groupCol = Some("company_name"),
+      partitionBy = Seq("company_name"))
 
     val advancedIds = rows.collect {
       case r if res.perGroup.getOrElse(r.getString(1), 0L) > 0L => r.getInt(0)
