@@ -1,0 +1,194 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.Num._
+import graft.functions.Norm
+
+/** Extended relational surface beyond the reference's own operators:
+  * struct-array extraction as a standalone oracle query (the P2/P9/P10
+  * shape), grouping sets, distinct aggregates, pivot, richer window frames,
+  * and the two operators Spark lacks natively — AS-OF join and range join —
+  * implemented the way they scale (merge-union trick / bucketed equi-join),
+  * oracle-checked against DuckDB's native ASOF/inequality joins.
+  */
+object ExtQueries {
+
+  /** P2/P9/P10 as an oracle query: build struct arrays, then higher-order
+    * first-match extraction (scrapers/twitter_scraper.py:89-94 shape).
+    */
+  val structArrayExtract: QueryDef = {
+    val mediaSql =
+      """[{'t': 'photo', 'u': 'img_' || CAST(p_partkey AS VARCHAR)},
+        | {'t': CASE WHEN p_size % 2 = 0 THEN 'video' ELSE 'gif' END,
+        |  'u': 'vid_' || CAST(p_partkey AS VARCHAR)}]""".stripMargin
+    QueryDef(
+      "p2_struct_array_extract",
+      s"""SELECT p_partkey,
+         |  list_filter($mediaSql, m -> m.t IN ('video', 'animated_gif'))[1].u AS video_url,
+         |  ($mediaSql)[1].u AS first_url
+         |FROM part WHERE p_partkey % 13 = 0""".stripMargin) { (s, dir) =>
+      val media = array(
+        struct(lit("photo").as("t"),
+          concat(lit("img_"), col("p_partkey").cast(StringType)).as("u")),
+        struct(when(col("p_size") % 2 === 0, "video").otherwise("gif").as("t"),
+          concat(lit("vid_"), col("p_partkey").cast(StringType)).as("u")))
+      Tables.part(s, dir)
+        .filter(col("p_partkey") % 13 === 0)
+        .select(
+          col("p_partkey"),
+          Norm.firstWhere(media, m => m.getField("t").isin("video", "animated_gif"))
+            .getField("u").as("video_url"),
+          element_at(media, 1).getField("u").as("first_url"))
+    }
+  }
+
+  /** ROLLUP grouping sets with GROUPING() markers and exact-decimal sums. */
+  val rollupSpend: QueryDef = QueryDef(
+    "a3_rollup_spend",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("spend"),
+        grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+        grouping(col("o_orderpriority")).cast(LongType).as("g_prio"))
+  }
+
+  /** Distinct aggregates (exact; the approx/HLL variant is engine-local by
+    * nature and has no cross-engine oracle).
+    */
+  val distinctAgg: QueryDef = QueryDef(
+    "a4_distinct_agg",
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_supp,
+      |  COUNT(DISTINCT l_partkey) AS n_part,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Pivot: order-status counts per priority (Spark `pivot` operator; the
+    * oracle states it as conditional aggregation).
+    */
+  val pivotStatus: QueryDef = QueryDef(
+    "a5_pivot_status",
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+  }
+
+  /** Window extras: RANK/DENSE_RANK over a tied ordering, NTILE and a
+    * moving frame over a total ordering.
+    */
+  val rankFrames: QueryDef = QueryDef(
+    "w3_rank_frames",
+    """SELECT o_custkey, o_orderkey,
+      |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS rk,
+      |  DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS drk,
+      |  NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_spend
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val tied = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    val total = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      rank().over(tied).as("rk"),
+      dense_rank().over(tied).as("drk"),
+      ntile(4).over(total).as("quartile"),
+      sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .over(total.rowsBetween(-2, Window.currentRow))
+        .cast(DoubleType).as("moving_spend"))
+  }
+
+  /** AS-OF join, the scalable way: probes and the series are UNIONED and
+    * merge-ordered per key; `last_value` over the strictly-preceding frame
+    * picks each probe's predecessor — one shuffle on the key, no range
+    * explosion, no per-probe scan. The kind column breaks ts ties so the
+    * `<` is strict. Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  val asofJoin: QueryDef = QueryDef(
+    "j5_asof_join",
+    """SELECT p.event_id AS probe_id, p.user_id,
+      |  e.event_id AS prev_event_id,
+      |  CAST(epoch_ms(e.ts) AS BIGINT) AS prev_ts_ms
+      |FROM (SELECT * FROM events WHERE event_id % 17 = 0) p
+      |ASOF LEFT JOIN events e
+      |  ON p.user_id = e.user_id AND e.ts < p.ts""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+    val probes = ev.filter(col("event_id") % 17 === 0)
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("event_id").as("probe_id"),
+        lit(null).cast(LongType).as("s_event"))
+    val series = ev
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        lit(null).cast(LongType).as("probe_id"),
+        col("event_id").as("s_event"))
+    // probes sort BEFORE series at equal ts (kind 0 < 1) → the preceding
+    // frame sees only strictly-earlier series rows
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    probes.unionByName(series)
+      .withColumn("prev_event_id", last(col("s_event"), ignoreNulls = true).over(w))
+      .withColumn("prev_ts_ms",
+        last(when(col("kind") === 1, unix_millis(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0)
+      .select(col("probe_id"), col("user_id"), col("prev_event_id"), col("prev_ts_ms"))
+  }
+
+  /** Range join, the scalable way: time-bucket both sides (bucket length =
+    * window length, so a window spans ≤ 2 buckets), explode each probe to
+    * its two candidate buckets, equi-join on (key, bucket), then apply the
+    * exact range predicate — a bounded equi-join instead of the nested-loop
+    * a naive theta join plans. Oracle: DuckDB's inequality join.
+    */
+  val rangeJoinBucketed: QueryDef = QueryDef(
+    "j6_range_join_bucketed",
+    """SELECT p.event_id AS probe_id, COUNT(*) AS n_in_window
+      |FROM (SELECT * FROM events WHERE event_id % 29 = 0) p
+      |JOIN events e
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 10 MINUTE
+      |GROUP BY p.event_id""".stripMargin) { (s, dir) =>
+    val WindowMs = 600000L
+    val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+    val bucket = expr(s"unix_millis(ts) div $WindowMs")
+    val series = ev.select(col("user_id"), bucket.as("bucket"), col("ts").as("s_ts"))
+    val probes = ev.filter(col("event_id") % 29 === 0)
+      .select(col("event_id").as("probe_id"), col("user_id"), col("ts").as("p_ts"),
+        explode(array(bucket, bucket + 1)).as("bucket"))
+    probes.join(series, Seq("user_id", "bucket"))
+      .filter(col("s_ts") >= col("p_ts") &&
+        col("s_ts") < col("p_ts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_in_window"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    structArrayExtract, rollupSpend, distinctAgg, pivotStatus,
+    rankFrames, asofJoin, rangeJoinBucketed)
+}

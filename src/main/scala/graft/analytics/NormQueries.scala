@@ -125,8 +125,8 @@ object NormQueries {
       .select(
         col("p_partkey"),
         regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
-        element_at(split(col("p_name"), " "), 1).as("first_word"),
-        element_at(split(col("p_name"), " "), 2).as("second_word"),
+        try_element_at(split(col("p_name"), " "), lit(1)).as("first_word"),
+        try_element_at(split(col("p_name"), " "), lit(2)).as("second_word"),
         upper(trim(col("p_name"))).as("up"),
         concat(lit("https://example.com/part/"), replace(lower(col("p_name")), lit(" "), lit("-"))).as("url"),
         concat_ws("|",

@@ -50,9 +50,14 @@ object Norm {
   /** First element of `arr` satisfying `pred`, else null — the reference's
     * "scan media list for first match" loops
     * (scrapers/twitter_scraper.py:89-94, facebook_scraper.py:89-97).
+    * `try_element_at`: under ANSI mode plain element_at THROWS when the
+    * filtered array is empty; the reference's loop yields None.
     */
   def firstWhere(arr: Column, pred: Column => Column): Column =
-    element_at(filter(arr, pred), 1)
+    try_element_at(filter(arr, pred), lit(1))
+
+  /** Null-safe first element (empty or null array → null). */
+  def first(arr: Column): Column = try_element_at(arr, lit(1))
 
   // ---- strings (§2.10) ----
 
@@ -60,7 +65,7 @@ object Norm {
     * int (scrapers/trustpilot_scraper.py:75-78: split on space, take [1]).
     */
   def ratingFromAlt(c: Column): Column =
-    element_at(split(c, " "), 2).cast(IntegerType)
+    try_element_at(split(c, " "), lit(2)).cast(IntegerType)
 
   /** Reddit permalink → absolute URL (scrapers/reddit_scraper.py:90). */
   def redditUrl(permalink: Column): Column =

@@ -30,12 +30,13 @@ object Normalize {
         Norm.orZero(col("retweetCount")).as("retweet_count"),
         Norm.orZero(col("likeCount")).as("like_count"),
         Norm.orZero(col("viewCount")).as("view_count"),
-        element_at(col("media"), 1).getField("expanded_url").as("image"), // P1
+        Norm.first(col("media")).getField("expanded_url").as("image"), // P1
         // P2: first video/animated_gif media → its first variant URL
-        Norm.firstWhere(col("extendedEntities.media"),
-            m => m.getField("type").isin("video", "animated_gif"))
-          .getField("videoInfo").getField("variants").getItem(0).getField("url")
-          .as("videourl"),
+        Norm.first(
+            Norm.firstWhere(col("extendedEntities.media"),
+                m => m.getField("type").isin("video", "animated_gif"))
+              .getField("videoInfo").getField("variants"))
+          .getField("url").as("videourl"),
         batchTs.as("fetched_at")) // P13
 
   /** F4 + timeline projection (scrapers/twitter2_scraper.py:49-64). */
@@ -154,7 +155,7 @@ object Normalize {
         Norm.redditUrl(col("permalink")).as("post_url"), // P8
         col("title"),
         col("author"),
-        col("preview.images").getItem(0).getField("source").getField("url").as("image_url"),
+        Norm.first(col("preview.images")).getField("source").getField("url").as("image_url"),
         Norm.orZero(col("score")).as("votes"),
         Norm.orZero(col("num_comments")).as("comments"),
         nullif(col("selftext"), lit("")).as("full_review"), // `selftext or None`
@@ -163,7 +164,7 @@ object Normalize {
 
   /** P9-P10 + F6 (scrapers/facebook_scraper.py:80-115). */
   def facebook(raw: DataFrame, c: Company, batchTs: Column): DataFrame = {
-    val firstRef = element_at(col("textReferences"), 1)
+    val firstRef = Norm.first(col("textReferences"))
     val firstImg = Norm.firstWhere(col("media"),
       m => m.getField("photo_image").getField("url").isNotNull ||
         m.getField("image").getField("uri").isNotNull ||

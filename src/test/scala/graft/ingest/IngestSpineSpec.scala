@@ -55,9 +55,9 @@ class IngestSpineSpec extends AnyFunSuite {
   test("twitter catchup: window pushdown, F3 drop, P1-P3 projection, in-batch dedup") {
     val (wh, users) = fresh()
     val res = IngestJob.run(spark, users, wh, twitterSpec, Catchup(), now)
-    assert(res.perCompany == Map("Acme" -> 2L)) // t1, t4; t2 F3-dropped, t3 out of window, dup t1 merged
+    assert(res.perCompany == Map("Acme" -> 3L)) // t1, t4, t5; t2 F3-dropped, t3 out of window, dup t1 merged
     val rows = sinkMap(wh, "twitter_mentions", "tweet_id")
-    assert(rows.keySet == Set("t1", "t4"))
+    assert(rows.keySet == Set("t1", "t4", "t5"))
     val t1 = rows("t1")
     assert(t1.getAs[String]("author_handle") == "alice") // P1 nested author.name
     assert(t1.getAs[String]("image") == "https://img/1.jpg") // P1 first media
@@ -67,6 +67,9 @@ class IngestSpineSpec extends AnyFunSuite {
     val t4 = rows("t4")
     assert(t4.getAs[String]("videourl") == "https://gif/4.gif") // animated_gif variant
     assert(t4.getAs[String]("image") == null) // no plain media
+    val t5 = rows("t5")
+    assert(t5.getAs[String]("image") == null) // EMPTY media list -> null, not ANSI error
+    assert(t5.getAs[String]("videourl") == null) // no video/gif match -> null
     // watermark: advanced for Acme only (count>0), Beta untouched
     val u = Watermarks.read(spark, users).collect().map(r => r.getAs[String]("company_name") -> r.getAs[Timestamp]("last_fetched_twitter")).toMap
     assert(u("Acme") == now && u("Beta") == wm2020 && u("Gamma") == null)
@@ -78,13 +81,13 @@ class IngestSpineSpec extends AnyFunSuite {
     val res = IngestJob.run(spark, users, wh, twitterSpec, General(40), now)
     assert(res.perCompany == Map("Beta" -> 1L)) // b1; b2 < Beta's 2020 watermark
     val rows = sinkMap(wh, "twitter_mentions", "tweet_id")
-    assert(rows.keySet == Set("t1", "t4", "b1"))
+    assert(rows.keySet == Set("t1", "t4", "t5", "b1"))
     val u = Watermarks.read(spark, users).collect().map(r => r.getAs[String]("company_name") -> r.getAs[Timestamp]("last_fetched_twitter")).toMap
     assert(u("Beta") == now)
     // re-running both modes is a no-op: nothing eligible, nothing inserted
     assert(IngestJob.run(spark, users, wh, twitterSpec, Catchup(), now).inserted == 0)
     assert(IngestJob.run(spark, users, wh, twitterSpec, General(40), now).inserted == 0)
-    assert(spark.read.parquet(s"$wh/twitter_mentions").count() == 3)
+    assert(spark.read.parquet(s"$wh/twitter_mentions").count() == 4)
   }
 
   test("sink idempotence: re-appending the same batch inserts nothing (K1)") {
@@ -115,7 +118,7 @@ class IngestSpineSpec extends AnyFunSuite {
     val res = IngestJob.runAll(spark, users, wh, fixturesDir, Catchup(), now)
     val counts = res.map { case (p, r) => p -> r.inserted }
     assert(counts == Map(
-      "twitter" -> 2L,    // t1, t4
+      "twitter" -> 3L,    // t1, t4, t5 (empty media lists -> nulls)
       "twitter2" -> 1L,   // t2a (no-id and no-text F4-dropped)
       "twitter3" -> 1L,   // 900001 (900002 before since)
       "instagram" -> 4L,  // ig1..ig4 (error entry F8, ig5 F5-dropped)
@@ -126,7 +129,7 @@ class IngestSpineSpec extends AnyFunSuite {
       "facebook" -> 2L,   // f1, f2 (no-id / no-time F6-dropped)
       "linkedin" -> 2L))  // urn:1:full, urn:2 (bad posted_at F7-dropped)
     // cross-source sink: twitter + twitter2 + twitter3 share twitter_mentions
-    assert(spark.read.parquet(s"$wh/twitter_mentions").count() == 4)
+    assert(spark.read.parquet(s"$wh/twitter_mentions").count() == 5)
 
     // spot-check normalized values across platforms
     val ig = sinkMap(wh, "instagram_mentions", "post_id")
