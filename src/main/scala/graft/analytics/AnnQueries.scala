@@ -106,5 +106,31 @@ object AnnQueries {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
-  val defs: Seq[QueryDef] = Seq(bruteForce, lshTopK)
+  /** Embedding-cosine near-dup detection (the dedup family's embedding
+    * member): bucket the corpus by hyperplane signs, emit pairs above the
+    * similarity threshold WITHIN each bucket — an equi-join whose work is
+    * Σ bucket² instead of n². Pairs split across buckets are the LSH
+    * recall trade-off (mitigate with more tables/multiprobe).
+    */
+  val embedNearDup: QueryDef = QueryDef(
+    "dd_embed_cosine",
+    s"""WITH v AS (
+       |  SELECT vec_id, e, $bucketSql AS bucket
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings))
+       |SELECT * FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.e", "b.e")} AS cosine
+       |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) t
+       |WHERE cosine >= 0.35""".stripMargin) { (s, dir) =>
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
+      .withColumn("bucket", Vec.signBucket(col("e"), Bits))
+    v.as("a")
+      .join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Vec.cosine(col("a.e"), col("b.e")).as("cosine"))
+      .filter(col("cosine") >= 0.35)
+  }
+
+  val defs: Seq[QueryDef] = Seq(bruteForce, lshTopK, embedNearDup)
 }

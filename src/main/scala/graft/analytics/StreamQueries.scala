@@ -93,5 +93,27 @@ object StreamQueries {
       .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
   }
 
-  val defs: Seq[QueryDef] = Seq(exactlyOnce, sessionize, tumbling)
+  /** mapGroupsWithState custom keyed state, proven against the oracle:
+    * one AvailableNow drain accumulates per-user state; the emitted final
+    * aggregates must equal the batch GROUP BY.
+    */
+  val statefulState: QueryDef = QueryDef(
+    "ev_stateful_state",
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(epoch_ms(MIN(ts)) AS BIGINT) AS first_ms,
+      |  CAST(epoch_ms(MAX(ts)) AS BIGINT) AS last_ms
+      |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_st_$tag")
+    rmRf(base); base.mkdirs()
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(src.getPath, "events.parquet"))
+    val sink = s"${base.getPath}/sink"
+    EventsStream.statefulCounts(s, src.getPath, sink, s"${base.getPath}/ckpt")
+    s.read.parquet(sink)
+  }
+
+  val defs: Seq[QueryDef] = Seq(exactlyOnce, sessionize, tumbling, statefulState)
 }

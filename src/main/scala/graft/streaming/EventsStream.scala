@@ -1,10 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types._
-import graft.ingest.DedupSink
+import graft.ingest.{DedupSink, Watermarks}
 
 /** Structured Streaming runner for the `events` table (SURVEY.md §2.11):
   * `readStream` over the parquet dir → `Trigger.AvailableNow` (the
@@ -47,6 +47,57 @@ object EventsStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         DedupSink.append(batch.sparkSession, sinkPath, batch,
           key = Seq("event_id"), tiebreak = Seq(col("ts")))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Per-user running state (count + first/last event time). All-integer
+    * so the result is iteration-order-independent.
+    */
+  final case class UserState(n: Long, minTsMs: Long, maxTsMs: Long)
+  final case class UserAgg(user_id: Long, n_events: Long, first_ms: Long, last_ms: Long)
+
+  /** Custom keyed state via `mapGroupsWithState` (SURVEY.md §2.11 /
+    * the brief's KeyValueGroupedDataset surface): state accumulates across
+    * micro-batches in the state store; each trigger emits the updated
+    * per-user aggregate, which foreachBatch upserts into the sink
+    * (newest state per key wins).
+    */
+  def statefulCounts(spark: SparkSession, sourceDir: String, sinkPath: String,
+                     checkpoint: String): Unit = {
+    import spark.implicits._
+    val stream = normalize(spark.readStream.schema(rawSchema).parquet(sourceDir))
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .as[(Long, Long)]
+    val updated = stream
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserAgg](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
+          var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          rows.foreach { case (_, ms) =>
+            n += 1; if (ms < mn) mn = ms; if (ms > mx) mx = ms
+          }
+          val prev = state.getOption.getOrElse(UserState(0L, Long.MaxValue, Long.MinValue))
+          val next = UserState(prev.n + n, math.min(prev.minTsMs, mn), math.max(prev.maxTsMs, mx))
+          state.update(next)
+          UserAgg(uid, next.n, next.minTsMs, next.maxTsMs)
+      }
+    val q = updated.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[UserAgg], _: Long) =>
+        val s = batch.sparkSession
+        val sink = new java.io.File(sinkPath)
+        val merged =
+          if (sink.exists())
+            s.read.parquet(sinkPath)
+              .join(batch.toDF(), Seq("user_id"), "left_anti")
+              .unionByName(batch.toDF())
+          else batch.toDF()
+        Watermarks.overwriteParquet(s, sinkPath, merged)
         ()
       }
       .start()

@@ -37,4 +37,29 @@ class EventsStreamSpec extends AnyFunSuite {
     EventsStream.drain(spark, src, sink, s"$base/ckpt1")
     assert(spark.read.parquet(sink).count() == n)
   }
+
+  test("mapGroupsWithState accumulates across micro-batches in the state store") {
+    val base = Files.createTempDirectory("graft-st-test").toString
+    val src = s"$base/src"; new java.io.File(src).mkdirs()
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(src, "events.parquet"))
+    val sink = s"$base/sink"
+
+    EventsStream.statefulCounts(spark, src, sink, s"$base/ckpt")
+    val first = spark.read.parquet(sink).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events")).toMap
+    val total = first.values.sum
+
+    // a second file (same events re-delivered) under the SAME checkpoint:
+    // stateful counts are delivery counts, so every user's n doubles —
+    // proving state survived the first run in the state store
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(src, "events2.parquet"))
+    EventsStream.statefulCounts(spark, src, sink, s"$base/ckpt")
+    val second = spark.read.parquet(sink).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events")).toMap
+    assert(second.values.sum == 2 * total)
+    assert(first.keySet == second.keySet)
+    assert(first.forall { case (u, n) => second(u) == 2 * n })
+  }
 }
