@@ -43,11 +43,12 @@ object AnnQueries {
        |WHERE rank <= $TopK""".stripMargin) { (s, dir) =>
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", Vec.dot(col("e"), col("e")))
     val probes = v.filter(col("vec_id") < ProbeCount)
-      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("nrm").as("pnrm"))
     val scored = v.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        Vec.cosine(col("pe"), col("e")).as("cosine"))
+        Vec.cosinePre(Vec.dot(col("pe"), col("e")), col("pnrm"), col("nrm")).as("cosine"))
     val order = Seq(col("cosine").desc, col("neighbor_id"))
     val wLocal = Window
       .partitionBy(col("probe_id"), pmod(hash(col("neighbor_id")), lit(SaltBuckets)))
@@ -86,6 +87,7 @@ object AnnQueries {
        |WHERE rank <= $LshK""".stripMargin) { (s, dir) =>
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", Vec.dot(col("e"), col("e")))
       .withColumn("bucket", Vec.signBucket(col("e"), Bits))
     // Multiprobe: each probe also searches every bucket at Hamming
     // distance 1 from its own code (flip one sign bit) — the standard
@@ -94,12 +96,12 @@ object AnnQueries {
     // once per probe (no dedup shuffle needed).
     val masks = array(maskList.map(lit): _*)
     val probes = v.filter(col("vec_id") < ProbeCount)
-      .select(col("vec_id").as("probe_id"), col("e").as("pe"),
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("nrm").as("pnrm"),
         explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket"))
     val scored = v.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        Vec.cosine(col("pe"), col("e")).as("cosine"))
+        Vec.cosinePre(Vec.dot(col("pe"), col("e")), col("pnrm"), col("nrm")).as("cosine"))
     val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= LshK)
@@ -123,12 +125,13 @@ object AnnQueries {
        |WHERE cosine >= 0.35""".stripMargin) { (s, dir) =>
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", Vec.dot(col("e"), col("e")))
       .withColumn("bucket", Vec.signBucket(col("e"), Bits))
     v.as("a")
       .join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        Vec.cosine(col("a.e"), col("b.e")).as("cosine"))
+        Vec.cosinePre(Vec.dot(col("a.e"), col("b.e")), col("a.nrm"), col("b.nrm")).as("cosine"))
       .filter(col("cosine") >= 0.35)
   }
 

@@ -30,6 +30,14 @@ object Vec {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Cosine with pre-computed self-dot norms: bitwise-identical to
+    * `cosine` (same fold, same operand order) but the O(dim) self-dots are
+    * computed once per VECTOR instead of once per PAIR — the difference
+    * between O(pairs·dim) and O(3·pairs·dim) in the join hot path.
+    */
+  def cosinePre(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (sqrt(normA) * sqrt(normB))
+
   /** Sign-LSH bucket: an integer code from the signs of the first `bits`
     * components (axis-aligned random-hyperplane LSH — deterministic here so
     * the oracle agrees; production would draw R gaussian hyperplanes and
