@@ -78,15 +78,9 @@ object DedupQueries {
   private val Bands = 3  // bands of R rows each: P(candidate) = 1-(1-J^R)^Bands
   private val R = 3
 
-  /** MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
-    * Emits (doc_a, doc_b, jaccard) for candidate pairs with J ≥ 0.5.
-    * Minhash_k(doc) = lexicographic min of md5("k:" ++ shingle) — a valid
-    * permutation-free minhash family, chosen because md5 hex strings order
-    * identically everywhere.
-    */
-  val minhashLsh: QueryDef = QueryDef(
-    "dd_minhash_lsh",
-    s"""WITH base AS ($BaseSql),
+  /** Shared oracle CTEs: verified near-dup pairs (J ≥ 0.5). */
+  private val PairsCteSql =
+    s"""base AS ($BaseSql),
        |sigs AS (
        |  SELECT doc_id,
        |    [list_aggregate(list_transform(shingles, s -> md5(CAST(k AS VARCHAR) || ':' || s)), 'min') for k in range(0, $K)] AS sig
@@ -95,17 +89,23 @@ object DedupQueries {
        |  SELECT doc_id,
        |    unnest([CAST(b AS VARCHAR) || '|' || sig[b*$R+1] || '|' || sig[b*$R+2] || '|' || sig[b*$R+3] for b in range(0, $Bands)]) AS band_key
        |  FROM sigs),
-       |pairs AS (
+       |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-       |SELECT * FROM (
-       |  SELECT doc_a, doc_b,
-       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-       |      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
-       |  FROM pairs
-       |  JOIN base sa ON sa.doc_id = doc_a
-       |  JOIN base sb ON sb.doc_id = doc_b) t
-       |WHERE jaccard >= 0.5""".stripMargin) { (s, dir) =>
+       |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT * FROM (
+       |    SELECT doc_a, doc_b,
+       |      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |        / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+       |    FROM cand
+       |    JOIN base sa ON sa.doc_id = doc_a
+       |    JOIN base sb ON sb.doc_id = doc_b) t
+       |  WHERE jaccard >= 0.5)""".stripMargin
+
+  /** Spark-side verified near-dup pairs (doc_a, doc_b, jaccard ≥ 0.5) —
+    * the pipeline behind dd_minhash_lsh, reused by dd_components.
+    */
+  private def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     // The shingle table feeds three consumers (signatures + both sides of
     // the Jaccard verification join); without persisting it, Spark
     // recomputes clean→split→shingle→distinct per consumer — measured 3×
@@ -135,6 +135,64 @@ object DedupQueries {
         inter.cast(DoubleType) / (size(col("sh_a")) + size(col("sh_b")) - inter))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
+    * Emits (doc_a, doc_b, jaccard) for candidate pairs with J ≥ 0.5.
+    * Minhash_k(doc) = lexicographic min of md5("k:" ++ shingle) — a valid
+    * permutation-free minhash family, chosen because md5 hex strings order
+    * identically everywhere.
+    */
+  val minhashLsh: QueryDef = QueryDef(
+    "dd_minhash_lsh",
+    s"""WITH $PairsCteSql
+       |SELECT doc_a, doc_b, jaccard FROM verified""".stripMargin)(nearDupPairs)
+
+  /** Connected components over the near-dup pair graph — the dedup
+    * end-game: each group of mutually-similar documents collapses to one
+    * component whose id (= min doc_id in the component) is the keeper.
+    * Implemented as iterative min-label propagation: each round is one
+    * distributed join (neighbor labels) + groupBy(min); rounds needed =
+    * graph diameter (near-dup clusters are tiny, so a handful). No driver
+    * materialization of the graph — only the converged-yet? count crosses
+    * to the driver. Oracle: transitive closure via a recursive CTE.
+    */
+  val components: QueryDef = QueryDef(
+    "dd_components",
+    s"""WITH RECURSIVE $PairsCteSql,
+       |sym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+       |        UNION SELECT doc_b, doc_a FROM verified),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u)
+       |SELECT u AS doc_id, least(u, MIN(v)) AS component
+       |FROM reach GROUP BY u""".stripMargin) { (s, dir) =>
+    val pairs = nearDupPairs(s, dir).select("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    var labels = sym.select(col("u")).distinct()
+      .select(col("u"), col("u").as("component"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val neighborLabels = sym
+        .join(labels.withColumnRenamed("u", "v"), "v")
+        .select(col("u"), col("component"))
+      val next = labels.unionByName(neighborLabels)
+        .groupBy("u").agg(min("component").as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("component", "old"), "u")
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"components did not converge in $rounds rounds")
+    pairs.unpersist()
+    labels.select(col("u").as("doc_id"), col("component"))
   }
 
   /** SimHash: 16-bit bit-majority signature over distinct cleaned words
@@ -197,5 +255,6 @@ object DedupQueries {
     s.read.parquet(sink)
   }
 
-  val defs: Seq[QueryDef] = Seq(exact, blockPrefix, minhashLsh, simhash, sinkIdempotence)
+  val defs: Seq[QueryDef] =
+    Seq(exact, blockPrefix, minhashLsh, components, simhash, sinkIdempotence)
 }

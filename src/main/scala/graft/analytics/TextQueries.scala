@@ -168,6 +168,49 @@ object TextQueries {
     }
   }
 
+  /** The composed corpus-selection pipeline — what a training-data run
+    * actually executes per document: quality gate + length gate + block-
+    * dedup keeper election, with per-rule flags so drops are auditable.
+    */
+  val corpusFilter: QueryDef = {
+    val stopSql = stopwords.map("'" + _ + "'").mkString(",")
+    QueryDef(
+      "tx_corpus_filter",
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    length(string_split(text, ' ')) AS n_words,
+         |    least(CAST(1 AS DOUBLE), length(string_split(text, ' ')) / CAST(200 AS DOUBLE))
+         |      * (CAST(1 AS DOUBLE) - CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopSql))) AS DOUBLE) / length(string_split(text, ' ')))
+         |      AS quality,
+         |    md5(substr(text, 1, 80)) AS fp
+         |  FROM documents),
+         |k AS (SELECT fp, MIN(doc_id) AS keeper FROM q GROUP BY fp)
+         |SELECT q.doc_id, q.n_words, q.quality,
+         |  (q.doc_id = k.keeper) AS is_keeper,
+         |  (q.n_words >= 20) AS len_ok,
+         |  (q.quality >= 0.1) AS quality_ok,
+         |  (q.doc_id = k.keeper AND q.n_words >= 20 AND q.quality >= 0.1) AS kept
+         |FROM q JOIN k USING (fp)""".stripMargin) { (s, dir) =>
+      val t = col("text")
+      val nWords = size(words(t))
+      val quality = least(lit(1.0), nWords / lit(200.0)) *
+        (lit(1.0) - nIn(t, stopwords).cast(DoubleType) / nWords)
+      val q = Tables.documents(s, dir).select(
+        col("doc_id"), nWords.as("n_words"), quality.as("quality"),
+        md5(substring(t, 1, 80)).as("fp"))
+      val k = q.groupBy("fp").agg(min("doc_id").as("keeper"))
+      q.join(k, "fp")
+        .select(
+          col("doc_id"), col("n_words"), col("quality"),
+          (col("doc_id") === col("keeper")).as("is_keeper"),
+          (col("n_words") >= 20).as("len_ok"),
+          (col("quality") >= 0.1).as("quality_ok"),
+          (col("doc_id") === col("keeper") && col("n_words") >= 20 &&
+            col("quality") >= 0.1).as("kept"))
+    }
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(qualityScore, langId, tokenCount, fingerprint, rollingHash, sentiment)
+    Seq(qualityScore, langId, tokenCount, fingerprint, rollingHash, sentiment,
+      corpusFilter)
 }
