@@ -54,32 +54,41 @@ object TextQueries {
       (least(lit(1.0), nWords / lit(200.0)) * (lit(1.0) - stopRatio)).as("quality"))
   }
 
-  /** Marker-word language ID (n-gram-heuristic tier): score each candidate
-    * language by marker hits, argmax with a fixed precedence tie-break,
-    * compared against the labeled `lang` column. Accuracy is a property of
-    * the markers, not the engine — the oracle checks the computation.
+  /** Character-n-gram language ID: score each candidate language by the
+    * frequency of its characteristic bigrams (+ marker words as a second
+    * signal), argmax with a fixed precedence tie-break, compared against
+    * the labeled `lang` column. Accuracy is a property of the profiles,
+    * not the engine — the oracle checks the computation.
     */
-  val langId: QueryDef = QueryDef(
-    "tx_lang_id",
-    """SELECT doc_id, lang,
-      |  len(list_filter(string_split(text, ' '), w -> w IN ('the','a','is','of'))) AS en_score,
-      |  len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und'))) AS de_score,
-      |  len(list_filter(string_split(text, ' '), w -> w IN ('el','la','los','y'))) AS es_score,
-      |  CASE
-      |    WHEN len(list_filter(string_split(text, ' '), w -> w IN ('the','a','is','of'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und')))
-      |     AND len(list_filter(string_split(text, ' '), w -> w IN ('the','a','is','of'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('el','la','los','y')))
-      |    THEN 'en'
-      |    WHEN len(list_filter(string_split(text, ' '), w -> w IN ('der','die','das','und'))) >= len(list_filter(string_split(text, ' '), w -> w IN ('el','la','los','y')))
-      |    THEN 'de' ELSE 'es' END AS predicted
-      |FROM documents""".stripMargin) { (s, dir) =>
-    val t = col("text")
-    val en = nIn(t, Seq("the", "a", "is", "of"))
-    val de = nIn(t, Seq("der", "die", "das", "und"))
-    val es = nIn(t, Seq("el", "la", "los", "y"))
-    Tables.documents(s, dir).select(
-      col("doc_id"), col("lang"),
-      en.as("en_score"), de.as("de_score"), es.as("es_score"),
-      when(en >= de && en >= es, "en").when(de >= es, "de").otherwise("es").as("predicted"))
+  val langId: QueryDef = {
+    val profiles = Seq(
+      "en" -> (Seq("th", "he", "in"), Seq("the", "a", "is", "of")),
+      "de" -> (Seq("ch", "ei", "en"), Seq("der", "die", "das", "und")),
+      "es" -> (Seq("ll", "os", "de"), Seq("el", "la", "los", "y")))
+    def scoreSql(bigrams: Seq[String], words: Seq[String]) =
+      s"len(regexp_extract_all(text, '${bigrams.mkString("|")}'))" +
+        s" + 3 * len(list_filter(string_split(text, ' '), w -> w IN (${words.map("'" + _ + "'").mkString(",")})))"
+    val Seq(enS, deS, esS) = profiles.map { case (_, (b, w)) => scoreSql(b, w) }
+    QueryDef(
+      "tx_lang_id",
+      s"""SELECT doc_id, lang,
+         |  $enS AS en_score,
+         |  $deS AS de_score,
+         |  $esS AS es_score,
+         |  CASE
+         |    WHEN $enS >= $deS AND $enS >= $esS THEN 'en'
+         |    WHEN $deS >= $esS THEN 'de' ELSE 'es' END AS predicted
+         |FROM documents""".stripMargin) { (s, dir) =>
+      val t = col("text")
+      def score(bigrams: Seq[String], ws: Seq[String]) =
+        size(expr(s"regexp_extract_all(text, '${bigrams.mkString("|")}', 0)")) +
+          lit(3) * nIn(t, ws)
+      val Seq(en, de, es) = profiles.map { case (_, (b, w)) => score(b, w) }
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        en.as("en_score"), de.as("de_score"), es.as("es_score"),
+        when(en >= de && en >= es, "en").when(de >= es, "de").otherwise("es").as("predicted"))
+    }
   }
 
   /** Token counting: whitespace tokens, regex word-ish tokens (a BPE-style

@@ -25,6 +25,22 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // the exact ANN baseline is a broadcast nested-loop BY DESIGN (probe set
+  // × corpus, linear in corpus); side-effectful queries are excluded from
+  // static plan checks (their plan is the read-back)
+  private val nestedLoopAllowed = Set("ann_bruteforce_topk")
+  private val sideEffecting = Set("ev_stream_exactly_once", "ev_stateful_state", "k1_sink_idempotence")
+
+  test("no query plans a cartesian product (scale guard)") {
+    SparkEntry.allDefs
+      .filterNot(d => sideEffecting(d.name) || nestedLoopAllowed(d.name))
+      .foreach { d =>
+        val plan = d.fn(spark, sf).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+          s"${d.name} plans an unbounded join:\n${plan.take(2000)}")
+      }
+  }
+
   test("every oracle-less query is intentional") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name)
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
