@@ -188,7 +188,47 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_in_window"))
   }
 
+  /** RANGE window frame (time-based trailing hour per user) — the frame is
+    * defined by VALUE distance, not row count; Spark expresses it as
+    * rangeBetween over an epoch-ms ordering.
+    */
+  val rangeFrame: QueryDef = QueryDef(
+    "w4_range_frame",
+    """SELECT user_id, event_id,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_last_hour,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6)))
+      |    OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |          RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS v_last_hour
+      |FROM events""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(unix_millis(col("ts")))
+      .rangeBetween(-3600000L, Window.currentRow)
+    Tables.events(s, dir).select(
+      col("user_id"), col("event_id"),
+      count(lit(1)).over(w).as("n_last_hour"),
+      sum(col("value").cast(DecimalType(18, 6))).over(w)
+        .cast(DoubleType).as("v_last_hour"))
+  }
+
+  /** min_by / max_by aggregates (deterministic: the ordering column is the
+    * unique order key).
+    */
+  val minMaxBy: QueryDef = QueryDef(
+    "a6_min_max_by",
+    """SELECT o_custkey,
+      |  max_by(o_orderpriority, o_orderkey) AS latest_key_priority,
+      |  min_by(o_orderpriority, o_orderkey) AS first_key_priority,
+      |  MAX(o_orderkey) AS max_key
+      |FROM orders GROUP BY o_custkey""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(
+        max_by(col("o_orderpriority"), col("o_orderkey")).as("latest_key_priority"),
+        min_by(col("o_orderpriority"), col("o_orderkey")).as("first_key_priority"),
+        max("o_orderkey").as("max_key"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     structArrayExtract, rollupSpend, distinctAgg, pivotStatus,
-    rankFrames, asofJoin, rangeJoinBucketed)
+    rankFrames, asofJoin, rangeJoinBucketed, rangeFrame, minMaxBy)
 }
