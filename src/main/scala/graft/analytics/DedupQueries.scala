@@ -274,6 +274,35 @@ object DedupQueries {
     s.read.parquet(sink)
   }
 
+  /** Composite-key sink dedup with NULLABLE key members (the K3-K6 case):
+    * our sinks use null-safe equality, so NULL key values dedup like
+    * values — the documented divergence from Postgres ON CONFLICT (which
+    * treats NULLs as distinct and keeps inserting). SQL GROUP BY/window
+    * PARTITION BY group NULLs together too, so the oracle states exactly
+    * our semantics.
+    */
+  val nullKeySink: QueryDef = QueryDef(
+    "k4_null_key_sink",
+    """SELECT user_id_n, event_type, event_id, value FROM (
+      |  SELECT user_id_n, event_type, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id_n, event_type ORDER BY event_id) AS rn
+      |  FROM (SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS user_id_n,
+      |               event_type, event_id, value
+      |        FROM events) t0) t WHERE rn = 1""".stripMargin) { (s, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_k4_$tag")
+    rmRf(base); base.mkdirs()
+    val sink = s"${base.getPath}/sink"
+    val batch = Tables.events(s, dir).select(
+      when(col("user_id") % 7 === 0, lit(null)).otherwise(col("user_id")).as("user_id_n"),
+      col("event_type"), col("event_id"), col("value"))
+    val key = Seq("user_id_n", "event_type")
+    DedupSink.append(s, sink, batch, key, Seq(col("event_id")))
+    DedupSink.append(s, sink, batch, key, Seq(col("event_id"))) // re-ingest no-op
+    s.read.parquet(sink)
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(exact, blockPrefix, minhashLsh, components, simhash, sinkIdempotence)
+    Seq(exact, blockPrefix, minhashLsh, components, simhash, sinkIdempotence,
+      nullKeySink)
 }

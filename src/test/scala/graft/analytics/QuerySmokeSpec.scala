@@ -29,7 +29,9 @@ class QuerySmokeSpec extends AnyFunSuite {
   // × corpus, linear in corpus); side-effectful queries are excluded from
   // static plan checks (their plan is the read-back)
   private val nestedLoopAllowed = Set("ann_bruteforce_topk")
-  private val sideEffecting = Set("ev_stream_exactly_once", "ev_stateful_state", "k1_sink_idempotence")
+  private val sideEffecting = Set(
+    "ev_stream_exactly_once", "ev_stateful_state",
+    "k1_sink_idempotence", "k4_null_key_sink")
 
   test("no query plans a cartesian product (scale guard)") {
     SparkEntry.allDefs
