@@ -111,6 +111,41 @@ object IngestJob {
       mode: Mode,
       now: Timestamp): Map[String, IngestResult] =
     Pipelines.specs(fixturesDir).map(s => s.platform -> run(spark, usersPath, warehouse, s, mode, now)).toMap
+
+  /** Retry budget per platform task, mirroring the reference's Celery
+    * `max_retries=3` (tasks.py:109,133,150,203). A platform that still
+    * fails is isolated as a Left — other platforms proceed, and because
+    * the sink is idempotent and the watermark only advances on success,
+    * the failed platform's next run retries the same window safely.
+    */
+  def runWithRetry(
+      spark: SparkSession,
+      usersPath: String,
+      warehouse: String,
+      spec: IngestSpec,
+      mode: Mode,
+      now: Timestamp,
+      maxRetries: Int = 3): Either[String, IngestResult] = {
+    var last: Throwable = null
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      try return Right(run(spark, usersPath, warehouse, spec, mode, now))
+      catch { case e: Throwable => last = e; attempt += 1 }
+    }
+    Left(s"${spec.platform}: failed after ${maxRetries + 1} attempts: ${last.getMessage}")
+  }
+
+  /** runAll with per-platform fault isolation + retries. */
+  def runAllResilient(
+      spark: SparkSession,
+      usersPath: String,
+      warehouse: String,
+      fixturesDir: String,
+      mode: Mode,
+      now: Timestamp): Map[String, Either[String, IngestResult]] =
+    Pipelines.specs(fixturesDir)
+      .map(s => s.platform -> runWithRetry(spark, usersPath, warehouse, s, mode, now))
+      .toMap
 }
 
 /** The ten platform pipelines as data (SURVEY.md §2.1 S3-S11) — after the
