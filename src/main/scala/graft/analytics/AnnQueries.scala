@@ -63,6 +63,7 @@ object AnnQueries {
 
   private val Bits = 4
   private val LshK = 5
+  private val NProbe = 2
   private val maskList: Seq[Int] = 0 +: (0 until Bits).map(1 << _)
 
   /** Oracle-side sign bucket, mirrored from Vec.signBucket. */
@@ -135,5 +136,64 @@ object AnnQueries {
       .filter(col("cosine") >= 0.35)
   }
 
-  val defs: Seq[QueryDef] = Seq(bruteForce, lshTopK, embedNearDup)
+  /** IVF-style ANN: coarse-quantize the corpus into cells (here the given
+    * `label` clustering stands in for k-means), compute each cell's
+    * centroid with EXACT per-dimension decimal averaging (engine-
+    * independent doubles), assign each probe to its nearest centroid, and
+    * search its top `nprobe` cells — the inverted-file search. Scale
+    * shape: centroid table is tiny (cells × dims), probe↔centroid is a
+    * k×C loop, and the search join is an equi-join on the cell id.
+    */
+  val ivfTopK: QueryDef = QueryDef(
+    "ann_ivf_topk",
+    s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |expl AS (SELECT label, i AS pos, e[i] AS val FROM v, unnest(range(1, 65)) AS t(i)),
+       |cent AS (
+       |  SELECT label, pos,
+       |    CAST(SUM(CAST(val AS DECIMAL(28,20))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM expl GROUP BY label, pos),
+       |carr AS (SELECT label, list(c ORDER BY pos) AS ce FROM cent GROUP BY label),
+       |probes AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < $ProbeCount),
+       |assign AS (
+       |  SELECT probe_id, pe, label AS cell FROM (
+       |    SELECT p.probe_id, p.pe, c.label,
+       |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+       |                         ORDER BY ${cosSql("p.pe", "c.ce")} DESC, c.label) AS rn
+       |    FROM probes p, carr c) t WHERE rn <= $NProbe),
+       |scored AS (
+       |  SELECT probe_id, v.vec_id AS neighbor_id, ${cosSql("pe", "e")} AS cosine
+       |  FROM assign a JOIN v ON v.label = a.cell AND v.vec_id <> a.probe_id)
+       |SELECT probe_id, neighbor_id, cosine, rank FROM (
+       |  SELECT probe_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $LshK""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), Vec.toDouble(col("embedding")).as("e"))
+    val expl = v.select(col("label"), posexplode(col("e")).as(Seq("pos", "val")))
+    val cent = expl.groupBy("label", "pos")
+      .agg((sum(col("val").cast(DecimalType(28, 20))).cast(DoubleType) / count(lit(1))).as("c"))
+    val carr = cent.groupBy("label")
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), transform(col("pc"), x => x.getField("c")).as("ce"))
+    val probes = v.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+    val wAssign = Window.partitionBy("probe_id")
+      .orderBy(Vec.cosine(col("pe"), col("ce")).desc, col("label"))
+    val assign = probes.join(broadcast(carr)) // k probes × C centroids
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= NProbe)
+      .select(col("probe_id"), col("pe"), col("label").as("cell"))
+    val scored = v.join(broadcast(assign),
+        col("label") === col("cell") && col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        Vec.cosine(col("pe"), col("e")).as("cosine"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= LshK)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
+  val defs: Seq[QueryDef] = Seq(bruteForce, lshTopK, embedNearDup, ivfTopK)
 }

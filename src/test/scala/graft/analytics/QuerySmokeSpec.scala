@@ -28,7 +28,8 @@ class QuerySmokeSpec extends AnyFunSuite {
   // the exact ANN baseline is a broadcast nested-loop BY DESIGN (probe set
   // × corpus, linear in corpus); side-effectful queries are excluded from
   // static plan checks (their plan is the read-back)
-  private val nestedLoopAllowed = Set("ann_bruteforce_topk")
+  // ann_ivf's probe↔centroid assignment is a k×C loop (5×10 here)
+  private val nestedLoopAllowed = Set("ann_bruteforce_topk", "ann_ivf_topk")
   private val sideEffecting = Set(
     "ev_stream_exactly_once", "ev_stateful_state",
     "k1_sink_idempotence", "k4_null_key_sink")
