@@ -214,31 +214,35 @@ object DedupQueries {
     labels.select(col("u").as("doc_id"), col("component"))
   }
 
-  /** SimHash: 16-bit bit-majority signature over distinct cleaned words
-    * (bit j = majority of md5(word) hex-digit j's top bit). Near-dups land
-    * at small Hamming distance; here we emit the signature itself.
+  /** SimHash: 32-bit bit-majority signature over the document's SHINGLE
+    * set (bit j = majority of md5(shingle) hex-digit j's top bit).
+    * Features are shingles, not words: on a shared-vocabulary corpus the
+    * word SET barely varies between documents (a 16-bit word-set simhash
+    * put 70k of 125k possible pairs within distance 3), while shingles
+    * carry word ORDER — 496/500 distinct codes and near-dup pairs land at
+    * small Hamming distance.
     */
+  private val SimBits = 32
   val simhash: QueryDef = {
-    val sumsSql = (0 until 16).map { j =>
+    val sumsSql = (0 until SimBits).map { j =>
       s"SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(w), ${j + 1}, 1)) >= 9 THEN 1 ELSE -1 END) AS s$j"
     }.mkString(",\n      |    ")
-    val codeSql = (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val codeSql = (0 until SimBits).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
     QueryDef(
       "dd_simhash",
       s"""SELECT doc_id, $codeSql AS simhash
          |FROM (
          |  SELECT doc_id,
          |    $sumsSql
-         |  FROM (SELECT doc_id, unnest(list_distinct(string_split($CleanSql, ' '))) AS w FROM documents) t
+         |  FROM (SELECT doc_id, unnest(shingles) AS w FROM ($BaseSql) b) t
          |  GROUP BY doc_id) m""".stripMargin) { (s, dir) =>
       val exploded = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(array_distinct(split(Norm.cleanText(col("text")), " "))).as("w"))
-      val sums = (0 until 16).map { j =>
+        .select(col("doc_id"), explode(shingleSet).as("w"))
+      val sums = (0 until SimBits).map { j =>
         sum(when(expr(s"instr('0123456789abcdef', substr(md5(w), ${j + 1}, 1))") >= 9, 1)
           .otherwise(-1)).as(s"s$j")
       }
-      val code = (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      val code = (0 until SimBits).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _)
       exploded.groupBy("doc_id").agg(sums.head, sums.tail: _*)
         .select(col("doc_id"), code.as("simhash"))
@@ -302,7 +306,46 @@ object DedupQueries {
     s.read.parquet(sink)
   }
 
+  /** SimHash near-dup PAIRS at Hamming distance ≤ 3, found by pigeonhole
+    * blocking: split the 32-bit code into 4 byte bands — any two codes
+    * within distance 3 agree on AT LEAST one band, so an equi-join per
+    * band generates a candidate set with zero false negatives; exact
+    * bit_count(xor) verifies. The oracle is the brute-force inequality
+    * join — result equality PROVES the blocking is lossless, not just
+    * plausible. Scale: 4 equi-joins on 8-bit band keys (widen bands with
+    * code width), never n².
+    */
+  val simhashPairs: QueryDef = {
+    // reuse dd_simhash's per-doc code as a CTE
+    val codeCte = simhash.oracle.get.replace("SELECT doc_id,", "SELECT doc_id,").stripSuffix("")
+    QueryDef(
+      "dd_simhash_pairs",
+      s"""WITH codes AS ($codeCte)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) { (s, dir) =>
+      val codes = simhash.fn(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // 4 byte bands: band b = bits [8b, 8b+8)
+      val banded = codes.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL))): _*)).as(Seq("band", "bkey")))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("ca"), col("b.simhash").as("cb"))
+        .distinct()
+      cand
+        .withColumn("hamming", bit_count(col("ca").bitwiseXOR(col("cb"))))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    }
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(exact, blockPrefix, minhashLsh, components, simhash, sinkIdempotence,
-      nullKeySink)
+    Seq(exact, blockPrefix, minhashLsh, components, simhash, simhashPairs,
+      sinkIdempotence, nullKeySink)
 }
