@@ -56,13 +56,21 @@ object CoreQueries {
 
   /** S1/F1: "watermark IS NULL" control scan — keys never ingested.
     * customers with no orders via LEFT ANTI join (= NOT EXISTS).
+    *
+    * The anti-join's build side is reduced to DISTINCT keys first (legal for
+    * anti-join semantics): the shuffle then carries only the key column with
+    * map-side partial aggregation, and AQE sees the small post-agg stage and
+    * plans a broadcast anti-join instead of shuffling the probe side — the
+    * r2 bench showed AQE picking a shuffled anti-join off the raw fact scan
+    * (0.48 s → 3.31 s); key-cardinality is bounded by the dimension at any SF.
     */
   val s1NewKeys: QueryDef = QueryDef(
     "s1_f1_new_keys_anti",
     """SELECT c_custkey, c_name, c_mktsegment FROM customer c
       |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (s, dir) =>
+    val orderedKeys = Tables.orders(s, dir).select("o_custkey").distinct()
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orderedKeys, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
   }
 

@@ -56,7 +56,7 @@ object StreamQueries {
       |  FROM events),
       |s AS (
       |  SELECT user_id, ts, event_id,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM m)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  CAST(epoch_ms(MIN(ts)) AS BIGINT) AS start_ms,

@@ -98,9 +98,9 @@ object TextQueries {
   val tokenCount: QueryDef = QueryDef(
     "tx_token_count",
     """SELECT source,
-      |  SUM(length(string_split(text, ' '))) AS ws_tokens,
-      |  SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS re_tokens,
-      |  SUM((length(text) + 3) // 4) AS est_bpe_tokens,
+      |  CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS re_tokens,
+      |  CAST(SUM((length(text) + 3) // 4) AS BIGINT) AS est_bpe_tokens,
       |  COUNT(*) AS n_docs
       |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
@@ -162,8 +162,8 @@ object TextQueries {
     QueryDef(
       "tx_sentiment",
       s"""SELECT source, COUNT(*) AS n_docs,
-         |  SUM(CASE WHEN ${lexSql(posLex)} > ${lexSql(negLex)} THEN 1 ELSE 0 END) AS pos_docs,
-         |  SUM(CASE WHEN ${lexSql(posLex)} < ${lexSql(negLex)} THEN 1 ELSE 0 END) AS neg_docs,
+         |  CAST(SUM(CASE WHEN ${lexSql(posLex)} > ${lexSql(negLex)} THEN 1 ELSE 0 END) AS BIGINT) AS pos_docs,
+         |  CAST(SUM(CASE WHEN ${lexSql(posLex)} < ${lexSql(negLex)} THEN 1 ELSE 0 END) AS BIGINT) AS neg_docs,
          |  CAST(SUM(${lexSql(posLex)} - ${lexSql(negLex)}) AS DOUBLE) / COUNT(*) AS mean_score
          |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
       val score = nIn(col("text"), posLex) - nIn(col("text"), negLex)
