@@ -147,7 +147,7 @@ object AnnQueries {
   val ivfTopK: QueryDef = QueryDef(
     "ann_ivf_topk",
     s"""WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |expl AS (SELECT label, i AS pos, e[i] AS val FROM v, unnest(range(1, 65)) AS t(i)),
+       |expl AS (SELECT label, i AS pos, e[i] AS val FROM v, unnest(range(1, len(e) + 1)) AS t(i)),
        |cent AS (
        |  SELECT label, pos,
        |    CAST(SUM(CAST(val AS DECIMAL(28,20))) AS DOUBLE) / COUNT(*) AS c

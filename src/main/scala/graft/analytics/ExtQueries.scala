@@ -130,16 +130,20 @@ object ExtQueries {
     * merge-ordered per key; `last_value` over the strictly-preceding frame
     * picks each probe's predecessor — one shuffle on the key, no range
     * explosion, no per-probe scan. The kind column breaks ts ties so the
-    * `<` is strict. Oracle: DuckDB's native ASOF LEFT JOIN.
+    * `<` is strict, and s_event totalizes the order so ties between two
+    * series events at the same ts pick a deterministic predecessor (the
+    * max event_id). Oracle: LEFT JOIN + arg_max by (ts, event_id) — the
+    * same total order, expressible tie-deterministically in SQL (native
+    * ASOF breaks equal-ts predecessors arbitrarily).
     */
   val asofJoin: QueryDef = QueryDef(
     "j5_asof_join",
     """SELECT p.event_id AS probe_id, p.user_id,
-      |  e.event_id AS prev_event_id,
-      |  CAST(epoch_ms(e.ts) AS BIGINT) AS prev_ts_ms
+      |  arg_max(e.event_id, printf('%020d%020d', epoch_ms(e.ts), e.event_id)) AS prev_event_id,
+      |  CAST(MAX(epoch_ms(e.ts)) AS BIGINT) AS prev_ts_ms
       |FROM (SELECT * FROM events WHERE event_id % 17 = 0) p
-      |ASOF LEFT JOIN events e
-      |  ON p.user_id = e.user_id AND e.ts < p.ts""".stripMargin) { (s, dir) =>
+      |LEFT JOIN events e ON p.user_id = e.user_id AND e.ts < p.ts
+      |GROUP BY p.event_id, p.user_id""".stripMargin) { (s, dir) =>
     val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
     val probes = ev.filter(col("event_id") % 17 === 0)
       .select(col("user_id"), col("ts"), lit(0).as("kind"),
@@ -151,7 +155,7 @@ object ExtQueries {
         col("event_id").as("s_event"))
     // probes sort BEFORE series at equal ts (kind 0 < 1) → the preceding
     // frame sees only strictly-earlier series rows
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"), col("s_event"))
       .rowsBetween(Window.unboundedPreceding, -1)
     probes.unionByName(series)
       .withColumn("prev_event_id", last(col("s_event"), ignoreNulls = true).over(w))

@@ -43,9 +43,13 @@ trait SourceConnector {
   *  - `since`/`until` filter on `eventTime` (null event times pass through —
   *    required-field drops are the normalizer's F3-F9 filters, not the
   *    window's);
-  *  - `limit` newest-first (orderBy eventTime desc, limit) — the reference's
-  *    maxItems caps and twitter3's ordered early-exit
-  *    (scrapers/twitter3_scraper.py:43-44,65-66) both reduce to this;
+  *  - `limit` newest-first (orderBy eventTime desc + unique `tiebreak`,
+  *    limit) — the reference's maxItems caps and twitter3's ordered
+  *    early-exit (scrapers/twitter3_scraper.py:43-44,65-66) both reduce to
+  *    this; the tiebreak makes the cut at the limit boundary deterministic
+  *    across repeated fetches of the same window, which the sink-idempotence
+  *    guarantee relies on (a tie kept one run and dropped the next would
+  *    look like a new record);
   *  - multiple suffixes are unioned (Reddit's dual query,
   *    scrapers/reddit_scraper.py:66).
   * A custom `applyLimit` overrides the cap semantics (page-ranged HTML
@@ -57,7 +61,8 @@ final class FixtureConnector(
     schema: StructType,
     eventTime: Option[Column] = None,
     suffixes: Seq[String] = Seq(""),
-    applyLimit: Option[(DataFrame, Int) => DataFrame] = None)
+    applyLimit: Option[(DataFrame, Int) => DataFrame] = None,
+    tiebreak: Seq[Column] = Nil)
   extends SourceConnector {
 
   private def sanitize(h: String): String = h.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -83,8 +88,9 @@ final class FixtureConnector(
           case Some(f) => f(windowed, n)
           case None =>
             eventTime match {
-              case Some(et) => windowed.orderBy(et.desc_nulls_last).limit(n)
-              case None     => windowed.limit(n)
+              case Some(et) =>
+                windowed.orderBy(et.desc_nulls_last +: tiebreak: _*).limit(n)
+              case None => windowed.limit(n)
             }
         }
       case None => windowed

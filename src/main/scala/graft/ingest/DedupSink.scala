@@ -32,6 +32,42 @@ final case class AppendResult(inserted: Long, perGroup: Map[String, Long])
 
 object DedupSink {
 
+  /** The existing-sink key scan for the cross-batch anti-join, partition-
+    * pruned: when the sink's physical partition columns are a subset of the
+    * conflict key, a key can only collide inside its own partition, so the
+    * existing side is restricted to the partitions the batch touches — the
+    * filter lands in the scan's PartitionFilters and append cost is
+    * O(touched partitions), not O(sink). Global-key sinks (partition column
+    * not in the key, e.g. twitter's tweet_id) must scan all partitions: the
+    * same key may already exist under another company.
+    */
+  private[ingest] def existingKeys(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      key: Seq[String],
+      partitionBy: Seq[String]): DataFrame = {
+    val existingAll = spark.read.parquet(path)
+    val keySet = key.toSet
+    val prunable = partitionBy.nonEmpty && partitionBy.forall(keySet)
+    val existingScan =
+      if (!prunable) existingAll
+      else {
+        // Partition values come from the pre-dedup batch (same distinct set
+        // — the within-batch window only drops duplicate-key rows);
+        // O(batch) rows scanned, O(touched partitions) rows collected.
+        val touched = batch.select(partitionBy.map(col): _*).distinct().collect()
+        val filters = partitionBy.zipWithIndex.map { case (c, i) =>
+          val vs = touched.map(_.get(i)).toSeq
+          val nonNull = vs.filter(_ != null)
+          val base = if (nonNull.isEmpty) lit(false) else col(c).isin(nonNull: _*)
+          if (vs.contains(null)) base || col(c).isNull else base
+        }
+        filters.reduceOption(_ && _).map(existingAll.filter).getOrElse(existingAll)
+      }
+    existingScan.select(key.map(col): _*)
+  }
+
   /** Append `batch` to the parquet sink at `path`, deduplicating on `key`.
     * Returns insert counts (total and, when `groupCol` is set, per group —
     * one row per group, driver-safe).
@@ -66,28 +102,32 @@ object DedupSink {
       .drop("__rn")
     val fresh =
       if (new java.io.File(path).exists()) {
-        val existing = spark.read.parquet(path).select(key.map(col): _*)
+        val existing = existingKeys(spark, path, batch, key, partitionBy)
         val cond = key.map(k => deduped(k) <=> existing(k)).reduce(_ && _)
         deduped.join(existing, cond, "left_anti")
       } else deduped
-    val cached = fresh.cache()
-    try {
-      val perGroup = groupCol match {
-        case Some(g) =>
-          cached.groupBy(g).count().collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
-        case None => Map.empty[String, Long]
-      }
-      val total = if (groupCol.isDefined) perGroup.values.sum else cached.count()
-      def writer(mode: String) = {
-        val w = cached.write.mode(mode)
-        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
-      }
-      if (total > 0) writer("append")
-      else if (!new java.io.File(path).exists())
-        // materialize an empty sink so downstream reads see the schema
-        writer("overwrite")
-      AppendResult(total, perGroup)
-    } finally cached.unpersist()
+    // Eager localCheckpoint, not cache(): the fresh-rows plan READS the sink
+    // path it is about to APPEND to. cache() keeps the lineage, so a lost
+    // block between count() and the write would silently recompute the
+    // anti-join against the partially-appended sink and drop rows; the
+    // checkpoint truncates the lineage — the write can only read the
+    // materialized blocks, and block loss fails the job loudly instead.
+    val snapshot = fresh.localCheckpoint(true)
+    val perGroup = groupCol match {
+      case Some(g) =>
+        snapshot.groupBy(g).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      case None => Map.empty[String, Long]
+    }
+    val total = if (groupCol.isDefined) perGroup.values.sum else snapshot.count()
+    def writer(mode: String) = {
+      val w = snapshot.write.mode(mode)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    }
+    if (total > 0) writer("append")
+    else if (!new java.io.File(path).exists())
+      // materialize an empty sink so downstream reads see the schema
+      writer("overwrite")
+    AppendResult(total, perGroup)
   }
 }

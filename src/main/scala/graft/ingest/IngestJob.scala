@@ -158,8 +158,9 @@ object Pipelines {
     def fx(platform: String, schema: org.apache.spark.sql.types.StructType,
            eventTime: Option[Column] = None,
            suffixes: Seq[String] = Seq(""),
-           applyLimit: Option[(DataFrame, Int) => DataFrame] = None) =
-      new FixtureConnector(platform, fixturesDir, schema, eventTime, suffixes, applyLimit)
+           applyLimit: Option[(DataFrame, Int) => DataFrame] = None,
+           tiebreak: Seq[Column] = Nil) =
+      new FixtureConnector(platform, fixturesDir, schema, eventTime, suffixes, applyLimit, tiebreak)
 
     // HTML sources cap on page ranges, not item counts (tasks.py:63,128,145)
     val pageCap: Option[(DataFrame, Int) => DataFrame] =
@@ -167,13 +168,16 @@ object Pipelines {
 
     Seq(
       IngestSpec("twitter", "twitter_mentions", "twitter_username",
-        fx("twitter", Schemas.twitterRaw, Some(Norm.parseTwitterTs(col("createdAt")))),
+        fx("twitter", Schemas.twitterRaw, Some(Norm.parseTwitterTs(col("createdAt"))),
+          tiebreak = Seq(col("id"))),
         Normalize.twitter, Seq("created_at"), 500, 500, 90), // twitter_scraper.py:35,56
       IngestSpec("twitter2", "twitter_mentions", "twitter_username",
-        fx("twitter2", Schemas.twitter2Raw, Some(try_to_timestamp(col("createdAt")))),
+        fx("twitter2", Schemas.twitter2Raw, Some(try_to_timestamp(col("createdAt"))),
+          tiebreak = Seq(col("id"))),
         Normalize.twitter2, Seq("created_at"), 100, 100, 90), // tasks.py:447
       IngestSpec("twitter3", "twitter_mentions", "twitter_username",
-        fx("twitter3", Schemas.twitter3Raw, Some(col("date"))),
+        fx("twitter3", Schemas.twitter3Raw, Some(col("date")),
+          tiebreak = Seq(col("id"))),
         Normalize.twitter3, Seq("created_at"), 100, 100, 120), // twitter3_scraper.py:23-25,36
       IngestSpec("instagram", "instagram_mentions", "instagram_username",
         fx("instagram", Schemas.instagramRaw),
@@ -191,10 +195,12 @@ object Pipelines {
         fx("reddit", Schemas.redditRaw, suffixes = Seq("_url", "_mention")), // dual query, reddit_scraper.py:66
         Normalize.reddit, Seq("review_date"), 30, 30, 3650), // reddit_scraper.py:15
       IngestSpec("facebook", "facebook_posts", "facebook_username",
-        fx("facebook", Schemas.facebookRaw, Some(try_to_timestamp(col("time")))),
+        fx("facebook", Schemas.facebookRaw, Some(try_to_timestamp(col("time"))),
+          tiebreak = Seq(col("postId"))),
         Normalize.facebook, Seq("created_at"), 100, 100, 90), // facebook_scraper.py:10-11
       IngestSpec("linkedin", "linkedin_posts", "linkedin_username",
-        fx("linkedin", Schemas.linkedinRaw, Some(Norm.epochMsTs(col("posted_at.timestamp")))),
+        fx("linkedin", Schemas.linkedinRaw, Some(Norm.epochMsTs(col("posted_at.timestamp"))),
+          tiebreak = Seq(col("urn"))),
         Normalize.linkedin, Seq("posted_at_iso"), 20, 100, 90)) // tasks.py:67-68
   }
 }

@@ -44,6 +44,18 @@ class QuerySmokeSpec extends AnyFunSuite {
       }
   }
 
+  test("documents corpus is ASCII (oracle-equivalence precondition)") {
+    // Norm.cleanText keeps all Unicode letters/digits while the dd_*/tx_
+    // oracles mirror it as [a-z0-9 ] after lower(), and the rolling-hash
+    // Expression folds UTF-8 bytes while its oracle folds codepoints — both
+    // equivalences hold only on ASCII text. Enforce the assumption so a
+    // corpus change surfaces here, not as a silent oracle hash divergence.
+    import org.apache.spark.sql.functions.{col, not}
+    val nonAscii = graft.Tables.documents(spark, sf)
+      .filter(not(col("text").rlike("^[\\x00-\\x7F]*$"))).count()
+    assert(nonAscii == 0, s"$nonAscii non-ASCII documents; cleanText/rolling-hash oracles diverge")
+  }
+
   test("every oracle-less query is intentional") {
     val noOracle = SparkEntry.allDefs.filter(_.oracle.isEmpty).map(_.name)
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
