@@ -32,8 +32,40 @@ final case class Company(
   * engine owns either way.
   */
 trait SourceConnector {
+  import SourceConnector._
+
   def platform: String
   def fetch(spark: SparkSession, company: Company, params: FetchParams): DataFrame
+
+  /** Batched fan-out: raw records for ALL companies in one frame, tagged
+    * with the company columns (`CompanyId`/`CompanyName`/`CompanyHandle`).
+    * `since` varies per company (each key's own watermark); `until`/`limit`
+    * are shared by the run (SURVEY.md §3.2: one parameterized plan).
+    *
+    * Default: per-company fetch + union — correct for any connector but
+    * O(companies) plan size; FixtureConnector overrides with a single
+    * multi-path scan so the plan stays O(1) in company count.
+    */
+  def fetchAll(
+      spark: SparkSession,
+      companies: Seq[(Company, Option[Timestamp])],
+      until: Option[Timestamp],
+      limit: Option[Int]): DataFrame =
+    companies.map { case (c, since) =>
+      fetch(spark, c, FetchParams(since, until, limit))
+        .withColumn(CompanyId, lit(c.id))
+        .withColumn(CompanyName, lit(c.name))
+        .withColumn(CompanyHandle, lit(c.handle.orNull))
+    }.reduce(_ unionByName _)
+}
+
+object SourceConnector {
+  /** Company-attribution columns carried by `fetchAll` output; normalizers
+    * project them into the sink schema (P12 enrichment) and drop them.
+    */
+  val CompanyId = "__company_id"
+  val CompanyName = "__company_name"
+  val CompanyHandle = "__company_handle"
 }
 
 /** Fixture-backed connector: reads JSON-lines payloads with an explicit
@@ -95,5 +127,77 @@ final class FixtureConnector(
         }
       case None => windowed
     }
+  }
+
+  /** Single-scan batched fetch: every company's fixture files in ONE
+    * `spark.read.json` (plan size O(1) in company count — the per-company
+    * union grows the logical plan linearly and chokes Catalyst at 10⁴
+    * companies). Company attribution joins a broadcast control-side lookup
+    * on the sanitized handle recovered from `input_file_name()`; the
+    * per-company `since` watermark rides the same lookup row, and the
+    * newest-first cap becomes a per-company row_number over the same
+    * (eventTime desc, tiebreak) order as the per-company path.
+    */
+  override def fetchAll(
+      spark: SparkSession,
+      companies: Seq[(Company, Option[Timestamp])],
+      until: Option[Timestamp],
+      limit: Option[Int]): DataFrame = {
+    import SourceConnector._
+    import org.apache.spark.sql.expressions.Window
+
+    val withHandle = companies.collect { case (c @ Company(_, _, Some(h)), since) => (c, h, since) }
+    val paths = withHandle.flatMap { case (_, h, _) =>
+      suffixes.map(sfx => s"$dir/$platform/${sanitize(h)}$sfx.json")
+    }.distinct.filter(p => new java.io.File(p).isFile)
+
+    def emptyTagged: DataFrame = empty(spark)
+      .withColumn(CompanyId, lit(null).cast("int"))
+      .withColumn(CompanyName, lit(null).cast("string"))
+      .withColumn(CompanyHandle, lit(null).cast("string"))
+    if (paths.isEmpty) return emptyTagged
+
+    val lookup = {
+      import spark.implicits._
+      withHandle
+        .map { case (c, h, since) => (sanitize(h), c.id, c.name, h, since.orNull) }
+        .toDF("__skey", CompanyId, CompanyName, CompanyHandle, "__since")
+    }
+    // basename minus .json, minus the connector's suffix → sanitized handle
+    val nonEmptySfx = suffixes.filter(_.nonEmpty).sortBy(-_.length)
+    val baseKey = regexp_extract(input_file_name(), "([^/]+)\\.json$", 1)
+    val skey =
+      if (nonEmptySfx.isEmpty) baseKey
+      else regexp_replace(baseKey,
+        nonEmptySfx.map(java.util.regex.Pattern.quote).mkString("(?:", "|", ")") + "$", "")
+
+    val raw = spark.read.schema(schema).json(paths: _*)
+      .withColumn("__skey", skey)
+      .join(broadcast(lookup), "__skey")
+    val windowed = eventTime match {
+      case Some(et) =>
+        val afterSince = raw.filter(col("__since").isNull || et.isNull || et >= col("__since"))
+        until.map(t => afterSince.filter(et.isNull || et < lit(t))).getOrElse(afterSince)
+      case None => raw
+    }
+    val capped = limit match {
+      case Some(n) =>
+        applyLimit match {
+          case Some(f) => f(windowed, n) // page caps are company-independent filters
+          case None =>
+            val order = eventTime match {
+              case Some(et) => et.desc_nulls_last +: tiebreak
+              // no event time → the cap needs SOME deterministic total
+              // order (the per-company path uses file order, undefined
+              // here); an arbitrary-but-stable hash of the row serves
+              case None => Seq(xxhash64(to_json(struct(col("*")))).asc)
+            }
+            val w = Window.partitionBy(col(CompanyId)).orderBy(order: _*)
+            windowed.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") <= n).drop("__rn")
+        }
+      case None => windowed
+    }
+    capped.drop("__skey", "__since")
   }
 }

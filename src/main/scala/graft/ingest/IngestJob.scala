@@ -26,7 +26,7 @@ final case class IngestSpec(
     sinkName: String,
     handleCol: String,
     connector: SourceConnector,
-    normalize: (DataFrame, Company, Column) => DataFrame,
+    normalize: (DataFrame, Column, Column, Column) => DataFrame,
     tiebreak: Seq[String],
     generalLimit: Int,
     catchupLimit: Int,
@@ -44,10 +44,12 @@ object IngestJob {
     * (since, until, limit) pushdown → normalize (P1-P13, F3-F9, X1-X2) →
     * dedup-append sink (K1-K8) → watermark advance iff inserted>0 (K9).
     *
-    * The company fan-out is a driver loop over the CONTROL table only — the
-    * reference's Celery dispatch (tasks.py:109-119); control rows are
-    * O(companies), and every data-plane operation below stays a distributed
-    * DataFrame transform. All per-company batches union into ONE sink write.
+    * The company fan-out is ONE batched fetch (`fetchAll`): the control
+    * table drives which companies participate (O(companies) driver rows,
+    * mirroring the reference's Celery dispatch, tasks.py:109-119), but the
+    * data plane is a single scan + broadcast control join — plan size O(1)
+    * in company count, where a per-company union would grow the logical
+    * plan linearly and choke Catalyst at 10⁴ companies. One sink write.
     */
   def run(
       spark: SparkSession,
@@ -72,20 +74,21 @@ object IngestJob {
 
     if (rows.isEmpty) return IngestResult(spec.platform, Map.empty, 0L)
 
-    val batches = rows.toSeq.map { r =>
+    val companies = rows.toSeq.map { r =>
       val company = Company(r.getInt(0), r.getString(1), Option(r.getString(2)))
       val since = mode match {
         case General(_) => Option(r.getTimestamp(3))
         case Catchup()  => Some(new Timestamp(now.getTime - spec.lookbackDays * 86400000L))
       }
-      val limit = mode match {
-        case General(_) => spec.generalLimit
-        case Catchup()  => spec.catchupLimit
-      }
-      val raw = spec.connector.fetch(spark, company, FetchParams(since, Some(now), Some(limit)))
-      spec.normalize(raw, company, lit(now))
+      (company, since)
     }
-    val all = batches.reduce(_ unionByName _)
+    val limit = mode match {
+      case General(_) => spec.generalLimit
+      case Catchup()  => spec.catchupLimit
+    }
+    val raw = spec.connector.fetchAll(spark, companies, Some(now), Some(limit))
+    val all = spec.normalize(
+      raw, col(SourceConnector.CompanyName), col(SourceConnector.CompanyHandle), lit(now))
     val (_, key) = Schemas.sinks(spec.sinkName)
     val res = DedupSink.append(
       spark, s"$warehouse/${spec.sinkName}", all, key, spec.tiebreak.map(col),

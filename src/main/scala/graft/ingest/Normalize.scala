@@ -9,7 +9,9 @@ import graft.schema.Schemas
 /** Per-platform raw→fact normalizers — the reference's projection layer
   * (SURVEY.md §2.2 P1-P13) and required-field filters (§2.3 F3-F9) as pure
   * Column pipelines. Every normalizer takes the raw payload DataFrame, the
-  * company constants (P12 enrichment), and the batch timestamp (P13
+  * company attribution as COLUMNS (P12 enrichment — `lit`s on the
+  * per-company path, the fetchAll control-join columns on the single-scan
+  * path, so one normalizer serves both), and the batch timestamp (P13
   * `fetched_at`), and emits rows in the sink schema's column order.
   */
 object Normalize {
@@ -17,11 +19,11 @@ object Normalize {
   private def isoTs(c: Column): Column = try_to_timestamp(c)
 
   /** P1-P3 + F3 (scrapers/twitter_scraper.py:65-94). */
-  def twitter(raw: DataFrame, c: Company, batchTs: Column): DataFrame =
+  def twitter(raw: DataFrame, name: Column, handle: Column, batchTs: Column): DataFrame =
     raw.filter(col("createdAt").isNotNull) // F3
       .select(
         col("id").as("tweet_id"),
-        lit(c.name).as("company_name"),
+        name.as("company_name"),
         col("url").as("twitter_url"),
         col("text"),
         col("author.name").as("author_handle"), // P1: nested struct
@@ -40,11 +42,11 @@ object Normalize {
         batchTs.as("fetched_at")) // P13
 
   /** F4 + timeline projection (scrapers/twitter2_scraper.py:49-64). */
-  def twitter2(raw: DataFrame, c: Company, batchTs: Column): DataFrame =
+  def twitter2(raw: DataFrame, name: Column, handle: Column, batchTs: Column): DataFrame =
     raw.filter(col("id").isNotNull && col("text").isNotNull) // F4
       .select(
         col("id").as("tweet_id"),
-        lit(c.name).as("company_name"),
+        name.as("company_name"),
         col("url").as("twitter_url"),
         col("text"),
         col("author.name").as("author_handle"),
@@ -60,11 +62,11 @@ object Normalize {
   /** snscrape projection (scrapers/twitter3_scraper.py:42-55); the ordered
     * early-exit (F9) is the connector's since-filter + newest-first cap.
     */
-  def twitter3(raw: DataFrame, c: Company, batchTs: Column): DataFrame =
+  def twitter3(raw: DataFrame, name: Column, handle: Column, batchTs: Column): DataFrame =
     raw.filter(col("id").isNotNull)
       .select(
         col("id").cast(StringType).as("tweet_id"),
-        lit(c.name).as("company_name"),
+        name.as("company_name"),
         col("url").as("twitter_url"),
         col("content").as("text"),
         col("user.username").as("author_handle"),
@@ -81,7 +83,7 @@ object Normalize {
     * (scrapers/instagram_scraper.py:78-112). Entry shapes: topPosts ∪
     * latestPosts, else flat items, else the entry IS a post.
     */
-  def instagram(raw: DataFrame, c: Company, batchTs: Column): DataFrame = {
+  def instagram(raw: DataFrame, name: Column, handle: Column, batchTs: Column): DataFrame = {
     val selfPost = struct(Schemas.instagramPost.fieldNames.map(col): _*)
     // typed empty array<struct<...>> (a bare array() is array<string> and
     // won't cast to a struct element type)
@@ -94,10 +96,10 @@ object Normalize {
       .when(coalesce(col("id"), col("shortCode")).isNotNull, array(selfPost))
       .otherwise(emptyPosts)
     raw.filter(col("error").isNull) // F8
-      .select(explode(posts).as("p")) // X1
+      .select(name.as("__cn"), explode(posts).as("p")) // X1 (company rides the explode)
       .select(
         coalesce(col("p.id"), col("p.shortCode")).as("post_id"), // P7
-        lit(c.name).as("company_name"),
+        col("__cn").as("company_name"),
         coalesce(col("p.description"), col("p.caption")).as("caption"),
         coalesce(col("p.ownerUsername"), col("p.username")).as("author_handle"),
         coalesce(isoTs(col("p.publishedAt")), isoTs(col("p.timestamp"))).as("created_at"),
@@ -110,10 +112,10 @@ object Normalize {
   }
 
   /** P4-P5 over extracted cards (scrapers/trustpilot_scraper.py:56-91). */
-  def trustpilot(raw: DataFrame, c: Company, batchTs: Column): DataFrame =
+  def trustpilot(raw: DataFrame, name: Column, handle: Column, batchTs: Column): DataFrame =
     raw.select(
-      lit(c.name).as("company_name"),
-      lit(c.handle.orNull).as("company_web_address"),
+      name.as("company_name"),
+      handle.as("company_web_address"),
       col("author_name"),
       Norm.ratingFromAlt(col("rating_alt")).as("rating"), // P4
       col("review_title"),
@@ -122,10 +124,10 @@ object Normalize {
       batchTs.as("fetched_at"))
 
   /** P6 over extracted blocks (scrapers/feefo_scraper.py:46-71). */
-  def feefo(raw: DataFrame, c: Company, batchTs: Column): DataFrame =
+  def feefo(raw: DataFrame, name: Column, handle: Column, batchTs: Column): DataFrame =
     raw.select(
-      lit(c.name).as("company_name"),
-      lit(c.handle.orNull).as("feefo_business_info"),
+      name.as("company_name"),
+      handle.as("feefo_business_info"),
       col("customer_name"),
       col("service_review"),
       col("product_review"),
@@ -134,10 +136,10 @@ object Normalize {
       batchTs.as("fetched_at"))
 
   /** scrapers/google_maps_scraper.py:68-78. */
-  def googleMaps(raw: DataFrame, c: Company, batchTs: Column): DataFrame =
+  def googleMaps(raw: DataFrame, name: Column, handle: Column, batchTs: Column): DataFrame =
     raw.select(
-      lit(c.name).as("company_name"),
-      lit(c.handle.orNull).as("place_url"),
+      name.as("company_name"),
+      handle.as("place_url"),
       col("name").as("reviewer_name"),
       col("stars").as("rating"),
       col("text").as("review_text"),
@@ -147,11 +149,11 @@ object Normalize {
       batchTs.as("fetched_at"))
 
   /** X2 listing unwrap + P8 (scrapers/reddit_scraper.py:54-55,78-112). */
-  def reddit(raw: DataFrame, c: Company, batchTs: Column): DataFrame =
-    raw.select(explode(col("data.children")).as("child")) // X2
-      .select(col("child.data.*"))
+  def reddit(raw: DataFrame, name: Column, handle: Column, batchTs: Column): DataFrame =
+    raw.select(name.as("__cn"), explode(col("data.children")).as("child")) // X2
+      .select(col("__cn"), col("child.data.*"))
       .select(
-        lit(c.name).as("company_name"),
+        col("__cn").as("company_name"),
         Norm.redditUrl(col("permalink")).as("post_url"), // P8
         col("title"),
         col("author"),
@@ -163,7 +165,7 @@ object Normalize {
         batchTs.as("fetched_at"))
 
   /** P9-P10 + F6 (scrapers/facebook_scraper.py:80-115). */
-  def facebook(raw: DataFrame, c: Company, batchTs: Column): DataFrame = {
+  def facebook(raw: DataFrame, name: Column, handle: Column, batchTs: Column): DataFrame = {
     val firstRef = Norm.first(col("textReferences"))
     val firstImg = Norm.firstWhere(col("media"),
       m => m.getField("photo_image").getField("url").isNotNull ||
@@ -171,8 +173,8 @@ object Normalize {
         m.getField("image").getField("url").isNotNull)
     raw.select(
         coalesce(col("postFacebookId"), col("postId")).as("post_id"),
-        lit(c.name).as("company_name"),
-        lit(c.handle.orNull).as("facebook_username"),
+        name.as("company_name"),
+        handle.as("facebook_username"),
         col("text").as("message"),
         isoTs(col("time")).as("created_at"),
         Norm.orZero(col("likes")).as("reactions_count"),
@@ -189,11 +191,11 @@ object Normalize {
   }
 
   /** P11 + F7 (scrapers/linkedin_scraper.py:65-109). */
-  def linkedin(raw: DataFrame, c: Company, batchTs: Column): DataFrame =
+  def linkedin(raw: DataFrame, name: Column, handle: Column, batchTs: Column): DataFrame =
     raw.filter(col("posted_at").isNotNull && // F7
         col("posted_at.date").isNotNull && col("posted_at.timestamp").isNotNull)
       .select(
-        lit(c.name).as("company_name"),
+        name.as("company_name"),
         coalesce(col("full_urn"), col("urn")).as("urn"),
         col("text"),
         col("url"),

@@ -58,4 +58,43 @@ class ConnectorSpec extends AnyFunSuite {
     val noHandle = connector(dir).fetch(spark, Company(2, "X", None), FetchParams())
     assert(noHandle.count() == 0)
   }
+
+  test("fetchAll matches the per-company contract row-for-row") {
+    val dir = writeFixture((1 to 6).map(i => rec(i, f"2025-01-0${i}T00:00:00Z")))
+    val p = dir + "/twitter3"
+    Files.write(java.nio.file.Paths.get(p, "g.json"),
+      (7 to 9).map(i => rec(i, f"2025-02-0${i - 6}T00:00:00Z")).mkString("\n").getBytes)
+    val fx = connector(dir)
+    val comps = Seq(
+      (Company(1, "C", Some("h")), Option(Timestamp.valueOf("2025-01-02 00:00:00"))),
+      (Company(2, "G", Some("g")), Option.empty[Timestamp]))
+    // the trait default IS the per-company union — wrap fetch to reach it
+    val perCompany = new SourceConnector {
+      def platform = fx.platform
+      def fetch(s: org.apache.spark.sql.SparkSession, co: Company, pr: FetchParams) =
+        fx.fetch(s, co, pr)
+    }
+    val until = Some(Timestamp.valueOf("2025-02-03 00:00:00"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(df.columns.sorted.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(fx.fetchAll(spark, comps, until, Some(2))) ==
+      canon(perCompany.fetchAll(spark, comps, until, Some(2))))
+  }
+
+  test("fetchAll plan size is O(1) in company count (500-company control table)") {
+    val dir = writeFixture((1 to 6).map(i => rec(i, f"2025-01-0${i}T00:00:00Z")))
+    val fx = connector(dir)
+    val comps = (1 to 500).map { i =>
+      val handle = if (i == 1) "h" else s"ghost$i" // 499 companies have no fixture
+      (Company(i, s"C$i", Some(handle)), Option.empty[Timestamp])
+    }
+    val t0 = System.nanoTime()
+    val df = fx.fetchAll(spark, comps, Some(Timestamp.valueOf("2026-01-01 00:00:00")), Some(100))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1,
+      s"expected ONE scan for 500 companies:\n${plan.take(1500)}")
+    assert(df.count() == 6)
+    assert((System.nanoTime() - t0) / 1e9 < 60, "bounded planning time")
+  }
 }

@@ -96,7 +96,7 @@ class IngestPropertiesSpec extends AnyFunSuite {
       val connector = new FixtureConnector("twitter", dir.toString,
         graft.schema.Schemas.twitterRaw)
       val raw = connector.fetch(spark, Company(1, "C", Some("h")), FetchParams())
-      val out = Normalize.twitter(raw, Company(1, "C", Some("h")),
+      val out = Normalize.twitter(raw, lit("C"), lit("h"),
         lit(Timestamp.valueOf("2025-06-01 00:00:00"))).collect()
       val expected = recs.count(_.contains("\"createdAt\"")) // F3: createdAt present
       out.length == expected &&

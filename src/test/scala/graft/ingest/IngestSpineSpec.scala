@@ -98,7 +98,10 @@ class IngestSpineSpec extends AnyFunSuite {
     val c = Company(1, "Acme", Some("acmeco"))
     val raw = twitterSpec.connector.fetch(spark, c,
       FetchParams(Some(Timestamp.valueOf("2025-03-03 00:00:00")), Some(now), Some(500)))
-    val batch = twitterSpec.normalize(raw, c, org.apache.spark.sql.functions.lit(now))
+    val batch = twitterSpec.normalize(raw,
+      org.apache.spark.sql.functions.lit(c.name),
+      org.apache.spark.sql.functions.lit(c.handle.orNull),
+      org.apache.spark.sql.functions.lit(now))
     val res = DedupSink.append(spark, s"$wh/twitter_mentions", batch,
       Schemas.sinks("twitter_mentions")._2, twitterSpec.tiebreak.map(org.apache.spark.sql.functions.col))
     assert(res.inserted == 0)
