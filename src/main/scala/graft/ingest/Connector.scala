@@ -151,29 +151,54 @@ final class FixtureConnector(
       suffixes.map(sfx => s"$dir/$platform/${sanitize(h)}$sfx.json")
     }.distinct.filter(p => new java.io.File(p).isFile)
 
-    def emptyTagged: DataFrame = empty(spark)
-      .withColumn(CompanyId, lit(null).cast("int"))
-      .withColumn(CompanyName, lit(null).cast("string"))
-      .withColumn(CompanyHandle, lit(null).cast("string"))
-    if (paths.isEmpty) return emptyTagged
-
-    val lookup = {
-      import spark.implicits._
-      withHandle
-        .map { case (c, h, since) => (sanitize(h), c.id, c.name, h, since.orNull) }
-        .toDF("__skey", CompanyId, CompanyName, CompanyHandle, "__since")
-    }
-    // basename minus .json, minus the connector's suffix → sanitized handle
-    val nonEmptySfx = suffixes.filter(_.nonEmpty).sortBy(-_.length)
-    val baseKey = regexp_extract(input_file_name(), "([^/]+)\\.json$", 1)
-    val skey =
-      if (nonEmptySfx.isEmpty) baseKey
-      else regexp_replace(baseKey,
-        nonEmptySfx.map(java.util.regex.Pattern.quote).mkString("(?:", "|", ")") + "$", "")
+    if (paths.isEmpty) return BatchedFetch.emptyTagged(empty(spark))
 
     val raw = spark.read.schema(schema).json(paths: _*)
-      .withColumn("__skey", skey)
-      .join(broadcast(lookup), "__skey")
+      .withColumn("__skey", BatchedFetch.skeyFromBase(
+        regexp_extract(input_file_name(), "([^/]+)\\.json$", 1), suffixes))
+    BatchedFetch(spark, raw, withHandle.map { case (c, h, s) => (c, sanitize(h), s) },
+      eventTime, until, limit, applyLimit, tiebreak)
+  }
+}
+
+/** The shared batched-fan-out tail: broadcast control-join on the sanitized
+  * handle key, per-company since window, per-company cap — used by both the
+  * convention-pushdown FixtureConnector and the Catalyst-pushdown
+  * Dsv2FixtureConnector (the part AFTER the raw scan is identical).
+  */
+private[ingest] object BatchedFetch {
+  import SourceConnector._
+  import org.apache.spark.sql.expressions.Window
+
+  def emptyTagged(empty: DataFrame): DataFrame = empty
+    .withColumn(CompanyId, lit(null).cast("int"))
+    .withColumn(CompanyName, lit(null).cast("string"))
+    .withColumn(CompanyHandle, lit(null).cast("string"))
+
+  /** file basename (no .json) minus the connector's suffix → sanitized handle */
+  def skeyFromBase(base: Column, suffixes: Seq[String]): Column = {
+    val nonEmptySfx = suffixes.filter(_.nonEmpty).sortBy(-_.length)
+    if (nonEmptySfx.isEmpty) base
+    else regexp_replace(base,
+      nonEmptySfx.map(java.util.regex.Pattern.quote).mkString("(?:", "|", ")") + "$", "")
+  }
+
+  def apply(
+      spark: SparkSession,
+      rawWithSkey: DataFrame, // raw scan + a __skey column
+      companies: Seq[(Company, String, Option[Timestamp])], // (company, skey, since)
+      eventTime: Option[Column],
+      until: Option[Timestamp],
+      limit: Option[Int],
+      applyLimit: Option[(DataFrame, Int) => DataFrame],
+      tiebreak: Seq[Column]): DataFrame = {
+    val lookup = {
+      import spark.implicits._
+      companies
+        .map { case (c, skey, since) => (skey, c.id, c.name, c.handle.orNull, since.orNull) }
+        .toDF("__skey", CompanyId, CompanyName, CompanyHandle, "__since")
+    }
+    val raw = rawWithSkey.join(broadcast(lookup), "__skey")
     val windowed = eventTime match {
       case Some(et) =>
         val afterSince = raw.filter(col("__since").isNull || et.isNull || et >= col("__since"))
@@ -199,5 +224,90 @@ final class FixtureConnector(
       case None => windowed
     }
     capped.drop("__skey", "__since")
+  }
+}
+
+/** DataSource-V2-backed connector (SURVEY §4/§7.3): the same contract as
+  * FixtureConnector, but the pushdown is NEGOTIATED BY CATALYST with the
+  * `graft-fixture` source (graft.sources.FixtureSource) instead of being a
+  * convention the connector promises to honor: the window filters land in
+  * the scan's PushedFilters, a bare cap in PushedLimit, and the
+  * newest-first cap (orderBy eventTime desc + tiebreak, limit) in
+  * PushedTopN — nothing downstream can forget them, which is what the
+  * reference's per-scraper `since:`/`until:`/maxItems threading could not
+  * guarantee (scrapers/twitter_scraper.py:27,35).
+  *
+  * `eventTimeCol`/`tiebreakCol` are COLUMN NAMES, not expressions: v1
+  * filter/TopN pushdown reaches plain column references only, which is why
+  * the DSv2 path fits the platforms whose event time is a native field
+  * (twitter3's `date`) rather than a parsed expression.
+  */
+final class Dsv2FixtureConnector(
+    val platform: String,
+    dir: String,
+    schema: StructType,
+    eventTimeCol: Option[String] = None,
+    suffixes: Seq[String] = Seq(""),
+    tiebreakCol: Option[String] = None)
+  extends SourceConnector {
+
+  import graft.sources.FixtureSource
+
+  private def sanitize(h: String): String = h.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def empty(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  private def load(spark: SparkSession, paths: Seq[String], pathCol: Boolean): DataFrame = {
+    val r = spark.read.format("graft-fixture")
+      .option(FixtureSource.SchemaOpt, schema.json)
+      .option(FixtureSource.PathsOpt, paths.mkString(","))
+    (if (pathCol) r.option(FixtureSource.PathColOpt, "true") else r).load()
+  }
+
+  private def pathsFor(handle: String): Seq[String] =
+    suffixes.map(sfx => s"$dir/$platform/${sanitize(handle)}$sfx.json")
+      .filter(p => new java.io.File(p).isFile)
+
+  def fetch(spark: SparkSession, company: Company, params: FetchParams): DataFrame = {
+    val paths = company.handle.toSeq.flatMap(pathsFor)
+    if (paths.isEmpty) return empty(spark)
+    val raw = load(spark, paths, pathCol = false)
+    val et = eventTimeCol.map(col)
+    val windowed = et match {
+      case Some(e) =>
+        val afterSince = params.since.map(t => raw.filter(e.isNull || e >= lit(t))).getOrElse(raw)
+        params.until.map(t => afterSince.filter(e.isNull || e < lit(t))).getOrElse(afterSince)
+      case None => raw
+    }
+    params.limit match {
+      case Some(n) =>
+        et match {
+          case Some(e) => // Catalyst plans this as a pushed TopN
+            windowed.orderBy(e.desc_nulls_last +: tiebreakCol.map(col(_).asc).toSeq: _*).limit(n)
+          case None => windowed.limit(n) // pushed limit
+        }
+      case None => windowed
+    }
+  }
+
+  /** Batched: one DSv2 load of every path; company attribution joins on the
+    * source-provided `__src_path` column (the DSv2 analog of
+    * `input_file_name()`, which only works for v1 file sources).
+    */
+  override def fetchAll(
+      spark: SparkSession,
+      companies: Seq[(Company, Option[Timestamp])],
+      until: Option[Timestamp],
+      limit: Option[Int]): DataFrame = {
+    val withHandle = companies.collect { case (c @ Company(_, _, Some(h)), since) => (c, h, since) }
+    val paths = withHandle.flatMap { case (_, h, _) => pathsFor(h) }.distinct
+    if (paths.isEmpty) return BatchedFetch.emptyTagged(empty(spark))
+    val raw = load(spark, paths, pathCol = true)
+      .withColumn("__skey", BatchedFetch.skeyFromBase(
+        regexp_extract(col(FixtureSource.PathCol), "([^/]+)\\.json$", 1), suffixes))
+      .drop(FixtureSource.PathCol)
+    BatchedFetch(spark, raw, withHandle.map { case (c, h, s) => (c, sanitize(h), s) },
+      eventTimeCol.map(col), until, limit, None, tiebreakCol.map(col(_).asc).toSeq)
   }
 }

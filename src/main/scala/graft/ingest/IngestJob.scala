@@ -179,8 +179,10 @@ object Pipelines {
           tiebreak = Seq(col("id"))),
         Normalize.twitter2, Seq("created_at"), 100, 100, 90), // tasks.py:447
       IngestSpec("twitter3", "twitter_mentions", "twitter_username",
-        fx("twitter3", Schemas.twitter3Raw, Some(col("date")),
-          tiebreak = Seq(col("id"))),
+        // DSv2 path: window/TopN pushdown enforced by Catalyst, not by
+        // convention (eventTime is a native field here, so v1 filters reach it)
+        new Dsv2FixtureConnector("twitter3", fixturesDir, Schemas.twitter3Raw,
+          eventTimeCol = Some("date"), tiebreakCol = Some("id")),
         Normalize.twitter3, Seq("created_at"), 100, 100, 120), // twitter3_scraper.py:23-25,36
       IngestSpec("instagram", "instagram_mentions", "instagram_username",
         fx("instagram", Schemas.instagramRaw),
