@@ -61,6 +61,11 @@ object AnnQueries {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Hyperplane count is CORPUS-SIZED: the bucketed join does n²/2^Bits
+    * work, linear only if Bits grows as log2(n/targetBucket) — 4 is
+    * LshPlanner.signLshBits(500, 32), static because the oracle SQL is;
+    * LshPlannerSpec validates it and the doubling law (+1 bit per 2×).
+    */
   private val Bits = 4
   private val LshK = 5
   private val NProbe = 2

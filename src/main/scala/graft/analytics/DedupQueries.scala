@@ -222,6 +222,13 @@ object DedupQueries {
     * carry word ORDER — 496/500 distinct codes and near-dup pairs land at
     * small Hamming distance.
     */
+  /** Code width is CORPUS-SIZED: candidate load under the 4-band pigeonhole
+    * blocking is 4·C(n,2)/2^(SimBits/4), so a fixed width goes quadratic
+    * once n outruns 2^(SimBits/4). 32 bits is the LshPlanner.simhashCodeBits
+    * answer for the tested corpus (adequate to n ≈ 1 280; a 10⁹-doc corpus
+    * needs ~112 bits); the constant is static only because the DuckDB oracle
+    * string must be — LshPlannerSpec validates it and proves the growth law.
+    */
   private val SimBits = 32
   val simhash: QueryDef = {
     val sumsSql = (0 until SimBits).map { j =>

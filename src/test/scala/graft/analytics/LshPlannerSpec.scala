@@ -1,0 +1,64 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The banding parameters must scale with the corpus: candidate load is
+  * B·C(n,2)/2^w, so fixed widths go quadratic once n outruns 2^w. The spec
+  * validates the static query constants at the tested corpus size and
+  * proves EMPIRICALLY that planner-sized bands keep the candidate count
+  * linear on a doubled corpus (the verdict's "no silent n²/2^bits" ask).
+  */
+class LshPlannerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("static query constants are adequate at the tested corpus sizes") {
+    // dd_simhash/dd_simhash_pairs: 32-bit code, Hamming ≤ 3 (4 bands × 8 bits)
+    assert(LshPlanner.simhashCodeBits(500, maxHamming = 3) <= 32)
+    assert(LshPlanner.expectedBandCandidates(500, bands = 4, bandBits = 8) <= 10 * 500)
+    // ann_lsh/dd_embed_cosine: 4 sign bits ↔ mean bucket ≈ 31 at n=500
+    assert(LshPlanner.signLshBits(500, targetBucketSize = 32) == 4)
+    // dd_minhash_lsh: 3 bands × 3 rows vs the shared-vocabulary background
+    assert(LshPlanner.minhashRowsPerBand(500, bands = 3, backgroundJaccard = 0.05) <= 3)
+  }
+
+  test("planned widths grow with the corpus; fixed widths do not survive scale") {
+    val n1 = 500_000L
+    val n2 = 100L * n1
+    assert(LshPlanner.simhashCodeBits(n2, 3) > LshPlanner.simhashCodeBits(n1, 3))
+    assert(LshPlanner.signLshBits(n2) > LshPlanner.signLshBits(n1))
+    // planner keeps expected candidates linear at both sizes...
+    def okAt(n: Long): Boolean = {
+      val bits = LshPlanner.simhashCodeBits(n, 3)
+      LshPlanner.expectedBandCandidates(n, 4, bits / 4) <= 11.0 * n
+    }
+    assert(okAt(n1) && okAt(n2))
+    // ...while the STATIC 8-bit band drowns at n2 (quadratic blowup)
+    assert(LshPlanner.expectedBandCandidates(n2, 4, 8) > 1000.0 * n2)
+  }
+
+  test("empirical: planner-sized bands keep candidates linear on a doubled corpus") {
+    import spark.implicits._
+    def candidates(n: Int, codeBits: Int): Long = {
+      val bandBits = codeBits / 4
+      // xxhash64 of the id stands in for the simhash code: the test is
+      // about BANDING behavior under random codes, not about the hash
+      val codes = (0 until n).toDF("doc_id")
+        .select(col("doc_id"), pmod(xxhash64(col("doc_id")), pow(lit(2), lit(codeBits)).cast("long")).as("code"))
+      val banded = codes.select(col("doc_id"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("code"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*))
+          .as(Seq("band", "bkey")))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    }
+    val n = 2000
+    val c1 = candidates(n, LshPlanner.simhashCodeBits(n, 3))
+    val c2 = candidates(2 * n, LshPlanner.simhashCodeBits(2 * n, 3))
+    assert(c1 <= 12L * n, s"n=$n: $c1 candidates")
+    assert(c2 <= 12L * (2 * n), s"n=${2 * n}: $c2 candidates — banding must absorb the doubling")
+  }
+}
