@@ -80,6 +80,37 @@ object ExtQueries {
         count(lit(1)).as("n"))
   }
 
+  /** Approximate distinct (HLL sketches — SURVEY §7.2-7). Sketch internals
+    * are engine-local, so no cross-engine oracle can compare estimates
+    * directly; like the sink queries, the oracle states the POSTCONDITION:
+    * the HLL++ estimate (approx_count_distinct) and the DataSketches HLL
+    * estimate (hll_sketch_agg → estimate) land within the error bound of
+    * the exact count, emitted as booleans both engines agree on. Sketch
+    * MERGEABILITY (the property that makes HLL the right answer at 100 TB:
+    * partial sketches combine associatively across partitions/days) is
+    * proven in SketchSpec.
+    */
+  val approxDistinct: QueryDef = QueryDef(
+    "a7_approx_distinct",
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_supp_exact,
+      |  TRUE AS approx_ok,
+      |  TRUE AS sketch_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp_exact"),
+        approx_count_distinct(col("l_suppkey"), 0.05).as("n_approx"),
+        hll_sketch_estimate(hll_sketch_agg(col("l_suppkey"))).as("n_sketch"))
+      .select(
+        col("l_returnflag"), col("n_supp_exact"),
+        (abs(col("n_approx") - col("n_supp_exact")) <=
+          col("n_supp_exact") * lit(0.15)).as("approx_ok"),
+        (abs(col("n_sketch") - col("n_supp_exact")) <=
+          col("n_supp_exact") * lit(0.15)).as("sketch_ok"))
+  }
+
   /** Pivot: order-status counts per priority (Spark `pivot` operator; the
     * oracle states it as conditional aggregation).
     */
@@ -233,6 +264,6 @@ object ExtQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    structArrayExtract, rollupSpend, distinctAgg, pivotStatus,
+    structArrayExtract, rollupSpend, distinctAgg, approxDistinct, pivotStatus,
     rankFrames, asofJoin, rangeJoinBucketed, rangeFrame, minMaxBy)
 }
