@@ -39,15 +39,28 @@ object DedupQueries {
     s"""SELECT doc_id, $ShinglesSql AS shingles
        |FROM (SELECT doc_id, string_split($CleanSql, ' ') AS words FROM documents)""".stripMargin
 
-  /** Spark-side shingle set (must mirror BaseSql exactly). */
-  private def shingleSet = {
-    val words = split(Norm.cleanText(col("text")), " ")
-    array_distinct(
-      when(size(words) >= 3,
-        transform(sequence(lit(1), size(words) - 2),
-          i => concat_ws(" ", slice(words, i, lit(3)))))
-        .otherwise(array().cast(ArrayType(StringType))))
-  }
+  /** Spark-side shingle set (must mirror BaseSql exactly): the native
+    * graft_shingles expression — one compiled pass per document instead of
+    * millions of interpreted higher-order lambda evals (see
+    * plans/ShingleSet.scala; ShingleSetSpec proves equivalence with the
+    * composed built-in form, the oracle proves equivalence with DuckDB).
+    */
+  private def shingleSet = call_function("graft_shingles", col("text"))
+
+  /** The per-(session, dir) shingle table, materialized ONCE and shared by
+    * every shingle consumer (minhash signatures, both sides of the Jaccard
+    * verify, the simhash bit-majority agg). clean→split→shingle→distinct is
+    * the single most expensive projection in the dedup tier; at 100 TB this
+    * intermediate is written to the lake once and every near-dup pass reads
+    * it — the session cache plays that role here.
+    */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  private def shingleBase(s: org.apache.spark.sql.SparkSession, dir: String) =
+    shingleCache.getOrElseUpdate((s, dir),
+      Tables.documents(s, dir)
+        .select(col("doc_id"), shingleSet.as("shingles"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Exact dedup (hash-groupBy): one deterministic keeper per content
     * fingerprint — the K1-K8 ON-CONFLICT semantics applied to documents.
@@ -120,14 +133,8 @@ object DedupQueries {
     * the pipeline behind dd_minhash_lsh, reused by dd_components.
     */
   private def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    // The shingle table feeds three consumers (signatures + both sides of
-    // the Jaccard verification join); without persisting it, Spark
-    // recomputes clean→split→shingle→distinct per consumer — measured 3×
-    // slower at sf0.1. At 100 TB this intermediate is materialized to the
-    // lake once and reused the same way.
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), shingleSet.as("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shared materialized shingle table — see shingleBase
+    val base = shingleBase(s, dir)
     val hashed = base.select(
       col("doc_id"),
       transform(col("shingles"), sh => call_function("graft_rolling_hash", sh)).as("h1"),
@@ -245,9 +252,11 @@ object DedupQueries {
          |  GROUP BY doc_id) m""".stripMargin) { (s, dir) =>
       // md5 hoisted into the projection: inside the 32 aggregate
       // expressions it would be evaluated 32× per row (no cross-aggregate
-      // subexpression elimination) — measured 3× slower at sf0.1
-      val exploded = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(shingleSet).as("w"))
+      // subexpression elimination) — measured 3× slower at sf0.1. The
+      // shingle arrays come from the shared materialized table, not a
+      // fresh clean→split→shingle pass.
+      val exploded = shingleBase(s, dir)
+        .select(col("doc_id"), explode(col("shingles")).as("w"))
         .select(col("doc_id"), md5(col("w")).as("h"))
       val sums = (0 until SimBits).map { j =>
         sum(when(expr(s"instr('0123456789abcdef', substr(h, ${j + 1}, 1))") >= 9, 1)
