@@ -112,7 +112,8 @@ object StreamQueries {
       java.nio.file.Paths.get(src.getPath, "events.parquet"))
     val sink = s"${base.getPath}/sink"
     EventsStream.statefulCounts(s, src.getPath, sink, s"${base.getPath}/ckpt")
-    s.read.parquet(sink)
+    // drop the physical bucket column (the sink's partition layout)
+    s.read.parquet(sink).select("user_id", "n_events", "first_ms", "last_ms")
   }
 
   val defs: Seq[QueryDef] = Seq(exactlyOnce, sessionize, tumbling, statefulState)

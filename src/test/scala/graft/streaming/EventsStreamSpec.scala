@@ -62,4 +62,49 @@ class EventsStreamSpec extends AnyFunSuite {
     assert(first.keySet == second.keySet)
     assert(first.forall { case (u, n) => second(u) == 2 * n })
   }
+
+  test("stateful upsert rewrites only the touched bucket partitions") {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val base = Files.createTempDirectory("graft-st-prune").toString
+    val src = s"$base/src"; new java.io.File(src).mkdirs()
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(src, "events.parquet"))
+    val sink = s"$base/sink"
+    EventsStream.statefulCounts(spark, src, sink, s"$base/ckpt")
+
+    def filesPerBucket: Map[String, Set[String]] =
+      new java.io.File(sink).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val before = filesPerBucket
+    assert(before.size > 1, "expected a bucket-partitioned sink")
+
+    // deliver ONE user's event; only that user's bucket partition may change
+    val oneUser = 7L
+    import spark.implicits._
+    val deltaDir = s"$base/delta"
+    Seq((999999L, 1748736000000000000L, oneUser, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(deltaDir)
+    val part = new java.io.File(deltaDir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.copy(part.toPath, Paths.get(src, "delta.parquet"))
+    EventsStream.statefulCounts(spark, src, sink, s"$base/ckpt")
+
+    val after = filesPerBucket
+    val touched = spark.range(1)
+      .select(pmod(hash(lit(oneUser)), lit(EventsStream.StateBuckets)))
+      .head().getInt(0)
+    before.foreach { case (bucket, files) =>
+      if (bucket == s"bucket=$touched")
+        assert(after(bucket) != files, "touched bucket must be rewritten")
+      else
+        assert(after(bucket) == files, s"untouched $bucket was rewritten")
+    }
+    // and the merged state is correct for the touched user
+    val n = spark.read.parquet(sink).filter(col("user_id") === oneUser)
+      .head().getAs[Long]("n_events")
+    val expected = spark.read.parquet(s"$src/events.parquet")
+      .filter(col("user_id") === oneUser).count() + 1
+    assert(n == expected)
+  }
 }
