@@ -237,10 +237,12 @@ private[ingest] object BatchedFetch {
   * reference's per-scraper `since:`/`until:`/maxItems threading could not
   * guarantee (scrapers/twitter_scraper.py:27,35).
   *
-  * `eventTimeCol`/`tiebreakCol` are COLUMN NAMES, not expressions: v1
-  * filter/TopN pushdown reaches plain column references only, which is why
-  * the DSv2 path fits the platforms whose event time is a native field
-  * (twitter3's `date`) rather than a parsed expression.
+  * `eventTimeCol`/`tiebreakCol`/`pageCapCol` are COLUMN NAMES, not
+  * expressions: v1 filter/TopN pushdown reaches plain column references
+  * only, which is why the DSv2 path fits the platforms whose event time is
+  * a native field (twitter3's `date`) or whose cap is a plain predicate
+  * (the HTML sources' `page_num <= n` — tasks.py:63,128,145 — which lands
+  * in PushedFilters like any other comparison).
   */
 final class Dsv2FixtureConnector(
     val platform: String,
@@ -248,7 +250,8 @@ final class Dsv2FixtureConnector(
     schema: StructType,
     eventTimeCol: Option[String] = None,
     suffixes: Seq[String] = Seq(""),
-    tiebreakCol: Option[String] = None)
+    tiebreakCol: Option[String] = None,
+    pageCapCol: Option[String] = None)
   extends SourceConnector {
 
   import graft.sources.FixtureSource
@@ -282,10 +285,14 @@ final class Dsv2FixtureConnector(
     }
     params.limit match {
       case Some(n) =>
-        et match {
-          case Some(e) => // Catalyst plans this as a pushed TopN
-            windowed.orderBy(e.desc_nulls_last +: tiebreakCol.map(col(_).asc).toSeq: _*).limit(n)
-          case None => windowed.limit(n) // pushed limit
+        pageCapCol match {
+          case Some(cap) => windowed.filter(col(cap) <= n) // pushed filter
+          case None =>
+            et match {
+              case Some(e) => // Catalyst plans this as a pushed TopN
+                windowed.orderBy(e.desc_nulls_last +: tiebreakCol.map(col(_).asc).toSeq: _*).limit(n)
+              case None => windowed.limit(n) // pushed limit
+            }
         }
       case None => windowed
     }
@@ -308,6 +315,8 @@ final class Dsv2FixtureConnector(
         regexp_extract(col(FixtureSource.PathCol), "([^/]+)\\.json$", 1), suffixes))
       .drop(FixtureSource.PathCol)
     BatchedFetch(spark, raw, withHandle.map { case (c, h, s) => (c, sanitize(h), s) },
-      eventTimeCol.map(col), until, limit, None, tiebreakCol.map(col(_).asc).toSeq)
+      eventTimeCol.map(col), until, limit,
+      pageCapCol.map(cap => (df: DataFrame, n: Int) => df.filter(col(cap) <= n)),
+      tiebreakCol.map(col(_).asc).toSeq)
   }
 }

@@ -165,10 +165,6 @@ object Pipelines {
            tiebreak: Seq[Column] = Nil) =
       new FixtureConnector(platform, fixturesDir, schema, eventTime, suffixes, applyLimit, tiebreak)
 
-    // HTML sources cap on page ranges, not item counts (tasks.py:63,128,145)
-    val pageCap: Option[(DataFrame, Int) => DataFrame] =
-      Some((df, n) => df.filter(col("page_num") <= n))
-
     Seq(
       IngestSpec("twitter", "twitter_mentions", "twitter_username",
         fx("twitter", Schemas.twitterRaw, Some(Norm.parseTwitterTs(col("createdAt"))),
@@ -188,10 +184,13 @@ object Pipelines {
         fx("instagram", Schemas.instagramRaw),
         Normalize.instagram, Seq("created_at"), 100, 100, 90),
       IngestSpec("trustpilot", "trustpilot_reviews", "company_web_address",
-        fx("trustpilot", Schemas.trustpilotRaw, applyLimit = pageCap),
+        // DSv2: the page cap is a plain predicate, pushed as a scan filter
+        new Dsv2FixtureConnector("trustpilot", fixturesDir, Schemas.trustpilotRaw,
+          pageCapCol = Some("page_num")),
         Normalize.trustpilot, Seq("review_date"), 3, 30, 3650), // tasks.py:63,128,145
       IngestSpec("feefo", "feefo_reviews", "feefo_business_info",
-        fx("feefo", Schemas.feefoRaw, applyLimit = pageCap),
+        new Dsv2FixtureConnector("feefo", fixturesDir, Schemas.feefoRaw,
+          pageCapCol = Some("page_num")),
         Normalize.feefo, Seq("review_date"), 3, 30, 3650), // tasks.py:62,322,339
       IngestSpec("google_maps", "google_maps_reviews", "place_url",
         fx("google_maps", Schemas.googleMapsRaw),

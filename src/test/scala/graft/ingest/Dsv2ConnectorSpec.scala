@@ -79,6 +79,20 @@ class Dsv2ConnectorSpec extends AnyFunSuite {
       "expected the scan to read only `id`")
   }
 
+  test("page cap is a pushed scan filter (HTML-source shape)") {
+    val dir = Files.createTempDirectory("graft-dsv2-page")
+    val p = dir.resolve("trustpilot"); p.toFile.mkdirs()
+    val lines = (1 to 5).flatMap(page => (1 to 2).map(i =>
+      s"""{"author_name":"a$page$i","rating_alt":"Rated 4 out of 5 stars","review_title":"t","review_body":"b","review_date_str":"1 March 2025","page_num":$page}"""))
+    Files.write(p.resolve("h.json"), lines.mkString("\n").getBytes)
+    val fx = new Dsv2FixtureConnector("trustpilot", dir.toString,
+      Schemas.trustpilotRaw, pageCapCol = Some("page_num"))
+    val df = fx.fetch(spark, c, FetchParams(limit = Some(3)))
+    val scan = scanLine(df)
+    assert(scan.contains("LessThanOrEqual(page_num,3)"), s"page cap not pushed:\n$scan")
+    assert(df.count() == 6) // pages 1-3 × 2 reviews
+  }
+
   test("DSv2 fetch and fetchAll match the v1 connector row-for-row") {
     val dir = writeFixture(
       (1 to 6).map(i => rec(i, f"2025-01-0${i}T00:00:00Z")),
