@@ -30,6 +30,11 @@ object Sessions {
       // broadcast demotion — the knobs that make the same plan survive a
       // 1000-executor cluster.
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE re-partition CACHED plans too: iterative algorithms
+      // (dd_components' label propagation) persist tiny frames every round,
+      // and without this the cache pins them at the static shuffle
+      // partition count — 32 near-empty tasks per round of a 47-node graph.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // custom Catalyst expressions (graft_rolling_hash, …)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
