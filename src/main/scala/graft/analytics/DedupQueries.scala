@@ -198,9 +198,13 @@ object DedupQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sym = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // localCheckpoint per round: materializes like persist AND truncates
+    // the lineage — without it the final plan embeds every iteration
+    // (O(rounds) analysis cost, stack overflow at deep convergence), the
+    // classic iterative-algorithm hazard on Spark.
     var labels = sym.select(col("u")).distinct()
       .select(col("u"), col("u").as("component"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 25) {
@@ -209,10 +213,9 @@ object DedupQueries {
         .select(col("u"), col("component"))
       val next = labels.unionByName(neighborLabels)
         .groupBy("u").agg(min("component").as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("component", "old"), "u")
         .filter(col("component") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       rounds += 1
     }
