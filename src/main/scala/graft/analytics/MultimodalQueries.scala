@@ -38,5 +38,19 @@ object MultimodalQueries {
     }
   }
 
-  val defs: Seq[QueryDef] = Seq(byteHistogram)
+  /** Frame sampling through the mapPartitions demuxer shape: every 2nd
+    * 4-byte frame of each video payload. The oracle recomputes the frames
+    * as substrings of the md5 hex (frame i = hex chars [8i, 8i+8)).
+    */
+  val frameSample: QueryDef = QueryDef(
+    "mm_frame_sample",
+    """SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+      |  substr(md5(text), CAST(i*8+1 AS INTEGER), 8) AS frame_hex
+      |FROM documents, unnest([0, 2]) t(i)
+      |WHERE doc_id % 3 = 2""".stripMargin) { (s, dir) =>
+    val media = Multimodal.syntheticMedia(s, Tables.documents(s, dir))
+    Multimodal.sampleFrames(media, frameBytes = 4, step = 2).toDF()
+  }
+
+  val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample)
 }

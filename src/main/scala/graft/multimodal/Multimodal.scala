@@ -53,6 +53,60 @@ object Multimodal {
     media.mapPartitions(_.map(StubDecoder.decode))
   }
 
+  /** One sampled frame: index within the payload + its bytes as hex. */
+  final case class Frame(media_id: Long, frame_idx: Int, frame_hex: String)
+
+  /** Frame sampling: every `step`-th fixed-size frame of each video
+    * payload — the one-to-many mapPartitions shape a real demuxer binding
+    * needs (iterator of records in, iterator of frames out, decode state
+    * amortized per partition; no per-frame task or shuffle).
+    */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int, step: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
+      val n = (m.content.length + frameBytes - 1) / frameBytes
+      Iterator.range(0, n, step).map { i =>
+        val from = i * frameBytes
+        val until = math.min(from + frameBytes, m.content.length)
+        Frame(m.media_id, i,
+          m.content.slice(from, until).map("%02x".format(_)).mkString)
+      }
+    })
+  }
+
+  /** A resized "image": target dims + the resampled bytes. */
+  final case class Resized(media_id: Long, w: Int, h: Int, pixels: Array[Byte])
+
+  /** Nearest-neighbor resize of the stub image grid (payload bytes in
+    * row-major order, source dims from the decoded header, out-of-range
+    * reads as 0 — exactly the padding rule StubDecoder uses). Pure byte
+    * arithmetic: a real codec swaps the pixel access, the sampling loop
+    * and the mapPartitions shape stay.
+    */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[Resized] = {
+    import media.sparkSession.implicits._
+    require(w > 0 && h > 0)
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val f = StubDecoder.decode(m)
+      val srcW = math.max(f.width, 1)
+      val srcH = math.max(f.height, 1)
+      val out = new Array[Byte](w * h)
+      var r = 0
+      while (r < h) {
+        val sr = r * srcH / h
+        var c = 0
+        while (c < w) {
+          val sc = c * srcW / w
+          val idx = sr * srcW + sc
+          out(r * w + c) = if (idx < m.content.length) m.content(idx) else 0
+          c += 1
+        }
+        r += 1
+      }
+      Resized(m.media_id, w, h, out)
+    })
+  }
+
   /** Build a deterministic synthetic media table from `documents`
     * (content = md5 bytes of the text; kind round-robins by doc_id) —
     * stands in for a real binary column until one exists in the data.

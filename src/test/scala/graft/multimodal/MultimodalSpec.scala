@@ -23,6 +23,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(1L).histogram(1) == 1 && f(1L).histogram(2) == 1 && f(1L).histogram(3) == 1)
   }
 
+  test("frame sampling emits every step-th fixed-size frame of videos only") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRecord(1L, "video", (0 until 10).map(_.toByte).toArray), // 3 frames of 4
+      MediaRecord(2L, "image", Array[Byte](1, 2, 3, 4))).toDS()
+    val frames = sampleFrames(media, frameBytes = 4, step = 2).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f.frame_hex).toMap
+    assert(frames.keySet == Set((1L, 0), (1L, 2))) // idx 1 skipped, image absent
+    assert(frames((1L, 0)) == "00010203")
+    assert(frames((1L, 2)) == "0809") // short tail frame
+  }
+
+  test("nearest-neighbor resize samples the header-dimensioned grid") {
+    import spark.implicits._
+    // 2x2 source grid: header bytes double as pixels (w=2 h=2), payload
+    // row-major [2,2,10,20]
+    val media = Seq(MediaRecord(1L, "image", Array[Byte](2, 2, 10, 20))).toDS()
+    val up = resize(media, 4, 4).head()
+    assert(up.w == 4 && up.h == 4 && up.pixels.length == 16)
+    // each source pixel expands to a 2x2 block
+    assert(up.pixels.toSeq == Seq[Byte](
+      2, 2, 2, 2,
+      2, 2, 2, 2,
+      10, 10, 20, 20,
+      10, 10, 20, 20))
+    val down = resize(media, 1, 1).head()
+    assert(down.pixels.toSeq == Seq[Byte](2))
+  }
+
   test("synthetic media round-trips through binary parquet with metadata") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
