@@ -68,7 +68,10 @@ object AnnQueries {
     */
   private val Bits = 4
   private val LshK = 5
-  private val NProbe = 2
+  // nprobe trades cells searched for recall (AnnRecallSpec measures it
+  // against brute force; 2 → 3 lifted recall@5 from 0.16); shared with the
+  // oracle SQL so both engines search the same cells
+  private val NProbe = 3
   private val maskList: Seq[Int] = 0 +: (0 until Bits).map(1 << _)
 
   /** Oracle-side sign bucket, mirrored from Vec.signBucket. */

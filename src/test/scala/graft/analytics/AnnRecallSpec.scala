@@ -1,0 +1,45 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** Pins the ANN quality contract: the bucketed variants trade recall for
+  * corpus-partition-local work, and this spec MEASURES the trade against
+  * the exact brute-force baseline instead of leaving it implicit. Floors
+  * are deliberately conservative (they guard against a silent recall
+  * collapse — e.g. a broken bucket code — not against tuning drift).
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def topSets(name: String, k: Int): Map[Long, Set[Long]] =
+    SparkEntry.allDefs.find(_.name == name).get.fn(spark, sf)
+      .filter(s"rank <= $k").collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+
+  private def recallAt(approx: String, k: Int): Double = {
+    val exact = topSets("ann_bruteforce_topk", k)
+    val got = topSets(approx, k)
+    val per = exact.map { case (p, truth) =>
+      got.getOrElse(p, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    per.sum / per.size
+  }
+
+  test("sign-LSH multiprobe recall@5 stays above the floor") {
+    val r = recallAt("ann_lsh_topk", 5)
+    info(f"ann_lsh_topk recall@5 = $r%.2f")
+    assert(r >= 0.4, f"LSH recall collapsed: $r%.2f")
+  }
+
+  test("IVF nprobe-cell recall@5 stays above the floor") {
+    // the `label` clustering stands in for k-means (cells are semantic
+    // classes, not cosine neighborhoods), so IVF recall is structurally
+    // modest on this corpus — the floor guards collapse, not quality
+    val r = recallAt("ann_ivf_topk", 5)
+    info(f"ann_ivf_topk recall@5 = $r%.2f")
+    assert(r >= 0.15, f"IVF recall collapsed: $r%.2f")
+  }
+}
