@@ -276,6 +276,39 @@ object DedupQueries {
     }
   }
 
+  /** n-gram Jaccard as its OWN dedup method (not just the LSH verify
+    * stage): candidates from the cheap prefix-block key, exact 3-shingle
+    * Jaccard on each candidate pair. The blocking makes the pair set
+    * O(block²) summed over blocks — never corpus²; the shingle table is
+    * the shared materialized one.
+    */
+  val ngramJaccard: QueryDef = QueryDef(
+    "dd_ngram_jaccard",
+    s"""WITH blocks AS (SELECT md5(substr(text, 1, 80)) AS fp, doc_id FROM documents),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM blocks a JOIN blocks b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |base AS ($BaseSql)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+       |FROM cand
+       |JOIN base sa ON sa.doc_id = doc_a
+       |JOIN base sb ON sb.doc_id = doc_b""".stripMargin) { (s, dir) =>
+    val blocks = Tables.documents(s, dir)
+      .select(md5(substring(col("text"), 1, 80)).as("fp"), col("doc_id"))
+    val cand = blocks.as("a")
+      .join(blocks.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val base = shingleBase(s, dir)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast(DoubleType) / (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
+  }
+
   private def rmRf(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rmRf)
     f.delete(); ()
@@ -372,6 +405,6 @@ object DedupQueries {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(exact, blockPrefix, minhashLsh, components, simhash, simhashPairs,
-      sinkIdempotence, nullKeySink)
+    Seq(exact, blockPrefix, minhashLsh, ngramJaccard, components, simhash,
+      simhashPairs, sinkIdempotence, nullKeySink)
 }

@@ -93,6 +93,28 @@ object StreamQueries {
       .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
   }
 
+  /** Watermarked streaming windowed aggregation, proven against the batch
+    * oracle: readStream → withWatermark("ts", 1h) → window(1h) groupBy →
+    * update-mode upsert sink. The watermark bounds the state store on an
+    * unbounded stream; the final sink must equal the batch GROUP BY.
+    */
+  val watermarkedWindow: QueryDef = QueryDef(
+    "ev_watermarked_window",
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin) { (s, dir) =>
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_ww_$tag")
+    rmRf(base); base.mkdirs()
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(src.getPath, "events.parquet"))
+    val sink = s"${base.getPath}/sink"
+    EventsStream.windowedCounts(s, src.getPath, sink, s"${base.getPath}/ckpt")
+    s.read.parquet(sink).select("hour_start", "event_type", "n", "sum_value")
+  }
+
   /** mapGroupsWithState custom keyed state, proven against the oracle:
     * one AvailableNow drain accumulates per-user state; the emitted final
     * aggregates must equal the batch GROUP BY.
@@ -116,5 +138,6 @@ object StreamQueries {
     s.read.parquet(sink).select("user_id", "n_events", "first_ms", "last_ms")
   }
 
-  val defs: Seq[QueryDef] = Seq(exactlyOnce, sessionize, tumbling, statefulState)
+  val defs: Seq[QueryDef] =
+    Seq(exactlyOnce, sessionize, tumbling, watermarkedWindow, statefulState)
 }

@@ -102,27 +102,65 @@ object EventsStream {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[UserAgg], _: Long) =>
-        val s = batch.sparkSession
-        val sink = new java.io.File(sinkPath)
-        val fresh = batch.toDF()
-          .withColumn("bucket", pmod(hash(col("user_id")), lit(StateBuckets)))
-        val merged =
-          if (sink.exists()) {
-            val touched = fresh.select("bucket").distinct()
-              .collect().map(_.getInt(0)).toSeq
-            s.read.parquet(sinkPath)
-              .filter(col("bucket").isin(touched: _*)) // partition-pruned
-              .join(fresh, Seq("user_id"), "left_anti")
-              .unionByName(fresh)
-          } else fresh
-        // localCheckpoint breaks the read-from-sink lineage so the dynamic
-        // overwrite of the same path is legal and replay-safe
-        merged.localCheckpoint(true).write
-          .mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bucket")
-          .parquet(sinkPath)
-        ()
+        upsert(batch.sparkSession, sinkPath, batch.toDF(), Seq("user_id"))
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Newest-wins upsert into a bucket-partitioned parquet sink: merge only
+    * the buckets the batch's keys live in (partition-pruned read +
+    * anti-join + union) and rewrite just those partitions via dynamic
+    * partition overwrite — O(updated keys) per call, the parquet
+    * approximation of a lakehouse `MERGE WHEN MATCHED`.
+    */
+  private def upsert(s: SparkSession, sinkPath: String, batch: DataFrame,
+                     keys: Seq[String]): Unit = {
+    val fresh = batch
+      .withColumn("bucket", pmod(hash(keys.map(col): _*), lit(StateBuckets)))
+    val merged =
+      if (new java.io.File(sinkPath).exists()) {
+        val touched = fresh.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        s.read.parquet(sinkPath)
+          .filter(col("bucket").isin(touched: _*)) // partition-pruned
+          .join(fresh, keys, "left_anti")
+          .unionByName(fresh)
+      } else fresh
+    // localCheckpoint breaks the read-from-sink lineage so the dynamic
+    // overwrite of the same path is legal and replay-safe
+    merged.localCheckpoint(true).write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(sinkPath)
+    ()
+  }
+
+  /** Watermarked tumbling-window aggregation (§2.11 / the brief's
+    * "watermarks + windowed aggs"): `withWatermark` bounds the window
+    * state (late data beyond the delay is dropped and finalized windows
+    * are evicted from the store — the property that keeps state finite on
+    * an unbounded stream), update-mode emissions upsert into the
+    * newest-wins sink keyed by (window, type), so the final sink equals
+    * the batch GROUP BY regardless of how many triggers the drain took.
+    */
+  def windowedCounts(spark: SparkSession, sourceDir: String, sinkPath: String,
+                     checkpoint: String): Unit = {
+    import graft.functions.Num
+    val stream = normalize(spark.readStream.schema(rawSchema).parquet(sourceDir))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("value"), 6).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsert(batch.sparkSession, sinkPath, batch, Seq("hour_start", "event_type"))
       }
       .start()
     q.awaitTermination()
