@@ -116,6 +116,9 @@ object EventsStream {
     */
   private def upsert(s: SparkSession, sinkPath: String, batch: DataFrame,
                      keys: Seq[String]): Unit = {
+    // AvailableNow runs a final empty batch to finalize the watermark —
+    // nothing to merge, skip the write entirely
+    if (batch.isEmpty) return
     val fresh = batch
       .withColumn("bucket", pmod(hash(keys.map(col): _*), lit(StateBuckets)))
     val merged =
