@@ -56,8 +56,10 @@ object LshPlanner {
     * a band matches a j0-pair with probability j0^r, so
     *   r ≥ ln(B·(n-1)/(2·cap)) / ln(1/j0).
     * n=500, B=3, j0=0.05, cap=10 → r=2; the static r=3
-    * (DedupQueries.R) holds to n ≈ 5.3M and sharpens the S-curve
-    * (threshold ≈ (1/B)^(1/r) ≈ 0.69).
+    * (DedupQueries.R) holds while B·(n-1)/(2·cap) ≤ 20³, i.e. to
+    * n ≈ 53 000 — a 5M-doc corpus at the same j0 needs r=5 (asserted in
+    * LshPlannerSpec). r also sharpens the S-curve
+    * (threshold ≈ (1/B)^(1/r) ≈ 0.69 at r=3).
     */
   def minhashRowsPerBand(
       n: Long, bands: Int, backgroundJaccard: Double, capPerDoc: Double = 10.0): Int = {

@@ -49,8 +49,19 @@ final class HttpApi(
       .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }
       .toMap
 
-  private def jsonStr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append("\"").toString
+  }
 
   server.createContext("/health", (ex: HttpExchange) =>
     respond(ex, 200, """{"status":"ok"}"""))
@@ -63,8 +74,12 @@ final class HttpApi(
         case "general" => General()
         case other => throw new IllegalArgumentException(s"unknown mode: $other")
       }
-      val now = q.get("now").map(ms => new Timestamp(ms.toLong))
-        .getOrElse(new Timestamp(System.currentTimeMillis()))
+      val now = q.get("now").map { ms =>
+        try new Timestamp(ms.toLong)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"now must be epoch millis, got: $ms")
+        }
+      }.getOrElse(new Timestamp(System.currentTimeMillis()))
       val results = IngestJob.runAllResilient(spark, usersPath, warehouse, fixturesDir, mode, now)
       val body = results.toSeq.sortBy(_._1).map {
         case (platform, Right(r)) =>

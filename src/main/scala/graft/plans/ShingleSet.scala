@@ -34,7 +34,18 @@ case class ShingleSet(child: Expression) extends UnaryExpression with CodegenFal
       s"graft_shingles requires a string argument, got ${child.dataType.sql}")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
   override def prettyName: String = "graft_shingles"
+
+  /** NULL text → empty array, matching both the composed built-in form
+    * (`when(size(words)>=3, …).otherwise(array())` is [] on null) and the
+    * oracle's CASE/ELSE — default null propagation would return NULL and
+    * silently diverge downstream (size/array_intersect of NULL).
+    */
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[Any]) else nullSafeEval(v)
+  }
 
   private def keep(cp: Int): Boolean = {
     val t = Character.getType(cp)

@@ -258,6 +258,9 @@ object FilterEval {
 
   private def top(attr: String, schema: StructType): Boolean =
     !attr.contains('.') && schema.fieldNames.contains(attr) &&
+      // __src_path is filled AFTER parsing+filtering (withPath), so the
+      // reader cannot evaluate predicates on it — leave them post-scan
+      attr != FixtureSource.PathCol &&
       comparable(schema(attr).dataType)
 
   /** Null-safe tri-state collapse to "keep the row?": unknown keeps (the

@@ -117,8 +117,14 @@ object EventsStream {
   private def upsert(s: SparkSession, sinkPath: String, batch: DataFrame,
                      keys: Seq[String]): Unit = {
     // AvailableNow runs a final empty batch to finalize the watermark —
-    // nothing to merge, skip the write entirely
-    if (batch.isEmpty) return
+    // nothing to merge, skip the write; but an empty FIRST batch must
+    // still materialize the sink so downstream reads see the schema
+    if (batch.isEmpty) {
+      if (!new java.io.File(sinkPath).exists())
+        batch.withColumn("bucket", pmod(hash(keys.map(col): _*), lit(StateBuckets)))
+          .write.mode("overwrite").partitionBy("bucket").parquet(sinkPath)
+      return
+    }
     val fresh = batch
       .withColumn("bucket", pmod(hash(keys.map(col): _*), lit(StateBuckets)))
     val merged =

@@ -21,6 +21,9 @@ class LshPlannerSpec extends AnyFunSuite {
     assert(LshPlanner.signLshBits(500, targetBucketSize = 32) == 4)
     // dd_minhash_lsh: 3 bands × 3 rows vs the shared-vocabulary background
     assert(LshPlanner.minhashRowsPerBand(500, bands = 3, backgroundJaccard = 0.05) <= 3)
+    // r=3's capacity boundary: holds at 53k docs, a 5.3M corpus needs r=5
+    assert(LshPlanner.minhashRowsPerBand(53_000, 3, 0.05) == 3)
+    assert(LshPlanner.minhashRowsPerBand(5_300_000, 3, 0.05) == 5)
   }
 
   test("planned widths grow with the corpus; fixed widths do not survive scale") {

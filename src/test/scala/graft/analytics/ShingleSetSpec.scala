@@ -38,6 +38,7 @@ class ShingleSetSpec extends AnyFunSuite {
   test("edge cases: empties, short docs, punctuation, duplicate shingles") {
     import spark.implicits._
     val cases = Seq(
+      null,                     // NULL text → [] (both forms), never NULL
       "",                       // empty
       "   ",                    // whitespace only
       "one two",                // < 3 words
@@ -51,6 +52,7 @@ class ShingleSetSpec extends AnyFunSuite {
       call_function("graft_shingles", col("text")).as("fast"), composed.as("slow"))
       .collect()
     rows.zip(cases).foreach { case (r, c) =>
+      assert(!r.isNullAt(0), s"graft_shingles returned NULL for input '$c'")
       assert(r.getSeq[String](0) == r.getSeq[String](1), s"input: '$c'")
     }
   }

@@ -59,6 +59,7 @@ class HttpApiSpec extends AnyFunSuite {
         """"inserted":(\d+)""".r.findAllMatchIn(again).forall(_.group(1) == "0"), again)
 
       assert(get(s"$base/fetch-now?mode=bogus")._1 == 400)
+      assert(get(s"$base/fetch-now?mode=catchup&now=abc")._1 == 400) // bad input ≠ 500
     } finally api.stop()
   }
 }
