@@ -84,7 +84,7 @@ object Normalize {
     * latestPosts, else flat items, else the entry IS a post.
     */
   def instagram(raw: DataFrame, name: Column, handle: Column, batchTs: Column): DataFrame = {
-    val selfPost = struct(Schemas.instagramPost.fieldNames.map(col): _*)
+    val selfPost = struct(Schemas.instagramPost.fieldNames.toSeq.map(col): _*)
     // typed empty array<struct<...>> (a bare array() is array<string> and
     // won't cast to a struct element type)
     val emptyPosts = filter(array(selfPost), _ => lit(false))
