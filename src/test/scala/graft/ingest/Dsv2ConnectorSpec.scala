@@ -93,6 +93,19 @@ class Dsv2ConnectorSpec extends AnyFunSuite {
     assert(df.count() == 6) // pages 1-3 × 2 reviews
   }
 
+  test("malformed lines degrade PERMISSIVE-style, same as the v1 reader") {
+    val dir = writeFixture(Seq(
+      rec(1, "2025-01-01T00:00:00Z"),
+      """{"id": 2, "content": NOT VALID JSON""",
+      rec(3, "2025-01-03T00:00:00Z")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(df.columns.sorted.map(col).toSeq: _*).collect().map(_.toString).sorted.toSeq
+    val a = canon(v2(dir).fetch(spark, c, FetchParams()))
+    val b = canon(v1(dir).fetch(spark, c, FetchParams()))
+    assert(a == b, s"corrupt-line handling diverged:\nv2=$a\nv1=$b")
+    assert(a.size == 3) // malformed line becomes an all-null row, not a crash
+  }
+
   test("DSv2 fetch and fetchAll match the v1 connector row-for-row") {
     val dir = writeFixture(
       (1 to 6).map(i => rec(i, f"2025-01-0${i}T00:00:00Z")),
