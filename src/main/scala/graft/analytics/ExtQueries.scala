@@ -111,6 +111,41 @@ object ExtQueries {
           col("n_supp_exact") * lit(0.15)).as("sketch_ok"))
   }
 
+  /** Discrete quantiles (p50/p90/p99), the element-exact way: rank within
+    * the group with a unique tiebreak and pick the ceil(p·n)-th element.
+    * The index is INTEGER arithmetic — ceil(p·n) as (k·n + k) div m — so
+    * both engines select exactly the same element (interpolated
+    * `percentile`/`quantile_cont` would hinge on float rounding, and
+    * DuckDB parses 0.9 as DECIMAL, diverging from double multiply).
+    * Scale: one shuffle on the group key; for a low-cardinality group key
+    * the same two-phase salted pattern as l3 applies before this shape.
+    */
+  val quantileDisc: QueryDef = QueryDef(
+    "a8_quantile_disc",
+    """WITH ranked AS (
+      |  SELECT event_type, value, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM events)
+      |SELECT event_type, MAX(cnt) AS n,
+      |  MAX(CASE WHEN rn = (cnt + 1) // 2 THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = (9 * cnt + 9) // 10 THEN value END) AS p90,
+      |  MAX(CASE WHEN rn = (99 * cnt + 99) // 100 THEN value END) AS p99
+      |FROM ranked GROUP BY event_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val cw = Window.partitionBy("event_type")
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .groupBy("event_type")
+      .agg(
+        max("cnt").as("n"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("value"))).as("p50"),
+        max(when(col("rn") === expr("(9 * cnt + 9) div 10"), col("value"))).as("p90"),
+        max(when(col("rn") === expr("(99 * cnt + 99) div 100"), col("value"))).as("p99"))
+  }
+
   /** Pivot: order-status counts per priority (Spark `pivot` operator; the
     * oracle states it as conditional aggregation).
     */
@@ -264,6 +299,6 @@ object ExtQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    structArrayExtract, rollupSpend, distinctAgg, approxDistinct, pivotStatus,
-    rankFrames, asofJoin, rangeJoinBucketed, rangeFrame, minMaxBy)
+    structArrayExtract, rollupSpend, distinctAgg, approxDistinct, quantileDisc,
+    pivotStatus, rankFrames, asofJoin, rangeJoinBucketed, rangeFrame, minMaxBy)
 }
