@@ -16,8 +16,12 @@ import graft.functions.Vec
   *    trading recall for a corpus-partition-local search. The scale path:
   *    bucket count grows with `bits`, the join shuffles on the code.
   *
-  * Ranking uses the same two-phase salted top-k as l3 so the per-probe
-  * window never funnels the whole corpus into |probes| tasks.
+  * Ranking: ann_bruteforce scores the WHOLE corpus per probe, so it ranks
+  * with the two-phase salted top-k (l3's pattern — the per-probe window
+  * would otherwise funnel the corpus into |probes| tasks). The bucketed
+  * variants rank with a plain per-probe window because their candidate
+  * sets are bucket-bounded BY CONSTRUCTION (LshPlanner sizes the buckets);
+  * if a skewed cell ever grows fact-scale, apply the same salting there.
   */
 object AnnQueries {
 

@@ -121,9 +121,13 @@ object CoreQueries {
       .select("c_custkey", "c_name", "c_acctbal")
   }
 
-  /** §2.7-1: dispatch fan-out as a broadcast join — fact rows enriched with
-    * their dimension attributes, grouped per dimension key. The dimension
-    * side is explicitly broadcast: at 100 TB the fact table never shuffles.
+  /** §2.7-1: dispatch fan-out as a broadcast join — fact rows enriched
+    * with their dimension attributes, grouped per dimension key. The
+    * dimension side is left to Catalyst/AQE (it broadcasts at bench SF):
+    * TPC-H `part` GROWS with the scale factor, so a forced broadcast()
+    * would OOM the driver at 100 TB — the same gating j2 documents for
+    * customer/supplier. Only bounded-cardinality dims earn an
+    * unconditional broadcast.
     */
   val jBroadcastEnrich: QueryDef = QueryDef(
     "j1_broadcast_enrich",
@@ -132,7 +136,7 @@ object CoreQueries {
       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       |GROUP BY p.p_brand""".stripMargin) { (s, dir) =>
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
   }
@@ -238,8 +242,10 @@ object CoreQueries {
       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) t
       |WHERE rk <= 3""".stripMargin) { (s, dir) =>
     val SaltBuckets = 64
+    // customer scales with the fact data (see j2's gating note) — its join
+    // strategy is AQE's call, not a forced broadcast
     val joined = Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
     val order = Seq(col("o_totalprice").desc, col("o_orderkey"))
     val wLocal = Window

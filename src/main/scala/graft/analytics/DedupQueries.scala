@@ -26,8 +26,10 @@ import graft.ingest.DedupSink
   */
 object DedupQueries {
 
-  /** Shared clean-text expr, oracle-side (ASCII corpus ≡ Norm.cleanText). */
-  private val CleanSql =
+  /** Shared clean-text expr, oracle-side (ASCII corpus ≡ Norm.cleanText);
+    * reused by TextQueries' fingerprint oracle so the two cannot drift.
+    */
+  private[analytics] val CleanSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** Oracle-side shingle set: distinct 3-word shingles of the cleaned text. */
@@ -137,8 +139,13 @@ object DedupQueries {
     * the pipeline behind dd_minhash_lsh, reused by dd_components.
     */
   private def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    // shared materialized shingle table — see shingleBase
-    val base = shingleBase(s, dir)
+    // shared materialized shingle table — see shingleBase. Empty-shingle
+    // docs (< 3 words) are excluded BEFORE banding: their minhash sigs are
+    // NULL, and concat_ws skips NULLs, so every short doc would otherwise
+    // collide into the bare band keys "0"/"1"/"2" — an O(m²) hot bucket of
+    // m short docs that the oracle (whose `|| NULL` nulls the whole key)
+    // never generates. No shingles → no n-gram similarity defined.
+    val base = shingleBase(s, dir).filter(size(col("shingles")) > 0)
     val hashed = base.select(
       col("doc_id"),
       transform(col("shingles"), sh => call_function("graft_rolling_hash", sh)).as("h1"),
@@ -215,8 +222,16 @@ object DedupQueries {
       val neighborLabels = sym
         .join(labels.withColumnRenamed("u", "v"), "v")
         .select(col("u"), col("component"))
-      val next = labels.unionByName(neighborLabels)
+      val hop = labels.unionByName(neighborLabels)
         .groupBy("u").agg(min("component").as("component"))
+      // pointer doubling (shortcutting): also adopt the label OF the
+      // label — one-hop propagation alone needs diameter rounds (a 30-doc
+      // near-dup chain would blow the round cap), doubling converges in
+      // O(log diameter), so the cap is safe for any practical graph
+      val next = hop.as("a")
+        .join(hop.select(col("u").as("component"), col("component").as("cc")).as("b"),
+          Seq("component"), "left")
+        .select(col("u"), least(col("component"), coalesce(col("cc"), col("component"))).as("component"))
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("component", "old"), "u")
         .filter(col("component") =!= col("old")).count()
@@ -288,6 +303,9 @@ object DedupQueries {
     */
   val ngramJaccard: QueryDef = QueryDef(
     "dd_ngram_jaccard",
+    // the len(...) > 0 guards mirror the Spark-side empty-shingle filter:
+    // a pair of sub-3-word docs sharing a prefix block would otherwise
+    // divide 0/0 (NaN on Spark, NULL in DuckDB — a hash divergence)
     s"""WITH blocks AS (SELECT md5(substr(text, 1, 80)) AS fp, doc_id FROM documents),
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -297,25 +315,20 @@ object DedupQueries {
        |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
        |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
        |FROM cand
-       |JOIN base sa ON sa.doc_id = doc_a
-       |JOIN base sb ON sb.doc_id = doc_b""".stripMargin) { (s, dir) =>
+       |JOIN base sa ON sa.doc_id = doc_a AND len(sa.shingles) > 0
+       |JOIN base sb ON sb.doc_id = doc_b AND len(sb.shingles) > 0""".stripMargin) { (s, dir) =>
     val blocks = Tables.documents(s, dir)
       .select(md5(substring(col("text"), 1, 80)).as("fp"), col("doc_id"))
     val cand = blocks.as("a")
       .join(blocks.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val base = shingleBase(s, dir)
+    val base = shingleBase(s, dir).filter(size(col("shingles")) > 0)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     cand
       .join(base.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (inter.cast(DoubleType) / (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
-  }
-
-  private def rmRf(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmRf)
-    f.delete(); ()
   }
 
   /** The K1-K8 WRITE PATH itself, oracle-checked: append the same batch
@@ -331,10 +344,7 @@ object DedupQueries {
       |  SELECT user_id, event_type, event_id, value,
       |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
       |  FROM events) t WHERE rn = 1""".stripMargin) { (s, dir) =>
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_k1_$tag")
-    rmRf(base); base.mkdirs()
-    val sink = s"${base.getPath}/sink"
+    val sink = s"${Staging.freshBase("graft_k1", dir).getPath}/sink"
     val batch = Tables.events(s, dir).select("user_id", "event_type", "event_id", "value")
     val key = Seq("user_id", "event_type")
     DedupSink.append(s, sink, batch, key, Seq(col("event_id")))
@@ -357,10 +367,7 @@ object DedupQueries {
       |  FROM (SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS user_id_n,
       |               event_type, event_id, value
       |        FROM events) t0) t WHERE rn = 1""".stripMargin) { (s, dir) =>
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_k4_$tag")
-    rmRf(base); base.mkdirs()
-    val sink = s"${base.getPath}/sink"
+    val sink = s"${Staging.freshBase("graft_k4", dir).getPath}/sink"
     val batch = Tables.events(s, dir).select(
       when(col("user_id") % 7 === 0, lit(null)).otherwise(col("user_id")).as("user_id_n"),
       col("event_type"), col("event_id"), col("value"))
@@ -381,7 +388,7 @@ object DedupQueries {
     */
   val simhashPairs: QueryDef = {
     // reuse dd_simhash's per-doc code as a CTE
-    val codeCte = simhash.oracle.get.replace("SELECT doc_id,", "SELECT doc_id,").stripSuffix("")
+    val codeCte = simhash.oracle.get
     QueryDef(
       "dd_simhash_pairs",
       s"""WITH codes AS ($codeCte)

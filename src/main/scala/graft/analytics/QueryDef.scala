@@ -25,3 +25,36 @@ object QueryDef {
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, None, fn)
 }
+
+/** Tmp-dir staging shared by every side-effectful query (sink-postcondition
+  * and streaming drains): ONE place for the workspace naming and cleanup
+  * rules, instead of per-file copies that drift.
+  */
+private[analytics] object Staging {
+
+  def rmRf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmRf)
+    f.delete(); ()
+  }
+
+  /** Fresh per-(prefix, dir) workspace under java.io.tmpdir. */
+  def freshBase(prefix: String, dir: String): java.io.File = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = new java.io.File(sys.props("java.io.tmpdir"), s"${prefix}_$tag")
+    rmRf(base); base.mkdirs()
+    base
+  }
+
+  /** freshBase + an isolated copy of the events parquet (streaming drains
+    * need a source DIR they can later append files to) →
+    * (srcDir, sinkPath, checkpointPath).
+    */
+  def stageEvents(prefix: String, dir: String): (String, String, String) = {
+    val base = freshBase(prefix, dir)
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(src.getPath, "events.parquet"))
+    (src.getPath, s"${base.getPath}/sink", s"${base.getPath}/ckpt")
+  }
+}

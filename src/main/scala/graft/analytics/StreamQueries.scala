@@ -13,26 +13,6 @@ import graft.streaming.EventsStream
   */
 object StreamQueries {
 
-  private def rmRf(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmRf)
-    f.delete(); ()
-  }
-
-  /** Stage a fresh streaming workspace for one query run: copy the events
-    * parquet into an isolated source dir, return (srcDir, sinkPath,
-    * checkpointPath). One place to change the staging rules for every
-    * ev_ drain.
-    */
-  private def stage(prefix: String, dir: String): (String, String, String) = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = new java.io.File(sys.props("java.io.tmpdir"), s"${prefix}_$tag")
-    rmRf(base); base.mkdirs()
-    val src = new java.io.File(base, "src"); src.mkdirs()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      java.nio.file.Paths.get(src.getPath, "events.parquet"))
-    (src.getPath, s"${base.getPath}/sink", s"${base.getPath}/ckpt")
-  }
 
   /** Exactly-once effect from an at-least-once feed: drain the events
     * parquet through Structured Streaming (AvailableNow + foreachBatch →
@@ -44,7 +24,7 @@ object StreamQueries {
   val exactlyOnce: QueryDef = QueryDef(
     "ev_stream_exactly_once",
     "SELECT event_id, ts, user_id, event_type, value, props FROM events") { (s, dir) =>
-    val (src, sink, ckpt) = stage("graft_ev", dir)
+    val (src, sink, ckpt) = Staging.stageEvents("graft_ev", dir)
     EventsStream.drain(s, src, sink, s"${ckpt}1")
     EventsStream.drain(s, src, sink, s"${ckpt}2") // full replay
     s.read.parquet(sink)
@@ -112,7 +92,7 @@ object StreamQueries {
     """SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin) { (s, dir) =>
-    val (src, sink, ckpt) = stage("graft_ww", dir)
+    val (src, sink, ckpt) = Staging.stageEvents("graft_ww", dir)
     EventsStream.windowedCounts(s, src, sink, ckpt)
     s.read.parquet(sink).select("hour_start", "event_type", "n", "sum_value")
   }
@@ -127,7 +107,7 @@ object StreamQueries {
       |  CAST(epoch_ms(MIN(ts)) AS BIGINT) AS first_ms,
       |  CAST(epoch_ms(MAX(ts)) AS BIGINT) AS last_ms
       |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
-    val (src, sink, ckpt) = stage("graft_st", dir)
+    val (src, sink, ckpt) = Staging.stageEvents("graft_st", dir)
     EventsStream.statefulCounts(s, src, sink, ckpt)
     // drop the physical bucket column (the sink's partition layout)
     s.read.parquet(sink).select("user_id", "n_events", "first_ms", "last_ms")

@@ -118,11 +118,11 @@ object TextQueries {
     */
   val fingerprint: QueryDef = QueryDef(
     "tx_fingerprint",
-    """SELECT doc_id,
-      |  md5(text) AS fp_raw,
-      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))) AS fp_clean,
-      |  md5(substr(text, 1, 80)) AS fp_prefix
-      |FROM documents""".stripMargin) { (s, dir) =>
+    s"""SELECT doc_id,
+       |  md5(text) AS fp_raw,
+       |  md5(${DedupQueries.CleanSql}) AS fp_clean,
+       |  md5(substr(text, 1, 80)) AS fp_prefix
+       |FROM documents""".stripMargin) { (s, dir) =>
     // cleanText uses \p{L}\p{N}; documents are ASCII so the oracle's
     // [a-z0-9 ] after lower() is the same class. \s+ ≡ ' +' on
     // single-line text.
