@@ -50,13 +50,17 @@ trait SourceConnector {
       spark: SparkSession,
       companies: Seq[(Company, Option[Timestamp])],
       until: Option[Timestamp],
-      limit: Option[Int]): DataFrame =
+      limit: Option[Int]): DataFrame = {
+    require(companies.nonEmpty,
+      s"$platform.fetchAll requires at least one company (the default union " +
+        "impl cannot conjure an empty frame without a schema)")
     companies.map { case (c, since) =>
       fetch(spark, c, FetchParams(since, until, limit))
         .withColumn(CompanyId, lit(c.id))
         .withColumn(CompanyName, lit(c.name))
         .withColumn(CompanyHandle, lit(c.handle.orNull))
     }.reduce(_ unionByName _)
+  }
 }
 
 object SourceConnector {
@@ -122,7 +126,14 @@ final class FixtureConnector(
             eventTime match {
               case Some(et) =>
                 windowed.orderBy(et.desc_nulls_last +: tiebreak: _*).limit(n)
-              case None => windowed.limit(n)
+              case None =>
+                // no event time → no "newest": cap by an arbitrary-but-
+                // stable total order (the hash of the full row), the SAME
+                // order the batched path uses, so fetch and fetchAll pick
+                // identical survivors. Mirrors the reference's untimed
+                // caps ("whatever N items the API returned"); a backlog
+                // beyond the cap needs an event-time column to drain.
+                windowed.orderBy(xxhash64(to_json(struct(col("*"))))).limit(n)
             }
         }
       case None => windowed
@@ -291,7 +302,8 @@ final class Dsv2FixtureConnector(
             et match {
               case Some(e) => // Catalyst plans this as a pushed TopN
                 windowed.orderBy(e.desc_nulls_last +: tiebreakCol.map(col(_).asc).toSeq: _*).limit(n)
-              case None => windowed.limit(n) // pushed limit
+              case None => // same stable-hash cap as the batched path
+                windowed.orderBy(xxhash64(to_json(struct(col("*"))))).limit(n)
             }
         }
       case None => windowed

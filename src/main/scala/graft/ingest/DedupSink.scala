@@ -32,6 +32,27 @@ final case class AppendResult(inserted: Long, perGroup: Map[String, Long])
 
 object DedupSink {
 
+  /** A sink dir is READABLE only if it actually contains parquet files —
+    * a partitioned write of an empty frame leaves just _SUCCESS, and
+    * `spark.read.parquet` on that throws UNABLE_TO_INFER_SCHEMA forever
+    * after. Existence checks must use this, not File.exists().
+    */
+  private[graft] def readable(path: String): Boolean = {
+    def hasParquet(f: java.io.File): Boolean =
+      f.isFile && f.getName.endsWith(".parquet") ||
+        (f.isDirectory && Option(f.listFiles()).exists(_.exists(hasParquet)))
+    hasParquet(new java.io.File(path))
+  }
+
+  /** A parquet file at the dir ROOT of a partitioned sink can only be the
+    * empty schema marker (partitioned appends always write under partition
+    * subdirs) — the first real write must replace it wholesale or the
+    * mixed layout breaks partition discovery.
+    */
+  private[graft] def rootParquet(path: String): Boolean =
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .exists(f => f.isFile && f.getName.endsWith(".parquet"))
+
   /** The existing-sink key scan for the cross-batch anti-join, partition-
     * pruned: when the sink's physical partition columns are a subset of the
     * conflict key, a key can only collide inside its own partition, so the
@@ -47,6 +68,7 @@ object DedupSink {
       batch: DataFrame,
       key: Seq[String],
       partitionBy: Seq[String]): DataFrame = {
+    require(readable(path), s"existingKeys on a schema-less sink dir: $path")
     val existingAll = spark.read.parquet(path)
     val keySet = key.toSet
     val prunable = partitionBy.nonEmpty && partitionBy.forall(keySet)
@@ -91,17 +113,20 @@ object DedupSink {
       partitionBy: Seq[String] = Nil): AppendResult = {
     // Total order: caller tiebreak first, then every remaining column —
     // the surviving representative is independent of partitioning.
-    // nulls_last so a fully-populated duplicate beats a sparse one (e.g.
-    // Reddit's dual-query union where only one copy carries the preview).
+    // nulls_last EVERYWHERE (tiebreaks included — Spark's bare-column
+    // default is nulls FIRST, which would make a sparse duplicate with a
+    // null tiebreak value beat a fully-populated one, e.g. Reddit's
+    // dual-query union where only one copy carries the preview).
     val keySet = key.toSet
     val rest = batch.columns.filterNot(keySet).map(col(_).asc_nulls_last).toSeq
-    val w = Window.partitionBy(key.map(col): _*).orderBy(tiebreak ++ rest: _*)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(tiebreak.map(_.asc_nulls_last) ++ rest: _*)
     val deduped = batch
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
     val fresh =
-      if (new java.io.File(path).exists()) {
+      if (readable(path)) {
         val existing = existingKeys(spark, path, batch, key, partitionBy)
         val cond = key.map(k => deduped(k) <=> existing(k)).reduce(_ && _)
         deduped.join(existing, cond, "left_anti")
@@ -124,10 +149,18 @@ object DedupSink {
       val w = snapshot.write.mode(mode)
       (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
     }
-    if (total > 0) writer("append")
-    else if (!new java.io.File(path).exists())
-      // materialize an empty sink so downstream reads see the schema
-      writer("overwrite")
+    val marker = partitionBy.nonEmpty && rootParquet(path)
+    if (total > 0) writer(if (marker) "overwrite" else "append")
+    else if (!readable(path)) {
+      // Materialize an empty sink so downstream reads see the schema —
+      // WITHOUT partitionBy: a partitioned write of zero rows emits no
+      // data files at all (only _SUCCESS), which poisons the dir — every
+      // later read throws UNABLE_TO_INFER_SCHEMA. A non-partitioned empty
+      // write produces one schema-bearing file; the partition columns ride
+      // along as ordinary columns, and `readable` means the first REAL
+      // append replaces this marker cleanly via overwrite.
+      snapshot.write.mode("overwrite").parquet(path)
+    }
     AppendResult(total, perGroup)
   }
 }

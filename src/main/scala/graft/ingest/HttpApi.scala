@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   * no data flows through it.
   *
   *   GET  /health               → {"status":"ok"}
-  *   POST /fetch-now            → run every platform pipeline, return
+  *   GET|POST /fetch-now        → run every platform pipeline, return
   *        ?mode=catchup|general   per-platform inserted counts (the
   *        [&now=epochMillis]      reference's missing return value);
   *                                failures are isolated per platform
@@ -63,10 +63,23 @@ final class HttpApi(
     sb.append("\"").toString
   }
 
+  /** JDK HttpServer prefix-matches contexts and dispatches every method;
+    * guard both (exact path, GET|POST like the reference's Flask default)
+    * before running a side-effectful ingest.
+    */
+  private def guarded(path: String)(handle: HttpExchange => Unit): HttpExchange => Unit =
+    ex =>
+      if (ex.getRequestURI.getPath != path)
+        respond(ex, 404, """{"error":"not found"}""")
+      else if (ex.getRequestMethod != "GET" && ex.getRequestMethod != "POST")
+        respond(ex, 405, """{"error":"method not allowed"}""")
+      else handle(ex)
+
   server.createContext("/health", (ex: HttpExchange) =>
-    respond(ex, 200, """{"status":"ok"}"""))
+    guarded("/health")(respond(_, 200, """{"status":"ok"}"""))(ex))
 
   server.createContext("/fetch-now", (ex: HttpExchange) =>
+    guarded("/fetch-now") { ex =>
     try {
       val q = query(ex)
       val mode = q.getOrElse("mode", "general") match {
@@ -94,7 +107,8 @@ final class HttpApi(
     } catch {
       case e: IllegalArgumentException => respond(ex, 400, s"""{"error":${jsonStr(e.getMessage)}}""")
       case e: Throwable => respond(ex, 500, s"""{"error":${jsonStr(String.valueOf(e.getMessage))}}""")
-    })
+    }
+    }(ex))
 
   def start(): HttpApi = { server.start(); this }
   def stop(): Unit = server.stop(0)

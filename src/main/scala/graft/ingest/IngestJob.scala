@@ -73,6 +73,13 @@ object IngestJob {
       .collect()
 
     if (rows.isEmpty) return IngestResult(spec.platform, Map.empty, 0L)
+    // company_name is the grouping identity end-to-end (sink enrichment,
+    // per-company counts, watermark attribution — the reference's model);
+    // a duplicate name would conflate two companies' counts and advance
+    // the wrong watermark, silently skipping records forever. Fail loud.
+    require(rows.map(_.getString(1)).distinct.length == rows.length,
+      s"${spec.platform}: duplicate company_name in control table — " +
+        "watermark attribution requires unique names")
 
     val companies = rows.toSeq.map { r =>
       val company = Company(r.getInt(0), r.getString(1), Option(r.getString(2)))

@@ -17,20 +17,45 @@ import org.apache.spark.sql.functions._
   */
 object Watermarks {
 
-  def read(spark: SparkSession, usersPath: String): DataFrame =
+  def read(spark: SparkSession, usersPath: String): DataFrame = {
+    recover(spark, usersPath)
     spark.read.parquet(usersPath)
+  }
 
-  /** Overwrite a parquet dir that may currently be read from: write aside,
-    * then swap directories.
+  /** Crash recovery for the delete→rename window in overwriteParquet: if
+    * the live dir is missing but a completed .tmp exists (the JVM died
+    * between the delete and the rename), promote the .tmp — it was fully
+    * written before the swap began, so no data is lost.
+    */
+  private def recover(spark: SparkSession, path: String): Unit = {
+    val live = new java.io.File(path)
+    val tmp = new java.io.File(path + ".tmp")
+    if (!live.exists() && tmp.exists()) {
+      val fs = fileSystem(spark, path)
+      require(fs.rename(hPath(path + ".tmp"), hPath(path)),
+        s"could not promote crashed control-table swap: $path.tmp")
+    }
+  }
+
+  private def fileSystem(spark: SparkSession, p: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p), spark.sparkContext.hadoopConfiguration)
+  private def hPath(p: String) = new org.apache.hadoop.fs.Path(p)
+
+  /** Overwrite a parquet dir that may currently be read from: write aside
+    * fully, then swap. The swap is delete→rename — not atomic — but every
+    * crash point is recoverable: before the delete the live dir is intact;
+    * between delete and rename only the live dir is missing and `read`
+    * promotes the completed .tmp. Rename failures are checked, not
+    * swallowed.
     */
   def overwriteParquet(spark: SparkSession, path: String, df: DataFrame): Unit = {
     val tmp = path + ".tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tmp), hadoopConf)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    df.write.mode("overwrite").parquet(tmp) // clears any stale .tmp
+    val fs = fileSystem(spark, path)
+    fs.delete(hPath(path), true)
+    require(fs.rename(hPath(tmp), hPath(path)),
+      s"control-table swap rename failed: $tmp -> $path")
   }
 
   /** K9: advance `last_fetched_<platform>` to `to` for the companies in

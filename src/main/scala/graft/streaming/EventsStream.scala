@@ -116,31 +116,39 @@ object EventsStream {
     */
   private def upsert(s: SparkSession, sinkPath: String, batch: DataFrame,
                      keys: Seq[String]): Unit = {
-    // AvailableNow runs a final empty batch to finalize the watermark —
-    // nothing to merge, skip the write; but an empty FIRST batch must
-    // still materialize the sink so downstream reads see the schema
-    if (batch.isEmpty) {
-      if (!new java.io.File(sinkPath).exists())
-        batch.withColumn("bucket", pmod(hash(keys.map(col): _*), lit(StateBuckets)))
-          .write.mode("overwrite").partitionBy("bucket").parquet(sinkPath)
-      return
-    }
     val fresh = batch
       .withColumn("bucket", pmod(hash(keys.map(col): _*), lit(StateBuckets)))
+    // AvailableNow runs a final empty batch to finalize the watermark —
+    // nothing to merge, skip the write; but an empty FIRST batch still
+    // materializes the schema, NON-partitioned (a partitioned write of
+    // zero rows emits only _SUCCESS — no schema file — and poisons every
+    // later read; see DedupSink.readable)
+    if (batch.isEmpty) {
+      if (!DedupSink.readable(sinkPath))
+        fresh.write.mode("overwrite").parquet(sinkPath)
+      return
+    }
+    val marker = DedupSink.rootParquet(sinkPath)
     val merged =
-      if (new java.io.File(sinkPath).exists()) {
+      if (DedupSink.readable(sinkPath) && !marker) {
         val touched = fresh.select("bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
-        s.read.parquet(sinkPath)
+        val existing = s.read.parquet(sinkPath)
           .filter(col("bucket").isin(touched: _*)) // partition-pruned
-          .join(fresh, keys, "left_anti")
-          .unionByName(fresh)
-      } else fresh
-    // localCheckpoint breaks the read-from-sink lineage so the dynamic
-    // overwrite of the same path is legal and replay-safe
-    merged.localCheckpoint(true).write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
+        // null-SAFE anti-join: a null key value (nullable event_type, a
+        // null window member) must still be replaced by its newer update,
+        // not accumulate a duplicate per trigger
+        val cond = keys.map(k => existing(k) <=> fresh(k)).reduce(_ && _)
+        existing.join(fresh, cond, "left_anti").unionByName(fresh)
+      } else fresh // absent sink, or only the empty marker: nothing to keep
+    // localCheckpoint breaks the read-from-sink lineage so the overwrite
+    // of the same path is legal and replay-safe. The empty marker (a ROOT
+    // file) is replaced by a static overwrite — dynamic overwrite would
+    // leave it next to the partition dirs, a mixed layout that breaks
+    // partition discovery.
+    val writer = merged.localCheckpoint(true).write.mode("overwrite")
+    (if (marker) writer
+     else writer.option("partitionOverwriteMode", "dynamic"))
       .partitionBy("bucket")
       .parquet(sinkPath)
     ()

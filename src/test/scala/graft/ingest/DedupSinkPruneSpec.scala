@@ -53,6 +53,33 @@ class DedupSinkPruneSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 2)
   }
 
+  test("empty first batch does not poison a partitioned sink") {
+    import org.apache.spark.sql.types._
+    val path = tmp()
+    val schema = StructType(Seq(
+      StructField("company_name", StringType), StructField("rid", LongType),
+      StructField("payload", StringType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // first run: nothing eligible → a partitioned write of 0 rows would
+    // leave a schema-less dir and wedge the platform forever
+    DedupSink.append(spark, path, empty, Seq("company_name", "rid"), Seq(col("rid")),
+      partitionBy = Seq("company_name"))
+    assert(spark.read.parquet(path).count() == 0) // readable, right schema
+
+    // the first REAL batch replaces the marker and appends normally
+    val batch = Seq(("acme", 1L, "a"), ("globex", 2L, "b"))
+      .toDF("company_name", "rid", "payload")
+    val res = DedupSink.append(spark, path, batch, Seq("company_name", "rid"),
+      Seq(col("rid")), partitionBy = Seq("company_name"))
+    assert(res.inserted == 2)
+    assert(spark.read.parquet(path).count() == 2)
+    // layout is cleanly partitioned again (no root marker left behind)
+    val again = DedupSink.append(spark, path, batch, Seq("company_name", "rid"),
+      Seq(col("rid")), partitionBy = Seq("company_name"))
+    assert(again.inserted == 0)
+  }
+
   test("pruned append inserts fresh rows and skips existing ones per partition") {
     val path = tmp()
     val seed = Seq(("acme", 1L, "a"), ("globex", 2L, "b"))
