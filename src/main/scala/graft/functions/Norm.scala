@@ -62,21 +62,25 @@ object Norm {
   // ---- strings (§2.10) ----
 
   /** Trustpilot star rating from img alt text `"Rated 4 out of 5 stars"` →
-    * int (scrapers/trustpilot_scraper.py:75-78: split on space, take [1]).
+    * int (scrapers/trustpilot_scraper.py:75-78: split on space, take [1],
+    * int() wrapped in try/except → None). try_cast, not cast: a
+    * non-numeric token ("Translated review", "4.5") must yield null like
+    * the reference, not throw under ANSI mode.
     */
   def ratingFromAlt(c: Column): Column =
-    try_element_at(split(c, " "), lit(2)).cast(IntegerType)
+    try_element_at(split(c, " "), lit(2)).try_cast("int")
 
   /** Reddit permalink → absolute URL (scrapers/reddit_scraper.py:90). */
   def redditUrl(permalink: Column): Column =
     concat(lit("https://www.reddit.com"), permalink)
 
-  /** LinkedIn author display name: first+last joined, nulls skipped
-    * (scrapers/linkedin_scraper.py:91-94 builds the list skipping missing
-    * parts — concat_ws has exactly that semantics).
+  /** LinkedIn author display name: first+last joined, nulls AND empty
+    * strings skipped (scrapers/linkedin_scraper.py:91-94 filters falsy
+    * parts — concat_ws skips only nulls, so "" must be folded to null
+    * first or a missing first name leaves a leading space).
     */
   def fullName(first: Column, last: Column): Column =
-    concat_ws(" ", first, last)
+    concat_ws(" ", nullif(first, lit("")), nullif(last, lit("")))
 
   /** Null-safe count default: the reference's `get(..., 0) or 0`
     * (scrapers/instagram_scraper.py:106-107, linkedin_scraper.py:99-106).

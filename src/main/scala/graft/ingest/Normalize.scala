@@ -95,18 +95,24 @@ object Normalize {
       .when(col("items").isNotNull, col("items"))
       .when(coalesce(col("id"), col("shortCode")).isNotNull, array(selfPost))
       .otherwise(emptyPosts)
+    // P7 alias coalescing with PYTHON-`or` semantics (instagram_scraper.py
+    // :102-109): "" and 0 are falsy and fall through to the next alias —
+    // nullif folds them away so coalesce matches `a or b [or default]`
+    def orS(a: Column, b: Column) = coalesce(nullif(a, lit("")), nullif(b, lit("")))
+    def orN(a: Column, b: Column) =
+      coalesce(nullif(a, lit(0)), nullif(b, lit(0)), lit(0))
     raw.filter(col("error").isNull) // F8
       .select(name.as("__cn"), explode(posts).as("p")) // X1 (company rides the explode)
       .select(
-        coalesce(col("p.id"), col("p.shortCode")).as("post_id"), // P7
+        orS(col("p.id"), col("p.shortCode")).as("post_id"), // P7
         col("__cn").as("company_name"),
-        coalesce(col("p.description"), col("p.caption")).as("caption"),
-        coalesce(col("p.ownerUsername"), col("p.username")).as("author_handle"),
+        orS(col("p.description"), col("p.caption")).as("caption"),
+        orS(col("p.username"), col("p.ownerUsername")).as("author_handle"), // username FIRST (line 104)
         coalesce(isoTs(col("p.publishedAt")), isoTs(col("p.timestamp"))).as("created_at"),
-        coalesce(col("p.likesCount"), col("p.like_count"), lit(0)).as("like_count"),
-        coalesce(col("p.commentsCount"), col("p.comment_count"), lit(0)).as("comment_count"),
-        col("p.displayUrl").as("image"),
-        col("p.videoUrl").as("videourl"),
+        orN(col("p.likesCount"), col("p.like_count")).as("like_count"),
+        orN(col("p.commentsCount"), col("p.comment_count")).as("comment_count"),
+        coalesce(col("p.images"), lit("")).as("image"), // it.get("images", "")
+        orS(col("p.videoUrl"), col("p.video_url")).as("videourl"),
         batchTs.as("fetched_at"))
       .filter(col("post_id").isNotNull && col("created_at").isNotNull) // F5
   }

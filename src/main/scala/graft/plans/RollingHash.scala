@@ -72,13 +72,21 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // arity is checked HERE: children.head alone would silently discard
+    // extra arguments (wrong fingerprints on a user typo) and crash with a
+    // bare NoSuchElementException on zero
+    def unary(name: String, mk: Expression => Expression): Seq[Expression] => Expression =
+      children => {
+        require(children.length == 1, s"$name takes exactly one argument, got ${children.length}")
+        mk(children.head)
+      }
     ext.injectFunction((
       new FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
-      (children: Seq[Expression]) => RollingHash(children.head)))
+      unary("graft_rolling_hash", RollingHash(_))))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles"),
-      (children: Seq[Expression]) => ShingleSet(children.head)))
+      unary("graft_shingles", ShingleSet(_))))
   }
 }

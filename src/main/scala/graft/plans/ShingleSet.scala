@@ -56,16 +56,20 @@ case class ShingleSet(child: Expression) extends UnaryExpression with CodegenFal
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    // clean + tokenize in one pass: runs of letters/digits (lowercased)
-    // are words; everything else is a separator (whitespace INCLUDED —
-    // cleanText maps non-alnum runs to one space and collapses)
+    // FULL string lowercase first (Locale.ROOT), matching lower()'s
+    // semantics — per-codepoint Character.toLowerCase misses multi-char
+    // expansions (İ → i + combining dot), which would silently diverge
+    // from the composed built-in form on non-ASCII text
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
+    // clean + tokenize in one pass: runs of letters/digits are words;
+    // everything else is a separator (whitespace INCLUDED — cleanText maps
+    // non-alnum runs to one space and collapses)
     val words = mutable.ArrayBuffer.empty[String]
     val word = new java.lang.StringBuilder
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      if (keep(cp)) word.appendCodePoint(Character.toLowerCase(cp))
+      if (keep(cp)) word.appendCodePoint(cp)
       else if (word.length > 0) { words += word.toString; word.setLength(0) }
       i += Character.charCount(cp)
     }

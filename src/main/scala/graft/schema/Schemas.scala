@@ -130,7 +130,9 @@ object Schemas {
     s("id"), s("shortCode"), s("caption"), s("description"),
     s("ownerUsername"), s("username"), s("timestamp"), s("publishedAt"),
     i("likesCount"), i("like_count"), i("commentsCount"), i("comment_count"),
-    s("displayUrl"), s("videoUrl")))
+    // the reference reads `images` (a string, default "") and the
+    // videoUrl/video_url alias pair (instagram_scraper.py:107-109)
+    s("images"), s("videoUrl"), s("video_url")))
   val instagramRaw: StructType = StructType(Seq(
     StructField("error", StringType),
     StructField("topPosts", ArrayType(instagramPost)),
@@ -160,7 +162,9 @@ object Schemas {
   /** Reddit search.json listing page (scrapers/reddit_scraper.py:48-99). */
   val redditPost: StructType = StructType(Seq(
     s("permalink"), s("title"), s("author"), i("score"), i("num_comments"),
-    l("created_utc"), s("selftext"),
+    // the live API serializes created_utc as a FLOAT (1714550400.0); a
+    // Long field would null the whole record under PERMISSIVE parsing
+    d("created_utc"), s("selftext"),
     StructField("preview", StructType(Seq(
       StructField("images", ArrayType(StructType(Seq(
         StructField("source", StructType(Seq(s("url")))))))))))))

@@ -46,7 +46,8 @@ class ShingleSetSpec extends AnyFunSuite {
       "A,  b!!c d",             // punctuation runs + case folding
       "x y z x y z x y z",     // repeated shingles → distinct
       "tab\tand\nnewline sep", // non-space whitespace
-      "123 4a5 ... 6")          // digits and symbol runs
+      "123 4a5 ... 6",          // digits and symbol runs
+      "İstanbul Über Straße café here") // multi-char lowercase expansions (İ → i̇)
     val df = cases.toDF("text")
     val rows = df.select(
       call_function("graft_shingles", col("text")).as("fast"), composed.as("slow"))
