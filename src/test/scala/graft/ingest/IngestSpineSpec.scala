@@ -138,6 +138,8 @@ class IngestSpineSpec extends AnyFunSuite {
     val ig = sinkMap(wh, "instagram_mentions", "post_id")
     assert(ig("ig2").getAs[String]("caption") == "d2") // P7 description|caption
     assert(ig("ig2").getAs[String]("author_handle") == "u2")
+    assert(ig("ig1").getAs[String]("image") == "") // it.get("images", "") default
+    assert(ig("ig1").getAs[String]("videourl") == null) // videoUrl|video_url both absent
     val rd = sinkMap(wh, "reddit_posts", "post_url")
     assert(rd.keySet == Set("https://www.reddit.com/r/a/1", "https://www.reddit.com/r/a/2", "https://www.reddit.com/r/b/3")) // P8 URL concat
     assert(rd("https://www.reddit.com/r/a/1").getAs[String]("full_review") == null) // '' -> null
