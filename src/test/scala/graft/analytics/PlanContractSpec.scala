@@ -1,0 +1,79 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** Plan CONTRACTS for the performance-critical queries: the physical shape
+  * each one exists to demonstrate is asserted, so a refactor that silently
+  * degrades the plan (a TakeOrdered becoming a global sort, an anti-join
+  * losing its broadcast, a filter falling out of the scan) fails CI, not
+  * the 100-TB run. Static shapes are read from the initial plan; AQE
+  * runtime choices are read from the final adaptive plan after executing
+  * at sf0.001.
+  */
+class PlanContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def df(name: String) =
+    SparkEntry.allDefs.find(_.name == name).get.fn(spark, sf)
+
+  private def initialPlan(name: String): String =
+    df(name).queryExecution.executedPlan.toString
+
+  private def finalPlan(name: String): String = {
+    val d = df(name)
+    d.collect() // drive AQE to its final plan
+    d.queryExecution.executedPlan.toString
+  }
+
+  test("s1 anti-join: AQE broadcasts the distinct-key build side") {
+    val p = finalPlan("s1_f1_new_keys_anti")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "anti-join regressed to a shuffled join")
+  }
+
+  test("l2 global top-k plans as TakeOrdered, not a global sort") {
+    val p = initialPlan("l2_topk_recency")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("tpch_q1 aggregates map-side: partial+final HashAggregate, one exchange") {
+    val p = initialPlan("tpch_q1_pricing_summary")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1, p.take(1500))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(1500))
+  }
+
+  test("filter queries push predicates into the parquet scan") {
+    Seq("tpch_q1_pricing_summary", "f10_dispatch_guards", "k9_watermark_advance")
+      .foreach { q =>
+        val p = initialPlan(q)
+        assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+          s"$q lost its scan pushdown")
+      }
+  }
+
+  test("scans are column-pruned to the projection") {
+    // p7 projects 4 of customer's 8 columns; the scan must not read more
+    val p = initialPlan("p7_coalesce_alias")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.nonEmpty && read.count(_ == ':') <= 4, s"scan reads too much: $read")
+  }
+
+  test("j2 star join: bounded dims broadcast; the fact side is never broadcast") {
+    val p = finalPlan("j2_star_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("BroadcastExchange") && l.contains("lineitem")),
+      "the fact table must never be the broadcast side")
+  }
+
+  test("l3 per-group top-k keeps the two-phase salted shape") {
+    val p = initialPlan("l3_topk_per_group")
+    // two window stages (the salted local rank, then the global re-rank),
+    // each with the rank<=3 pushed down as a WindowGroupLimit
+    assert(p.linesIterator.count(_.contains("- Window [")) == 2, p.take(2000))
+    assert(p.linesIterator.exists(_.contains("WindowGroupLimit")),
+      "rank filter no longer pushes into the window")
+  }
+}
