@@ -97,6 +97,35 @@ object StreamQueries {
     s.read.parquet(sink).select("hour_start", "event_type", "n", "sum_value")
   }
 
+  /** STREAMING sessionization via session_window, proven against the batch
+    * gaps-and-islands oracle: same 30-minute gap rule, session end = last
+    * event + gap (Spark's session_window definition). The sink upsert is
+    * overlap-aware (merged sessions retract their subsumed partials), so
+    * the final sink equals the batch answer regardless of batch count.
+    */
+  val sessionWindowStream: QueryDef = QueryDef(
+    "ev_session_window_stream",
+    """WITH m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+      |         THEN 1 ELSE 0 END AS new_s,
+      |    event_id
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM m)
+      |SELECT user_id,
+      |  CAST(epoch_ms(MIN(ts)) AS BIGINT) AS start_ms,
+      |  CAST(epoch_ms(MAX(ts)) + 1800000 AS BIGINT) AS end_ms,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+    val (src, sink, ckpt) = Staging.stageEvents("graft_sw", dir)
+    EventsStream.sessionCounts(s, src, sink, ckpt)
+    s.read.parquet(sink).select("user_id", "start_ms", "end_ms", "n_events")
+  }
+
   /** mapGroupsWithState custom keyed state, proven against the oracle:
     * one AvailableNow drain accumulates per-user state; the emitted final
     * aggregates must equal the batch GROUP BY.
@@ -114,5 +143,6 @@ object StreamQueries {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(exactlyOnce, sessionize, tumbling, watermarkedWindow, statefulState)
+    Seq(exactlyOnce, sessionize, tumbling, watermarkedWindow,
+      sessionWindowStream, statefulState)
 }

@@ -154,6 +154,39 @@ object EventsStream {
     ()
   }
 
+  /** Streaming sessionization via `session_window` (§2.11): 30-minute-gap
+    * sessions per user, watermark-bounded state, session end = last event
+    * + gap (Spark's definition; the batch oracle mirrors it as
+    * max(ts) + 30 min). Session windows MERGE as events arrive, which is
+    * why Spark only offers append (finalized-only — trailing sessions
+    * never emit) or complete output for them: update cannot retract a
+    * subsumed partial. Complete mode + full-sink overwrite is the honest
+    * pairing — every trigger rewrites the current session table, and the
+    * final state must equal the batch gaps-and-islands answer.
+    */
+  def sessionCounts(spark: SparkSession, sourceDir: String, sinkPath: String,
+                    checkpoint: String): Unit = {
+    val stream = normalize(spark.readStream.schema(rawSchema).parquet(sourceDir))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("start_ms"),
+        unix_millis(col("w.end")).as("end_ms"),
+        col("n_events"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // complete mode = the whole current session table per trigger
+        Watermarks.overwriteParquet(batch.sparkSession, sinkPath, batch)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked tumbling-window aggregation (§2.11 / the brief's
     * "watermarks + windowed aggs"): `withWatermark` bounds the window
     * state (late data beyond the delay is dropped and finalized windows
