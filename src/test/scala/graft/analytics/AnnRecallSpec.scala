@@ -19,8 +19,12 @@ class AnnRecallSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id"))
       .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
 
+  // the exact baseline is the costliest query in the suite — compute once
+  private lazy val exactTop5 = topSets("ann_bruteforce_topk", 5)
+
   private def recallAt(approx: String, k: Int): Double = {
-    val exact = topSets("ann_bruteforce_topk", k)
+    require(k == 5, "baseline precomputed at k=5")
+    val exact = exactTop5
     val got = topSets(approx, k)
     val per = exact.map { case (p, truth) =>
       got.getOrElse(p, Set.empty).intersect(truth).size.toDouble / truth.size

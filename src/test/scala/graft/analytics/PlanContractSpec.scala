@@ -63,9 +63,17 @@ class PlanContractSpec extends AnyFunSuite {
   test("j2 star join: bounded dims broadcast; the fact side is never broadcast") {
     val p = finalPlan("j2_star_join_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
-    assert(!p.linesIterator.exists(l =>
-      l.contains("BroadcastExchange") && l.contains("lineitem")),
-      "the fact table must never be the broadcast side")
+    // the operator and the scan it feeds print on DIFFERENT lines, so the
+    // check walks each BroadcastExchange SUBTREE (following lines with
+    // deeper indentation) and asserts none of them scans lineitem
+    val lines = p.linesIterator.toVector
+    def indent(l: String): Int = l.indexWhere(c => c != ' ' && c != '+' && c != '-' && c != ':')
+    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach { case (bl, i) =>
+      val d = indent(bl)
+      val subtree = lines.drop(i + 1).takeWhile(l => indent(l) > d)
+      assert(!subtree.exists(_.contains("lineitem")),
+        s"the fact table is inside a broadcast subtree:\n${(bl +: subtree).mkString("\n")}")
+    }
   }
 
   test("l3 per-group top-k keeps the two-phase salted shape") {

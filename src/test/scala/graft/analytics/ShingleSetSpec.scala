@@ -29,8 +29,9 @@ class ShingleSetSpec extends AnyFunSuite {
         col("doc_id"),
         call_function("graft_shingles", col("text")).as("fast"),
         composed.as("slow"))
-      // sets must match; the order is first-occurrence in both, assert it too
-      .filter(col("fast") =!= col("slow"))
+      // null-SAFE inequality: a regression to NULL output must count as a
+      // diff, not silently drop out of the filter
+      .filter(!(col("fast") <=> col("slow")))
       .count()
     assert(diff == 0)
   }

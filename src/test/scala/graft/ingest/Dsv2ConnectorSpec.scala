@@ -72,11 +72,13 @@ class Dsv2ConnectorSpec extends AnyFunSuite {
   test("column pruning reaches the reader's parse schema") {
     val dir = writeFixture((1 to 3).map(i => rec(i, f"2025-01-0${i}T00:00:00Z")))
     val df = v2(dir).fetch(spark, c, FetchParams()).select("id")
-    val schemas = df.queryExecution.executedPlan.toString
     assert(df.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
-    assert(schemas.contains("ReadSchema: struct<id:bigint>") ||
-      df.queryExecution.executedPlan.toString.contains("id#"),
-      "expected the scan to read only `id`")
+    // the pruned schema reaches the Scan (readSchema), not just the project
+    val scan = df.queryExecution.executedPlan
+      .collect { case s if s.getClass.getSimpleName.contains("BatchScan") => s }
+    assert(scan.nonEmpty, df.queryExecution.executedPlan.toString)
+    assert(scan.head.schema.fieldNames.toSeq == Seq("id"),
+      s"scan reads ${scan.head.schema.fieldNames.mkString(",")}, expected only id")
   }
 
   test("page cap is a pushed scan filter (HTML-source shape)") {

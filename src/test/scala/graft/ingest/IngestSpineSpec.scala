@@ -63,7 +63,7 @@ class IngestSpineSpec extends AnyFunSuite {
     assert(t1.getAs[String]("image") == "https://img/1.jpg") // P1 first media
     assert(t1.getAs[String]("videourl") == "https://vid/1.mp4") // P2 video variant
     assert(t1.getAs[Timestamp]("created_at") == Timestamp.valueOf("2025-05-14 09:00:01")) // P3
-    assert(t1.getAs[Int]("reply_count") == 2 && t1.getAs[Int]("viewCount".replace("viewCount", "view_count")) == 40)
+    assert(t1.getAs[Int]("reply_count") == 2 && t1.getAs[Int]("view_count") == 40)
     val t4 = rows("t4")
     assert(t4.getAs[String]("videourl") == "https://gif/4.gif") // animated_gif variant
     assert(t4.getAs[String]("image") == null) // no plain media

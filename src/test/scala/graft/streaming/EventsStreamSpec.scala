@@ -94,6 +94,10 @@ class EventsStreamSpec extends AnyFunSuite {
     val touched = spark.range(1)
       .select(pmod(hash(lit(oneUser)), lit(EventsStream.StateBuckets)))
       .head().getInt(0)
+    // preconditions that keep the assertions below from being skippable:
+    // the touched bucket pre-exists, and no partition appears or vanishes
+    assert(before.contains(s"bucket=$touched"), s"user $oneUser's bucket missing from the sink")
+    assert(after.keySet == before.keySet, "partitions appeared or vanished")
     before.foreach { case (bucket, files) =>
       if (bucket == s"bucket=$touched")
         assert(after(bucket) != files, "touched bucket must be rewritten")
