@@ -209,7 +209,21 @@ private[ingest] object BatchedFetch {
         .map { case (c, skey, since) => (skey, c.id, c.name, c.handle.orNull, since.orNull) }
         .toDF("__skey", CompanyId, CompanyName, CompanyHandle, "__since")
     }
-    val raw = rawWithSkey.join(broadcast(lookup), "__skey")
+    // Scan-level prefilter: the per-company since is a COLUMN comparison
+    // (post-join, unpushable), but no row older than the OLDEST watermark
+    // can survive any company's window — that bound is a literal, and a
+    // literal lands in the scan's pushed filters. Valid only when every
+    // company has a lower bound.
+    val minSince = {
+      val sinces = companies.map(_._3)
+      if (sinces.nonEmpty && sinces.forall(_.isDefined)) Some(sinces.flatten.minBy(_.getTime))
+      else None
+    }
+    val prefiltered = (eventTime, minSince) match {
+      case (Some(et), Some(t)) => rawWithSkey.filter(et.isNull || et >= lit(t))
+      case _ => rawWithSkey
+    }
+    val raw = prefiltered.join(broadcast(lookup), "__skey")
     val windowed = eventTime match {
       case Some(et) =>
         val afterSince = raw.filter(col("__since").isNull || et.isNull || et >= col("__since"))

@@ -108,6 +108,19 @@ class Dsv2ConnectorSpec extends AnyFunSuite {
     assert(a.size == 3) // malformed line becomes an all-null row, not a crash
   }
 
+  test("batched fetch pushes the oldest watermark into the scan") {
+    val dir = writeFixture((1 to 6).map(i => rec(i, f"2025-01-0${i}T00:00:00Z")))
+    val comps = Seq(
+      (Company(1, "C", Some("h")), Option(Timestamp.valueOf("2025-01-03 00:00:00"))),
+      (Company(2, "G", Some("h")), Option(Timestamp.valueOf("2025-01-05 00:00:00"))))
+    val df = v2(dir).fetchAll(spark, comps, None, None)
+    val scan = scanLine(df)
+    // the min of the two since watermarks (Jan 3) is a literal bound the
+    // scan can skip on; the exact per-company filter stays post-join
+    assert(scan.contains("GreaterThanOrEqual(date"), s"min-since not pushed:\n$scan")
+    assert(scan.contains("2025-01-03"), s"expected the OLDEST watermark as the bound:\n$scan")
+  }
+
   test("DSv2 fetch and fetchAll match the v1 connector row-for-row") {
     val dir = writeFixture(
       (1 to 6).map(i => rec(i, f"2025-01-0${i}T00:00:00Z")),
