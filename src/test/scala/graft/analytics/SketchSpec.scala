@@ -35,4 +35,34 @@ class SketchSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(math.abs(est - exact) <= 0.15 * exact, s"est=$est exact=$exact")
   }
+
+  test("count-min sketch: one-sided error bound holds and partials merge") {
+    // the frequency complement to HLL: estimate >= exact always, and
+    // estimate <= exact + eps*N with confidence 1-delta; partial sketches
+    // merge associatively — the same at-scale rollup property
+    import org.apache.spark.util.sketch.CountMinSketch
+    val eps = 0.01
+    val events = Tables.events(spark, sf).select("user_id")
+    val n = events.count()
+    def sketchOf(df: org.apache.spark.sql.DataFrame): CountMinSketch =
+      CountMinSketch.readFrom(
+        df.agg(count_min_sketch(col("user_id"), lit(eps), lit(0.99), lit(42)))
+          .head().getAs[Array[Byte]](0))
+    val whole = sketchOf(events)
+    val exact = events.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (uid, cnt) =>
+      val est = whole.estimateCount(uid)
+      assert(est >= cnt, s"CMS must never under-count: uid=$uid est=$est exact=$cnt")
+      assert(est <= cnt + (eps * n).toLong, s"uid=$uid est=$est exact=$cnt n=$n")
+    }
+    // merge of disjoint slices == sketch of the union (same params/seed)
+    val a = sketchOf(events.filter(col("user_id") % 2 === 0))
+    val b = sketchOf(events.filter(col("user_id") % 2 =!= 0))
+    a.mergeInPlace(b)
+    exact.keys.foreach { uid =>
+      assert(a.estimateCount(uid) == whole.estimateCount(uid),
+        s"merged CMS diverges from whole-table CMS at uid=$uid")
+    }
+  }
 }
