@@ -34,13 +34,21 @@ object Bench {
     val failed = results.collect { case (n, Left(err)) =>
       System.err.println(s"[bench] FAILED $err"); n
     }
+    // Compact values (10 ms resolution — below local run-to-run variance):
+    // the harness that records this line captures only the LAST ~2000 chars
+    // of output, so the line must stay short enough to fit that window in
+    // full, or it cannot be parsed back out.
+    def fmt(sec: Double): String =
+      if (sec >= 100) f"$sec%.0f" else if (sec >= 10) f"$sec%.1f" else f"$sec%.2f"
     val qs = results.map {
-      case (n, Right(sec)) => s"\"$n\":$sec"
+      case (n, Right(sec)) => s"\"$n\":${fmt(sec)}"
       case (n, Left(_))    => s"\"$n\":-1"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(sec)) => sec }.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
