@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.Norm
-import graft.ingest.DedupSink
+import graft.ingest.{DedupSink, MergeSink}
 
 /** Deduplication tier over `documents` — the dedup family a training-data
   * pipeline needs at 100 TB, each expressed so the heavy stages are
@@ -377,6 +377,36 @@ object DedupQueries {
     s.read.parquet(sink)
   }
 
+  /** K10: MERGE upsert — the reference's `ON CONFLICT DO UPDATE`
+    * (utils/db_helpers.py:92-300, the update-side sibling of K1-K8's DO
+    * NOTHING) through the copy-on-write versioned sink (MergeSink):
+    * matched keys are replaced last-writer-wins, unmatched inserted, and
+    * only data files whose key-hash range overlaps the batch are
+    * rewritten. The re-merge proves content idempotence; the oracle
+    * states upsert declaratively (updates ∪ untouched base).
+    */
+  val mergeUpsert: QueryDef = QueryDef(
+    "k10_merge_upsert",
+    """WITH upd AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 0)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderkey % 10 <> 0""".stripMargin) { (s, dir) =>
+    val sink = s"${Staging.freshBase("graft_k10", dir).getPath}/sink"
+    val base = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val key = Seq("o_orderkey")
+    MergeSink.merge(s, sink, base, key, Seq(col("o_orderkey")))
+    val upd = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2) // *2 is exact in double
+    MergeSink.merge(s, sink, upd, key, Seq(col("o_orderkey")))
+    MergeSink.merge(s, sink, upd, key, Seq(col("o_orderkey"))) // re-merge: content no-op
+    MergeSink.read(s, sink)
+  }
+
   /** SimHash near-dup PAIRS at Hamming distance ≤ 3, found by pigeonhole
     * blocking: split the 32-bit code into 4 byte bands — any two codes
     * within distance 3 agree on AT LEAST one band, so an equi-join per
@@ -417,5 +447,5 @@ object DedupQueries {
 
   val defs: Seq[QueryDef] =
     Seq(exact, blockPrefix, minhashLsh, ngramJaccard, components, simhash,
-      simhashPairs, sinkIdempotence, nullKeySink)
+      simhashPairs, sinkIdempotence, nullKeySink, mergeUpsert)
 }

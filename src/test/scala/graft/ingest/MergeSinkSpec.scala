@@ -1,0 +1,115 @@
+package graft.ingest
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The copy-on-write MERGE contract: last-writer-wins upsert, content
+  * idempotence, file-level key-range skipping (merge cost O(batch +
+  * touched files), not O(sink)), and snapshot-isolated time travel.
+  */
+class MergeSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("merge_sink").toString + "/sink"
+
+  private def content(path: String, v: Option[Long] = None): Set[(Long, String)] =
+    MergeSink.read(spark, path, v)
+      .select(col("id"), col("payload")).as[(Long, String)].collect().toSet
+
+  test("upsert: matched rows replaced, unmatched inserted") {
+    val path = tmp()
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "payload")
+    val r1 = MergeSink.merge(spark, path, base, Seq("id"), Seq(col("id")))
+    assert(r1.version == 1 && r1.inserted == 3 && r1.updated == 0)
+
+    val upd = Seq((2L, "B!"), (4L, "d")).toDF("id", "payload")
+    val r2 = MergeSink.merge(spark, path, upd, Seq("id"), Seq(col("id")))
+    assert(r2.version == 2 && r2.inserted == 1 && r2.updated == 1)
+    assert(content(path) == Set((1L, "a"), (2L, "B!"), (3L, "c"), (4L, "d")))
+  }
+
+  test("re-merging the same batch is content-idempotent") {
+    val path = tmp()
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+    MergeSink.merge(spark, path, base, Seq("id"), Seq(col("id")))
+    val before = content(path)
+    val r = MergeSink.merge(spark, path, base, Seq("id"), Seq(col("id")))
+    assert(r.updated == 2 && r.inserted == 0)
+    assert(content(path) == before)
+  }
+
+  test("within-batch duplicates collapse to the tiebreak representative") {
+    val path = tmp()
+    val batch = Seq((1L, "late", 9L), (1L, "early", 1L)).toDF("id", "payload", "seq")
+    val r = MergeSink.merge(spark, path, batch, Seq("id"), Seq(col("seq")))
+    assert(r.inserted == 1)
+    assert(content(path) == Set((1L, "early")))
+  }
+
+  test("file skipping: a small batch rewrites O(batch) files, not O(sink)") {
+    val path = tmp()
+    val base = spark.range(10000).select(col("id"), concat(lit("p"), col("id")).as("payload"))
+    // ~20 range-clustered files
+    val r1 = MergeSink.merge(spark, path, base, Seq("id"), Seq(col("id")),
+      targetFileRows = 500)
+    assert(r1.inserted == 10000)
+    val nFiles = MergeSink
+      .read(spark, path).select(col("_metadata.file_path")).distinct().count()
+    assert(nFiles >= 10, s"expected many data files, got $nFiles")
+
+    val upd = Seq((17L, "X"), (4242L, "Y"), (9999L, "Z")).toDF("id", "payload")
+    val r2 = MergeSink.merge(spark, path, upd, Seq("id"), Seq(col("id")),
+      targetFileRows = 500)
+    assert(r2.updated == 3 && r2.inserted == 0)
+    assert(r2.filesRewritten <= 3,
+      s"3-key batch must touch <= 3 range-clustered files, rewrote ${r2.filesRewritten}")
+    assert(r2.filesSkipped >= nFiles - 3)
+    // and the merge is still correct
+    val got = MergeSink.read(spark, path)
+      .filter(col("id").isin(17L, 4242L, 9999L, 0L))
+      .select(col("id"), col("payload")).as[(Long, String)].collect().toSet
+    assert(got == Set((17L, "X"), (4242L, "Y"), (9999L, "Z"), (0L, "p0")))
+  }
+
+  test("time travel: every committed version stays readable") {
+    val path = tmp()
+    MergeSink.merge(spark, path,
+      Seq((1L, "a")).toDF("id", "payload"), Seq("id"), Seq(col("id")))
+    MergeSink.merge(spark, path,
+      Seq((1L, "a2"), (2L, "b")).toDF("id", "payload"), Seq("id"), Seq(col("id")))
+    assert(MergeSink.versions(path) == Seq(1L, 2L))
+    assert(content(path, Some(1L)) == Set((1L, "a")))
+    assert(content(path, Some(2L)) == Set((1L, "a2"), (2L, "b")))
+  }
+
+  test("empty batch is a no-op; empty first commit seeds a readable schema") {
+    val path = tmp()
+    val empty = Seq.empty[(Long, String)].toDF("id", "payload")
+    val r0 = MergeSink.merge(spark, path, empty, Seq("id"), Seq(col("id")))
+    assert(r0.version == 1 && r0.inserted == 0)
+    assert(MergeSink.read(spark, path).count() == 0)
+    assert(MergeSink.read(spark, path).columns.toSeq == Seq("id", "payload"))
+
+    MergeSink.merge(spark, path,
+      Seq((5L, "e")).toDF("id", "payload"), Seq("id"), Seq(col("id")))
+    val r2 = MergeSink.merge(spark, path, empty, Seq("id"), Seq(col("id")))
+    assert(r2.inserted == 0 && r2.updated == 0)
+    assert(content(path) == Set((5L, "e")))
+  }
+
+  test("null key members merge null-safely") {
+    val path = tmp()
+    val base = Seq((Option(1L), "a"), (Option.empty[Long], "n")).toDF("id", "payload")
+    MergeSink.merge(spark, path, base, Seq("id"), Seq(col("id")))
+    val upd = Seq((Option.empty[Long], "N!")).toDF("id", "payload")
+    val r = MergeSink.merge(spark, path, upd, Seq("id"), Seq(col("id")))
+    assert(r.updated == 1 && r.inserted == 0)
+    val got = MergeSink.read(spark, path)
+      .select(col("id"), col("payload")).collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(got == Set((Some(1L), "a"), (None, "N!")))
+  }
+}
