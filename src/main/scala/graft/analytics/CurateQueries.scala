@@ -129,5 +129,87 @@ object CurateQueries {
         min("doc_id").as("first_doc"))
   }
 
-  val defs: Seq[QueryDef] = Seq(splitStratified, piiRedact, packChunks)
+  // --- CU4: k-means ------------------------------------------------------
+
+  private val KmK = 8      // clusters
+  // 2 Lloyd iterations, UNROLLED in the oracle SQL — fixed-iteration
+  // k-means is a deterministic dataflow, so both engines can state it
+  // exactly; convergence-loop k-means would need a postcondition oracle.
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  private def assignSql(cents: String, out: String): String =
+    s"""$out AS (SELECT vec_id, e, cid FROM (
+       |  SELECT v.vec_id, v.e, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |                       ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.cid) AS rn
+       |  FROM v, $cents c) t WHERE rn = 1)""".stripMargin
+
+  private def recomputeSql(assign: String, out: String): String =
+    s"""${out}x AS (SELECT cid, i AS pos, e[i] AS val
+       |  FROM $assign, unnest(range(1, len(e) + 1)) AS t(i)),
+       |$out AS (SELECT cid, list(c ORDER BY pos) AS ce FROM (
+       |  SELECT cid, pos,
+       |    CAST(SUM(CAST(val AS DECIMAL(28,20))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM ${out}x GROUP BY cid, pos) g GROUP BY cid)""".stripMargin
+
+  /** CU4: distributed k-means (Lloyd's) over the embedding corpus — the
+    * clustering step curation pipelines use for diversity sampling,
+    * cluster-balanced mixes, and IVF index building. Spherical variant:
+    * assign by max cosine (ties → lowest cluster id), recompute centroids
+    * as exact per-dimension DECIMAL means (engine-independent doubles —
+    * the ann_ivf_topk recipe), fixed seeds (vec_id < K) and fixed
+    * iterations, so the whole algorithm is a pure dataflow both engines
+    * compute bit-identically. NOTE the synthetic embeddings are isotropic
+    * noise (intra-label cosine ≈ inter-label ≈ 0), so cluster QUALITY is
+    * meaningless here — the operator's value is the verified distributed
+    * dataflow, not the partition of this corpus.
+    *
+    * Scale: each iteration is one broadcast of K×d centroids against the
+    * corpus (map-side assign, no shuffle) + one groupBy(cid, pos) whose
+    * partial aggregation reduces the explode to K×d rows before the
+    * exchange — the textbook scalable k-means step. Iterations chain
+    * linearly; a convergence-loop version would localCheckpoint per round
+    * (dd_components' pattern).
+    */
+  val kmeans: QueryDef = QueryDef(
+    "cu_kmeans",
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $KmK),
+       |${assignSql("c0", "a1")},
+       |${recomputeSql("a1", "c1")},
+       |${assignSql("c1", "a2")},
+       |${recomputeSql("a2", "c2")},
+       |${assignSql("c2", "a3")}
+       |SELECT vec_id, cid AS cluster FROM a3""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import graft.functions.Vec
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
+
+    def assign(cent: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(Vec.cosine(col("e"), col("ce")).desc, col("cid"))
+      v.join(broadcast(cent)) // n × K broadcast nested loop, map-side
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("e"), col("cid"))
+    }
+
+    def recompute(assigned: org.apache.spark.sql.DataFrame) =
+      assigned.select(col("cid"), posexplode(col("e")).as(Seq("pos", "val")))
+        .groupBy("cid", "pos")
+        .agg((sum(col("val").cast(DecimalType(28, 20))).cast(DoubleType) /
+          count(lit(1))).as("c"))
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("cid"), transform(col("pc"), x => x.getField("c")).as("ce"))
+
+    val c0 = v.filter(col("vec_id") < KmK).select(col("vec_id").as("cid"), col("e").as("ce"))
+    val c1 = recompute(assign(c0))
+    val c2 = recompute(assign(c1))
+    assign(c2).select(col("vec_id"), col("cid").as("cluster"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(splitStratified, piiRedact, packChunks, kmeans)
 }

@@ -219,4 +219,38 @@ object MergeSink {
     MergeResult(v, inserted = batchCount - matched, updated = matched,
       filesRewritten = touched.size.toLong, filesSkipped = untouched.size.toLong)
   }
+
+  /** Compaction — the maintenance half of the lakehouse contract: many
+    * small merges leave many small files (each commit's rewrite set), and
+    * file-count growth is what degrades both scan planning and skipping
+    * precision. Rewrites every file smaller than `targetFileRows/2` into
+    * fresh range-clustered files and commits a new version; right-sized
+    * files are carried over untouched. Content is bit-identical before
+    * and after (the spec asserts it), and old versions stay readable.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      key: Seq[String],
+      targetFileRows: Long = 1 << 20): MergeResult = {
+    val vs = versions(path)
+    require(vs.nonEmpty, s"MergeSink.compact on uninitialized sink: $path")
+    val v = vs.last + 1
+    val current = readManifest(spark, path, v - 1)
+    val (small, kept) = current.partition(f => f.rows > 0 && f.rows < targetFileRows / 2)
+    if (small.size < 2) // nothing to gain from rewriting 0 or 1 file
+      return MergeResult(v - 1, 0, 0, 0, current.size.toLong)
+    val rows = spark.read.parquet(small.map(f => s"$path/${f.path}"): _*)
+    val n = small.map(_.rows).sum
+    val dir = dataDir(path, v)
+    val numFiles = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt
+    rows.withColumn(KD, keyDigest(key))
+      .repartitionByRange(numFiles, col(KD))
+      .sortWithinPartitions(KD)
+      .drop(KD)
+      .write.mode("overwrite").parquet(dir.getPath)
+    writeManifest(spark, path, v, kept ++ statsOf(spark, path, dir, key))
+    MergeResult(v, 0, 0, filesRewritten = small.size.toLong,
+      filesSkipped = kept.size.toLong)
+  }
 }

@@ -100,6 +100,30 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(content(path) == Set((5L, "e")))
   }
 
+  test("compact: small files coalesce, content identical, old versions intact") {
+    val path = tmp()
+    // ~20 small files of ~50 rows each
+    val base = spark.range(1000).select(col("id"), concat(lit("p"), col("id")).as("payload"))
+    MergeSink.merge(spark, path, base, Seq("id"), Seq(col("id")), targetFileRows = 50)
+    val before = content(path)
+    val vBefore = MergeSink.versions(path).last
+    val filesBefore = MergeSink.read(spark, path)
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(filesBefore >= 10)
+
+    val r = MergeSink.compact(spark, path, Seq("id"), targetFileRows = 1000)
+    assert(r.version == vBefore + 1 && r.filesRewritten == filesBefore)
+    val filesAfter = MergeSink.read(spark, path)
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(filesAfter < filesBefore / 2, s"$filesBefore -> $filesAfter")
+    assert(content(path) == before, "compaction must not change content")
+    assert(content(path, Some(vBefore)) == before, "pre-compaction version readable")
+
+    // a second compact is a no-op (everything right-sized now)
+    val r2 = MergeSink.compact(spark, path, Seq("id"), targetFileRows = 1000)
+    assert(r2.version == r.version && r2.filesRewritten == 0)
+  }
+
   test("null key members merge null-safely") {
     val path = tmp()
     val base = Seq((Option(1L), "a"), (Option.empty[Long], "n")).toDF("id", "payload")
