@@ -142,7 +142,27 @@ object StreamQueries {
     s.read.parquet(sink).select("user_id", "n_events", "first_ms", "last_ms")
   }
 
+  /** Streaming → lakehouse MERGE: the stateful per-user drain committing
+    * every micro-batch through the versioned MergeSink (file-skipped
+    * upsert, time travel). The second drain REPLAYS the whole source
+    * through a fresh checkpoint — at-least-once delivery — and must
+    * re-merge the identical final state (last-writer-wins ∘ deterministic
+    * aggregates = idempotent), so the sink equals the batch GROUP BY.
+    */
+  val streamMergeSink: QueryDef = QueryDef(
+    "ev_stream_merge_sink",
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(epoch_ms(MIN(ts)) AS BIGINT) AS first_ms,
+      |  CAST(epoch_ms(MAX(ts)) AS BIGINT) AS last_ms
+      |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+    val (src, sink, ckpt) = Staging.stageEvents("graft_sm", dir)
+    EventsStream.statefulCountsMerge(s, src, sink, ckpt)
+    EventsStream.statefulCountsMerge(s, src, sink, s"$ckpt-replay") // replay: no-op
+    graft.ingest.MergeSink.read(s, sink)
+      .select("user_id", "n_events", "first_ms", "last_ms")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exactlyOnce, sessionize, tumbling, watermarkedWindow,
-      sessionWindowStream, statefulState)
+      sessionWindowStream, statefulState, streamMergeSink)
 }

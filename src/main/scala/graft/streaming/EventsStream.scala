@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types._
-import graft.ingest.{DedupSink, Watermarks}
+import graft.ingest.{DedupSink, MergeSink, Watermarks}
 
 /** Structured Streaming runner for the `events` table (SURVEY.md §2.11):
   * `readStream` over the parquet dir → `Trigger.AvailableNow` (the
@@ -105,22 +105,14 @@ object EventsStream {
     * the brief's KeyValueGroupedDataset surface): state accumulates across
     * micro-batches in the state store; each trigger emits the updated
     * per-user aggregate, which foreachBatch upserts into the sink
-    * (newest state per key wins).
-    *
-    * Upsert without MERGE: the sink is partitioned by a hash bucket of the
-    * key; each micro-batch merges ONLY the buckets its updated keys live in
-    * (partition-pruned read, anti-join, union) and rewrites just those
-    * partitions via dynamic partition overwrite — the parquet-only
-    * approximation of a Delta/Iceberg `MERGE WHEN MATCHED`, and unlike a
-    * whole-sink rewrite it stays O(updated keys) per trigger at scale.
+    * (newest state per key wins). Shared by both drains below.
     */
-  def statefulCounts(spark: SparkSession, sourceDir: String, sinkPath: String,
-                     checkpoint: String): Unit = {
+  private def statefulStream(spark: SparkSession, sourceDir: String): Dataset[UserAgg] = {
     import spark.implicits._
     val stream = normalize(spark.readStream.schema(rawSchema).parquet(sourceDir))
       .select(col("user_id"), unix_millis(col("ts")).as("ms"))
       .as[(Long, Long)]
-    val updated = stream
+    stream
       .groupByKey(_._1)
       .mapGroupsWithState[UserState, UserAgg](GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
@@ -133,18 +125,49 @@ object EventsStream {
           state.update(next)
           UserAgg(uid, next.n, next.minTsMs, next.maxTsMs)
       }
+  }
+
+  private def drainStateful(spark: SparkSession, sourceDir: String,
+                            checkpoint: String)(
+      sinkFn: Dataset[UserAgg] => Unit): Unit =
     withStateTunedConf(spark) {
-      val q = updated.writeStream
+      val q = statefulStream(spark, sourceDir).writeStream
         .outputMode("update")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", checkpoint)
-        .foreachBatch { (batch: Dataset[UserAgg], _: Long) =>
-          upsert(batch.sparkSession, sinkPath, batch.toDF(), Seq("user_id"))
-        }
+        .foreachBatch { (batch: Dataset[UserAgg], _: Long) => sinkFn(batch) }
         .start()
       q.awaitTermination()
     }
-  }
+
+  /** Stateful drain → bucket-partitioned parquet upsert: the sink is
+    * partitioned by a hash bucket of the key; each micro-batch merges ONLY
+    * the buckets its updated keys live in (partition-pruned read,
+    * anti-join, union) and rewrites just those partitions via dynamic
+    * partition overwrite — O(updated keys) per trigger at scale.
+    */
+  def statefulCounts(spark: SparkSession, sourceDir: String, sinkPath: String,
+                     checkpoint: String): Unit =
+    drainStateful(spark, sourceDir, checkpoint) { batch =>
+      upsert(batch.sparkSession, sinkPath, batch.toDF(), Seq("user_id"))
+    }
+
+  /** statefulCounts, but each micro-batch commits through the lakehouse
+    * MergeSink: matched users update to their newest state, new users
+    * insert, and the key-range manifest bounds every commit's rewrite to
+    * the files the batch's users live in — a versioned, time-travelable
+    * streaming sink. Replaying the whole source through a FRESH
+    * checkpoint re-merges the identical final state (last-writer-wins ∘
+    * deterministic aggregates = idempotent), which is the lakehouse
+    * expression of the at-least-once → exactly-once effect.
+    */
+  def statefulCountsMerge(spark: SparkSession, sourceDir: String, sinkPath: String,
+                          checkpoint: String): Unit =
+    drainStateful(spark, sourceDir, checkpoint) { batch =>
+      MergeSink.merge(batch.sparkSession, sinkPath, batch.toDF(),
+        key = Seq("user_id"), tiebreak = Seq(col("user_id")))
+      ()
+    }
 
   /** Newest-wins upsert into a bucket-partitioned parquet sink: merge only
     * the buckets the batch's keys live in (partition-pruned read +
