@@ -13,15 +13,15 @@ import org.apache.spark.sql.expressions.Window
   *
   * Layout:
   * {{{
-  *   <path>/_manifest/v00000N/   parquet: (path, min_kd, max_kd, rows)
-  *   <path>/data/v00000N/part-*  data files written by commit N
+  *   <path>/_manifest/v00000N.tsv  driver-written: path, minKd, maxKd, rows
+  *   <path>/data/v00000N/part-*    data files written by commit N
   * }}}
   * The manifest is the table: readers load exactly the files the current
   * manifest lists; data files are immutable and never deleted, so every
   * historical version stays readable (time travel) and a reader holding
   * manifest N is never broken by a concurrent commit N+1 (snapshot
   * isolation). Commit = write data files, then write the next manifest to a
-  * temp dir and atomically rename it into place — a crash before the rename
+  * temp file and atomically rename it into place — a crash before the rename
   * leaves only unreferenced files, never a half-visible commit (the Delta
   * transaction-log recipe, scaled down to one writer).
   *
@@ -70,19 +70,28 @@ object MergeSink {
   private def dataDir(path: String, v: Long) =
     new java.io.File(new java.io.File(path, "data"), f"v$v%06d")
   private def versionOf(name: String): Option[Long] =
-    if (name.matches("v\\d{6}")) Some(name.drop(1).toLong) else None
+    if (name.matches("v\\d{6}\\.tsv")) Some(name.slice(1, 7).toLong) else None
 
   /** Committed versions, ascending (empty → uninitialized sink). */
   def versions(path: String): Seq[Long] =
     Option(manifestDir(path).listFiles()).toSeq.flatten
       .flatMap(f => versionOf(f.getName)).sorted
 
-  private def readManifest(spark: SparkSession, path: String, v: Long): Seq[FileStat] =
-    spark.read.parquet(new java.io.File(manifestDir(path), f"v$v%06d").getPath)
-      .collect()
-      .map(r => FileStat(r.getAs[String]("path"), r.getAs[Long]("min_kd"),
-        r.getAs[Long]("max_kd"), r.getAs[Long]("rows")))
-      .toSeq.sortBy(_.path)
+  // The manifest is a driver-written TSV (path, minKd, maxKd, rows), NOT a
+  // Spark dataset: it is O(files) metadata, and reading/writing it through
+  // Spark cost ~5 scheduler round-trips per COMMIT — a third of merge
+  // latency at small batch sizes. Production lakehouses keep their logs as
+  // plain files for the same reason (Delta's JSON actions).
+  private def readManifest(path: String, v: Long): Seq[FileStat] = {
+    val f = new java.io.File(manifestDir(path), f"v$v%06d.tsv")
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(f.toPath)).asScala.toSeq
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(p, mn, mx, n) = line.split("\t")
+        FileStat(p, mn.toLong, mx.toLong, n.toLong)
+      }.sortBy(_.path)
+  }
 
   /** Read the sink at a committed version (default: latest). */
   def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
@@ -90,7 +99,7 @@ object MergeSink {
     require(vs.nonEmpty, s"MergeSink.read on uninitialized sink: $path")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val files = readManifest(spark, path, v).map(f => s"$path/${f.path}")
+    val files = readManifest(path, v).map(f => s"$path/${f.path}")
     spark.read.parquet(files: _*)
   }
 
@@ -114,14 +123,13 @@ object MergeSink {
       }.toSeq
   }
 
-  private def writeManifest(
-      spark: SparkSession, path: String, v: Long, stats: Seq[FileStat]): Unit = {
-    import spark.implicits._
+  private def writeManifest(path: String, v: Long, stats: Seq[FileStat]): Unit = {
+    manifestDir(path).mkdirs()
     val tmp = new java.io.File(manifestDir(path), s".tmp-v$v-${System.nanoTime()}")
-    stats.map(f => (f.path, f.minKd, f.maxKd, f.rows))
-      .toDF("path", "min_kd", "max_kd", "rows")
-      .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-    val dst = new java.io.File(manifestDir(path), f"v$v%06d")
+    val body = stats.map(f => s"${f.path}\t${f.minKd}\t${f.maxKd}\t${f.rows}")
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
+    val dst = new java.io.File(manifestDir(path), f"v$v%06d.tsv")
     if (!tmp.renameTo(dst))
       throw new IllegalStateException(s"manifest commit failed: $tmp -> $dst")
   }
@@ -150,10 +158,17 @@ object MergeSink {
     val rest = batch.columns.filterNot(keySet).map(col(_).asc_nulls_last).toSeq
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(tiebreak.map(_.asc_nulls_last) ++ rest: _*)
+    // Eager localCheckpoint: four downstream jobs consume the deduped
+    // batch (bucket summary, matched count, the rewrite, the insert
+    // count); without materialization each would re-run the batch dedup
+    // window from the source. Lineage-cut also matters for correctness if
+    // the caller's batch plan reads the sink path being committed to
+    // (same rationale as DedupSink.append).
     val deduped = batch
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+      .localCheckpoint(true)
 
     val vs = versions(path)
     val v = vs.lastOption.getOrElse(0L) + 1
@@ -161,10 +176,12 @@ object MergeSink {
     def writeData(df: DataFrame, n: Long): java.io.File = {
       val dir = dataDir(path, v)
       val numFiles = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt
-      val clustered = df.withColumn(KD, keyDigest(key))
-        .repartitionByRange(numFiles, col(KD))
-        .sortWithinPartitions(KD)
-        .drop(KD)
+      val keyed = df.withColumn(KD, keyDigest(key))
+      // single-file rewrites (the common case for a skipped merge) don't
+      // need repartitionByRange's extra sampling pass over the data
+      val clustered =
+        if (numFiles == 1) keyed.repartition(1).sortWithinPartitions(KD).drop(KD)
+        else keyed.repartitionByRange(numFiles, col(KD)).sortWithinPartitions(KD).drop(KD)
       clustered.write.mode("overwrite").parquet(dir.getPath)
       dir
     }
@@ -182,12 +199,12 @@ object MergeSink {
             .filter(f => f.getName.endsWith(".parquet")).map(_.getName).sorted
           one.take(1).map(f => FileStat(s"$rel/$f", 0L, -1L, 0L))
         }
-      writeManifest(spark, path, v, stats)
+      writeManifest(path, v, stats)
       return MergeResult(v, inserted = n, updated = 0, filesRewritten = 0,
         filesSkipped = 0)
     }
 
-    val current = readManifest(spark, path, v - 1)
+    val current = readManifest(path, v - 1)
     val batchKd = deduped.withColumn(KD, keyDigest(key))
     // Driver-side batch summary: the distinct top-16-bit buckets (≤ 64 K
     // longs however large the batch is).
@@ -199,23 +216,24 @@ object MergeSink {
 
     val (touched, untouched) = current.partition(_.overlaps(batchBuckets))
     val batchKeys = deduped.select(key.map(col): _*)
-    val (survivors, matched) =
-      if (touched.isEmpty) (None, 0L)
+    val touchedTotal = touched.map(_.rows).sum
+    val batchCount = deduped.count() // cheap: counts the checkpointed blocks
+    val merged =
+      if (touched.isEmpty) deduped
       else {
         val touchedRows = spark.read.parquet(touched.map(f => s"$path/${f.path}"): _*)
         val cond = key.map(k => touchedRows(k) <=> batchKeys(k)).reduce(_ && _)
-        val m = touchedRows.join(batchKeys, cond, "left_semi").count()
-        (Some(touchedRows.join(batchKeys, cond, "left_anti")), m)
+        touchedRows.join(batchKeys, cond, "left_anti").unionByName(deduped)
       }
-    val merged = survivors match {
-      case Some(sv) => sv.unionByName(deduped)
-      case None     => deduped
-    }
-    val batchCount = deduped.count()
-    val n = touched.map(_.rows).sum - matched + batchCount
-    val dir = writeData(merged, n)
-    val stats = untouched ++ statsOf(spark, path, dir, key)
-    writeManifest(spark, path, v, stats)
+    // File sizing from the row-count upper bound (matched not yet known —
+    // worst case no key overlaps): errs toward slightly smaller files.
+    val dir = writeData(merged, touchedTotal + batchCount)
+    val newStats = statsOf(spark, path, dir, key)
+    // The matched/inserted metrics come free from the commit's own file
+    // stats instead of a separate semi-join pass: the rewrite wrote
+    // (touched - matched) survivors + the whole batch.
+    val matched = touchedTotal + batchCount - newStats.map(_.rows).sum
+    writeManifest(path, v, untouched ++ newStats)
     MergeResult(v, inserted = batchCount - matched, updated = matched,
       filesRewritten = touched.size.toLong, filesSkipped = untouched.size.toLong)
   }
@@ -236,7 +254,7 @@ object MergeSink {
     val vs = versions(path)
     require(vs.nonEmpty, s"MergeSink.compact on uninitialized sink: $path")
     val v = vs.last + 1
-    val current = readManifest(spark, path, v - 1)
+    val current = readManifest(path, v - 1)
     val (small, kept) = current.partition(f => f.rows > 0 && f.rows < targetFileRows / 2)
     if (small.size < 2) // nothing to gain from rewriting 0 or 1 file
       return MergeResult(v - 1, 0, 0, 0, current.size.toLong)
@@ -249,7 +267,7 @@ object MergeSink {
       .sortWithinPartitions(KD)
       .drop(KD)
       .write.mode("overwrite").parquet(dir.getPath)
-    writeManifest(spark, path, v, kept ++ statsOf(spark, path, dir, key))
+    writeManifest(path, v, kept ++ statsOf(spark, path, dir, key))
     MergeResult(v, 0, 0, filesRewritten = small.size.toLong,
       filesSkipped = kept.size.toLong)
   }
