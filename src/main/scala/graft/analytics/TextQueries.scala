@@ -219,7 +219,79 @@ object TextQueries {
     }
   }
 
+  // --- BM25 relevance ranking --------------------------------------------
+
+  private val Bm25Terms = Seq("join", "stream", "filter")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopK = 20
+
+  /** BM25-style relevance ranking of the corpus against a fixed term
+    * query — the retrieval scorer a data pipeline uses for topical
+    * subsetting ("give me the documents about X") and dedup-aware search.
+    * Log-free variant: the idf factor is the raw Robertson ratio
+    * (N - df + 0.5)/(df + 0.5) rather than its log — the same per-term
+    * document ordering (log is monotone), but every factor is now plain
+    * ratios of integers, so both engines compute each addend
+    * bit-identically and the 3-term sum is a fixed-order expression, not
+    * an aggregation. tf saturation and length normalization are standard
+    * (k1 = 1.2, b = 0.75, avgdl as one exact DECIMAL-sum division).
+    *
+    * Scale: df/avgdl is one partial-aggregable pass reduced to a single
+    * broadcast row; scoring is scan → project; ranking is a global top-k
+    * (TakeOrdered, no full sort).
+    */
+  val bm25Rank: QueryDef = QueryDef(
+    "tx_bm25_rank", {
+      val dl = "length(string_split(text, ' '))"
+      def tfSql(t: String) =
+        s"len(list_filter(string_split(text, ' '), w -> w = '$t'))"
+      val dfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"SUM(CASE WHEN ${tfSql(t)} > 0 THEN 1 ELSE 0 END) AS df$i"
+      }
+      // `e0` exponent literals force DOUBLE in DuckDB (bare `1.2` parses
+      // as DECIMAL there, and decimal-vs-IEEE arithmetic differs in ulps)
+      val scoreSql = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"""(CAST(${tfSql(t)} AS DOUBLE) * (1.0e0 + ${Bm25K1}e0)
+           | / (${tfSql(t)} + ${Bm25K1}e0 * (1.0e0 - ${Bm25B}e0 + ${Bm25B}e0 * ($dl / avgdl)))
+           | * ((n_docs - df$i + 0.5e0) / (df$i + 0.5e0)))""".stripMargin.replaceAll("\n", " ")
+      }.mkString(" + ")
+      s"""WITH stats AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    CAST(SUM(CAST($dl AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avgdl,
+         |    ${dfCols.mkString(", ")}
+         |  FROM documents)
+         |SELECT doc_id, score, rank FROM (
+         |  SELECT doc_id, $scoreSql AS score,
+         |    ROW_NUMBER() OVER (ORDER BY $scoreSql DESC, doc_id) AS rank
+         |  FROM documents, stats) t
+         |WHERE rank <= $Bm25TopK""".stripMargin
+    }) { (s, dir) =>
+    val dl = size(words(col("text")))
+    def tf(t: String): Column = size(filter(words(col("text")), w => w === t))
+    val statCols =
+      count(lit(1)).as("n_docs") +:
+        (sum(dl.cast(DecimalType(28, 6))).cast(DoubleType) / count(lit(1))).as("avgdl") +:
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          sum(when(tf(t) > 0, 1L).otherwise(0L)).as(s"df$i")
+        }
+    val stats = Tables.documents(s, dir).agg(statCols.head, statCols.tail: _*)
+    val score = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      tf(t).cast(DoubleType) * (lit(1.0) + lit(Bm25K1)) /
+        (tf(t) + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * (dl / col("avgdl")))) *
+        ((col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+    }.reduce(_ + _)
+    Tables.documents(s, dir)
+      .join(broadcast(stats))
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "score", "rank")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(qualityScore, langId, tokenCount, fingerprint, rollingHash, sentiment,
-      corpusFilter)
+      corpusFilter, bm25Rank)
 }
