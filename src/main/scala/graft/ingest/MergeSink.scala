@@ -77,30 +77,42 @@ object MergeSink {
     Option(manifestDir(path).listFiles()).toSeq.flatten
       .flatMap(f => versionOf(f.getName)).sorted
 
-  // The manifest is a driver-written TSV (path, minKd, maxKd, rows), NOT a
-  // Spark dataset: it is O(files) metadata, and reading/writing it through
-  // Spark cost ~5 scheduler round-trips per COMMIT — a third of merge
-  // latency at small batch sizes. Production lakehouses keep their logs as
-  // plain files for the same reason (Delta's JSON actions).
-  private def readManifest(path: String, v: Long): Seq[FileStat] = {
+  private final case class Manifest(schema: org.apache.spark.sql.types.StructType,
+                                    files: Seq[FileStat])
+
+  // The manifest is a driver-written TSV (line 1: table schema as compact
+  // JSON; then path, minKd, maxKd, rows per file), NOT a Spark dataset: it
+  // is O(files) metadata, and reading/writing it through Spark cost ~5
+  // scheduler round-trips per COMMIT — a third of merge latency at small
+  // batch sizes. Production lakehouses keep their logs as plain files for
+  // the same reason (Delta's JSON actions). Recording the schema in the
+  // log (rather than merging parquet footers at read time) is also what
+  // makes schema evolution O(1): readers project every file through the
+  // manifest schema and parquet null-fills columns a file predates.
+  private def readManifest(path: String, v: Long): Manifest = {
     val f = new java.io.File(manifestDir(path), f"v$v%06d.tsv")
-    scala.jdk.CollectionConverters.ListHasAsScala(
-      java.nio.file.Files.readAllLines(f.toPath)).asScala.toSeq
-      .filter(_.nonEmpty)
-      .map { line =>
-        val Array(p, mn, mx, n) = line.split("\t")
-        FileStat(p, mn.toLong, mx.toLong, n.toLong)
-      }.sortBy(_.path)
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(f.toPath)).asScala.toSeq.filter(_.nonEmpty)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(lines.head)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val files = lines.tail.map { line =>
+      val Array(p, mn, mx, n) = line.split("\t")
+      FileStat(p, mn.toLong, mx.toLong, n.toLong)
+    }.sortBy(_.path)
+    Manifest(schema, files)
   }
 
-  /** Read the sink at a committed version (default: latest). */
+  /** Read the sink at a committed version (default: latest). Files are
+    * projected through the manifest schema, so rows written before a
+    * column existed read back as nulls.
+    */
   def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
     val vs = versions(path)
     require(vs.nonEmpty, s"MergeSink.read on uninitialized sink: $path")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
-    val files = readManifest(path, v).map(f => s"$path/${f.path}")
-    spark.read.parquet(files: _*)
+    val m = readManifest(path, v)
+    spark.read.schema(m.schema).parquet(m.files.map(f => s"$path/${f.path}"): _*)
   }
 
   private def keyDigest(key: Seq[String]): Column = xxhash64(key.map(col): _*)
@@ -123,10 +135,13 @@ object MergeSink {
       }.toSeq
   }
 
-  private def writeManifest(path: String, v: Long, stats: Seq[FileStat]): Unit = {
+  private def writeManifest(path: String, v: Long,
+                            schema: org.apache.spark.sql.types.StructType,
+                            stats: Seq[FileStat]): Unit = {
     manifestDir(path).mkdirs()
     val tmp = new java.io.File(manifestDir(path), s".tmp-v$v-${System.nanoTime()}")
-    val body = stats.map(f => s"${f.path}\t${f.minKd}\t${f.maxKd}\t${f.rows}")
+    val body = (schema.json +:
+      stats.map(f => s"${f.path}\t${f.minKd}\t${f.maxKd}\t${f.rows}"))
       .mkString("", "\n", "\n")
     java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
     val dst = new java.io.File(manifestDir(path), f"v$v%06d.tsv")
@@ -199,12 +214,31 @@ object MergeSink {
             .filter(f => f.getName.endsWith(".parquet")).map(_.getName).sorted
           one.take(1).map(f => FileStat(s"$rel/$f", 0L, -1L, 0L))
         }
-      writeManifest(path, v, stats)
+      writeManifest(path, v, deduped.schema, stats)
       return MergeResult(v, inserted = n, updated = 0, filesRewritten = 0,
         filesSkipped = 0)
     }
 
     val current = readManifest(path, v - 1)
+    // Schema evolution: the table schema is the current schema plus any
+    // NEW batch columns appended (rows that predate a column read back as
+    // null). Shared columns must keep their type — widening/renaming is a
+    // rewrite, not a merge.
+    current.schema.fields.foreach { f =>
+      batch.schema.fields.find(_.name == f.name).foreach { b =>
+        require(b.dataType == f.dataType,
+          s"column ${f.name}: batch type ${b.dataType} != table type ${f.dataType}")
+      }
+    }
+    val tableSchema = org.apache.spark.sql.types.StructType(
+      current.schema.fields ++
+        batch.schema.fields.filterNot(f => current.schema.fieldNames.contains(f.name)))
+    def conform(df: DataFrame): DataFrame =
+      df.select(tableSchema.fields.toSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+
     val batchKd = deduped.withColumn(KD, keyDigest(key))
     // Driver-side batch summary: the distinct top-16-bit buckets (≤ 64 K
     // longs however large the batch is).
@@ -212,18 +246,20 @@ object MergeSink {
       .select(shiftright(col(KD), 48).as("b")) // arithmetic >>, matches bucketOf
       .distinct().collect().map(_.getLong(0)).sorted
     if (batchBuckets.isEmpty)
-      return MergeResult(v - 1, 0, 0, 0, current.size.toLong) // empty batch: no-op
+      return MergeResult(v - 1, 0, 0, 0, current.files.size.toLong) // empty batch: no-op
 
-    val (touched, untouched) = current.partition(_.overlaps(batchBuckets))
+    val (touched, untouched) = current.files.partition(_.overlaps(batchBuckets))
     val batchKeys = deduped.select(key.map(col): _*)
     val touchedTotal = touched.map(_.rows).sum
     val batchCount = deduped.count() // cheap: counts the checkpointed blocks
     val merged =
-      if (touched.isEmpty) deduped
+      if (touched.isEmpty) conform(deduped)
       else {
-        val touchedRows = spark.read.parquet(touched.map(f => s"$path/${f.path}"): _*)
+        val touchedRows = spark.read.schema(current.schema)
+          .parquet(touched.map(f => s"$path/${f.path}"): _*)
         val cond = key.map(k => touchedRows(k) <=> batchKeys(k)).reduce(_ && _)
-        touchedRows.join(batchKeys, cond, "left_anti").unionByName(deduped)
+        conform(touchedRows.join(batchKeys, cond, "left_anti"))
+          .unionByName(conform(deduped))
       }
     // File sizing from the row-count upper bound (matched not yet known —
     // worst case no key overlaps): errs toward slightly smaller files.
@@ -233,7 +269,7 @@ object MergeSink {
     // stats instead of a separate semi-join pass: the rewrite wrote
     // (touched - matched) survivors + the whole batch.
     val matched = touchedTotal + batchCount - newStats.map(_.rows).sum
-    writeManifest(path, v, untouched ++ newStats)
+    writeManifest(path, v, tableSchema, untouched ++ newStats)
     MergeResult(v, inserted = batchCount - matched, updated = matched,
       filesRewritten = touched.size.toLong, filesSkipped = untouched.size.toLong)
   }
@@ -255,10 +291,11 @@ object MergeSink {
     require(vs.nonEmpty, s"MergeSink.compact on uninitialized sink: $path")
     val v = vs.last + 1
     val current = readManifest(path, v - 1)
-    val (small, kept) = current.partition(f => f.rows > 0 && f.rows < targetFileRows / 2)
+    val (small, kept) = current.files.partition(f => f.rows > 0 && f.rows < targetFileRows / 2)
     if (small.size < 2) // nothing to gain from rewriting 0 or 1 file
-      return MergeResult(v - 1, 0, 0, 0, current.size.toLong)
-    val rows = spark.read.parquet(small.map(f => s"$path/${f.path}"): _*)
+      return MergeResult(v - 1, 0, 0, 0, current.files.size.toLong)
+    val rows = spark.read.schema(current.schema)
+      .parquet(small.map(f => s"$path/${f.path}"): _*)
     val n = small.map(_.rows).sum
     val dir = dataDir(path, v)
     val numFiles = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt
@@ -267,7 +304,7 @@ object MergeSink {
       .sortWithinPartitions(KD)
       .drop(KD)
       .write.mode("overwrite").parquet(dir.getPath)
-    writeManifest(path, v, kept ++ statsOf(spark, path, dir, key))
+    writeManifest(path, v, current.schema, kept ++ statsOf(spark, path, dir, key))
     MergeResult(v, 0, 0, filesRewritten = small.size.toLong,
       filesSkipped = kept.size.toLong)
   }

@@ -28,11 +28,15 @@ class QuerySmokeSpec extends AnyFunSuite {
   // the exact ANN baseline is a broadcast nested-loop BY DESIGN (probe set
   // × corpus, linear in corpus); side-effectful queries are excluded from
   // static plan checks (their plan is the read-back)
-  // ann_ivf's probe↔centroid assignment is a k×C loop (5×10 here)
-  private val nestedLoopAllowed = Set("ann_bruteforce_topk", "ann_ivf_topk")
+  // ann_ivf's probe↔centroid assignment is a k×C loop (5×10 here);
+  // cu_kmeans broadcasts K centroids against the corpus the same way;
+  // tx_bm25_rank broadcasts its single corpus-stats row
+  private val nestedLoopAllowed =
+    Set("ann_bruteforce_topk", "ann_ivf_topk", "cu_kmeans", "tx_bm25_rank")
   private val sideEffecting = Set(
     "ev_stream_exactly_once", "ev_stateful_state",
-    "k1_sink_idempotence", "k4_null_key_sink")
+    "k1_sink_idempotence", "k4_null_key_sink",
+    "k10_merge_upsert", "ev_stream_merge_sink")
 
   test("no query plans a cartesian product (scale guard)") {
     SparkEntry.allDefs

@@ -124,6 +124,36 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(r2.version == r.version && r2.filesRewritten == 0)
   }
 
+  test("schema evolution: new batch columns append, old rows null-fill") {
+    val path = tmp()
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+    MergeSink.merge(spark, path, base, Seq("id"), Seq(col("id")))
+
+    val evolved = Seq((2L, "B!", 7), (3L, "c", 9)).toDF("id", "payload", "score")
+    val r = MergeSink.merge(spark, path, evolved, Seq("id"), Seq(col("id")))
+    assert(r.inserted == 1 && r.updated == 1)
+    val got = MergeSink.read(spark, path)
+      .select(col("id"), col("payload"), col("score"))
+      .collect().map(x => (x.getLong(0), x.getString(1), Option(x.get(2)))).toSet
+    assert(got == Set((1L, "a", None), (2L, "B!", Some(7)), (3L, "c", Some(9))))
+
+    // an old-schema batch still merges into the evolved table (null score)
+    val old = Seq((1L, "a2")).toDF("id", "payload")
+    MergeSink.merge(spark, path, old, Seq("id"), Seq(col("id")))
+    val got2 = MergeSink.read(spark, path)
+      .filter(col("id") === 1L)
+      .collect().map(x => (x.getString(1), Option(x.get(2)))).toSet
+    assert(got2 == Set(("a2", None)))
+    // pre-evolution version still reads with its own schema
+    assert(MergeSink.read(spark, path, Some(1L)).columns.toSeq == Seq("id", "payload"))
+
+    // shared-column type changes are rejected, not silently coerced
+    val bad = Seq((5L, 42)).toDF("id", "payload")
+    intercept[IllegalArgumentException] {
+      MergeSink.merge(spark, path, bad, Seq("id"), Seq(col("id")))
+    }
+  }
+
   test("null key members merge null-safely") {
     val path = tmp()
     val base = Seq((Option(1L), "a"), (Option.empty[Long], "n")).toDF("id", "payload")
