@@ -162,7 +162,26 @@ object StreamQueries {
       .select("user_id", "n_events", "first_ms", "last_ms")
   }
 
+  /** Stream-stream event-time join, proven against the batch join: views
+    * joined to same-user purchases within 6 hours, both sides
+    * watermarked so the buffered state is evictable. Inner matches emit
+    * on arrival, so one drain equals the batch answer.
+    */
+  val streamStreamJoin: QueryDef = QueryDef(
+    "ev_stream_stream_join",
+    """SELECT a.event_id AS v_event, b.event_id AS p_event,
+      |  CAST(epoch_ms(a.ts) AS BIGINT) AS v_ms,
+      |  CAST(epoch_ms(b.ts) AS BIGINT) AS p_ms
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      |  AND a.event_type = 'view' AND b.event_type = 'purchase'
+      |  AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 6 HOUR""".stripMargin) { (s, dir) =>
+    val (src, sink, ckpt) = Staging.stageEvents("graft_ssj", dir)
+    EventsStream.streamStreamJoin(s, src, sink, ckpt)
+    s.read.parquet(sink).select("v_event", "p_event", "v_ms", "p_ms")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exactlyOnce, sessionize, tumbling, watermarkedWindow,
-      sessionWindowStream, statefulState, streamMergeSink)
+      sessionWindowStream, statefulState, streamMergeSink, streamStreamJoin)
 }

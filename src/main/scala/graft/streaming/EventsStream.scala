@@ -41,10 +41,12 @@ object EventsStream {
     *  - `shuffle.partitions` → StatePartitions (state layout, above);
     *  - no-data micro-batches OFF: their only purpose is advancing the
     *    watermark to emit APPEND-mode finalizations and evict state; our
-    *    drains emit in update/complete mode (every result row is already
-    *    out before the no-data batch) and AvailableNow tears the state
-    *    down afterwards anyway, so the extra ~1 s batch buys nothing. An
-    *    append-mode sink MUST NOT use this helper.
+    *    drains emit in update/complete mode or on-arrival (inner-join
+    *    append), so every result row is already out before the no-data
+    *    batch, and AvailableNow tears the state down afterwards anyway —
+    *    the extra ~1 s batch buys nothing. A sink whose emissions WAIT on
+    *    the watermark (outer-join null padding, append-mode aggregation
+    *    finalization) MUST NOT use this helper.
     */
   private def withStateTunedConf[T](spark: SparkSession)(body: => T): T = {
     val conf = spark.conf
@@ -168,6 +170,45 @@ object EventsStream {
         key = Seq("user_id"), tiebreak = Seq(col("user_id")))
       ()
     }
+
+  /** Stream-stream INNER join with event-time bounds (§2.11 surface the
+    * other drains don't touch): views join purchases by the same user
+    * within 6 hours. Both sides carry watermarks and the join condition
+    * bounds event time, so Spark can evict buffered rows once the
+    * watermark passes — the property that keeps two unbounded streams'
+    * join state finite. Inner-join matches emit as soon as both sides
+    * arrive (no finalization wait), so one AvailableNow drain produces
+    * exactly the batch join's answer; each matched pair is emitted once,
+    * so the sink is a plain append.
+    */
+  def streamStreamJoin(spark: SparkSession, sourceDir: String, sinkPath: String,
+                       checkpoint: String): Unit = {
+    val src = normalize(spark.readStream.schema(rawSchema).parquet(sourceDir))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_event"))
+      .withWatermark("v_ts", "1 hour")
+    val buys = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(buys,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") < col("v_ts") + expr("interval 6 hours"))
+      .select(col("v_event"), col("p_event"),
+        unix_millis(col("v_ts")).as("v_ms"), unix_millis(col("p_ts")).as("p_ms"))
+    withStateTunedConf(spark) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(sinkPath)
+        }
+        .start()
+      q.awaitTermination()
+    }
+  }
 
   /** Newest-wins upsert into a bucket-partitioned parquet sink: merge only
     * the buckets the batch's keys live in (partition-pruned read +
