@@ -181,7 +181,26 @@ object StreamQueries {
     s.read.parquet(sink).select("v_event", "p_event", "v_ms", "p_ms")
   }
 
+  /** Streaming dropDuplicates against a DOUBLED feed: the source dir gets
+    * two copies of the events file (an at-least-once upstream), and the
+    * per-key seen-state must emit each event exactly once — the sink
+    * equals plain `events`.
+    */
+  val streamDedup: QueryDef = QueryDef(
+    "ev_stream_dedup",
+    """SELECT event_id, user_id, event_type,
+      |  CAST(epoch_ms(ts) AS BIGINT) AS ms
+      |FROM events""".stripMargin) { (s, dir) =>
+    val (src, sink, ckpt) = Staging.stageEvents("graft_sd", dir)
+    java.nio.file.Files.copy( // the duplicated delivery
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(src, "events_redelivered.parquet"))
+    EventsStream.streamDedup(s, src, sink, ckpt)
+    s.read.parquet(sink).select("event_id", "user_id", "event_type", "ms")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exactlyOnce, sessionize, tumbling, watermarkedWindow,
-      sessionWindowStream, statefulState, streamMergeSink, streamStreamJoin)
+      sessionWindowStream, statefulState, streamMergeSink, streamStreamJoin,
+      streamDedup)
 }

@@ -210,6 +210,33 @@ object EventsStream {
     }
   }
 
+  /** Streaming deduplication: `dropDuplicates(event_id)` keeps per-key
+    * seen-state across micro-batches, so a duplicated feed (re-delivered
+    * files, at-least-once upstream) emits each event exactly once — the
+    * operator form of the dedup the K-sinks do with anti-joins.
+    * Append-mode emissions are on-arrival (first copy wins). Production
+    * bounds the seen-state with `dropDuplicatesWithinWatermark`; the
+    * drain here proves the semantics.
+    */
+  def streamDedup(spark: SparkSession, sourceDir: String, sinkPath: String,
+                  checkpoint: String): Unit = {
+    val src = normalize(spark.readStream.schema(rawSchema).parquet(sourceDir))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .dropDuplicates("event_id")
+    withStateTunedConf(spark) {
+      val q = src.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(sinkPath)
+        }
+        .start()
+      q.awaitTermination()
+    }
+  }
+
   /** Newest-wins upsert into a bucket-partitioned parquet sink: merge only
     * the buckets the batch's keys live in (partition-pruned read +
     * anti-join + union) and rewrite just those partitions via dynamic
