@@ -17,7 +17,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ NormQueries.defs ++ TextQueries.defs ++
       DedupQueries.defs ++ AnnQueries.defs ++ StreamQueries.defs ++
-      MultimodalQueries.defs ++ ExtQueries.defs ++ CurateQueries.defs
+      MultimodalQueries.defs ++ ExtQueries.defs ++ CurateQueries.defs ++
+      GraphQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

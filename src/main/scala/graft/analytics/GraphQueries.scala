@@ -1,0 +1,95 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Graph analytics over the order↔part bipartite graph derived from
+  * `lineitem` — the second iterative-dataflow family next to
+  * dd_components' label propagation. PageRank is the canonical "Spark
+  * can do iterative graph work" operator: each iteration is one shuffle
+  * (contributions grouped by destination) and the damping arithmetic.
+  *
+  * Determinism: the per-node contribution sum is the ONLY place
+  * floating-point reduction order could diverge between engines — and a
+  * double→DECIMAL cast would NOT fix it here (contributions like
+  * rank/17 have no finite decimal expansion, and the two engines round
+  * the 25th digit differently). Instead each contribution is QUANTIZED
+  * to a fixed 1e-15 grid — `floor(x * 1e15)` is an exact double op at
+  * these magnitudes (|x| ≤ 1 → products < 2^53) — summed as exact
+  * integers, and scaled back. The quantization defines the operator
+  * (deterministically), it doesn't approximate it. Everything else is a
+  * fixed-order IEEE expression both engines evaluate identically, `e0`
+  * literals forcing DOUBLE in the oracle. Fixed 3 iterations, unrolled
+  * in the oracle CTE chain (a convergence-loop variant would
+  * localCheckpoint per round — dd_components' pattern — and take a
+  * postcondition oracle instead).
+  */
+object GraphQueries {
+
+  private val Damping = 0.85
+  private val TopN = 50
+
+  val pagerank: QueryDef = QueryDef(
+    "gr_pagerank", {
+      val iter = (i: Int) =>
+        s"""r$i AS (
+           |  SELECT e.dst AS node,
+           |    (1.0e0 - ${Damping}e0) / s.n + ${Damping}e0 *
+           |      (CAST(SUM(CAST(floor((r${i - 1}.rank / d2.deg) * 1.0e15) AS BIGINT))
+           |            AS DOUBLE) / 1.0e15) AS rank
+           |  FROM sym e
+           |  JOIN r${i - 1} ON r${i - 1}.node = e.src
+           |  JOIN deg d2 ON d2.node = e.src
+           |  CROSS JOIN stats s
+           |  GROUP BY e.dst, s.n)""".stripMargin
+      s"""WITH edges AS (
+         |  SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+         |  FROM lineitem),
+         |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+         |deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+         |r0 AS (SELECT node, 1.0e0 / s.n AS rank FROM deg CROSS JOIN stats s),
+         |${iter(1)}, ${iter(2)}, ${iter(3)}
+         |SELECT node, rank, pos FROM (
+         |  SELECT node, rank,
+         |    ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS pos
+         |  FROM r3) t
+         |WHERE pos <= $TopN""".stripMargin
+    }) { (s, dir) =>
+    val edges = Tables.lineitem(s, dir)
+      .select(concat(lit("o"), col("l_orderkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      .distinct()
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val stats = deg.agg(count(lit(1)).cast(DoubleType).as("n"))
+
+    // contributions shuffle once per iteration; deg/rank ride the same
+    // node-keyed exchange. The tiny stats row is broadcast.
+    def step(prev: DataFrame): DataFrame =
+      sym
+        .join(prev.withColumnRenamed("node", "src"), "src")
+        .join(deg.withColumnRenamed("node", "src").withColumnRenamed("deg", "sdeg"), "src")
+        .join(broadcast(stats))
+        .groupBy(col("dst").as("node"), col("n"))
+        .agg(sum(floor((col("rank") / col("sdeg")) * lit(1.0e15)).cast("long"))
+          .as("contrib_q"))
+        .select(col("node"),
+          ((lit(1.0) - lit(Damping)) / col("n") +
+            lit(Damping) * (col("contrib_q").cast(DoubleType) / lit(1.0e15))).as("rank"))
+
+    val r0 = deg.join(broadcast(stats))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+    val r3 = step(step(step(r0)))
+    val w = Window.orderBy(col("rank").desc, col("node"))
+    r3.orderBy(col("rank").desc, col("node")).limit(TopN)
+      .withColumn("pos", row_number().over(w))
+      .select("node", "rank", "pos")
+  }
+
+  val defs: Seq[QueryDef] = Seq(pagerank)
+}
