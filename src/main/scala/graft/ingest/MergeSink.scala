@@ -308,4 +308,34 @@ object MergeSink {
     MergeResult(v, 0, 0, filesRewritten = small.size.toLong,
       filesSkipped = kept.size.toLong)
   }
+
+  /** Vacuum — reclaim data files no retained version references. Keeps
+    * the newest `keepVersions` manifests (time-travel horizon), deletes
+    * older manifests and any data file only they reference. Deleting
+    * unreferenced files cannot break a reader of a retained version
+    * (files are immutable and retained manifests only list retained
+    * files); a reader holding an already-DROPPED manifest loses its
+    * snapshot — that is the retention contract, same as Delta's VACUUM.
+    * Returns the number of data files deleted.
+    */
+  def vacuum(path: String, keepVersions: Int = 2): Long = {
+    require(keepVersions >= 1, "must retain at least the current version")
+    val vs = versions(path)
+    require(vs.nonEmpty, s"MergeSink.vacuum on uninitialized sink: $path")
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val live = keep.flatMap(v => readManifest(path, v).files.map(_.path)).toSet
+    val dead = drop.flatMap(v => readManifest(path, v).files.map(_.path)).toSet -- live
+    var deleted = 0L
+    dead.foreach { rel =>
+      if (new java.io.File(path, rel).delete()) deleted += 1
+    }
+    drop.foreach { v =>
+      new java.io.File(manifestDir(path), f"v$v%06d.tsv").delete()
+    }
+    // prune now-empty data/vNNNNNN dirs
+    Option(new java.io.File(path, "data").listFiles()).toSeq.flatten
+      .filter(d => d.isDirectory && Option(d.listFiles()).exists(_.isEmpty))
+      .foreach(_.delete())
+    deleted
+  }
 }

@@ -84,4 +84,42 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(_.contains("WindowGroupLimit")),
       "rank filter no longer pushes into the window")
   }
+
+  test("bm25: the corpus-stats row is broadcast, ranking is TakeOrdered") {
+    val p = initialPlan("tx_bm25_rank")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"),
+      "bm25 top-k regressed to a global sort")
+  }
+
+  test("kmeans: centroids broadcast every iteration; corpus is never broadcast") {
+    val p = initialPlan("cu_kmeans")
+    // 3 assignment rounds → ≥3 broadcasts of the K-row centroid side
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 3, p.take(2000))
+    val lines = p.linesIterator.toVector
+    def indent(l: String): Int = l.indexWhere(c => c != ' ' && c != '+' && c != '-' && c != ':')
+    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach { case (bl, i) =>
+      val d = indent(bl)
+      val subtree = lines.drop(i + 1).takeWhile(l => indent(l) > d)
+      // a broadcast subtree may aggregate OVER the corpus scan (K×d rows
+      // out) or scan the K seed rows under a pushed vec_id filter, but
+      // must never broadcast the raw unbounded embeddings relation
+      val scansRaw = subtree.exists(_.contains("embeddings.parquet"))
+      val bounded = subtree.exists(_.contains("HashAggregate")) ||
+        subtree.exists(_.contains("Window")) ||
+        subtree.exists(_.contains("LessThan(vec_id"))
+      assert(!scansRaw || bounded,
+        s"raw corpus broadcast:\n${(bl +: subtree).mkString("\n").take(1500)}")
+    }
+  }
+
+  test("pagerank: contributions partial-aggregate before each shuffle") {
+    val p = initialPlan("gr_pagerank")
+    // every groupBy(dst) must have a map-side partial HashAggregate — the
+    // property that keeps per-iteration shuffle volume O(nodes), not
+    // O(edges)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 6, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), "top-50 regressed to a global sort")
+  }
 }

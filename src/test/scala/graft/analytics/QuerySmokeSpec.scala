@@ -30,9 +30,10 @@ class QuerySmokeSpec extends AnyFunSuite {
   // static plan checks (their plan is the read-back)
   // ann_ivf's probe↔centroid assignment is a k×C loop (5×10 here);
   // cu_kmeans broadcasts K centroids against the corpus the same way;
-  // tx_bm25_rank broadcasts its single corpus-stats row
+  // tx_bm25_rank and gr_pagerank broadcast their single stats row
   private val nestedLoopAllowed =
-    Set("ann_bruteforce_topk", "ann_ivf_topk", "cu_kmeans", "tx_bm25_rank")
+    Set("ann_bruteforce_topk", "ann_ivf_topk", "cu_kmeans", "tx_bm25_rank",
+      "gr_pagerank")
   private val sideEffecting = Set(
     "ev_stream_exactly_once", "ev_stateful_state",
     "k1_sink_idempotence", "k4_null_key_sink",

@@ -154,6 +154,29 @@ class MergeSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuum: old versions reclaimed, retained versions intact") {
+    val path = tmp()
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "payload")
+    MergeSink.merge(spark, path, v1, Seq("id"), Seq(col("id")))
+    MergeSink.merge(spark, path,
+      Seq((2L, "b2")).toDF("id", "payload"), Seq("id"), Seq(col("id")))
+    MergeSink.merge(spark, path,
+      Seq((3L, "c")).toDF("id", "payload"), Seq("id"), Seq(col("id")))
+    assert(MergeSink.versions(path) == Seq(1L, 2L, 3L))
+
+    val deleted = MergeSink.vacuum(path, keepVersions = 2)
+    assert(MergeSink.versions(path) == Seq(2L, 3L))
+    // current + previous still read fine
+    assert(content(path) == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    assert(content(path, Some(2L)) == Set((1L, "a"), (2L, "b2")))
+    intercept[IllegalArgumentException] { MergeSink.read(spark, path, Some(1L)) }
+    // v1's single data file was rewritten by v2's merge, so only v1
+    // referenced it — exactly that file is reclaimed
+    assert(deleted == 1)
+    val reVacuum = MergeSink.vacuum(path, keepVersions = 2)
+    assert(reVacuum == 0, "vacuum is idempotent")
+  }
+
   test("null key members merge null-safely") {
     val path = tmp()
     val base = Seq((Option(1L), "a"), (Option.empty[Long], "n")).toDF("id", "payload")
