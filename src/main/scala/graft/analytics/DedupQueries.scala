@@ -407,6 +407,29 @@ object DedupQueries {
     MergeSink.read(s, sink)
   }
 
+  /** K11: sink/source format surface beyond parquet — the same rows
+    * roundtrip through ORC (columnar, built-in) and then CSV (text, with
+    * an explicit read schema), and the final read must equal the source
+    * exactly. The roundtrip columns are integers and strings only: text
+    * formats don't owe bit-exactness for doubles, and the contract here
+    * is FORMAT fidelity, not float printing. (No spark-avro module ships
+    * in this container, so Avro is out of scope.)
+    */
+  val formatRoundtrip: QueryDef = QueryDef(
+    "k11_format_roundtrip",
+    """SELECT event_id, user_id, event_type,
+      |  CAST(epoch_ms(ts) AS BIGINT) AS ms FROM events""".stripMargin) { (s, dir) =>
+    val base = Staging.freshBase("graft_k11", dir).getPath
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .write.orc(s"$base/orc")
+    s.read.orc(s"$base/orc")
+      .write.option("header", "true").csv(s"$base/csv")
+    s.read.schema("event_id LONG, user_id LONG, event_type STRING, ms LONG")
+      .option("header", "true").csv(s"$base/csv")
+  }
+
   /** SimHash near-dup PAIRS at Hamming distance ≤ 3, found by pigeonhole
     * blocking: split the 32-bit code into 4 byte bands — any two codes
     * within distance 3 agree on AT LEAST one band, so an equi-join per
@@ -447,5 +470,5 @@ object DedupQueries {
 
   val defs: Seq[QueryDef] =
     Seq(exact, blockPrefix, minhashLsh, ngramJaccard, components, simhash,
-      simhashPairs, sinkIdempotence, nullKeySink, mergeUpsert)
+      simhashPairs, sinkIdempotence, nullKeySink, mergeUpsert, formatRoundtrip)
 }
