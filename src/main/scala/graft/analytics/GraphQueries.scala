@@ -46,7 +46,7 @@ object GraphQueries {
            |  CROSS JOIN stats s
            |  GROUP BY e.dst, s.n)""".stripMargin
       s"""WITH edges AS (
-         |  SELECT DISTINCT 'o' || l_orderkey AS src, 'p' || l_partkey AS dst
+         |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
          |  FROM lineitem),
          |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
          |deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
@@ -59,13 +59,18 @@ object GraphQueries {
          |  FROM r3) t
          |WHERE pos <= $TopN""".stripMargin
     }) { (s, dir) =>
+    // Node ids are NUMERIC (even = order, odd = part): long join keys
+    // shuffle a fraction of what 'o123'-style strings would. sym and deg
+    // feed every iteration, so they are materialized once — without the
+    // persist, each of the 3 steps re-runs the 600 k-row distinct.
     val edges = Tables.lineitem(s, dir)
-      .select(concat(lit("o"), col("l_orderkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst"))
+      .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
       .distinct()
     val sym = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = deg.agg(count(lit(1)).cast(DoubleType).as("n"))
 
     // contributions shuffle once per iteration; deg/rank ride the same
