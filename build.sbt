@@ -15,6 +15,11 @@ run / fork := true
 // bench/verify drivers parse the last stdout lines as JSON, and sbt's
 // logger prefix breaks `json.loads` on an otherwise-valid line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Drop the `[success] Total time: …` trailer: the bench driver keeps only
+// the LAST 2000 chars of stdout, and the 75-char trailer printed after the
+// bench JSON line comes straight out of the line's head-room (BENCH_r03
+// lost its head exactly this way).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -48,7 +48,10 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    // sf as the directory basename, not the full path: every char of this
+    // line competes with the capturing harness's 2000-char stdout tail.
+    val sf = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sf"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
