@@ -66,8 +66,13 @@ object GraphQueries {
     val edges = Tables.lineitem(s, dir)
       .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
       .distinct()
+    // The persist is hash-partitioned on the join key: a cached scan keeps
+    // its outputPartitioning, so all three iteration joins (and deg's
+    // groupBy) consume sym shuffle-free — the only exchange per iteration
+    // is the contribution groupBy(dst), which no layout can avoid.
     val sym = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
