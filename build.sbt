@@ -20,6 +20,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // bench JSON line comes straight out of the line's head-room (BENCH_r03
 // lost its head exactly this way).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

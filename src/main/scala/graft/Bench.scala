@@ -34,12 +34,12 @@ object Bench {
     val failed = results.collect { case (n, Left(err)) =>
       System.err.println(s"[bench] FAILED $err"); n
     }
-    // Compact values (10 ms resolution — below local run-to-run variance):
-    // the harness that records this line captures only the LAST ~2000 chars
-    // of output, so the line must stay short enough to fit that window in
-    // full, or it cannot be parsed back out.
+    // Compact values (100 ms resolution — below run-to-run variance at
+    // sf0.1): the recording harness captures only the LAST 2000 chars of
+    // stdout, so at 77 queries every value char is ~77 line chars; the
+    // line must fit that window in full or it cannot be parsed back out.
     def fmt(sec: Double): String =
-      if (sec >= 100) f"$sec%.0f" else if (sec >= 10) f"$sec%.1f" else f"$sec%.2f"
+      if (sec >= 100) f"$sec%.0f" else f"$sec%.1f"
     val qs = results.map {
       case (n, Right(sec)) => s"\"$n\":${fmt(sec)}"
       case (n, Left(_))    => s"\"$n\":-1"

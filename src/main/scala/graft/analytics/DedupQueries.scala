@@ -1,5 +1,6 @@
 package graft.analytics
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -243,6 +244,84 @@ object DedupQueries {
     labels.select(col("u").as("doc_id"), col("component"))
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the scale path next to dd_components' label
+    * propagation. Label propagation keeps a full (node, label) table and
+    * touches every node every round; star contraction rewrites the EDGE
+    * set itself, which only shrinks, and converges in O(log² n) rounds
+    * w.h.p. — at a 10⁹-node graph that's the difference between rounds
+    * bounded by component diameter and rounds bounded by log². Each round
+    * is two groupBy-min shuffles on the current edge set, nothing else
+    * crosses stages; per-round localCheckpoint truncates the iterative
+    * lineage exactly as in dd_components.
+    *
+    * large-star(u): every neighbor v > u re-points to m = min(Γ(u)∪{u});
+    * small-star(u): every neighbor v ≤ u (grouping by the larger
+    * endpoint) re-points to m. Fixpoint = star forest rooted at each
+    * component's minimum, the same contract the recursive-CTE oracle
+    * states: (doc_id, min reachable id).
+    */
+  val componentsStar: QueryDef = QueryDef(
+    "dd_components_star",
+    s"""WITH RECURSIVE $PairsCteSql,
+       |sym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+       |        UNION SELECT doc_b, doc_a FROM verified),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u)
+       |SELECT u AS doc_id, least(u, MIN(v)) AS component
+       |FROM reach GROUP BY u""".stripMargin) { (s, dir) =>
+    // one materialization of the near-dup pipeline feeds nodes AND edges
+    val pairs = nearDupPairs(s, dir).select("doc_a", "doc_b")
+      .localCheckpoint(true)
+    val nodes = pairs.select(col("doc_a").as("u"))
+      .unionByName(pairs.select(col("doc_b").as("u"))).distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // group by the LARGER endpoint; its neighbors are all strictly
+      // smaller, so m = min(neighbors) without the self-least
+      val byLarger = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = byLarger.groupBy("u").agg(min("v").as("m"))
+      byLarger.join(mins, "u")
+        .select(col("v").as("n"), col("m"))
+        .unionByName(mins.select(col("u").as("n"), col("m")))
+        .where(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    var edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // set-difference both ways: the edge set only contracts, but a
+      // same-size rewrite mid-convergence must not read as a fixpoint
+      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      edges = next
+      rounds += 1
+    }
+    require(changed == 0, s"star contraction did not converge in $rounds rounds")
+    // fixpoint edges are (child, root); roots carry no outgoing edge
+    nodes.join(edges, Seq("u"), "left")
+      .select(col("u").as("doc_id"), coalesce(col("v"), col("u")).as("component"))
+  }
+
   /** SimHash: 32-bit bit-majority signature over the document's SHINGLE
     * set (bit j = majority of md5(shingle) hex-digit j's top bit).
     * Features are shingles, not words: on a shared-vocabulary corpus the
@@ -407,6 +486,69 @@ object DedupQueries {
     MergeSink.read(s, sink)
   }
 
+  /** K12: incremental view maintenance from the MergeSink change feed.
+    * A SUM/COUNT-shaped aggregate materialized at version v1 is refreshed
+    * to v2 by combining it with the ±1-weighted rows of the files the v2
+    * commit added/removed (`MergeSink.changes`) — never rescanning the
+    * table. Copy-on-write carry-over rows cancel as (+1, -1) pairs, so
+    * the identity `agg(v2) = agg(v1) + agg(changes · weight)` holds for
+    * any linear aggregate. All partial sums stay in DECIMAL(38,2) until
+    * the final cast: combining two double partials would reintroduce the
+    * order-dependence dsum exists to remove. At 100 TB the refresh cost
+    * is O(files touched by the merge) ∝ batch size — the range-clustered
+    * layout bounds touched files — while the oracle recomputes the full
+    * aggregate over the final state, proving the incremental path exact.
+    */
+  val incrementalAgg: QueryDef = QueryDef(
+    "k12_incremental_agg",
+    """WITH final AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 10 <> 0
+      |  UNION ALL
+      |  SELECT -o_orderkey - 1, 'N', o_totalprice FROM orders WHERE o_orderkey % 7 = 0)
+      |SELECT o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM final GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val sink = s"${Staging.freshBase("graft_k12", dir).getPath}/sink"
+    val key = Seq("o_orderkey")
+    val tb = Seq(col("o_orderkey"))
+    val base = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val v1 = MergeSink.merge(s, sink, base, key, tb).version
+    val upd = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2) // *2 exact in double
+    // -k - 1, not -k: keys here start at 0, and -0 would collide with the
+    // key-0 UPDATE inside one batch (within-batch dedup keeps one winner)
+    val ins = base.filter(col("o_orderkey") % 7 === 0)
+      .select((-col("o_orderkey") - 1).as("o_orderkey"), lit("N").as("o_orderstatus"),
+        col("o_totalprice"))
+    val v2 = MergeSink.merge(s, sink, upd.unionByName(ins), key, tb).version
+
+    val dec18 = DecimalType(18, 2)
+    val dec38 = DecimalType(38, 2)
+    // the "stored MV": the aggregate as of v1 (time travel stands in for
+    // a materialized table; production would read this back from storage)
+    val mv = MergeSink.read(s, sink, Some(v1))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dec18)).cast(dec38).as("ps"))
+    val delta = MergeSink.changes(s, sink, v1, v2)
+      .groupBy("o_orderstatus")
+      .agg(sum(col(MergeSink.WeightCol)).as("n"),
+        sum((col(MergeSink.WeightCol) * col("o_totalprice").cast(dec18)).cast(dec38))
+          .cast(dec38).as("ps"))
+    mv.unionByName(delta)
+      .groupBy("o_orderstatus")
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("ps")).cast(DoubleType).as("sum_price"))
+      .where(col("n_orders") > 0)
+  }
+
   /** K11: sink/source format surface beyond parquet — the same rows
     * roundtrip through ORC (columnar, built-in) and then CSV (text, with
     * an explicit read schema), and the final read must equal the source
@@ -469,6 +611,7 @@ object DedupQueries {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(exact, blockPrefix, minhashLsh, ngramJaccard, components, simhash,
-      simhashPairs, sinkIdempotence, nullKeySink, mergeUpsert, formatRoundtrip)
+    Seq(exact, blockPrefix, minhashLsh, ngramJaccard, components,
+      componentsStar, simhash, simhashPairs, sinkIdempotence, nullKeySink,
+      mergeUpsert, incrementalAgg, formatRoundtrip)
 }

@@ -309,6 +309,49 @@ object MergeSink {
       filesSkipped = kept.size.toLong)
   }
 
+  /** Weight column emitted by [[changes]]: +1 inserted-row, -1 removed-row. */
+  val WeightCol = "__graft_weight"
+
+  /** Files added and removed between two committed versions — the manifest
+    * set-difference, O(files) driver-side metadata. Copy-on-write means a
+    * rewritten file appears as (removed old, added new); files carried
+    * over untouched appear in neither list.
+    */
+  def fileDiff(path: String, fromV: Long, toV: Long): (Seq[FileStat], Seq[FileStat]) = {
+    val vs = versions(path)
+    require(vs.contains(fromV) && vs.contains(toV), s"versions ($fromV,$toV) not in $vs")
+    val from = readManifest(path, fromV)
+    val to = readManifest(path, toV)
+    val fromPaths = from.files.map(_.path).toSet
+    val toPaths = to.files.map(_.path).toSet
+    (to.files.filter(f => f.rows > 0 && !fromPaths.contains(f.path)),
+      from.files.filter(f => f.rows > 0 && !toPaths.contains(f.path)))
+  }
+
+  /** Row-level change feed between two committed versions, as ±1-weighted
+    * rows under [[WeightCol]]: +1 for every row in a file `toV` added, -1
+    * for every row in a file it removed. Unchanged rows that copy-on-write
+    * carried into a rewritten file appear as a (+1, -1) pair and cancel
+    * under any linear aggregate — which is the point: `agg(toV) =
+    * agg(fromV) + agg(changes · weight)` for SUM/COUNT-shaped aggregates,
+    * computed from the CHANGED FILES ONLY. At 100 TB this is incremental
+    * view maintenance: refresh cost is O(touched files) ∝ batch size
+    * (range-clustered layout), never O(table). Rows are projected through
+    * `toV`'s manifest schema (columns a file predates read as null).
+    */
+  def changes(spark: SparkSession, path: String, fromV: Long, toV: Long): DataFrame = {
+    val (added, removed) = fileDiff(path, fromV, toV)
+    val schema = readManifest(path, toV).schema
+    def load(fs: Seq[FileStat], w: Int): DataFrame = {
+      val base =
+        if (fs.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema).parquet(fs.map(f => s"$path/${f.path}"): _*)
+      base.withColumn(WeightCol, lit(w.toLong))
+    }
+    load(added, 1).unionByName(load(removed, -1))
+  }
+
   /** Vacuum — reclaim data files no retained version references. Keeps
     * the newest `keepVersions` manifests (time-travel horizon), deletes
     * older manifests and any data file only they reference. Deleting

@@ -189,4 +189,43 @@ class MergeSinkSpec extends AnyFunSuite {
       .map(r => (Option(r.get(0)), r.getString(1))).toSet
     assert(got == Set((Some(1L), "a"), (None, "N!")))
   }
+
+  test("change feed: ±1-weighted diff satisfies agg(v2) = agg(v1) + agg(Δ)") {
+    val path = tmp()
+    val base = (1L to 400L).map(i => (i, i * 10)).toDF("id", "value")
+    val v1 = MergeSink.merge(spark, path, base, Seq("id"), Seq(col("id")),
+      targetFileRows = 100).version
+    val upd = Seq((7L, 7000L), (401L, 4010L)).toDF("id", "value")
+    val v2 = MergeSink.merge(spark, path, upd, Seq("id"), Seq(col("id")),
+      targetFileRows = 100).version
+
+    // copy-on-write surface: the diff lists the touched hash slice only,
+    // so the change feed scans O(touched files), never the table
+    val (added, removed) = MergeSink.fileDiff(path, v1, v2)
+    assert(added.nonEmpty && removed.nonEmpty && removed.size < 4,
+      s"diff should touch a strict subset of the 4 v1 files: $removed")
+
+    val ch = MergeSink.changes(spark, path, v1, v2)
+    val w = col(MergeSink.WeightCol)
+    // linear-aggregate identity (carry-over rows cancel as +1/-1 pairs)
+    val Seq(dn, dv) = ch.agg(sum(w), sum(w * col("value"))).collect()
+      .head.toSeq.map(_.asInstanceOf[Long])
+    def aggAt(v: Long): (Long, Long) = {
+      val r = MergeSink.read(spark, path, Some(v))
+        .agg(count(lit(1)), sum(col("value"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (n1, s1) = aggAt(v1); val (n2, s2) = aggAt(v2)
+    assert(n1 + dn == n2 && s1 + dv == s2)
+
+    // row-level: v1 ⊎ Δ reconstructs v2 exactly as a multiset
+    val rebuilt = MergeSink.read(spark, path, Some(v1))
+      .withColumn(MergeSink.WeightCol, lit(1L)).unionByName(ch)
+      .groupBy("id", "value").agg(sum(w).as("m"))
+      .filter(col("m") =!= 0)
+      .select(col("id"), col("value")).as[(Long, Long)].collect().toSet
+    val atV2 = MergeSink.read(spark, path, Some(v2))
+      .select(col("id"), col("value")).as[(Long, Long)].collect().toSet
+    assert(rebuilt == atV2)
+  }
 }
