@@ -227,5 +227,42 @@ class MergeSinkSpec extends AnyFunSuite {
     val atV2 = MergeSink.read(spark, path, Some(v2))
       .select(col("id"), col("value")).as[(Long, Long)].collect().toSet
     assert(rebuilt == atV2)
+
+    // structural O(touched-files) proof: the feed's input is EXACTLY the
+    // diff files — no plan rewrite can sneak a full-table scan back in
+    val expected = (added ++ removed).map(f => s"$path/${f.path}").toSet
+    assert(ch.inputFiles.map(u => new java.net.URI(u).getPath).toSet == expected)
+  }
+
+  test("change feed composes across versions and null-fills evolved columns") {
+    val path = tmp()
+    val v1 = MergeSink.merge(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload"),
+      Seq("id"), Seq(col("id"))).version
+    val v2 = MergeSink.merge(spark, path,
+      Seq((2L, "B!", 7L)).toDF("id", "payload", "extra"), // adds a column
+      Seq("id"), Seq(col("id"))).version
+    val v3 = MergeSink.merge(spark, path,
+      Seq((3L, "c", 9L)).toDF("id", "payload", "extra"),
+      Seq("id"), Seq(col("id"))).version
+
+    def signed(df: org.apache.spark.sql.DataFrame): Map[(Long, String, Option[Long]), Long] =
+      df.groupBy("id", "payload", "extra").agg(sum(col(MergeSink.WeightCol)).as("w"))
+        .filter(col("w") =!= 0).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])) -> r.getLong(3)).toMap
+
+    // Δ(v1→v3) ≡ Δ(v1→v2) ⊎ Δ(v2→v3) after cancellation — the feed is a
+    // proper difference operator, not just adjacent-version CDC
+    val direct = signed(MergeSink.changes(spark, path, v1, v3))
+    val composed = signed(
+      MergeSink.changes(spark, path, v1, v2)
+        .unionByName(MergeSink.changes(spark, path, v2, v3)))
+    assert(direct == composed)
+    // rows written before `extra` existed surface as null under v3's schema
+    val rm = MergeSink.changes(spark, path, v1, v2)
+      .filter(col(MergeSink.WeightCol) === -1 && col("id") === 2L)
+      .select("extra").collect().map(r => Option(r.get(0)))
+    assert(rm.toSeq == Seq(None))
   }
 }
