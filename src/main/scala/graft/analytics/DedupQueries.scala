@@ -549,6 +549,32 @@ object DedupQueries {
       .where(col("n_orders") > 0)
   }
 
+  /** K13: manifest-pruned point lookup on the MergeSink — the engine-side
+    * equivalent of the reference's primary-key index probe. Each lookup
+    * reads ONLY the file(s) whose key-hash interval brackets the key's
+    * digest (O(1) files at any table size; MergeSinkSpec asserts the scan
+    * set), then filters inside the parquet scan. The 5 probed keys are
+    * collected driver-side from a 5-row limit — control-plane metadata,
+    * same O(small) class as the manifest itself.
+    */
+  val pointLookup: QueryDef = QueryDef(
+    "k13_point_lookup",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderkey IN
+      |  (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5)""".stripMargin) { (s, dir) =>
+    val sink = s"${Staging.freshBase("graft_k13", dir).getPath}/sink"
+    val key = Seq("o_orderkey")
+    val base = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    // ~8 range-clustered files so the per-key pruning is a real subset
+    MergeSink.merge(s, sink, base, key, Seq(col("o_orderkey")),
+      targetFileRows = 2048)
+    val probes = base.orderBy("o_orderkey").limit(5)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    probes.map(k => MergeSink.pointRead(s, sink, key, Seq(k)))
+      .reduce(_ unionByName _)
+  }
+
   /** K11: sink/source format surface beyond parquet — the same rows
     * roundtrip through ORC (columnar, built-in) and then CSV (text, with
     * an explicit read schema), and the final read must equal the source
@@ -613,5 +639,5 @@ object DedupQueries {
   val defs: Seq[QueryDef] =
     Seq(exact, blockPrefix, minhashLsh, ngramJaccard, components,
       componentsStar, simhash, simhashPairs, sinkIdempotence, nullKeySink,
-      mergeUpsert, incrementalAgg, formatRoundtrip)
+      mergeUpsert, incrementalAgg, pointLookup, formatRoundtrip)
 }

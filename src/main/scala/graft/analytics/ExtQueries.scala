@@ -62,6 +62,31 @@ object ExtQueries {
         grouping(col("o_orderpriority")).cast(LongType).as("g_prio"))
   }
 
+  /** General GROUPING SETS — slices neither ROLLUP nor CUBE can express
+    * ((status), (priority), ()): two independent one-dimension summaries
+    * plus the grand total from ONE scan. Catalyst plans this as a single
+    * Expand + one shuffle; at 100 TB that replaces three separate
+    * scan+agg jobs over the fact table with one.
+    */
+  val groupingSetsAgg: QueryDef = QueryDef(
+    "a9_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("spend"),
+        grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+        grouping(col("o_orderpriority")).cast(LongType).as("g_prio"))
+  }
+
   /** Distinct aggregates (exact; the approx/HLL variant is engine-local by
     * nature and has no cross-engine oracle).
     */
@@ -299,6 +324,7 @@ object ExtQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    structArrayExtract, rollupSpend, distinctAgg, approxDistinct, quantileDisc,
-    pivotStatus, rankFrames, asofJoin, rangeJoinBucketed, rangeFrame, minMaxBy)
+    structArrayExtract, rollupSpend, groupingSetsAgg, distinctAgg,
+    approxDistinct, quantileDisc, pivotStatus, rankFrames, asofJoin,
+    rangeJoinBucketed, rangeFrame, minMaxBy)
 }

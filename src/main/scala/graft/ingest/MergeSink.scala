@@ -309,6 +309,40 @@ object MergeSink {
       filesSkipped = kept.size.toLong)
   }
 
+  /** Point read: the rows matching one literal key tuple, scanning ONLY
+    * the files whose key-hash interval can contain the key's digest —
+    * the manifest stands in for the reference's primary-key index probe
+    * (`ON CONFLICT` lookups, utils/db_helpers.py:101). Range-clustered
+    * files make the pruned set O(1) regardless of table size; the resid-
+    * ual key-equality filter runs inside the parquet scan (sorted on the
+    * digest, so row-group stats prune further). Digest computed through
+    * the same xxhash64 column path as [[merge]] — one 1-row job, no
+    * reimplementation that could drift.
+    */
+  def pointRead(spark: SparkSession, path: String, key: Seq[String],
+                values: Seq[Any], version: Option[Long] = None): DataFrame = {
+    val vs = versions(path)
+    require(vs.nonEmpty, s"MergeSink.pointRead on uninitialized sink: $path")
+    val v = version.getOrElse(vs.last)
+    val m = readManifest(path, v)
+    require(key.size == values.size, "key/values arity mismatch")
+    val keyTypes = key.map(k => m.schema(k).dataType)
+    val litCols = values.zip(keyTypes).zip(key).map { case ((x, t), k) =>
+      lit(x).cast(t).as(k)
+    }
+    val kd = spark.range(1).select(litCols: _*)
+      .select(keyDigest(key)).collect().head.getLong(0)
+    val hit = m.files.filter(f => f.rows > 0 && f.minKd <= kd && kd <= f.maxKd)
+    val base =
+      if (hit.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      else spark.read.schema(m.schema).parquet(hit.map(f => s"$path/${f.path}"): _*)
+    val cond = key.zip(values).zip(keyTypes).map { case ((k, x), t) =>
+      col(k) <=> lit(x).cast(t)
+    }.reduce(_ && _)
+    base.where(cond)
+  }
+
   /** Weight column emitted by [[changes]]: +1 inserted-row, -1 removed-row. */
   val WeightCol = "__graft_weight"
 

@@ -37,7 +37,8 @@ class QuerySmokeSpec extends AnyFunSuite {
   private val sideEffecting = Set(
     "ev_stream_exactly_once", "ev_stateful_state",
     "k1_sink_idempotence", "k4_null_key_sink",
-    "k10_merge_upsert", "k12_incremental_agg", "ev_stream_merge_sink")
+    "k10_merge_upsert", "k12_incremental_agg", "k13_point_lookup",
+    "ev_stream_merge_sink")
 
   test("no query plans a cartesian product (scale guard)") {
     SparkEntry.allDefs

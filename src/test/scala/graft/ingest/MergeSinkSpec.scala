@@ -234,6 +234,20 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(ch.inputFiles.map(u => new java.net.URI(u).getPath).toSet == expected)
   }
 
+  test("pointRead: O(1) files scanned, exact row, absent key is empty") {
+    val path = tmp()
+    val base = (1L to 400L).map(i => (i, s"p$i")).toDF("id", "payload")
+    MergeSink.merge(spark, path, base, Seq("id"), Seq(col("id")),
+      targetFileRows = 100)
+    val hit = MergeSink.pointRead(spark, path, Seq("id"), Seq(137L))
+    assert(hit.select("id", "payload").as[(Long, String)].collect().toSeq ==
+      Seq((137L, "p137")))
+    // manifest pruning: the probe reads at most 1 of the 4 files (key-hash
+    // intervals are disjoint under range clustering)
+    assert(hit.inputFiles.length <= 1)
+    assert(MergeSink.pointRead(spark, path, Seq("id"), Seq(9999L)).isEmpty)
+  }
+
   test("change feed composes across versions and null-fills evolved columns") {
     val path = tmp()
     val v1 = MergeSink.merge(spark, path,
