@@ -136,16 +136,16 @@ object DedupQueries {
        |    JOIN base sb ON sb.doc_id = doc_b) t
        |  WHERE jaccard >= 0.5)""".stripMargin
 
-  /** Spark-side verified near-dup pairs (doc_a, doc_b, jaccard ≥ 0.5) —
-    * the pipeline behind dd_minhash_lsh, reused by dd_components.
+  /** LSH band table (doc_id, band_key), one row per (doc, band) — the
+    * candidate-generation key shared by the self-join (dd_minhash_lsh) and
+    * the batch-vs-corpus join (dd_incr_lsh). Empty-shingle docs (< 3
+    * words) are excluded BEFORE banding: their minhash sigs are NULL, and
+    * concat_ws skips NULLs, so every short doc would otherwise collide
+    * into the bare band keys "0"/"1"/"2" — an O(m²) hot bucket of m short
+    * docs that the oracle (whose `|| NULL` nulls the whole key) never
+    * generates. No shingles → no n-gram similarity defined.
     */
-  private def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    // shared materialized shingle table — see shingleBase. Empty-shingle
-    // docs (< 3 words) are excluded BEFORE banding: their minhash sigs are
-    // NULL, and concat_ws skips NULLs, so every short doc would otherwise
-    // collide into the bare band keys "0"/"1"/"2" — an O(m²) hot bucket of
-    // m short docs that the oracle (whose `|| NULL` nulls the whole key)
-    // never generates. No shingles → no n-gram similarity defined.
+  private def bandTable(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val base = shingleBase(s, dir).filter(size(col("shingles")) > 0)
     val hashed = base.select(
       col("doc_id"),
@@ -159,12 +159,15 @@ object DedupQueries {
     val bandKeys = array((0 until Bands).map { b =>
       concat_ws("|", lit(b.toString), col(s"h${b * R}"), col(s"h${b * R + 1}"), col(s"h${b * R + 2}"))
     }: _*)
-    val bands = sigs.select(col("doc_id"), explode(bandKeys).as("band_key"))
-    val pairs = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    sigs.select(col("doc_id"), explode(bandKeys).as("band_key"))
+  }
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * the shared shingle table; keeps pairs with J ≥ 0.5.
+    */
+  private def verifyJaccard(s: org.apache.spark.sql.SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
+    val base = shingleBase(s, dir).filter(size(col("shingles")) > 0)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     pairs
       .join(base.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
@@ -173,6 +176,19 @@ object DedupQueries {
         inter.cast(DoubleType) / (size(col("sh_a")) + size(col("sh_b")) - inter))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Spark-side verified near-dup pairs (doc_a, doc_b, jaccard ≥ 0.5) —
+    * the pipeline behind dd_minhash_lsh, reused by dd_components.
+    */
+  private def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val bands = bandTable(s, dir)
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(s, dir, pairs)
   }
 
   /** MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
@@ -410,6 +426,41 @@ object DedupQueries {
         (inter.cast(DoubleType) / (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
   }
 
+  /** INCREMENTAL near-dup dedup — the shape a production ingest actually
+    * runs: a new BATCH of documents (doc_id % 5 = 0 stands in for today's
+    * arrivals) is checked against the existing CORPUS (the rest), and each
+    * batch doc that near-duplicates a corpus doc reports its keeper. The
+    * candidate join is batch-bands × corpus-bands on band_key — cost
+    * O(batch × collision rate), NOT O(corpus²) and not even O(corpus):
+    * at 100 TB the corpus band table is a precomputed lake table bucketed
+    * by band_key, so a daily batch joins against it with no corpus rescan.
+    * Oracle: the full verified-pairs CTE restricted to batch↔corpus pairs.
+    */
+  val incrLsh: QueryDef = QueryDef(
+    "dd_incr_lsh",
+    s"""WITH $PairsCteSql,
+       |cross_v AS (
+       |  SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS new_doc,
+       |         CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS corp_doc,
+       |         jaccard
+       |  FROM verified WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0))
+       |SELECT new_doc, MIN(corp_doc) AS keeper, MAX(jaccard) AS best_j,
+       |  COUNT(*) AS n_matches
+       |FROM cross_v GROUP BY new_doc""".stripMargin) { (s, dir) =>
+    val bands = bandTable(s, dir)
+    val isNew = col("doc_id") % 5 === 0
+    val cand = bands.filter(isNew).as("a")
+      .join(bands.filter(!isNew).as("b"), col("a.band_key") === col("b.band_key"))
+      // verifyJaccard's contract is doc_a < doc_b-agnostic column names;
+      // orient as (new, corpus) and restore after the verify
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(s, dir, cand)
+      .groupBy(col("doc_a").as("new_doc"))
+      .agg(min("doc_b").as("keeper"), max("jaccard").as("best_j"),
+        count(lit(1)).as("n_matches"))
+  }
+
   /** The K1-K8 WRITE PATH itself, oracle-checked: append the same batch
     * through the real DedupSink twice (the ON-CONFLICT re-ingest case) and
     * return the sink. The oracle states the postcondition in SQL: exactly
@@ -637,7 +688,7 @@ object DedupQueries {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(exact, blockPrefix, minhashLsh, ngramJaccard, components,
+    Seq(exact, blockPrefix, minhashLsh, incrLsh, ngramJaccard, components,
       componentsStar, simhash, simhashPairs, sinkIdempotence, nullKeySink,
       mergeUpsert, incrementalAgg, pointLookup, formatRoundtrip)
 }

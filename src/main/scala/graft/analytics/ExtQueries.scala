@@ -283,6 +283,37 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_in_window"))
   }
 
+  /** FULL OUTER join — the one outer-join shape j1–j4 don't cover, with
+    * genuinely unmatched rows on BOTH sides (negative-balance customers
+    * with no pending orders; pending-order customers with non-negative
+    * balance). Scale note: full outer preserves unmatched rows of both
+    * inputs, so neither side can broadcast — the honest plan is a
+    * shuffle join on the key, and that is what Catalyst picks; both
+    * inputs here are pre-aggregated/filtered so the shuffle carries the
+    * reduced sides only.
+    */
+  val fullOuter: QueryDef = QueryDef(
+    "j7_full_outer",
+    """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, c.c_name,
+      |  o.n_open, o.open_spend
+      |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal < 0) c
+      |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_open,
+      |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_spend
+      |           FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey) o
+      |  ON c.c_custkey = o.o_custkey""".stripMargin) { (s, dir) =>
+    val pending = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "P")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_open"), dsum(col("o_totalprice")).as("open_spend"))
+    val negBal = Tables.customer(s, dir)
+      .filter(col("c_acctbal") < 0)
+      .select("c_custkey", "c_name")
+    negBal.join(pending, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_open"), col("open_spend"))
+  }
+
   /** RANGE window frame (time-based trailing hour per user) — the frame is
     * defined by VALUE distance, not row count; Spark expresses it as
     * rangeBetween over an epoch-ms ordering.
@@ -326,5 +357,5 @@ object ExtQueries {
   val defs: Seq[QueryDef] = Seq(
     structArrayExtract, rollupSpend, groupingSetsAgg, distinctAgg,
     approxDistinct, quantileDisc, pivotStatus, rankFrames, asofJoin,
-    rangeJoinBucketed, rangeFrame, minMaxBy)
+    rangeJoinBucketed, fullOuter, rangeFrame, minMaxBy)
 }

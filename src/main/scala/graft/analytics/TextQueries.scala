@@ -291,7 +291,31 @@ object TextQueries {
       .select("doc_id", "score", "rank")
   }
 
+  /** Edit-distance (Levenshtein) near-dup scoring — the character-level
+    * similarity the shingle/Jaccard family can't see (transpositions,
+    * small in-word edits). Levenshtein is O(len²) per pair, so at scale it
+    * is NEVER run all-pairs: candidates come from the cheap prefix-block
+    * key (same blocking as dd_block_prefix) and the comparison is bounded
+    * to the first 120 chars — per-pair cost is a constant, total cost is
+    * Σ block² over blocks, never corpus². Both engines implement the
+    * standard unit-cost DP, identical on this ASCII corpus.
+    */
+  val editDist: QueryDef = QueryDef(
+    "tx_edit_dist",
+    """WITH blocks AS (SELECT md5(substr(text, 1, 40)) AS fp, doc_id, text FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) AS BIGINT) AS lev
+      |FROM blocks a JOIN blocks b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin) { (s, dir) =>
+    val blocks = Tables.documents(s, dir)
+      .select(md5(substring(col("text"), 1, 40)).as("fp"), col("doc_id"),
+        substring(col("text"), 1, 120).as("head"))
+    blocks.as("a")
+      .join(blocks.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.head"), col("b.head")).cast(LongType).as("lev"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(qualityScore, langId, tokenCount, fingerprint, rollingHash, sentiment,
-      corpusFilter, bm25Rank)
+      corpusFilter, bm25Rank, editDist)
 }

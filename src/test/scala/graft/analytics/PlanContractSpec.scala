@@ -114,6 +114,27 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("j7 full outer: shuffle join on the key, both sides reduced first") {
+    val p = initialPlan("j7_full_outer")
+    assert(p.contains("FullOuter"), p.take(1500))
+    // unmatched rows survive on both sides, so neither may broadcast;
+    // the aggregation on the orders side must happen BELOW the join
+    assert(!p.contains("BroadcastHashJoin"), "full outer cannot broadcast a side")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(1500))
+  }
+
+  test("incremental LSH dedup: band equi-join, never a corpus cross product") {
+    val p = initialPlan("dd_incr_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("edit distance runs only on blocked candidate pairs") {
+    val p = initialPlan("tx_edit_dist")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
   test("pagerank: contributions partial-aggregate before each shuffle") {
     val p = initialPlan("gr_pagerank")
     // every groupBy(dst) must have a map-side partial HashAggregate — the
