@@ -88,5 +88,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles"),
       unary("graft_shingles", ShingleSet(_))))
+    def binary(name: String, mk: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+      children => {
+        require(children.length == 2, s"$name takes exactly two arguments, got ${children.length}")
+        mk(children.head, children(1))
+      }
+    // Spark's own runtime-filter machinery (InjectRuntimeFilter's bloom
+    // aggregate + probe), surfaced as callable functions so the library's
+    // semi-join reduction (functions/RuntimeFilter) can apply it where the
+    // optimizer's injection heuristics decline. Analysis wraps the
+    // AggregateFunction into an AggregateExpression as for any registered
+    // aggregate.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      binary("graft_bloom_agg",
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(_, _))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      binary("graft_might_contain",
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(_, _))))
   }
 }
