@@ -13,17 +13,21 @@ import org.apache.spark.sql.expressions.Window
   *
   * Layout:
   * {{{
-  *   <path>/_manifest/v00000N.tsv  driver-written: path, minKd, maxKd, rows
-  *   <path>/data/v00000N/part-*    data files written by commit N
+  *   <path>/_manifest/v00000N.tsv   driver-written: path, minKd, maxKd, rows
+  *   <path>/data/v00000N-T/part-*   data files of commit N (T = attempt tag)
   * }}}
   * The manifest is the table: readers load exactly the files the current
   * manifest lists; data files are immutable and never deleted, so every
   * historical version stays readable (time travel) and a reader holding
   * manifest N is never broken by a concurrent commit N+1 (snapshot
-  * isolation). Commit = write data files, then write the next manifest to a
-  * temp file and atomically rename it into place — a crash before the rename
-  * leaves only unreferenced files, never a half-visible commit (the Delta
-  * transaction-log recipe, scaled down to one writer).
+  * isolation). Commit = write data files into an attempt-unique dir, then
+  * COMPARE-AND-SWAP the next manifest version into place (atomic exclusive
+  * hard-link — POSIX rename would silently overwrite a racing writer's
+  * commit). The CAS loser deletes its unreferenced files and retries
+  * against the new state, so concurrent writers serialize into sequential
+  * versions with no lost updates (ConcurrentMergeSpec); a crash before the
+  * CAS leaves only unreferenced files, never a half-visible commit (the
+  * Delta optimistic-concurrency recipe, scaled down).
   *
   * Scale: the 100-TB property is in `min_kd`/`max_kd`. Files are written
   * RANGE-CLUSTERED on `xxhash64(key)`, so each file covers a narrow slice
@@ -66,9 +70,18 @@ object MergeSink {
     }
   }
 
+  /** A concurrent writer committed this version first; the caller's
+    * attempt must be retried against the new table state.
+    */
+  final class CommitConflictException(val v: Long)
+    extends RuntimeException(s"manifest v$v was committed concurrently")
+
   private def manifestDir(path: String) = new java.io.File(path, "_manifest")
+  // attempt-unique dir: two RACING writers both target version v, and a
+  // shared per-version dir would let them clobber each other's parquet
+  // mid-write before either commit wins the CAS
   private def dataDir(path: String, v: Long) =
-    new java.io.File(new java.io.File(path, "data"), f"v$v%06d")
+    new java.io.File(new java.io.File(path, "data"), f"v$v%06d-${System.nanoTime()}")
   private def versionOf(name: String): Option[Long] =
     if (name.matches("v\\d{6}\\.tsv")) Some(name.slice(1, 7).toLong) else None
 
@@ -145,8 +158,18 @@ object MergeSink {
       .mkString("", "\n", "\n")
     java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
     val dst = new java.io.File(manifestDir(path), f"v$v%06d.tsv")
-    if (!tmp.renameTo(dst))
-      throw new IllegalStateException(s"manifest commit failed: $tmp -> $dst")
+    // Commit = COMPARE-AND-SWAP on the version file. rename() overwrites
+    // an existing destination on POSIX — two racing writers would both
+    // "succeed" and one commit would be silently lost. Hard-link creation
+    // is atomic AND exclusive: exactly one writer materializes v, the
+    // loser gets the conflict and retries against the new state.
+    try java.nio.file.Files.createLink(dst.toPath, tmp.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        tmp.delete()
+        throw new CommitConflictException(v)
+    }
+    tmp.delete(); ()
   }
 
   /** MERGE `batch` into the sink on `key`: matched sink rows are REPLACED
@@ -185,11 +208,45 @@ object MergeSink {
       .drop("__rn")
       .localCheckpoint(true)
 
+    // Optimistic concurrency: each attempt reads the current manifest,
+    // writes its data files into an attempt-unique dir, and tries to CAS
+    // the next manifest version. A lost race deletes the attempt's
+    // (unreferenced) files and re-runs against the new table state — the
+    // checkpointed batch is reused, only the merge itself re-executes.
+    var attemptDir: Option[java.io.File] = None
+    var tries = 0
+    while (tries < 8) {
+      attemptDir = None
+      try return mergeAttempt(spark, path, deduped, batch.schema, key,
+        targetFileRows, d => attemptDir = Some(d))
+      catch {
+        case _: CommitConflictException =>
+          attemptDir.foreach(rmRf)
+          tries += 1
+      }
+    }
+    throw new IllegalStateException(s"merge lost $tries commit races at $path")
+  }
+
+  private def rmRf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmRf)
+    f.delete(); ()
+  }
+
+  private def mergeAttempt(
+      spark: SparkSession,
+      path: String,
+      deduped: DataFrame,
+      batchSchema: org.apache.spark.sql.types.StructType,
+      key: Seq[String],
+      targetFileRows: Long,
+      trackDir: java.io.File => Unit): MergeResult = {
     val vs = versions(path)
     val v = vs.lastOption.getOrElse(0L) + 1
 
     def writeData(df: DataFrame, n: Long): java.io.File = {
       val dir = dataDir(path, v)
+      trackDir(dir)
       val numFiles = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt
       val keyed = df.withColumn(KD, keyDigest(key))
       // single-file rewrites (the common case for a skipped merge) don't
@@ -225,14 +282,14 @@ object MergeSink {
     // null). Shared columns must keep their type — widening/renaming is a
     // rewrite, not a merge.
     current.schema.fields.foreach { f =>
-      batch.schema.fields.find(_.name == f.name).foreach { b =>
+      batchSchema.fields.find(_.name == f.name).foreach { b =>
         require(b.dataType == f.dataType,
           s"column ${f.name}: batch type ${b.dataType} != table type ${f.dataType}")
       }
     }
     val tableSchema = org.apache.spark.sql.types.StructType(
       current.schema.fields ++
-        batch.schema.fields.filterNot(f => current.schema.fieldNames.contains(f.name)))
+        batchSchema.fields.filterNot(f => current.schema.fieldNames.contains(f.name)))
     def conform(df: DataFrame): DataFrame =
       df.select(tableSchema.fields.toSeq.map { f =>
         if (df.columns.contains(f.name)) col(f.name)
@@ -287,6 +344,23 @@ object MergeSink {
       path: String,
       key: Seq[String],
       targetFileRows: Long = 1 << 20): MergeResult = {
+    var tries = 0
+    while (tries < 8) {
+      var dir: Option[java.io.File] = None
+      try return compactAttempt(spark, path, key, targetFileRows, d => dir = Some(d))
+      catch {
+        case _: CommitConflictException => dir.foreach(rmRf); tries += 1
+      }
+    }
+    throw new IllegalStateException(s"compact lost $tries commit races at $path")
+  }
+
+  private def compactAttempt(
+      spark: SparkSession,
+      path: String,
+      key: Seq[String],
+      targetFileRows: Long,
+      trackDir: java.io.File => Unit): MergeResult = {
     val vs = versions(path)
     require(vs.nonEmpty, s"MergeSink.compact on uninitialized sink: $path")
     val v = vs.last + 1
@@ -298,6 +372,7 @@ object MergeSink {
       .parquet(small.map(f => s"$path/${f.path}"): _*)
     val n = small.map(_.rows).sum
     val dir = dataDir(path, v)
+    trackDir(dir)
     val numFiles = math.max(1L, (n + targetFileRows - 1) / targetFileRows).toInt
     rows.withColumn(KD, keyDigest(key))
       .repartitionByRange(numFiles, col(KD))
