@@ -484,10 +484,43 @@ object MergeSink {
     drop.foreach { v =>
       new java.io.File(manifestDir(path), f"v$v%06d.tsv").delete()
     }
-    // prune now-empty data/vNNNNNN dirs
+    // prune now-empty data/vNNNNNN-T dirs
     Option(new java.io.File(path, "data").listFiles()).toSeq.flatten
       .filter(d => d.isDirectory && Option(d.listFiles()).exists(_.isEmpty))
       .foreach(_.delete())
+    deleted
+  }
+
+  /** Reclaim ORPHANS: data files no manifest at all references — the
+    * leftovers of crashed commit attempts (a CAS loser cleans up after
+    * itself, a killed process cannot). Age-gated like Delta's VACUUM
+    * retention: an attempt younger than `olderThanMs` may belong to an
+    * in-flight commit whose manifest hasn't won the CAS yet, so it is
+    * never touched — at the default 24 h horizon a racing writer would
+    * have to stall a full day between writing files and committing for
+    * the sweep to break it. Returns files deleted.
+    */
+  def vacuumOrphans(path: String, olderThanMs: Long = 24L * 3600 * 1000): Long = {
+    val vs = versions(path)
+    require(vs.nonEmpty, s"MergeSink.vacuumOrphans on uninitialized sink: $path")
+    val referenced = vs.flatMap(v => readManifest(path, v).files.map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var deleted = 0L
+    // attempt-DIR granularity: a committed dir has manifest-referenced
+    // parquet next to unreferenced bookkeeping files (_SUCCESS, .crc) that
+    // must not be swept; an orphaned attempt dir references nothing at all
+    Option(new java.io.File(path, "data").listFiles()).toSeq.flatten
+      .filter(_.isDirectory)
+      .foreach { dir =>
+        val files = Option(dir.listFiles()).toSeq.flatten.filter(_.isFile)
+        val anyReferenced =
+          files.exists(f => referenced.contains(s"data/${dir.getName}/${f.getName}"))
+        val allOld = files.forall(_.lastModified() < cutoff)
+        if (files.nonEmpty && !anyReferenced && allOld) {
+          deleted += files.size.toLong
+          rmRf(dir)
+        }
+      }
     deleted
   }
 }

@@ -177,6 +177,28 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(reVacuum == 0, "vacuum is idempotent")
   }
 
+  test("vacuumOrphans: crashed-attempt dirs reclaimed, live and fresh dirs kept") {
+    val path = tmp()
+    MergeSink.merge(spark, path, Seq((1L, "a")).toDF("id", "payload"),
+      Seq("id"), Seq(col("id")))
+    // simulate a crashed commit attempt: a data dir no manifest references
+    val orphan = new java.io.File(s"$path/data/v000002-99999")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(orphan, "part-00000.parquet").toPath, "dead")
+
+    // age-gated: a fresh orphan (possible in-flight commit) is untouched
+    assert(MergeSink.vacuumOrphans(path) == 0)
+    assert(orphan.exists())
+    // past the horizon it is reclaimed; the committed dir survives
+    // (negative retention puts the cutoff in the future — "everything is
+    // old" — avoiding mtime-granularity flakiness a 0 ms horizon has)
+    assert(MergeSink.vacuumOrphans(path, olderThanMs = -60000) == 1)
+    assert(!orphan.exists())
+    assert(content(path) == Set((1L, "a")))
+    assert(MergeSink.vacuumOrphans(path, olderThanMs = -60000) == 0, "idempotent")
+  }
+
   test("null key members merge null-safely") {
     val path = tmp()
     val base = Seq((Option(1L), "a"), (Option.empty[Long], "n")).toDF("id", "payload")
