@@ -101,5 +101,45 @@ object GraphQueries {
       .select("node", "rank", "pos")
   }
 
+  /** Triangle count via DEGREE-ORIENTED wedge joins (the MapReduce-classic
+    * from Suri & Vassilvitskii's "Counting Triangles and the Curse of the
+    * Last Reducer", WWW'11). Orienting every undirected edge from its
+    * lower-(degree, id) endpoint to the higher bounds each node's
+    * out-degree by O(√m), so the wedge self-join materializes
+    * Σ outdeg² = O(m^1.5) candidate wedges — a plain self-join on the
+    * undirected edge set would blow up on exactly the high-degree nodes a
+    * social graph always has (the "last reducer"). Each wedge (a→b, a→c)
+    * closes iff {b,c} is an edge; the closing probe joins against the
+    * canonical (min,max) edge table. Input: any DataFrame with two
+    * numeric endpoint columns; self-loops and duplicate/reverse edges are
+    * normalized away. Returns a 1-row (n_triangles) frame.
+    * `TriangleSpec` proves equality with the brute-force u<v<w 3-join.
+    */
+  def triangleCount(edges: DataFrame, u: String, v: String): DataFrame = {
+    val und = edges
+      .select(least(col(u), col(v)).as("u"), greatest(col(u), col(v)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("n"))
+      .unionByName(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("u"), col("e2.dst").as("v")) // u < v: canonical
+    wedges.join(und, Seq("u", "v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   val defs: Seq[QueryDef] = Seq(pagerank)
 }
