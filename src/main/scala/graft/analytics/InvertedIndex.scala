@@ -1,0 +1,82 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Norm
+import graft.ingest.MergeSink
+
+/** Inverted text index AS A MergeSink TABLE — retrieval composed from the
+  * lakehouse primitives instead of a bespoke index format: one row per
+  * term holding its sorted posting list, range-clustered on
+  * xxhash64(term) like any MergeSink table. Every index capability is
+  * inherited rather than re-implemented:
+  *
+  *  - term lookup   = MergeSink.pointRead → manifest interval prune →
+  *                    O(1) files read at any index size;
+  *  - AND query     = posting-list intersection of the pruned lookups;
+  *  - incremental   = read ONLY the batch's terms' current postings
+  *    update          (pruned), union the new doc ids, MERGE — cost
+  *                    O(terms touched by the batch), never O(index);
+  *  - versioning / time travel / compaction / vacuum = MergeSink's.
+  *
+  * Tokenization is Norm.cleanText + whitespace split (the corpus
+  * contract shared with the tx_* tier). `InvertedIndexSpec` proves
+  * lookups and AND queries equal direct corpus scans, and that
+  * incremental build ≡ full rebuild.
+  */
+object InvertedIndex {
+
+  private def postingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(Norm.cleanText(col("text")), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(sort_array(collect_set(col("doc_id"))).as("postings"))
+
+  /** Full build: one scan of `docs` (doc_id, text) → term rows → MERGE. */
+  def build(spark: SparkSession, path: String, docs: DataFrame,
+      targetFileRows: Long = 4096): Unit = {
+    MergeSink.merge(spark, path, postingsOf(docs),
+      Seq("term"), Seq(col("term")), targetFileRows)
+    ()
+  }
+
+  /** Incremental update: only the batch's terms are read (each a pruned
+    * point-range read through the manifest) and rewritten with the new
+    * doc ids unioned in. Cost scales with the batch's vocabulary, not
+    * the index.
+    */
+  def addDocs(spark: SparkSession, path: String, docs: DataFrame,
+      targetFileRows: Long = 4096): Unit = {
+    val fresh = postingsOf(docs)
+    // pruned read-for-update: only files overlapping the batch's term
+    // digests are opened (O(batch vocabulary), not O(index))
+    val existing = MergeSink.readOverlapping(spark, path, fresh.select("term"), Seq("term"))
+      .join(fresh.select("term"), Seq("term"), "left_semi")
+      .select(col("term"), col("postings").as("old"))
+    val combined = fresh
+      .join(existing, Seq("term"), "left")
+      .select(col("term"),
+        // typedLit keeps the element type ArrayType(Long, containsNull =
+        // false) — an untyped array() literal widens nullability and the
+        // merge's schema-compatibility check rightly rejects the drift
+        sort_array(array_distinct(concat(
+          coalesce(col("old"), typedLit(Array.empty[Long])), col("postings")))).as("postings"))
+    MergeSink.merge(spark, path, combined, Seq("term"), Seq(col("term")), targetFileRows)
+    ()
+  }
+
+  /** Posting list of one term: O(1) files via the manifest. */
+  def lookup(spark: SparkSession, path: String, term: String): DataFrame =
+    MergeSink.pointRead(spark, path, Seq("term"), Seq(term))
+
+  /** Documents containing ALL `terms` (conjunctive query): intersect the
+    * pruned posting lists.
+    */
+  def andQuery(spark: SparkSession, path: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "andQuery needs at least one term")
+    terms.map(t => lookup(spark, path, t)
+      .select(explode(col("postings")).as("doc_id")))
+      .reduce(_.intersect(_))
+  }
+}

@@ -280,10 +280,29 @@ object MergeSink {
     // Schema evolution: the table schema is the current schema plus any
     // NEW batch columns appended (rows that predate a column read back as
     // null). Shared columns must keep their type — widening/renaming is a
-    // rewrite, not a merge.
+    // rewrite, not a merge. Nullability is NOT type drift: a parquet
+    // read-back widens array-element/struct-field nullability flags, so a
+    // read-modify-write batch (e.g. the inverted index unioning posting
+    // lists) would spuriously fail an exact compare — Delta's merge
+    // ignores nullability for the same reason; the table keeps its
+    // declared flags and parquet stores either fine.
+    def sameTypeIgnoringNullability(a: org.apache.spark.sql.types.DataType,
+        b: org.apache.spark.sql.types.DataType): Boolean = (a, b) match {
+      case (x: org.apache.spark.sql.types.ArrayType, y: org.apache.spark.sql.types.ArrayType) =>
+        sameTypeIgnoringNullability(x.elementType, y.elementType)
+      case (x: org.apache.spark.sql.types.StructType, y: org.apache.spark.sql.types.StructType) =>
+        x.fields.length == y.fields.length &&
+          x.fields.zip(y.fields).forall { case (fa, fb) =>
+            fa.name == fb.name && sameTypeIgnoringNullability(fa.dataType, fb.dataType)
+          }
+      case (x: org.apache.spark.sql.types.MapType, y: org.apache.spark.sql.types.MapType) =>
+        sameTypeIgnoringNullability(x.keyType, y.keyType) &&
+          sameTypeIgnoringNullability(x.valueType, y.valueType)
+      case _ => a == b
+    }
     current.schema.fields.foreach { f =>
       batchSchema.fields.find(_.name == f.name).foreach { b =>
-        require(b.dataType == f.dataType,
+        require(sameTypeIgnoringNullability(b.dataType, f.dataType),
           s"column ${f.name}: batch type ${b.dataType} != table type ${f.dataType}")
       }
     }
@@ -394,6 +413,27 @@ object MergeSink {
     * the same xxhash64 column path as [[merge]] — one 1-row job, no
     * reimplementation that could drift.
     */
+  /** Rows from ONLY the files whose key-hash range overlaps the digests
+    * of `keys` — the read-for-update companion of merge's file skipping:
+    * a caller that must see the current rows for a batch of keys (e.g.
+    * the inverted index unioning posting lists) pays O(files the batch
+    * touches), never O(table). Returns a superset restricted to those
+    * files; join/filter for exactness.
+    */
+  def readOverlapping(spark: SparkSession, path: String, keys: DataFrame,
+      key: Seq[String]): DataFrame = {
+    val vs = versions(path)
+    require(vs.nonEmpty, s"MergeSink.readOverlapping on uninitialized sink: $path")
+    val m = readManifest(path, vs.last)
+    val batchBuckets = keys
+      .select(shiftright(keyDigest(key), 48).as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val hit = m.files.filter(_.overlaps(batchBuckets))
+    if (hit.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else spark.read.schema(m.schema).parquet(hit.map(f => s"$path/${f.path}"): _*)
+  }
+
   def pointRead(spark: SparkSession, path: String, key: Seq[String],
                 values: Seq[Any], version: Option[Long] = None): DataFrame = {
     val vs = versions(path)

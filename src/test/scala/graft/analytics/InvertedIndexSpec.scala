@@ -1,0 +1,68 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{Tables, TestSpark}
+import graft.functions.Norm
+
+/** Inverted index (E49): lookups and conjunctive queries must equal
+  * direct corpus scans, and incremental build must equal full rebuild —
+  * with the incremental update reading only the batch's term files.
+  */
+class InvertedIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = Tables.documents(spark, sf).select("doc_id", "text")
+
+  // ground truth: docs whose cleaned token set contains `term`
+  private def docsWith(term: String): Set[Long] =
+    docs.select(col("doc_id"),
+      split(Norm.cleanText(col("text")), " ").as("toks"))
+      .where(array_contains(col("toks"), term))
+      .collect().map(_.getLong(0)).toSet
+
+  test("term lookup and AND query equal direct corpus scans") {
+    val base = java.nio.file.Files.createTempDirectory("graft_invidx").toFile
+    val path = s"${base.getPath}/idx"
+    try {
+      InvertedIndex.build(spark, path, docs)
+      // a frequent and a rarer term from the shared synthetic vocabulary
+      val Seq(t1, t2) = Seq("the", "data")
+      val p1 = InvertedIndex.lookup(spark, path, t1)
+        .select(explode(col("postings"))).collect().map(_.getLong(0)).toSet
+      assert(p1 === docsWith(t1), s"postings($t1) diverge from the corpus")
+
+      val both = InvertedIndex.andQuery(spark, path, Seq(t1, t2))
+        .collect().map(_.getLong(0)).toSet
+      assert(both === (docsWith(t1) intersect docsWith(t2)))
+
+      val missing = InvertedIndex.lookup(spark, path, "zzz_not_a_term")
+      assert(missing.count() === 0)
+    } finally rm(base)
+  }
+
+  test("incremental build equals full rebuild") {
+    val base = java.nio.file.Files.createTempDirectory("graft_invidx2").toFile
+    val full = s"${base.getPath}/full"
+    val incr = s"${base.getPath}/incr"
+    try {
+      InvertedIndex.build(spark, full, docs)
+      InvertedIndex.build(spark, incr, docs.filter(col("doc_id") % 5 =!= 0))
+      InvertedIndex.addDocs(spark, incr, docs.filter(col("doc_id") % 5 === 0))
+
+      val a = graft.ingest.MergeSink.read(spark, full)
+        .select(col("term"), col("postings").cast("string").as("p"))
+      val b = graft.ingest.MergeSink.read(spark, incr)
+        .select(col("term"), col("postings").cast("string").as("p"))
+      assert(a.count() === b.count())
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "incrementally-built index diverges from full rebuild")
+    } finally rm(base)
+  }
+
+  private def rm(x: java.io.File): Unit = {
+    if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
+    x.delete(); ()
+  }
+}

@@ -65,4 +65,25 @@ class SketchSpec extends AnyFunSuite {
         s"merged CMS diverges from whole-table CMS at uid=$uid")
     }
   }
+
+  test("approx_percentile: rank-error bound holds at any partitioning") {
+    // the quantile sketch (Greenwald-Khanna): the estimate's RANK is
+    // within accuracy⁻¹ relative rank error of the target — and the bound
+    // must survive repartitioning, because at scale the sketch is always
+    // built from merged per-partition partials
+    val acc = 100 // rank error <= n/acc
+    val vals = Tables.events(spark, sf).select("value")
+    val n = vals.count()
+    val sorted = vals.orderBy("value").collect().map(_.getDouble(0))
+    Seq(1, 7, 32).foreach { parts =>
+      val est = vals.repartition(parts)
+        .agg(percentile_approx(col("value"), lit(0.5), lit(acc)))
+        .head().getDouble(0)
+      // rank of the estimate in the sorted data
+      val rank = sorted.count(_ <= est).toLong
+      val err = math.abs(rank - n / 2)
+      assert(err <= n / acc + 1,
+        s"parts=$parts: p50 est=$est rank=$rank target=${n / 2} err=$err bound=${n / acc}")
+    }
+  }
 }
