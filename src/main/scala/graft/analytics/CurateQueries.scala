@@ -211,5 +211,25 @@ object CurateQueries {
     assign(c2).select(col("vec_id"), col("cid").as("cluster"))
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis A-ES): each row gets the sort key -ln(u)/w with u a
+    * hash-derived uniform in (0,1] and w its weight; the k SMALLEST keys
+    * are a weighted sample without replacement. No RNG anywhere — u comes
+    * from xxhash64(id), so the sample is a pure function of the data (the
+    * same reproducibility contract as cu_split_stratified's md5 ranking:
+    * re-running the pipeline, at any partitioning, picks the same rows).
+    * Scale: one scan + a TakeOrdered top-k — no shuffle beyond the k-row
+    * reduction; the id column must be unique (it is the tiebreak too).
+    */
+  def weightedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+      weightCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val M = 1 << 20
+    val u = (pmod(xxhash64(col(idCol)), lit(M)) + 1).cast("double") / lit((M + 1).toDouble)
+    df.withColumn("__es_key", -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__es_key"), col(idCol))
+      .limit(k)
+      .drop("__es_key")
+  }
+
   val defs: Seq[QueryDef] = Seq(splitStratified, piiRedact, packChunks, kmeans)
 }
