@@ -141,5 +141,26 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Global clustering coefficient: 3·triangles / wedges, with wedges =
+    * Σ C(deg(v), 2) — one degree aggregation, no join beyond
+    * triangleCount's own. The 1-row outputs cross-join (both sides are
+    * scalars; the "cartesian" is 1×1 by construction).
+    */
+  def clusteringCoefficient(edges: DataFrame, u: String, v: String): DataFrame = {
+    val und = edges
+      .select(least(col(u), col(v)).as("u"), greatest(col(u), col(v)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val wedges = und.select(col("u").as("n"))
+      .unionByName(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    triangleCount(und, "u", "v").crossJoin(wedges)
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .as("coefficient"))
+  }
+
   val defs: Seq[QueryDef] = Seq(pagerank)
 }

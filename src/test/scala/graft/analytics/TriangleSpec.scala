@@ -37,6 +37,19 @@ class TriangleSpec extends AnyFunSuite {
     assert(fast > 0, "degenerate test graph: no triangles")
   }
 
+  test("clustering coefficient equals the local recompute") {
+    val edges = graph.localCheckpoint(true)
+    val row = GraphQueries.clusteringCoefficient(edges, "a", "b").head()
+    val (tri, wedges, coef) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+
+    val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = pairs.flatMap(p => Seq(p._1, p._2)).groupBy(identity).map(_._2.length.toLong)
+    val localWedges = deg.map(d => d * (d - 1) / 2).sum
+    assert(wedges === localWedges)
+    assert(coef === 3.0 * tri / wedges)
+    assert(coef > 0.0 && coef < 1.0)
+  }
+
   test("self-loops, duplicate and reversed edges do not change the count") {
     val edges = graph
     val noisy = edges
