@@ -38,6 +38,16 @@ object Sessions {
       // custom Catalyst expressions (graft_rolling_hash, …)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Survive host-level stalls: round 4's driver bench died in a
+      // heartbeat-timeout cascade ("Cannot receive any reply in 10000 ms",
+      // rc=124) when the VM was IO-throttled. A single-JVM local master
+      // gains nothing from 10 s liveness detection — widen the windows so
+      // a multi-second GC/IO pause degrades throughput instead of killing
+      // the executor RPC loop. (heartbeatInterval must stay < network
+      // timeout; 60 s vs 600 s.)
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.rpc.askTimeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

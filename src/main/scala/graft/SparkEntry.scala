@@ -33,4 +33,40 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     allDefs.collect { case QueryDef(n, Some(sql), _) => n -> sql }.toMap
+
+  /** Headline benchmark set — one-to-two representatives per tier, chosen
+    * so the bench (a) covers every operator family, (b) finishes well
+    * inside the driver's run budget on a throttled host, and (c) emits a
+    * JSON line that fits the 2000-char stdout capture tail. The FULL
+    * 82-query surface is exercised by Verify (the correctness gate) and
+    * the ScalaTest suite; the bench's job is comparable throughput
+    * numbers, and 82 compact entries (~1972 chars) cannot fit the tail
+    * once sbt's trailing `[success]` line is accounted for — rounds 2–4
+    * all lost their numbers to exactly that.
+    */
+  def benchQueries: Seq[String] = Seq(
+    // scans / filters / sinks / watermarks (ingest spine)
+    "s1_f1_new_keys_anti", "s2_f2_stale_keys",
+    "k1_sink_idempotence", "k10_merge_upsert", "k13_point_lookup",
+    // projections / explodes / json
+    "p2_struct_array_extract", "p4_string_surface", "p14_json_props",
+    "x1_concat_explode",
+    // aggregation
+    "a1_batch_counts", "a3_rollup_spend", "a7_approx_distinct",
+    "tpch_q1_pricing_summary",
+    // joins / set-ops / limits / windows
+    "j1_broadcast_enrich", "j2_star_join_revenue", "j5_asof_join",
+    "j6_range_join_bucketed", "l3_topk_per_group", "u1_union_dedup_cap",
+    "w1_running_total", "w4_range_frame",
+    // dedup family
+    "dd_exact", "dd_minhash_lsh", "dd_components_star",
+    "dd_embed_cosine", "dd_incr_lsh",
+    // similarity search
+    "ann_lsh_topk", "ann_ivf_topk",
+    // text analysis
+    "tx_bm25_rank", "tx_lang_id", "tx_token_count",
+    // events / streaming
+    "ev_sessionize", "ev_tumbling_window", "ev_stream_exactly_once",
+    // multimodal / curation / graph
+    "mm_byte_histogram", "cu_pack_chunks", "gr_pagerank")
 }

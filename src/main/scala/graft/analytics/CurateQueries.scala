@@ -225,7 +225,13 @@ object CurateQueries {
       weightCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     val M = 1 << 20
     val u = (pmod(xxhash64(col(idCol)), lit(M)) + 1).cast("double") / lit((M + 1).toDouble)
-    df.withColumn("__es_key", -log(u) / col(weightCol).cast("double"))
+    // Only strictly-positive finite weights participate: a NULL weight
+    // yields a NULL sort key (ascending = NULLS FIRST, so nulls would
+    // silently dominate the sample), w=0 gives -ln(u)/0 ∈ {NaN, +Inf},
+    // and w<0 sorts BEFORE every valid row. A-ES is only defined for
+    // w > 0, so rows outside that domain are excluded, not reordered.
+    df.where(col(weightCol).isNotNull && col(weightCol).cast("double") > 0.0)
+      .withColumn("__es_key", -log(u) / col(weightCol).cast("double"))
       .orderBy(col("__es_key"), col(idCol))
       .limit(k)
       .drop("__es_key")

@@ -626,6 +626,32 @@ object DedupQueries {
       .reduce(_ unionByName _)
   }
 
+  /** K14: row-level DELETE on the versioned sink — the DML verb the
+    * reference's DB layer gets from SQL `DELETE` and a parquet-append
+    * sink cannot express at all. Copy-on-write rewrite of ONLY the files
+    * whose key-hash range overlaps the delete set (MergeSinkSpec asserts
+    * the skipped-file count); the re-delete proves content idempotence;
+    * old versions retain the rows (time travel). The oracle states the
+    * end state declaratively: base rows minus the deleted keys.
+    */
+  val deleteRows: QueryDef = QueryDef(
+    "k14_delete",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderkey % 3 <> 0""".stripMargin) { (s, dir) =>
+    val sink = s"${Staging.freshBase("graft_k14", dir).getPath}/sink"
+    val key = Seq("o_orderkey")
+    val base = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    // ~8 range-clustered files so the delete's file skipping is a real
+    // subset, same sizing as k13's pruned lookup
+    MergeSink.merge(s, sink, base, key, Seq(col("o_orderkey")),
+      targetFileRows = 2048)
+    val doomed = base.filter(col("o_orderkey") % 3 === 0).select("o_orderkey")
+    MergeSink.delete(s, sink, doomed, key, targetFileRows = 2048)
+    MergeSink.delete(s, sink, doomed, key, targetFileRows = 2048) // content no-op
+    MergeSink.read(s, sink)
+  }
+
   /** K11: sink/source format surface beyond parquet — the same rows
     * roundtrip through ORC (columnar, built-in) and then CSV (text, with
     * an explicit read schema), and the final read must equal the source
@@ -690,5 +716,5 @@ object DedupQueries {
   val defs: Seq[QueryDef] =
     Seq(exact, blockPrefix, minhashLsh, incrLsh, ngramJaccard, components,
       componentsStar, simhash, simhashPairs, sinkIdempotence, nullKeySink,
-      mergeUpsert, incrementalAgg, pointLookup, formatRoundtrip)
+      mergeUpsert, incrementalAgg, pointLookup, deleteRows, formatRoundtrip)
 }

@@ -34,8 +34,15 @@ object GraphQueries {
 
   val pagerank: QueryDef = QueryDef(
     "gr_pagerank", {
+      // AS MATERIALIZED on every CTE: DuckDB inlines single-reference
+      // CTEs, so the unrolled r1→r2→r3 chain otherwise expands into a
+      // nested join tree that re-derives sym/deg at every level — measured
+      // >90 s (vs 1.4 s materialized) at sf0.01, and it single-handedly
+      // blew the round-4 driver's correctness budget. Materialization
+      // evaluates each iteration exactly once, like the Spark side's
+      // persisted sym/deg.
       val iter = (i: Int) =>
-        s"""r$i AS (
+        s"""r$i AS MATERIALIZED (
            |  SELECT e.dst AS node,
            |    (1.0e0 - ${Damping}e0) / s.n + ${Damping}e0 *
            |      (CAST(SUM(CAST(floor((r${i - 1}.rank / d2.deg) * 1.0e15) AS BIGINT))
@@ -45,13 +52,13 @@ object GraphQueries {
            |  JOIN deg d2 ON d2.node = e.src
            |  CROSS JOIN stats s
            |  GROUP BY e.dst, s.n)""".stripMargin
-      s"""WITH edges AS (
+      s"""WITH edges AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
          |  FROM lineitem),
-         |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
-         |deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
-         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
-         |r0 AS (SELECT node, 1.0e0 / s.n AS rank FROM deg CROSS JOIN stats s),
+         |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+         |deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
+         |stats AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+         |r0 AS MATERIALIZED (SELECT node, 1.0e0 / s.n AS rank FROM deg CROSS JOIN stats s),
          |${iter(1)}, ${iter(2)}, ${iter(3)}
          |SELECT node, rank, pos FROM (
          |  SELECT node, rank,

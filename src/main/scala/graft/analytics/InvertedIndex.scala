@@ -45,25 +45,46 @@ object InvertedIndex {
     * point-range read through the manifest) and rewritten with the new
     * doc ids unioned in. Cost scales with the batch's vocabulary, not
     * the index.
+    *
+    * Concurrency: this is a read-modify-write, and MergeSink's CAS only
+    * serializes the WRITES — a racing addDocs could commit between our
+    * postings read and our commit, and re-merging our (now stale) combined
+    * batch would drop its doc ids. So the read version is pinned via
+    * merge's `expectedVersion`: any advance past it ABORTS the merge
+    * before commit (ReadConflictException) and the whole
+    * read-combine-merge retries against the new state (optimistic
+    * read-set validation — the same loop Delta's OCC runs when a
+    * conflicting transaction commits first).
     */
   def addDocs(spark: SparkSession, path: String, docs: DataFrame,
-      targetFileRows: Long = 4096): Unit = {
-    val fresh = postingsOf(docs)
-    // pruned read-for-update: only files overlapping the batch's term
-    // digests are opened (O(batch vocabulary), not O(index))
-    val existing = MergeSink.readOverlapping(spark, path, fresh.select("term"), Seq("term"))
-      .join(fresh.select("term"), Seq("term"), "left_semi")
-      .select(col("term"), col("postings").as("old"))
-    val combined = fresh
-      .join(existing, Seq("term"), "left")
-      .select(col("term"),
-        // typedLit keeps the element type ArrayType(Long, containsNull =
-        // false) — an untyped array() literal widens nullability and the
-        // merge's schema-compatibility check rightly rejects the drift
-        sort_array(array_distinct(concat(
-          coalesce(col("old"), typedLit(Array.empty[Long])), col("postings")))).as("postings"))
-    MergeSink.merge(spark, path, combined, Seq("term"), Seq(col("term")), targetFileRows)
-    ()
+      targetFileRows: Long = 4096, maxRetries: Int = 8): Unit = {
+    // materialized once: every validate-retry reuses the batch postings,
+    // only the read-combine-merge re-executes
+    val fresh = postingsOf(docs).localCheckpoint(true)
+    var tries = 0
+    while (tries < maxRetries) {
+      val readV = MergeSink.versions(path).last
+      // pruned read-for-update: only files overlapping the batch's term
+      // digests are opened (O(batch vocabulary), not O(index))
+      val existing = MergeSink.readOverlapping(spark, path, fresh.select("term"), Seq("term"))
+        .join(fresh.select("term"), Seq("term"), "left_semi")
+        .select(col("term"), col("postings").as("old"))
+      val combined = fresh
+        .join(existing, Seq("term"), "left")
+        .select(col("term"),
+          // typedLit keeps the element type ArrayType(Long, containsNull =
+          // false) — an untyped array() literal widens nullability and the
+          // merge's schema-compatibility check rightly rejects the drift
+          sort_array(array_distinct(concat(
+            coalesce(col("old"), typedLit(Array.empty[Long])), col("postings")))).as("postings"))
+      try {
+        MergeSink.merge(spark, path, combined, Seq("term"), Seq(col("term")),
+          targetFileRows, expectedVersion = Some(readV))
+        return
+      } catch { case _: MergeSink.ReadConflictException => tries += 1 }
+    }
+    throw new IllegalStateException(
+      s"addDocs lost $tries read-validate races at $path")
   }
 
   /** Posting list of one term: O(1) files via the manifest. */

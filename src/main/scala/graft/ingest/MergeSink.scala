@@ -76,6 +76,16 @@ object MergeSink {
   final class CommitConflictException(val v: Long)
     extends RuntimeException(s"manifest v$v was committed concurrently")
 
+  /** The table advanced past the version a read-modify-write caller
+    * pinned with `expectedVersion` — its read set may be stale, so the
+    * merge was ABORTED (nothing committed). The caller must re-read and
+    * re-derive its batch (Delta-style OCC read-set conflict, surfaced
+    * instead of silently re-merging stale data).
+    */
+  final class ReadConflictException(val expected: Long, val actual: Long)
+    extends RuntimeException(
+      s"table advanced to v$actual since pinned read v$expected; re-read required")
+
   private def manifestDir(path: String) = new java.io.File(path, "_manifest")
   // attempt-unique dir: two RACING writers both target version v, and a
   // shared per-version dir would let them clobber each other's parquet
@@ -191,7 +201,8 @@ object MergeSink {
       batch: DataFrame,
       key: Seq[String],
       tiebreak: Seq[Column],
-      targetFileRows: Long = 1 << 20): MergeResult = {
+      targetFileRows: Long = 1 << 20,
+      expectedVersion: Option[Long] = None): MergeResult = {
     val keySet = key.toSet
     val rest = batch.columns.filterNot(keySet).map(col(_).asc_nulls_last).toSeq
     val w = Window.partitionBy(key.map(col): _*)
@@ -217,11 +228,25 @@ object MergeSink {
     var tries = 0
     while (tries < 8) {
       attemptDir = None
+      // read-set validation for read-modify-write callers: if the caller
+      // pinned the version its batch was derived FROM, any advance past it
+      // means the batch may be stale — abort (nothing committed yet; the
+      // CAS hasn't run) instead of merging stale data. Plain writers whose
+      // batch is self-contained leave expectedVersion empty and keep the
+      // silent-retry behavior.
+      expectedVersion.foreach { e =>
+        val cur = versions(path).lastOption.getOrElse(0L)
+        if (cur != e) throw new ReadConflictException(e, cur)
+      }
       try return mergeAttempt(spark, path, deduped, batch.schema, key,
         targetFileRows, d => attemptDir = Some(d))
       catch {
-        case _: CommitConflictException =>
+        case c: CommitConflictException =>
           attemptDir.foreach(rmRf)
+          // a lost CAS with a pinned read IS a read conflict: the winner
+          // committed after our read, so re-merging here would be the
+          // exact lost-update this parameter exists to prevent
+          expectedVersion.foreach(e => throw new ReadConflictException(e, c.v))
           tries += 1
       }
     }
@@ -347,6 +372,95 @@ object MergeSink {
     val matched = touchedTotal + batchCount - newStats.map(_.rows).sum
     writeManifest(path, v, tableSchema, untouched ++ newStats)
     MergeResult(v, inserted = batchCount - matched, updated = matched,
+      filesRewritten = touched.size.toLong, filesSkipped = untouched.size.toLong)
+  }
+
+  /** Row-level DELETE — the third DML verb next to merge (upsert) and
+    * compact: rows whose key matches any row of `keys` are removed, by
+    * copy-on-write rewrite of ONLY the files whose key-hash range overlaps
+    * the delete set (the same file skipping as merge: cost is
+    * O(delete set + touched files), never O(table)). NULL key members
+    * compare null-safely, matching merge. Old versions keep the deleted
+    * rows (time travel); re-deleting the same keys is a content no-op.
+    * `expectedVersion` gives read-modify-write callers the same OCC
+    * read-set validation as merge. Returns `updated` = rows deleted.
+    */
+  def delete(
+      spark: SparkSession,
+      path: String,
+      keys: DataFrame,
+      key: Seq[String],
+      targetFileRows: Long = 1 << 20,
+      expectedVersion: Option[Long] = None): MergeResult = {
+    // one deterministic row per key tuple; checkpoint for the same reason
+    // as merge's batch (bucket summary + rewrite both consume it, and the
+    // caller's plan may read the sink being committed to)
+    val keyRows = keys.select(key.map(col): _*).distinct().localCheckpoint(true)
+    var attemptDir: Option[java.io.File] = None
+    var tries = 0
+    while (tries < 8) {
+      attemptDir = None
+      expectedVersion.foreach { e =>
+        val cur = versions(path).lastOption.getOrElse(0L)
+        if (cur != e) throw new ReadConflictException(e, cur)
+      }
+      try return deleteAttempt(spark, path, keyRows, key, targetFileRows,
+        d => attemptDir = Some(d))
+      catch {
+        case c: CommitConflictException =>
+          attemptDir.foreach(rmRf)
+          expectedVersion.foreach(e => throw new ReadConflictException(e, c.v))
+          tries += 1
+      }
+    }
+    throw new IllegalStateException(s"delete lost $tries commit races at $path")
+  }
+
+  private def deleteAttempt(
+      spark: SparkSession,
+      path: String,
+      keyRows: DataFrame,
+      key: Seq[String],
+      targetFileRows: Long,
+      trackDir: java.io.File => Unit): MergeResult = {
+    val vs = versions(path)
+    require(vs.nonEmpty, s"MergeSink.delete on uninitialized sink: $path")
+    val v = vs.last + 1
+    val current = readManifest(path, v - 1)
+    val batchBuckets = keyRows
+      .select(shiftright(keyDigest(key), 48).as("b"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (batchBuckets.isEmpty)
+      return MergeResult(v - 1, 0, 0, 0, current.files.size.toLong)
+    val (touched, untouched) = current.files.partition(_.overlaps(batchBuckets))
+    if (touched.isEmpty)
+      return MergeResult(v - 1, 0, 0, 0, current.files.size.toLong)
+    val touchedRows = spark.read.schema(current.schema)
+      .parquet(touched.map(f => s"$path/${f.path}"): _*)
+    val cond = key.map(k => touchedRows(k) <=> keyRows(k)).reduce(_ && _)
+    val survivors = touchedRows.join(keyRows, cond, "left_anti")
+    val touchedTotal = touched.map(_.rows).sum
+
+    val dir = dataDir(path, v)
+    trackDir(dir)
+    val numFiles = math.max(1L, (touchedTotal + targetFileRows - 1) / targetFileRows).toInt
+    val keyed = survivors.withColumn(KD, keyDigest(key))
+    val clustered =
+      if (numFiles == 1) keyed.repartition(1).sortWithinPartitions(KD).drop(KD)
+      else keyed.repartitionByRange(numFiles, col(KD)).sortWithinPartitions(KD).drop(KD)
+    clustered.write.mode("overwrite").parquet(dir.getPath)
+    var newStats = statsOf(spark, path, dir, key)
+    if (newStats.isEmpty && untouched.isEmpty) {
+      // deleted everything: keep one empty schema-bearing seed file so the
+      // table stays readable (first-commit convention, interval [0,-1])
+      val rel = dir.getPath.stripPrefix(path).stripPrefix("/")
+      val one = Option(dir.listFiles()).toSeq.flatten
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getName).sorted
+      newStats = one.take(1).map(f => FileStat(s"$rel/$f", 0L, -1L, 0L))
+    }
+    val deleted = touchedTotal - newStats.map(_.rows).sum
+    writeManifest(path, v, current.schema, untouched ++ newStats)
+    MergeResult(v, inserted = 0, updated = deleted,
       filesRewritten = touched.size.toLong, filesSkipped = untouched.size.toLong)
   }
 
@@ -561,6 +675,13 @@ object MergeSink {
           rmRf(dir)
         }
       }
+    // .tmp-v* manifest temp files: a crash between writing the temp and
+    // createLink/delete leaves them forever (versionOf ignores them, so no
+    // reader breaks — but nothing else ever reclaims them). Same age gate
+    // as data orphans: a young temp may belong to an in-flight commit.
+    Option(manifestDir(path).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith(".tmp-v") && f.lastModified() < cutoff)
+      .foreach { f => if (f.delete()) deleted += 1 }
     deleted
   }
 }

@@ -59,7 +59,18 @@ object ZOrderLayout {
       zorder: Boolean = true): Unit = {
     val mm = df.agg(min(col(dim1)).cast(DoubleType), max(col(dim1)).cast(DoubleType),
       min(col(dim2)).cast(DoubleType), max(col(dim2)).cast(DoubleType)).head()
+    // min/max are NULL on an empty input or an all-NULL dimension; the
+    // getDouble below would then throw an opaque NPE, and NULL dim values
+    // would z-key to NULL with NULL bounding-box stats. A clustered layout
+    // of nothing (or of an undefined dimension) has no meaning — reject
+    // loudly instead.
+    require(!mm.isNullAt(0) && !mm.isNullAt(2),
+      s"ZOrderLayout.write: input is empty or '$dim1'/'$dim2' is all-NULL")
     val (lo1, hi1, lo2, hi2) = (mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3))
+    val nullRows = df.where(col(dim1).isNull || col(dim2).isNull).limit(1).count()
+    require(nullRows == 0,
+      s"ZOrderLayout.write: NULL values in cluster dimension '$dim1'/'$dim2' — " +
+        "coalesce them to a sentinel before layout")
     val key =
       if (zorder) interleave(norm(col(dim1), lo1, hi1, bits), norm(col(dim2), lo2, hi2, bits), bits)
       else norm(col(dim1), lo1, hi1, bits)

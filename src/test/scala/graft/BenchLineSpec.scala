@@ -4,20 +4,33 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The recording harness keeps only the LAST 2000 chars of Bench's stdout;
   * if the one-line JSON outgrows that window it is truncated head-first and
-  * the round records no numbers at all (BENCH_r03 was lost exactly this
-  * way). Bench.fmt caps every per-query value at 3 chars below 1000 s, so
-  * the line length is a pure function of the registered query names — this
-  * guard fails the build when a new query would push the worst-case line
-  * past the window (shorten names, or stop before the budget).
+  * the round records no numbers at all (BENCH_r02–r04 were all lost exactly
+  * this way at 58–82 entries). Bench.fmt caps every per-query value at 3
+  * chars (values clamp at 999 s), so the line length is a pure function of
+  * the registered headline names — this guard fails the build when a new
+  * bench entry would push the worst-case line past the window.
+  *
+  * Budget model: 2000 chars minus sbt's framing that shares the tail —
+  * the `[info] ` prefix on the JSON line (~7 chars) and the trailing
+  * `[success] Total time: …` line (~65 chars observed in r02/r03 tails).
   */
 class BenchLineSpec extends AnyFunSuite {
+  test("headline queries are all registered") {
+    val unknown = SparkEntry.benchQueries.filterNot(SparkEntry.queries.contains)
+    assert(unknown.isEmpty, s"benchQueries not in SparkEntry.queries: $unknown")
+  }
+
   test("worst-case bench JSON line fits the 2000-char capture tail") {
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val qs = names.map(n => s""""$n":9.9""").mkString("{", ",", "}")
+    val names = SparkEntry.benchQueries
+    // worst case: every query at the 3-char clamp, every query ALSO listed
+    // in "failed" is impossible (failures leave the map), so model the
+    // longer of the two renderings per entry — the map entry.
+    val qs = names.map(n => s""""$n":999""").mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":999.9,"unit":"sec","queries":$qs,"sf":"sf0.01"}"""
-    assert(line.length <= 1985,
-      s"worst-case bench line is ${line.length} chars; the driver captures " +
-        "only the last 2000 — shorten query names or drop a bench entry")
+      s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs,"sf":"sf0.01"}"""
+    val sbtFraming = 7 + 70 // "[info] " prefix + "[success] Total time: …" suffix
+    assert(line.length + sbtFraming <= 2000,
+      s"worst-case bench line is ${line.length}+$sbtFraming chars; the driver " +
+        "captures only the last 2000 — shorten names or drop a bench entry")
   }
 }

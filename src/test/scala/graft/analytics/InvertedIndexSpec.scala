@@ -61,6 +61,41 @@ class InvertedIndexSpec extends AnyFunSuite {
     } finally rm(base)
   }
 
+  test("concurrent addDocs with overlapping terms lose no postings") {
+    // the read-modify-write race the OCC pin exists for: racing writers
+    // read current postings, union their docs, and merge — without
+    // read-set validation the CAS loser re-merges STALE postings and the
+    // winner's doc ids vanish. Every batch shares the corpus vocabulary,
+    // so overlapping terms are guaranteed.
+    val base = java.nio.file.Files.createTempDirectory("graft_invidx3").toFile
+    val full = s"${base.getPath}/full"
+    val conc = s"${base.getPath}/conc"
+    try {
+      InvertedIndex.build(spark, full, docs)
+      InvertedIndex.build(spark, conc, docs.filter(col("doc_id") % 5 === 4))
+      val writers = 4
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = (0 until writers).map { w =>
+        scala.concurrent.Future {
+          InvertedIndex.addDocs(spark, conc, docs.filter(col("doc_id") % 5 === w))
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration(300, "s"))
+      pool.shutdown()
+      val a = graft.ingest.MergeSink.read(spark, full)
+        .select(col("term"), col("postings").cast("string").as("p"))
+      val b = graft.ingest.MergeSink.read(spark, conc)
+        .select(col("term"), col("postings").cast("string").as("p"))
+      assert(a.count() === b.count())
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "concurrently-built index lost postings (read-modify-write race)")
+    } finally rm(base)
+  }
+
   private def rm(x: java.io.File): Unit = {
     if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
     x.delete(); ()

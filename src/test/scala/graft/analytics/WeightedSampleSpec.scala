@@ -42,6 +42,19 @@ class WeightedSampleSpec extends AnyFunSuite {
     assert(repicked === picked)
   }
 
+  test("rows outside the A-ES domain (null / zero / negative weight) are excluded") {
+    import spark.implicits._
+    val mixed = Seq[(Long, java.lang.Double)](
+      (1L, 5.0), (2L, 3.0), (3L, null), (4L, 0.0), (5L, -2.0), (6L, 1.0))
+      .toDF("id", "w")
+    val picked = CurateQueries.weightedSample(mixed, "id", "w", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // only the strictly-positive finite weights are eligible: a null key
+    // would sort NULLS FIRST and dominate, w=0 gives ±Inf/NaN, w<0 sorts
+    // before every valid row — all three would silently poison the sample
+    assert(picked === Set(1L, 2L, 6L))
+  }
+
   test("weights matter: sampled docs are longer than the corpus average") {
     val corpusAvg = docs.agg(avg("n_chars")).head().getDouble(0)
     val sampleAvg = CurateQueries.weightedSample(docs, "doc_id", "n_chars", K)

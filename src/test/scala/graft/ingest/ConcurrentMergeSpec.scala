@@ -64,4 +64,33 @@ class ConcurrentMergeSpec extends AnyFunSuite {
       rm(base)
     }
   }
+
+  test("expectedVersion pin: a stale read aborts before commit; a current read commits") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_occ").toFile
+    val sink = s"${base.getPath}/sink"
+    try {
+      MergeSink.merge(spark, sink, Seq((1L, "a")).toDF("k", "v"), Seq("k"), Seq(col("k")))
+      MergeSink.merge(spark, sink, Seq((2L, "b")).toDF("k", "v"), Seq("k"), Seq(col("k")))
+      // read-modify-write derived from v1, but the table is at v2: the
+      // merge must ABORT (read-set conflict), committing nothing
+      intercept[MergeSink.ReadConflictException] {
+        MergeSink.merge(spark, sink, Seq((1L, "stale")).toDF("k", "v"),
+          Seq("k"), Seq(col("k")), expectedVersion = Some(1L))
+      }
+      assert(MergeSink.versions(sink) === Seq(1L, 2L), "aborted merge committed")
+      assert(MergeSink.read(spark, sink).where(col("v") === "stale").count() === 0)
+      // pinned to the CURRENT version: commits normally
+      val r = MergeSink.merge(spark, sink, Seq((1L, "fresh")).toDF("k", "v"),
+        Seq("k"), Seq(col("k")), expectedVersion = Some(2L))
+      assert(r.version === 3L)
+      assert(MergeSink.read(spark, sink).where(col("v") === "fresh").count() === 1)
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
+        x.delete(); ()
+      }
+      rm(base)
+    }
+  }
 }

@@ -74,6 +74,42 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(got == Set((17L, "X"), (4242L, "Y"), (9999L, "Z"), (0L, "p0")))
   }
 
+  test("delete: rows removed by key, file skipping, time travel, delete-all") {
+    val path = tmp()
+    val base = spark.range(10000).select(col("id"), concat(lit("p"), col("id")).as("payload"))
+    MergeSink.merge(spark, path, base, Seq("id"), Seq(col("id")), targetFileRows = 500)
+    val nFiles = MergeSink
+      .read(spark, path).select(col("_metadata.file_path")).distinct().count()
+
+    // small delete set touches O(keys) files, not O(sink)
+    val doomed = Seq(17L, 4242L, 9999L).toDF("id")
+    val r2 = MergeSink.delete(spark, path, doomed, Seq("id"), targetFileRows = 500)
+    assert(r2.version == 2 && r2.updated == 3)
+    assert(r2.filesRewritten <= 3,
+      s"3-key delete must touch <= 3 range-clustered files, rewrote ${r2.filesRewritten}")
+    assert(r2.filesSkipped >= nFiles - 3)
+    val now = MergeSink.read(spark, path)
+    assert(now.count() == 9997)
+    assert(now.filter(col("id").isin(17L, 4242L, 9999L)).count() == 0)
+    // old version still has the rows (snapshot isolation / time travel)
+    assert(MergeSink.read(spark, path, Some(1L))
+      .filter(col("id").isin(17L, 4242L, 9999L)).count() == 3)
+
+    // re-deleting the same keys is a no-op commit (nothing matches)
+    val r3 = MergeSink.delete(spark, path, doomed, Seq("id"), targetFileRows = 500)
+    assert(MergeSink.read(spark, path).count() == 9997,
+      s"re-delete changed content (result $r3)")
+
+    // deleting an absent key is a no-op; deleting everything leaves a
+    // readable empty table with its schema
+    val rAbsent = MergeSink.delete(spark, path, Seq(-1L).toDF("id"), Seq("id"))
+    assert(rAbsent.updated == 0)
+    val rAll = MergeSink.delete(spark, path, base.select("id"), Seq("id"))
+    assert(rAll.updated == 9997)
+    val empty = MergeSink.read(spark, path)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "payload"))
+  }
+
   test("time travel: every committed version stays readable") {
     val path = tmp()
     MergeSink.merge(spark, path,

@@ -67,4 +67,32 @@ class ZOrderSpec extends AnyFunSuite {
       assert(sDim2 >= (total * 3) / 4, s"sorted layout unexpectedly prunes dim2: $sDim2 of $total")
     }
   }
+
+  test("empty input and NULL dimension values are rejected loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zguard").toFile
+    try {
+      // empty input: min/max are NULL → was an opaque NPE, must be a
+      // clear requirement failure
+      val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+      val e1 = intercept[IllegalArgumentException] {
+        ZOrderLayout.write(spark, s"$dir/z1", empty, "a", "b", buckets = 2)
+      }
+      assert(e1.getMessage.contains("empty or"), e1.getMessage)
+      // NULL dim values: a null z-key would land rows and bounding-box
+      // stats in undefined buckets
+      val withNull = Seq[(java.lang.Long, java.lang.Long)]((1L, 2L), (null, 3L))
+        .toDF("a", "b")
+      val e2 = intercept[IllegalArgumentException] {
+        ZOrderLayout.write(spark, s"$dir/z2", withNull, "a", "b", buckets = 2)
+      }
+      assert(e2.getMessage.contains("NULL values"), e2.getMessage)
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
+        x.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
