@@ -20,8 +20,20 @@ object Vec {
   /** Cast a float array to double (exact widening). */
   def toDouble(a: Column): Column = transform(a, x => x.cast(DoubleType))
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two double arrays — the native
+    * codegen'd `graft_dot` expression (plans/DotProduct.scala), bit-identical
+    * to the composed higher-order form it replaced
+    * (`aggregate(zip_with(a,b,_*_), 0.0, _+_)`, kept as [[dotHof]] for the
+    * equivalence property test). HOFs interpret their lambda per ELEMENT;
+    * the ANN pair-scoring path evaluates |pairs|·dim of them, so the fused
+    * loop is the difference between interpreted and compiled inner loops.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** The pre-native composed form; the DotProductSpec property pins
+    * `dot == dotHof` bit-for-bit so oracle equality is preserved forever.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Cosine similarity, written exactly as dot/(sqrt·sqrt) so the oracle

@@ -93,6 +93,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, s"$name takes exactly two arguments, got ${children.length}")
         mk(children.head, children(1))
       }
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      binary("graft_dot", DotProduct(_, _))))
     // Spark's own runtime-filter machinery (InjectRuntimeFilter's bloom
     // aggregate + probe), surfaced as callable functions so the library's
     // semi-join reduction (functions/RuntimeFilter) can apply it where the
