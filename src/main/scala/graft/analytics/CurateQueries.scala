@@ -237,5 +237,39 @@ object CurateQueries {
       .drop("__es_key")
   }
 
-  val defs: Seq[QueryDef] = Seq(splitStratified, piiRedact, packChunks, kmeans)
+  /** Benchmark decontamination: find training documents that CONTAIN an
+    * eval-set probe (the first 10 words of each held-out doc) as a literal
+    * substring — the standard "did the benchmark leak into the training
+    * corpus" check (GPT-3 appendix C / PaLM-style n-gram containment,
+    * specialized to one probe per eval doc).
+    *
+    * Scale shape: the probe set is O(|eval|) and BROADCAST; the corpus is
+    * scanned ONCE with a codegen'd `instr` per (doc, probe) pair — a
+    * broadcast nested-loop by construction, which is the correct plan when
+    * one side is tiny and the predicate is non-equi (substring). At real
+    * scale the probe list stays in the tens of thousands (benchmark suites),
+    * so the pair loop is |corpus|·|probes| cheap string scans, embarrassingly
+    * parallel, no shuffle at all; the groupBy reduces to |eval| rows.
+    */
+  val decontaminate: QueryDef = QueryDef(
+    "cu_decontaminate",
+    """WITH e AS (
+      |  SELECT doc_id AS eval_id,
+      |    array_to_string(string_split(text, ' ')[1:10], ' ') AS probe
+      |  FROM documents WHERE doc_id % 50 = 0)
+      |SELECT eval_id, COUNT(*) AS n_hits, MIN(d.doc_id) AS first_doc
+      |FROM documents d, e
+      |WHERE position(probe IN d.text) > 0
+      |GROUP BY eval_id""".stripMargin) { (s, dir) =>
+    val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
+    val probes = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("eval_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 10)).as("probe"))
+    docs.join(broadcast(probes), instr(col("text"), col("probe")) > 0)
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_hits"), min(col("doc_id")).as("first_doc"))
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(splitStratified, piiRedact, packChunks, kmeans, decontaminate)
 }

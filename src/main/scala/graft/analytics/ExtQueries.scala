@@ -354,8 +354,82 @@ object ExtQueries {
         max("o_orderkey").as("max_key"))
   }
 
+  /** Statistical moments (mean / sample variance / stddev / correlation)
+    * computed the way they stay DETERMINISTIC on a cluster: the built-in
+    * `var_samp`/`corr` accumulate doubles in partition order, so two runs
+    * of the same query can hash-differ in the last bit. Instead the five
+    * power sums Σx, Σy, Σx², Σy², Σxy are accumulated EXACTLY (decimal —
+    * associative, partition-order-independent), and the float arithmetic
+    * happens once per GROUP on the closed-form moments, written with the
+    * identical operation order in both engines. This is the map-side-
+    * combinable "algebraic aggregate" decomposition every MPP engine uses;
+    * exactness of the partials is what makes it reproducible at 100 TB.
+    * Scale note: Σx² of DECIMAL(18,2)² sums in DECIMAL(38,4), which holds
+    * to ~10^23 row·value² — beyond that, widen the cast or pre-scale.
+    */
+  val statsMoments: QueryDef = QueryDef(
+    "a10_stats_moments",
+    """WITH s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  CAST(sx AS DOUBLE) / n AS mean_qty,
+      |  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var_qty,
+      |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS std_qty,
+      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+      |    (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
+      |     sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS corr_qty_price
+      |FROM s""".stripMargin) { (s, dir) =>
+    val q = col("l_quantity").cast(DecimalType(18, 2))
+    val p = col("l_extendedprice").cast(DecimalType(18, 2))
+    val sums = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(q).as("sx"), sum(p).as("sy"),
+        sum(q * q).as("sxx"), sum(p * p).as("syy"), sum(q * p).as("sxy"))
+    // mirror the oracle's operation order EXACTLY — IEEE + identical input
+    // + identical tree = identical bits
+    val n = col("n"); val nm1 = col("n") - 1
+    def d(c: String) = col(c).cast(DoubleType)
+    val cxx = d("sxx") - d("sx") * d("sx") / n
+    val cyy = d("syy") - d("sy") * d("sy") / n
+    val cxy = d("sxy") - d("sx") * d("sy") / n
+    sums.select(col("l_returnflag"), n,
+      (d("sx") / n).as("mean_qty"),
+      (cxx / nm1).as("var_qty"),
+      sqrt(cxx / nm1).as("std_qty"),
+      (cxy / (sqrt(cxx) * sqrt(cyy))).as("corr_qty_price"))
+  }
+
+  /** Distribution window functions — PERCENT_RANK / CUME_DIST / LEAD over
+    * a per-priority total ordering. Rank ratios are integers-over-integers
+    * evaluated once per row, so cross-engine doubles agree exactly; the
+    * orderkey tiebreak totalizes the order (no peer-group ambiguity).
+    * Scale: one shuffle on the partition key; frames never materialize.
+    */
+  val distributionFrames: QueryDef = QueryDef(
+    "w5_distribution_frames",
+    """SELECT o_orderkey, o_orderpriority,
+      |  PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS pr,
+      |  CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS cd,
+      |  LEAD(o_orderkey, 1) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS next_key
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"),
+      lead(col("o_orderkey"), 1).over(w).as("next_key"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     structArrayExtract, rollupSpend, groupingSetsAgg, distinctAgg,
     approxDistinct, quantileDisc, pivotStatus, rankFrames, asofJoin,
-    rangeJoinBucketed, fullOuter, rangeFrame, minMaxBy)
+    rangeJoinBucketed, fullOuter, rangeFrame, minMaxBy, statsMoments,
+    distributionFrames)
 }

@@ -199,8 +199,41 @@ object StreamQueries {
     s.read.parquet(sink).select("event_id", "user_id", "event_type", "ms")
   }
 
+  /** Time-series gap fill: the hourly activity series per event type with
+    * MISSING buckets restored as zero rows — the densification step every
+    * downstream windowed model (forecasting, anomaly scoring) needs,
+    * because a groupBy simply has no row where nothing happened.
+    *
+    * Shape: partial-agg the fact table to (type, hour, n) first — the grid
+    * generation and join then run on the AGGREGATED cardinality
+    * (|types| x |hours|), never on raw events. `sequence()` + explode
+    * builds each type's dense hour grid between its own bounds (both ends
+    * inclusive, matching DuckDB's generate_series); the left join back is
+    * a shuffle of two tiny aggregates. At 100 TB the only fact-scale work
+    * is the first partial-aggregable groupBy.
+    */
+  val gapFill: QueryDef = QueryDef(
+    "ev_gap_fill",
+    """WITH c AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n_ev
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM c GROUP BY 1),
+      |grid AS (
+      |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b)
+      |SELECT g.event_type, g.h, CAST(COALESCE(c.n_ev, 0) AS BIGINT) AS n_ev
+      |FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h""".stripMargin) { (s, dir) =>
+    val counts = graft.Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_ev"))
+    val bounds = counts.groupBy("event_type").agg(min("h").as("lo"), max("h").as("hi"))
+    val grid = bounds.select(col("event_type"),
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("h"))
+    grid.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("n_ev"), lit(0L)).as("n_ev"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exactlyOnce, sessionize, tumbling, watermarkedWindow,
       sessionWindowStream, statefulState, streamMergeSink, streamStreamJoin,
-      streamDedup)
+      streamDedup, gapFill)
 }

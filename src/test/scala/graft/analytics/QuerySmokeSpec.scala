@@ -31,9 +31,11 @@ class QuerySmokeSpec extends AnyFunSuite {
   // ann_ivf's probe↔centroid assignment is a k×C loop (5×10 here);
   // cu_kmeans broadcasts K centroids against the corpus the same way;
   // tx_bm25_rank and gr_pagerank broadcast their single stats row
+  // cu_decontaminate broadcasts its O(|eval|) probe set against one corpus
+  // scan — a broadcast nested-loop by construction (substring predicate)
   private val nestedLoopAllowed =
     Set("ann_bruteforce_topk", "ann_ivf_topk", "cu_kmeans", "tx_bm25_rank",
-      "gr_pagerank")
+      "gr_pagerank", "cu_decontaminate")
   private val sideEffecting = Set(
     "ev_stream_exactly_once", "ev_stateful_state",
     "k1_sink_idempotence", "k4_null_key_sink",
