@@ -53,11 +53,11 @@ object SparkEntry {
     "x1_concat_explode",
     // aggregation
     "a1_batch_counts", "a3_rollup_spend", "a7_approx_distinct",
-    "tpch_q1_pricing_summary",
+    "a10_stats_moments", "tpch_q1_pricing_summary",
     // joins / set-ops / limits / windows
     "j1_broadcast_enrich", "j2_star_join_revenue", "j5_asof_join",
     "j6_range_join_bucketed", "l3_topk_per_group", "u1_union_dedup_cap",
-    "w1_running_total", "w4_range_frame",
+    "w1_running_total", "w4_range_frame", "w5_distribution_frames",
     // dedup family
     "dd_exact", "dd_minhash_lsh", "dd_components_star",
     "dd_embed_cosine", "dd_incr_lsh",
@@ -67,6 +67,7 @@ object SparkEntry {
     "tx_bm25_rank", "tx_lang_id", "tx_token_count",
     // events / streaming
     "ev_sessionize", "ev_tumbling_window", "ev_stream_exactly_once",
+    "ev_gap_fill",
     // multimodal / curation / graph
-    "mm_byte_histogram", "cu_pack_chunks", "gr_pagerank")
+    "mm_byte_histogram", "cu_pack_chunks", "cu_decontaminate", "gr_pagerank")
 }
