@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.Norm
-import graft.ingest.{DedupSink, MergeSink}
+import graft.ingest.{DedupSink, MergeSink, ZOrderLayout}
 
 /** Deduplication tier over `documents` — the dedup family a training-data
   * pipeline needs at 100 TB, each expressed so the heavy stages are
@@ -652,6 +652,38 @@ object DedupQueries {
     MergeSink.read(s, sink)
   }
 
+  /** K15: Z-order layout as an oracle-checked QUERY — elevate E47 from
+    * spec-tier to the correctness gate. Events are laid out z-ordered on
+    * (user_id, event-time); a 2-D box predicate (user range AND time
+    * range) is answered by intersecting the predicate intervals with the
+    * per-bucket bounding boxes and scanning ONLY overlapping buckets, with
+    * the exact residual filter inside the scan. The oracle is the plain
+    * full-scan filter — hash equality proves the pruning never drops a
+    * row. Neither a user_id-sorted nor a ts-sorted layout can prune BOTH
+    * dimensions; the Morton interleave keeps every bucket's box tight in
+    * both (ZOrderSpec quantifies the pruned-vs-scanned file counts). At
+    * 100 TB: the layout is one repartitionByRange shuffle paid once; every
+    * box query after reads O(selectivity) buckets.
+    */
+  val zorderSkip: QueryDef = QueryDef(
+    "k15_zorder_skip",
+    """SELECT event_id, user_id, CAST(epoch_ms(ts) AS BIGINT) AS ms
+      |FROM events
+      |WHERE user_id BETWEEN 5 AND 9
+      |  AND epoch_ms(ts) BETWEEN 1704844800000 AND 1705017600000""".stripMargin) { (s, dir) =>
+    val layout = s"${Staging.freshBase("graft_k15", dir).getPath}/layout"
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"))
+    ZOrderLayout.write(s, layout, ev, "user_id", "ms", buckets = 16)
+    // users 5-9 exist at every SF (sf0.001 only has user_id 0-14)
+    val (loU, hiU) = (5L, 9L)
+    val (loT, hiT) = (1704844800000L, 1705017600000L) // 2024-01-10 .. 01-12 UTC
+    ZOrderLayout.scan(s, layout,
+        Some((loU.toDouble, hiU.toDouble)), Some((loT.toDouble, hiT.toDouble)))
+      .where(col("user_id").between(loU, hiU) && col("ms").between(loT, hiT))
+      .select("event_id", "user_id", "ms")
+  }
+
   /** K11: sink/source format surface beyond parquet — the same rows
     * roundtrip through ORC (columnar, built-in) and then CSV (text, with
     * an explicit read schema), and the final read must equal the source
@@ -716,5 +748,6 @@ object DedupQueries {
   val defs: Seq[QueryDef] =
     Seq(exact, blockPrefix, minhashLsh, incrLsh, ngramJaccard, components,
       componentsStar, simhash, simhashPairs, sinkIdempotence, nullKeySink,
-      mergeUpsert, incrementalAgg, pointLookup, deleteRows, formatRoundtrip)
+      mergeUpsert, incrementalAgg, pointLookup, deleteRows, formatRoundtrip,
+      zorderSkip)
 }

@@ -354,6 +354,35 @@ object ExtQueries {
         max("o_orderkey").as("max_key"))
   }
 
+  /** Approximate quantiles (percentile_approx — Greenwald-Khanna sketch):
+    * the single-pass MERGEABLE percentile path, which is what survives
+    * 100 TB — a8's element-exact rank pick needs a full per-group sort
+    * behind a window, the sketch needs one partial-aggregable scan and
+    * O(1/eps) state per group. No cross-engine oracle can compare sketch
+    * internals, so (like a7) the oracle states the POSTCONDITION: the
+    * estimate lands inside the exact [p-5%, p+5%] rank bracket (GK's
+    * worst-case guarantee at accuracy 1000 is ~50x tighter, so the
+    * booleans are stable under ANY partition/merge order — the property
+    * that makes the sketch safe to ship distributed in the first place).
+    */
+  val approxQuantile: QueryDef = QueryDef(
+    "a11_approx_quantile",
+    """SELECT event_type, COUNT(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap50"),
+        percentile_approx(col("value"), lit(0.9), lit(1000)).as("ap90"),
+        expr("percentile(value, 0.45)").as("lo50"),
+        expr("percentile(value, 0.55)").as("hi50"),
+        expr("percentile(value, 0.85)").as("lo90"),
+        expr("percentile(value, 0.95)").as("hi90"))
+      .select(col("event_type"), col("n"),
+        (col("ap50") >= col("lo50") && col("ap50") <= col("hi50")).as("p50_ok"),
+        (col("ap90") >= col("lo90") && col("ap90") <= col("hi90")).as("p90_ok"))
+  }
+
   /** Statistical moments (mean / sample variance / stddev / correlation)
     * computed the way they stay DETERMINISTIC on a cluster: the built-in
     * `var_samp`/`corr` accumulate doubles in partition order, so two runs
@@ -431,5 +460,5 @@ object ExtQueries {
     structArrayExtract, rollupSpend, groupingSetsAgg, distinctAgg,
     approxDistinct, quantileDisc, pivotStatus, rankFrames, asofJoin,
     rangeJoinBucketed, fullOuter, rangeFrame, minMaxBy, statsMoments,
-    distributionFrames)
+    distributionFrames, approxQuantile)
 }
