@@ -54,6 +54,106 @@ object CoreQueries {
         count(lit(1)).as("count_order"))
   }
 
+  /** TPC-H Q6 forecasting-revenue change — the canonical SELECTIVE-SCAN
+    * aggregate: every predicate (date range, discount band, quantity cap)
+    * pushes into the parquet scan as PushedFilters and prunes row groups
+    * by min/max stats; the surviving rows feed one partial-aggregable
+    * decimal sum. At 100 TB this query's cost is IO on the pruned scan —
+    * there is no shuffle at all beyond the single-row final reduce.
+    */
+  val q6ForecastRevenue: QueryDef = QueryDef(
+    "tpch_q6_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= tsNtz("1996-01-01 00:00:00") &&
+        col("l_shipdate") < tsNtz("1997-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"))
+  }
+
+  /** TPC-H Q3 shipping priority — filter-then-join-then-topk: the segment
+    * filter reduces customer BEFORE the join (broadcast under AQE), the
+    * date filters push into both fact scans, revenue aggregates per order,
+    * and the top-10 is TakeOrdered (per-partition heap, k rows to the
+    * driver — never a global sort). Ties totalized by l_orderkey so the
+    * LIMIT is deterministic cross-engine.
+    */
+  val q3ShippingPriority: QueryDef = QueryDef(
+    "tpch_q3_shipping_priority",
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  o_orderdate
+      |FROM customer c
+      |JOIN orders o ON c_custkey = o_custkey
+      |JOIN lineitem l ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < tsNtz("1998-03-15 00:00:00"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > tsNtz("1998-03-15 00:00:00"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 local-supplier volume — the 6-way star: region/nation are
+    * broadcast dims, customer/supplier reduce behind them, and the two
+    * fact tables meet in ONE shuffle join on the order key. The
+    * c_nationkey = s_nationkey constraint rides the join output as a
+    * residual equality — no extra shuffle. The plan to want at 100 TB:
+    * every dimension side broadcast, facts co-shuffled once.
+    */
+  val q5LocalSupplier: QueryDef = QueryDef(
+    "tpch_q5_local_supplier",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin) { (s, dir) =>
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= tsNtz("1996-01-01 00:00:00") &&
+        col("o_orderdate") < tsNtz("1997-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+  }
+
   /** S1/F1: "watermark IS NULL" control scan — keys never ingested.
     * customers with no orders via LEFT ANTI join (= NOT EXISTS).
     *
@@ -355,7 +455,8 @@ object CoreQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    q1PricingSummary, s1NewKeys, s2StaleKeys, k9Watermark, f10Guards,
+    q1PricingSummary, q6ForecastRevenue, q3ShippingPriority, q5LocalSupplier,
+    s1NewKeys, s2StaleKeys, k9Watermark, f10Guards,
     jBroadcastEnrich, jStarRevenue, jSemi, jOuter,
     topKRecency, topKPerGroup, unionDedupCap, intersectExcept,
     kCompositeDedup, a1Counts, wRunning, wLagGap)
