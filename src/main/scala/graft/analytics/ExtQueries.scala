@@ -354,6 +354,30 @@ object ExtQueries {
         max("o_orderkey").as("max_key"))
   }
 
+  /** UNPIVOT / melt — wide measure columns to long (metric, value) rows,
+    * the reshape every feature store and metrics pipeline needs before a
+    * per-metric groupBy. Spark's native `unpivot` plans one Expand node
+    * (each input row emits k output rows in-place, no shuffle, no join
+    * against a metric-name table); the oracle states the same relation as
+    * a UNION ALL of per-measure projections.
+    */
+  val unpivotMeasures: QueryDef = QueryDef(
+    "a13_unpivot",
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir).unpivot(
+      ids = Array(col("l_orderkey"), col("l_linenumber")),
+      values = Array(col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax")),
+      variableColumnName = "metric",
+      valueColumnName = "value")
+  }
+
   /** Approximate quantiles (percentile_approx — Greenwald-Khanna sketch):
     * the single-pass MERGEABLE percentile path, which is what survives
     * 100 TB — a8's element-exact rank pick needs a full per-group sort
@@ -460,5 +484,5 @@ object ExtQueries {
     structArrayExtract, rollupSpend, groupingSetsAgg, distinctAgg,
     approxDistinct, quantileDisc, pivotStatus, rankFrames, asofJoin,
     rangeJoinBucketed, fullOuter, rangeFrame, minMaxBy, statsMoments,
-    distributionFrames, approxQuantile)
+    distributionFrames, approxQuantile, unpivotMeasures)
 }

@@ -194,7 +194,34 @@ object NormQueries {
       .agg(count(lit(1)).as("n_flat"))
   }
 
+  /** P15: the date-arithmetic scalar family (§2.10 date surface beyond
+    * parsing) — interval shift, month-end snap, quarter/ISO-weekday
+    * extraction, formatting, day deltas. Cross-engine notes pinned in the
+    * expressions: Spark `weekday()` is 0=Monday (ISO dow = weekday+1,
+    * DuckDB `isodow`), `datediff(end, start)` argument order matches
+    * `date_diff('day', start, end)`. Pure scan → project, all codegen'd.
+    */
+  val dateArith: QueryDef = QueryDef(
+    "p15_date_arith",
+    """SELECT o_orderkey,
+      |  o_orderdate + INTERVAL 7 DAY AS plus7,
+      |  last_day(o_orderdate) AS eom,
+      |  quarter(o_orderdate) AS q,
+      |  CAST(isodow(o_orderdate) AS INT) AS dow,
+      |  strftime(o_orderdate, '%Y-%m') AS ym,
+      |  CAST(date_diff('day', DATE '1996-01-01', o_orderdate) AS BIGINT) AS days_since
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      (col("o_orderdate") + expr("interval 7 days")).as("plus7"),
+      last_day(col("o_orderdate")).as("eom"),
+      quarter(col("o_orderdate")).as("q"),
+      (weekday(col("o_orderdate")) + 1).as("dow"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+      datediff(col("o_orderdate"), lit("1996-01-01")).cast(LongType).as("days_since"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     dateRoundtrip, twitterTsParse, epochUnits, coalesceAlias,
-    stringSurface, jsonProps, explodeWordcount, concatExplode)
+    stringSurface, jsonProps, explodeWordcount, concatExplode, dateArith)
 }
