@@ -142,6 +142,22 @@ object StreamQueries {
     s.read.parquet(sink).select("user_id", "n_events", "first_ms", "last_ms")
   }
 
+  /** Spark 4's transformWithState (StatefulProcessor + typed ValueState
+    * on the RocksDB store) computing the same per-user aggregate as
+    * ev_stateful_state — the current-generation arbitrary-state API next
+    * to the mapGroupsWithState proof, equal to the batch GROUP BY.
+    */
+  val transformWithStateQ: QueryDef = QueryDef(
+    "ev_transform_with_state",
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(epoch_ms(MIN(ts)) AS BIGINT) AS first_ms,
+      |  CAST(epoch_ms(MAX(ts)) AS BIGINT) AS last_ms
+      |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+    val (src, sink, ckpt) = Staging.stageEvents("graft_tws", dir)
+    EventsStream.transformWithStateCounts(s, src, sink, ckpt)
+    s.read.parquet(sink).select("user_id", "n_events", "first_ms", "last_ms")
+  }
+
   /** Streaming → lakehouse MERGE: the stateful per-user drain committing
     * every micro-batch through the versioned MergeSink (file-skipped
     * upsert, time travel). The second drain REPLAYS the whole source
@@ -234,6 +250,6 @@ object StreamQueries {
 
   val defs: Seq[QueryDef] =
     Seq(exactlyOnce, sessionize, tumbling, watermarkedWindow,
-      sessionWindowStream, statefulState, streamMergeSink, streamStreamJoin,
-      streamDedup, gapFill)
+      sessionWindowStream, statefulState, transformWithStateQ,
+      streamMergeSink, streamStreamJoin, streamDedup, gapFill)
 }

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 import graft.ingest.{DedupSink, MergeSink, Watermarks}
 
@@ -170,6 +171,62 @@ object EventsStream {
         key = Seq("user_id"), tiebreak = Seq(col("user_id")))
       ()
     }
+
+  /** The same per-user aggregate via `transformWithState` — Spark 4's
+    * arbitrary-stateful-processing API (the successor to
+    * mapGroupsWithState): an object-style `StatefulProcessor` holding a
+    * typed `ValueState`, with per-state TTL and timer support the old API
+    * lacks, backed by the RocksDB state store (which transformWithState
+    * requires — and which is also the store you want at 100 TB: state
+    * spills to disk + changelog checkpointing instead of full in-memory
+    * HDFS-backed maps). Output must equal the mapGroupsWithState drain
+    * and the batch GROUP BY — same oracle.
+    */
+  private class UserAggProcessor extends StatefulProcessor[Long, (Long, Long), UserAgg] {
+    @transient private var st: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("agg", Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Long)],
+        tv: TimerValues): Iterator[UserAgg] = {
+      var n = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+      rows.foreach { case (_, ms) =>
+        n += 1; if (ms < mn) mn = ms; if (ms > mx) mx = ms
+      }
+      val prev = if (st.exists()) st.get() else UserState(0L, Long.MaxValue, Long.MinValue)
+      val next = UserState(prev.n + n, math.min(prev.minTsMs, mn), math.max(prev.maxTsMs, mx))
+      st.update(next)
+      Iterator.single(UserAgg(uid, next.n, next.minTsMs, next.maxTsMs))
+    }
+  }
+
+  def transformWithStateCounts(spark: SparkSession, sourceDir: String,
+      sinkPath: String, checkpoint: String): Unit = {
+    import spark.implicits._
+    val conf = spark.conf
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = conf.getOption(ProviderKey)
+    conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStateTunedConf(spark) {
+      val stream = normalize(spark.readStream.schema(rawSchema).parquet(sourceDir))
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+        .as[(Long, Long)]
+      val q = stream.groupByKey(_._1)
+        .transformWithState(new UserAggProcessor, TimeMode.None(), OutputMode.Update())
+        .writeStream
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: Dataset[UserAgg], _: Long) =>
+          upsert(batch.sparkSession, sinkPath, batch.toDF(), Seq("user_id"))
+        }
+        .start()
+      q.awaitTermination()
+    } finally prevProvider match {
+      case Some(v) => conf.set(ProviderKey, v)
+      case None    => conf.unset(ProviderKey)
+    }
+  }
 
   /** Stream-stream INNER join with event-time bounds (§2.11 surface the
     * other drains don't touch): views join purchases by the same user

@@ -40,7 +40,7 @@ class QuerySmokeSpec extends AnyFunSuite {
     "ev_stream_exactly_once", "ev_stateful_state",
     "k1_sink_idempotence", "k4_null_key_sink",
     "k10_merge_upsert", "k12_incremental_agg", "k13_point_lookup",
-    "ev_stream_merge_sink", "k15_zorder_skip")
+    "ev_stream_merge_sink", "k15_zorder_skip", "ev_transform_with_state")
 
   test("no query plans a cartesian product (scale guard)") {
     SparkEntry.allDefs
