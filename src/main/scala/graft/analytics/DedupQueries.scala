@@ -260,6 +260,48 @@ object DedupQueries {
     labels.select(col("u").as("doc_id"), col("component"))
   }
 
+  /** The dedup END DECISION: per near-dup cluster, KEEP the best document
+    * — highest tx_quality_score (doc_id tiebreak), not the arbitrary
+    * min-id representative. This is what a curation pipeline actually
+    * ships: components (dd_components' label propagation) joined to the
+    * quality tier (the shared TextQueries.qualityExpr — one definition,
+    * no drift), keeper chosen by a per-component window. Cluster sizes
+    * are near-dup groups (tiny by construction), so the window partition
+    * count tracks cluster count — no low-cardinality funnel.
+    */
+  val clusterKeepBest: QueryDef = QueryDef(
+    "dd_cluster_keep_best",
+    s"""WITH RECURSIVE $PairsCteSql,
+       |sym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+       |        UNION SELECT doc_b, doc_a FROM verified),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u),
+       |comp AS (SELECT u AS doc_id, least(u, MIN(v)) AS component
+       |         FROM reach GROUP BY u),
+       |q AS (SELECT doc_id, ${TextQueries.QualitySql} AS quality FROM documents)
+       |SELECT component, doc_id AS keeper, quality AS best_quality, n_members FROM (
+       |  SELECT comp.component, comp.doc_id, q.quality,
+       |    ROW_NUMBER() OVER (PARTITION BY comp.component
+       |                       ORDER BY q.quality DESC, comp.doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY comp.component) AS n_members
+       |  FROM comp JOIN q ON q.doc_id = comp.doc_id) t
+       |WHERE rn = 1""".stripMargin) { (s, dir) =>
+    val comp = components.fn(s, dir) // (doc_id, component)
+    val q = Tables.documents(s, dir)
+      .select(col("doc_id"), TextQueries.qualityExpr(col("text")).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col("quality").desc, col("doc_id"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    comp.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(cw))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("keeper"),
+        col("quality").as("best_quality"), col("n_members"))
+  }
+
   /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
     * rewrites (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — the scale path next to dd_components' label
@@ -749,5 +791,5 @@ object DedupQueries {
     Seq(exact, blockPrefix, minhashLsh, incrLsh, ngramJaccard, components,
       componentsStar, simhash, simhashPairs, sinkIdempotence, nullKeySink,
       mergeUpsert, incrementalAgg, pointLookup, deleteRows, formatRoundtrip,
-      zorderSkip)
+      zorderSkip, clusterKeepBest)
 }

@@ -24,6 +24,19 @@ object TextQueries {
   private def nIn(c: Column, set: Seq[String]): Column =
     size(filter(words(c), w => w.isin(set.map(lit): _*)))
 
+  /** The composite quality score as a shared (Spark expr, oracle SQL)
+    * pair — tx_quality_score's `quality` column, also the keeper-choice
+    * key in dd_cluster_keep_best. One definition so the two cannot drift.
+    */
+  private[analytics] def qualityExpr(t: Column): Column = {
+    val nWords = size(words(t))
+    val stopRatio = nIn(t, stopwords).cast(DoubleType) / nWords
+    least(lit(1.0), nWords / lit(200.0)) * (lit(1.0) - stopRatio)
+  }
+  private[analytics] val QualitySql: String =
+    s"""least(CAST(1 AS DOUBLE), length(string_split(text, ' ')) / CAST(200 AS DOUBLE))
+       |    * (CAST(1 AS DOUBLE) - CAST(len(list_filter(string_split(text, ' '), w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / length(string_split(text, ' ')))""".stripMargin
+
   /** Per-document quality metrics: token count, average word length,
     * stopword / punctuation / digit ratios, and a composite score — the
     * standard heuristics pre-training corpora filter on (length,
@@ -37,8 +50,7 @@ object TextQueries {
        |  CAST(len(list_filter(string_split(text, ' '), w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / length(string_split(text, ' ')) AS stop_ratio,
        |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
-       |  least(CAST(1 AS DOUBLE), length(string_split(text, ' ')) / CAST(200 AS DOUBLE))
-       |    * (CAST(1 AS DOUBLE) - CAST(len(list_filter(string_split(text, ' '), w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) / length(string_split(text, ' ')))
+       |  $QualitySql
        |    AS quality
        |FROM documents""".stripMargin) { (s, dir) =>
     val t = col("text")
@@ -51,7 +63,7 @@ object TextQueries {
       stopRatio.as("stop_ratio"),
       (length(regexp_replace(t, "[^.,!?;:]", "")).cast(DoubleType) / length(t)).as("punct_ratio"),
       (length(regexp_replace(t, "[^0-9]", "")).cast(DoubleType) / length(t)).as("digit_ratio"),
-      (least(lit(1.0), nWords / lit(200.0)) * (lit(1.0) - stopRatio)).as("quality"))
+      qualityExpr(t).as("quality"))
   }
 
   /** Character-n-gram language ID: score each candidate language by the
