@@ -166,9 +166,15 @@ object CurateQueries {
     * dataflow, not the partition of this corpus.
     *
     * Scale: each iteration is one broadcast of K×d centroids against the
-    * corpus (map-side assign, no shuffle) + one groupBy(cid, pos) whose
-    * partial aggregation reduces the explode to K×d rows before the
-    * exchange — the textbook scalable k-means step. Iterations chain
+    * corpus, with the argmax taken by a `max_by` struct AGGREGATION (not
+    * a window): partial aggregation collapses the n×K scored rows to one
+    * best-candidate row per vec_id inside the map task — and since the
+    * broadcast join emits all K candidates of a vec_id in the same input
+    * partition, the reduction completes entirely map-side and the
+    * exchange carries n single rows, K-fold less than a
+    * Window.partitionBy(vec_id) would shuffle. Then one groupBy(cid, pos)
+    * whose partial aggregation reduces the explode to K×d rows before
+    * the exchange — the textbook scalable k-means step. Iterations chain
     * linearly; a convergence-loop version would localCheckpoint per round
     * (dd_components' pattern).
     */
@@ -188,12 +194,17 @@ object CurateQueries {
       .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
 
     def assign(cent: org.apache.spark.sql.DataFrame) = {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(Vec.cosine(col("e"), col("ce")).desc, col("cid"))
+      // argmax by (cosine desc, cid asc) == max_by over the lexicographic
+      // struct (cosine, -cid): max cosine first, then max(-cid) = min cid
+      // on ties. A declarative aggregate gets partial aggregation — the
+      // n×K candidate rows collapse map-side (all K candidates of a
+      // vec_id sit in one partition after the broadcast join), so only n
+      // winner rows reach the exchange.
       v.join(broadcast(cent)) // n × K broadcast nested loop, map-side
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("e"), col("cid"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("e"), col("cid")),
+          struct(Vec.cosine(col("e"), col("ce")), -col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.e").as("e"), col("best.cid").as("cid"))
     }
 
     def recompute(assigned: org.apache.spark.sql.DataFrame) =
@@ -259,13 +270,18 @@ object CurateQueries {
       |  FROM documents WHERE doc_id % 50 = 0)
       |SELECT eval_id, COUNT(*) AS n_hits, MIN(d.doc_id) AS first_doc
       |FROM documents d, e
-      |WHERE position(probe IN d.text) > 0
+      |WHERE position(probe IN d.text) > 0 AND d.doc_id <> eval_id
       |GROUP BY eval_id""".stripMargin) { (s, dir) =>
     val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
     val probes = docs.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("eval_id"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 10)).as("probe"))
-    docs.join(broadcast(probes), instr(col("text"), col("probe")) > 0)
+    // d.doc_id <> eval_id: every eval doc trivially contains its own
+    // probe — counting it would report n_hits >= 1 for every probe and
+    // let first_doc be the eval doc itself; only CROSS-document
+    // containment is contamination.
+    docs.join(broadcast(probes), instr(col("text"), col("probe")) > 0 &&
+        col("doc_id") =!= col("eval_id"))
       .groupBy("eval_id")
       .agg(count(lit(1)).as("n_hits"), min(col("doc_id")).as("first_doc"))
   }

@@ -432,11 +432,11 @@ object ExtQueries {
       |  FROM lineitem GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
       |  CAST(sx AS DOUBLE) / n AS mean_qty,
-      |  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var_qty,
-      |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS std_qty,
+      |  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / NULLIF(n - 1, 0) AS var_qty,
+      |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / NULLIF(n - 1, 0)) AS std_qty,
       |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
-      |    (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
-      |     sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS corr_qty_price
+      |    NULLIF(sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) *
+      |     sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n), 0) AS corr_qty_price
       |FROM s""".stripMargin) { (s, dir) =>
     val q = col("l_quantity").cast(DecimalType(18, 2))
     val p = col("l_extendedprice").cast(DecimalType(18, 2))
@@ -446,8 +446,11 @@ object ExtQueries {
         sum(q).as("sx"), sum(p).as("sy"),
         sum(q * q).as("sxx"), sum(p * p).as("syy"), sum(q * p).as("sxy"))
     // mirror the oracle's operation order EXACTLY — IEEE + identical input
-    // + identical tree = identical bits
-    val n = col("n"); val nm1 = col("n") - 1
+    // + identical tree = identical bits. Degenerate groups (n = 1, or
+    // zero variance) divide by NULLIF(...,0) → NULL in BOTH engines;
+    // without the guard Spark's non-ANSI Divide yields NULL while
+    // DuckDB's IEEE division yields inf/NaN — a latent hash divergence.
+    val n = col("n"); val nm1 = nullif(col("n") - 1, lit(0L))
     def d(c: String) = col(c).cast(DoubleType)
     val cxx = d("sxx") - d("sx") * d("sx") / n
     val cyy = d("syy") - d("sy") * d("sy") / n
@@ -456,7 +459,7 @@ object ExtQueries {
       (d("sx") / n).as("mean_qty"),
       (cxx / nm1).as("var_qty"),
       sqrt(cxx / nm1).as("std_qty"),
-      (cxy / (sqrt(cxx) * sqrt(cyy))).as("corr_qty_price"))
+      (cxy / nullif(sqrt(cxx) * sqrt(cyy), lit(0.0))).as("corr_qty_price"))
   }
 
   /** Distribution window functions — PERCENT_RANK / CUME_DIST / LEAD over

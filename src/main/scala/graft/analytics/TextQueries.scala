@@ -298,8 +298,14 @@ object TextQueries {
       .select(col("doc_id"), score.as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(Bm25TopK)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("doc_id"))))
+      // constant partition key: post-limit rows (<=Bm25TopK) rank in one
+      // partition either way, but an explicit spec keeps the bench log
+      // free of "No Partition Defined" noise. pmod(doc_id,1) is always 0
+      // yet non-foldable — lit(0) would be constant-folded out of the
+      // spec (see GraphQueries.pagerank).
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(pmod(col("doc_id"), lit(1)))
+        .orderBy(col("score").desc, col("doc_id"))))
       .select("doc_id", "score", "rank")
   }
 

@@ -45,12 +45,47 @@ class DotProductSpec extends AnyFunSuite {
     assert(rows.drop(1).forall(_.isNullAt(0)))
   }
 
-  test("interpreted eval agrees with codegen") {
+  test("interpreted eval (nullSafeEval) agrees with codegen") {
     import spark.implicits._
-    // force the interpreted path via a filter that survives constant folding
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.plans.DotProduct
+
+    val expected = 0.1 * 0.4 + 0.2 * 0.5 + 0.3 * 0.6 // same fold order
     val df = Seq((Seq(0.1, 0.2, 0.3), Seq(0.4, 0.5, 0.6))).toDF("a", "b")
     val viaCodegen = df.select(Vec.dot(col("a"), col("b"))).head.getDouble(0)
-    val expected = 0.1 * 0.4 + 0.2 * 0.5 + 0.3 * 0.6 // same fold order
     assert(viaCodegen == expected)
+
+    // 1) exercise nullSafeEval DIRECTLY — BinaryExpression.eval handles
+    // null inputs then dispatches to nullSafeEval, so .eval(null) runs
+    // the interpreted body, not the generated code.
+    def arr(xs: Seq[java.lang.Double]) =
+      Literal.create(xs, ArrayType(DoubleType))
+    def d(x: Double): java.lang.Double = x
+    val viaInterp = DotProduct(arr(Seq(d(0.1), d(0.2), d(0.3))),
+      arr(Seq(d(0.4), d(0.5), d(0.6)))).eval(null)
+    assert(viaInterp == expected, "interpreted result diverges from codegen")
+    // degenerate cases must null out on the interpreted path too
+    assert(DotProduct(Literal.create(null, ArrayType(DoubleType)),
+      arr(Seq(d(1.0)))).eval(null) == null, "null array")
+    assert(DotProduct(arr(Seq(d(1.0), null)),
+      arr(Seq(d(3.0), d(4.0)))).eval(null) == null, "null element")
+    assert(DotProduct(arr(Seq(d(1.0))),
+      arr(Seq(d(3.0), d(4.0)))).eval(null) == null, "length mismatch")
+
+    // 2) and through the full execution stack with codegen disabled —
+    // the fallback path a codegen compile failure would actually take.
+    val conf = spark.conf
+    val oldWs = conf.get("spark.sql.codegen.wholeStage", "true")
+    val oldFm = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val viaNoCodegen = df.select(Vec.dot(col("a"), col("b"))).head.getDouble(0)
+      assert(viaNoCodegen == expected)
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", oldWs)
+      conf.set("spark.sql.codegen.factoryMode", oldFm)
+    }
   }
 }
