@@ -55,6 +55,7 @@ object SparkEntry {
     "a1_batch_counts", "a3_rollup_spend", "a7_approx_distinct",
     "a10_stats_moments", "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue", "tpch_q5_local_supplier",
+    "tpch_q2_min_cost_supplier", "tpch_q13_customer_distribution",
     // joins / set-ops / limits / windows
     "j1_broadcast_enrich", "j2_star_join_revenue", "j5_asof_join",
     "j6_range_join_bucketed", "l3_topk_per_group", "u1_union_dedup_cap",

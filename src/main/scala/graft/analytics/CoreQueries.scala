@@ -114,11 +114,14 @@ object CoreQueries {
   }
 
   /** TPC-H Q5 local-supplier volume — the 6-way star: region/nation are
-    * broadcast dims, customer/supplier reduce behind them, and the two
-    * fact tables meet in ONE shuffle join on the order key. The
-    * c_nationkey = s_nationkey constraint rides the join output as a
-    * residual equality — no extra shuffle. The plan to want at 100 TB:
-    * every dimension side broadcast, facts co-shuffled once.
+    * broadcast dims, supplier reduces behind them, and the two fact
+    * tables (lineitem, filtered orders) co-shuffle ONCE on the order
+    * key. The customer join then adds one more exchange on custkey —
+    * unavoidable, the keys differ — where c_nationkey = s_nationkey
+    * joins as an extra equality on that same exchange (no third
+    * shuffle). The plan to want at 100 TB: every bounded dimension
+    * broadcast, facts co-shuffled once, customer joined in a single
+    * further exchange.
     */
   val q5LocalSupplier: QueryDef = QueryDef(
     "tpch_q5_local_supplier",
@@ -454,8 +457,113 @@ object CoreQueries {
         .cast(LongType).as("days_since_prev"))
   }
 
+  /** TPC-H Q2 minimum-cost supplier — THE correlated-subquery
+    * decorrelation benchmark: "the supplier whose cost equals the
+    * minimum over all regional suppliers of that part". The test schema
+    * has no partsupp table, so lineitem is the part↔supplier bridge: a
+    * synthetic partsupp takes MIN(l_extendedprice) per (part, supplier)
+    * pair as ps_supplycost — exact double MIN, no arithmetic, so the
+    * min-equality join compares bit-identical values in both engines.
+    * The oracle keeps the classic CORRELATED form (DuckDB decorrelates
+    * it); the Spark side is the hand-decorrelated plan: aggregate the
+    * per-part regional minimum once, equi-join it back on
+    * (part, cost=min).
+    *
+    * Scale: supplier/nation/region are bounded dims → broadcast (the
+    * supplier side of every eligible pair resolves without touching the
+    * fact shuffle); synthetic partsupp is one partial-aggregable
+    * exchange on the pair key; the decorrelation is a groupBy+equi-join
+    * on ps_partkey (both sides hash-partition on the part key — the
+    * min table is |parts|, NOT broadcast since it grows with the data);
+    * part prunes on (size, type) before its broadcast; the final
+    * top-100 is TakeOrdered over a totally-ordered key (acctbal desc,
+    * nation, supplier, part — unique per row), never a global sort.
+    */
+  val q2MinCostSupplier: QueryDef = QueryDef(
+    "tpch_q2_min_cost_supplier",
+    """WITH partsupp AS MATERIALIZED (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         MIN(l_extendedprice) AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+      |FROM partsupp
+      |JOIN supplier ON s_suppkey = ps_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |JOIN region ON r_regionkey = n_regionkey
+      |JOIN part ON p_partkey = ps_partkey
+      |WHERE r_name = 'EUROPE' AND p_size <= 15 AND p_type = 'STANDARD'
+      |  AND ps_supplycost = (
+      |    SELECT MIN(ps2.ps_supplycost)
+      |    FROM partsupp ps2
+      |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+      |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+      |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin) { (s, dir) =>
+    val partsupp = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice")).as("ps_supplycost"))
+    val euroSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val eligible = partsupp
+      .join(broadcast(euroSupp), col("ps_suppkey") === col("s_suppkey"))
+      .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    val minCost = eligible.groupBy(col("ps_partkey").as("mc_partkey"))
+      .agg(min(col("ps_supplycost")).as("min_cost"))
+    val parts = Tables.part(s, dir)
+      .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+      .select("p_partkey", "p_brand")
+    eligible
+      .join(minCost, col("ps_partkey") === col("mc_partkey") &&
+        col("ps_supplycost") === col("min_cost"))
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost")
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q13 customer order distribution — the outer-join +
+    * count-distribution shape: customers who placed NO qualifying order
+    * must still appear with c_count = 0, which only a LEFT OUTER join
+    * with the order predicate INSIDE the join condition produces (a
+    * WHERE would silently turn it inner — the classic Q13 trap). The
+    * priority filter stands in for the classic o_comment NOT LIKE (the
+    * test schema carries no comment column).
+    *
+    * Scale: both sides shuffle once on the customer key; the per-
+    * customer COUNT rides the join's exchange (the join output is
+    * already hash-partitioned on c_custkey, so the first groupBy adds
+    * NO exchange); the second groupBy reduces |customers| rows to the
+    * ~20-row histogram with partial aggregation, and the final sort is
+    * those ~20 rows. All-integer output — nothing to drift.
+    */
+  val q13CustomerDist: QueryDef = QueryDef(
+    "tpch_q13_customer_distribution",
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(s, dir).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     q1PricingSummary, q6ForecastRevenue, q3ShippingPriority, q5LocalSupplier,
+    q2MinCostSupplier, q13CustomerDist,
     s1NewKeys, s2StaleKeys, k9Watermark, f10Guards,
     jBroadcastEnrich, jStarRevenue, jSemi, jOuter,
     topKRecency, topKPerGroup, unionDedupCap, intersectExcept,
