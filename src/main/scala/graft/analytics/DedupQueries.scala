@@ -643,12 +643,14 @@ object DedupQueries {
   }
 
   /** K13: manifest-pruned point lookup on the MergeSink — the engine-side
-    * equivalent of the reference's primary-key index probe. Each lookup
-    * reads ONLY the file(s) whose key-hash interval brackets the key's
-    * digest (O(1) files at any table size; MergeSinkSpec asserts the scan
-    * set), then filters inside the parquet scan. The 5 probed keys are
-    * collected driver-side from a 5-row limit — control-plane metadata,
-    * same O(small) class as the manifest itself.
+    * equivalent of the reference's primary-key index probe. The 5-key
+    * probe batch goes through ONE `pointReadKeys` call: a single Spark
+    * job scanning only the union of the files whose key-hash interval
+    * brackets some probe's digest (O(probes) files at any table size;
+    * MergeSinkSpec asserts the scan set), with the key equalities
+    * filtering inside the parquet scan. The probed keys are collected
+    * driver-side from a 5-row limit — control-plane metadata, same
+    * O(small) class as the manifest itself.
     */
   val pointLookup: QueryDef = QueryDef(
     "k13_point_lookup",
@@ -664,8 +666,7 @@ object DedupQueries {
       targetFileRows = 2048)
     val probes = base.orderBy("o_orderkey").limit(5)
       .select("o_orderkey").collect().map(_.getLong(0)).toSeq
-    probes.map(k => MergeSink.pointRead(s, sink, key, Seq(k)))
-      .reduce(_ unionByName _)
+    MergeSink.pointReadKeys(s, sink, key, probes.map(Seq(_)))
   }
 
   /** K14: row-level DELETE on the versioned sink — the DML verb the

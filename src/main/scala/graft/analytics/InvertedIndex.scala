@@ -57,13 +57,19 @@ object InvertedIndex {
     * conflicting transaction commits first).
     */
   def addDocs(spark: SparkSession, path: String, docs: DataFrame,
-      targetFileRows: Long = 4096, maxRetries: Int = 8): Unit = {
+      targetFileRows: Long = 4096, maxRetries: Int = 8,
+      afterRead: () => Unit = () => ()): Unit = {
     // materialized once: every validate-retry reuses the batch postings,
     // only the read-combine-merge re-executes
     val fresh = postingsOf(docs).localCheckpoint(true)
     var tries = 0
     while (tries < maxRetries) {
       val readV = MergeSink.versions(path).last
+      // test seam: lets a spec park this writer between its version read
+      // and its commit so a racing addDocs can land first — the
+      // deterministic reproduction of the lost-update window the OCC
+      // retry exists for. Production callers leave the no-op default.
+      afterRead()
       // pruned read-for-update: only files overlapping the batch's term
       // digests are opened (O(batch vocabulary), not O(index))
       val existing = MergeSink.readOverlapping(spark, path, fresh.select("term"), Seq("term"))
@@ -91,13 +97,22 @@ object InvertedIndex {
   def lookup(spark: SparkSession, path: String, term: String): DataFrame =
     MergeSink.pointRead(spark, path, Seq("term"), Seq(term))
 
-  /** Documents containing ALL `terms` (conjunctive query): intersect the
-    * pruned posting lists.
+  /** Documents containing ALL `terms` (conjunctive query). One batched
+    * `pointReadKeys` scan fetches every term's posting row (union of the
+    * manifest-pruned files, one Spark job instead of one per term), then
+    * the intersection is a count-of-distinct-terms-per-doc filter: a doc
+    * id appears in all N posting lists iff N distinct query terms carry
+    * it. Posting lists are sets (collect_set at build), so the count is
+    * exact.
     */
   def andQuery(spark: SparkSession, path: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "andQuery needs at least one term")
-    terms.map(t => lookup(spark, path, t)
-      .select(explode(col("postings")).as("doc_id")))
-      .reduce(_.intersect(_))
+    val uniq = terms.distinct
+    MergeSink.pointReadKeys(spark, path, Seq("term"), uniq.map(Seq(_)))
+      .select(col("term"), explode(col("postings")).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(col("term")).as("n_terms"))
+      .where(col("n_terms") === uniq.size)
+      .select("doc_id")
   }
 }

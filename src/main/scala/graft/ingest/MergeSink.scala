@@ -517,16 +517,6 @@ object MergeSink {
       filesSkipped = kept.size.toLong)
   }
 
-  /** Point read: the rows matching one literal key tuple, scanning ONLY
-    * the files whose key-hash interval can contain the key's digest —
-    * the manifest stands in for the reference's primary-key index probe
-    * (`ON CONFLICT` lookups, utils/db_helpers.py:101). Range-clustered
-    * files make the pruned set O(1) regardless of table size; the resid-
-    * ual key-equality filter runs inside the parquet scan (sorted on the
-    * digest, so row-group stats prune further). Digest computed through
-    * the same xxhash64 column path as [[merge]] — one 1-row job, no
-    * reimplementation that could drift.
-    */
   /** Rows from ONLY the files whose key-hash range overlaps the digests
     * of `keys` — the read-for-update companion of merge's file skipping:
     * a caller that must see the current rows for a batch of keys (e.g.
@@ -548,27 +538,55 @@ object MergeSink {
     else spark.read.schema(m.schema).parquet(hit.map(f => s"$path/${f.path}"): _*)
   }
 
+  /** Point read: the rows matching one literal key tuple, scanning ONLY
+    * the files whose key-hash interval can contain the key's digest —
+    * the manifest stands in for the reference's primary-key index probe
+    * (`ON CONFLICT` lookups, utils/db_helpers.py:101). Range-clustered
+    * files make the pruned set O(1) regardless of table size; the resid-
+    * ual key-equality filter runs inside the parquet scan (sorted on the
+    * digest, so row-group stats prune further). Digest computed through
+    * the same xxhash64 column path as [[merge]] — one 1-row job, no
+    * reimplementation that could drift.
+    */
   def pointRead(spark: SparkSession, path: String, key: Seq[String],
-                values: Seq[Any], version: Option[Long] = None): DataFrame = {
+                values: Seq[Any], version: Option[Long] = None): DataFrame =
+    pointReadKeys(spark, path, key, Seq(values), version)
+
+  /** Batched point read — N literal key tuples, ONE Spark job: all N
+    * digests come from a single local job over unioned literal rows, the
+    * manifest interval prune runs per digest, and the UNION of the hit
+    * file sets is scanned once under a single OR-of-key-equalities
+    * residual. Pruning is unchanged vs N separate [[pointRead]]s — a file
+    * is opened iff some probe's digest lands in its interval — but the
+    * N-jobs-for-N-probes scheduler overhead collapses to one job, which
+    * is the honest cost of a control-plane probe batch.
+    */
+  def pointReadKeys(spark: SparkSession, path: String, key: Seq[String],
+                    tuples: Seq[Seq[Any]], version: Option[Long] = None): DataFrame = {
+    require(tuples.nonEmpty, "pointReadKeys needs at least one key tuple")
     val vs = versions(path)
     require(vs.nonEmpty, s"MergeSink.pointRead on uninitialized sink: $path")
     val v = version.getOrElse(vs.last)
     val m = readManifest(path, v)
-    require(key.size == values.size, "key/values arity mismatch")
     val keyTypes = key.map(k => m.schema(k).dataType)
-    val litCols = values.zip(keyTypes).zip(key).map { case ((x, t), k) =>
-      lit(x).cast(t).as(k)
-    }
-    val kd = spark.range(1).select(litCols: _*)
-      .select(keyDigest(key)).collect().head.getLong(0)
-    val hit = m.files.filter(f => f.rows > 0 && f.minKd <= kd && kd <= f.maxKd)
+    tuples.foreach(t => require(t.size == key.size, "key/values arity mismatch"))
+    val litRows = tuples.map { t =>
+      spark.range(1).select(t.zip(keyTypes).zip(key).map { case ((x, tp), k) =>
+        lit(x).cast(tp).as(k)
+      }: _*)
+    }.reduce(_ unionByName _)
+    val kds = litRows.select(keyDigest(key)).collect().map(_.getLong(0))
+    val hit = m.files.filter(f =>
+      f.rows > 0 && kds.exists(kd => f.minKd <= kd && kd <= f.maxKd))
     val base =
       if (hit.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
       else spark.read.schema(m.schema).parquet(hit.map(f => s"$path/${f.path}"): _*)
-    val cond = key.zip(values).zip(keyTypes).map { case ((k, x), t) =>
-      col(k) <=> lit(x).cast(t)
-    }.reduce(_ && _)
+    val cond = tuples.map { t =>
+      key.zip(t).zip(keyTypes).map { case ((k, x), tp) =>
+        col(k) <=> lit(x).cast(tp)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
     base.where(cond)
   }
 

@@ -96,6 +96,48 @@ class InvertedIndexSpec extends AnyFunSuite {
     } finally rm(base)
   }
 
+  test("addDocs OCC retry: a commit landing inside the read-merge window is recombined, not lost") {
+    // DETERMINISTIC reproduction of the lost-update scenario (the
+    // concurrent test above races for it; this one forces it): writer A
+    // parks between its version read and its merge via the afterRead
+    // seam, writer B lands a full addDocs on an overlapping term, A
+    // resumes → its pinned-version merge MUST abort (ReadConflict),
+    // retry against the new state, and recombine BOTH batches' doc ids.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_invidx4").toFile
+    val path = s"${base.getPath}/idx"
+    try {
+      InvertedIndex.build(spark, path, Seq((1L, "alpha beta")).toDF("doc_id", "text"))
+      val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+      val readDone = new java.util.concurrent.CountDownLatch(1)
+      val resume = new java.util.concurrent.CountDownLatch(1)
+      @volatile var slowErr: Option[Throwable] = None
+      val slow = new Thread(() => {
+        try {
+          InvertedIndex.addDocs(spark, path,
+            Seq((100L, "alpha gamma")).toDF("doc_id", "text"),
+            afterRead = () => {
+              // park only the FIRST attempt; the retry runs through
+              if (reads.incrementAndGet() == 1) { readDone.countDown(); resume.await() }
+            })
+        } catch { case t: Throwable => slowErr = Some(t) }
+      })
+      slow.start()
+      readDone.await()
+      InvertedIndex.addDocs(spark, path, Seq((200L, "alpha delta")).toDF("doc_id", "text"))
+      resume.countDown()
+      slow.join(120000)
+      assert(!slow.isAlive, "slow writer did not finish")
+      assert(slowErr.isEmpty, s"slow writer failed: $slowErr")
+      assert(reads.get() == 2, "the pinned-version merge must abort exactly once and retry")
+      def postings(t: String) = InvertedIndex.lookup(spark, path, t)
+        .select(explode(col("postings"))).collect().map(_.getLong(0)).toSet
+      assert(postings("alpha") == Set(1L, 100L, 200L), "a batch's doc ids were lost")
+      assert(postings("gamma") == Set(100L))
+      assert(postings("delta") == Set(200L))
+    } finally rm(base)
+  }
+
   private def rm(x: java.io.File): Unit = {
     if (x.isDirectory) Option(x.listFiles()).toSeq.flatten.foreach(rm)
     x.delete(); ()

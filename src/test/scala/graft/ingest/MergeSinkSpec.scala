@@ -306,6 +306,24 @@ class MergeSinkSpec extends AnyFunSuite {
     assert(MergeSink.pointRead(spark, path, Seq("id"), Seq(9999L)).isEmpty)
   }
 
+  test("pointReadKeys: one batched probe scans exactly the union of per-key file sets") {
+    val path = tmp()
+    val base = (1L to 400L).map(i => (i, s"p$i")).toDF("id", "payload")
+    MergeSink.merge(spark, path, base, Seq("id"), Seq(col("id")),
+      targetFileRows = 100)
+    val keys = Seq(3L, 137L, 291L, 9999L) // 3 present + 1 absent
+    val multi = MergeSink.pointReadKeys(spark, path, Seq("id"), keys.map(Seq(_)))
+    assert(multi.select("id", "payload").as[(Long, String)].collect().toSeq.sorted ==
+      Seq((3L, "p3"), (137L, "p137"), (291L, "p291")))
+    // pruning must not degrade under batching: the one-job scan set is
+    // EXACTLY the union of the per-key pruned sets, and never more files
+    // than probes (each digest lands in at most one range-clustered file)
+    val perKey = keys.flatMap(k =>
+      MergeSink.pointRead(spark, path, Seq("id"), Seq(k)).inputFiles).toSet
+    assert(multi.inputFiles.toSet == perKey)
+    assert(multi.inputFiles.length <= keys.length)
+  }
+
   test("change feed composes across versions and null-fills evolved columns") {
     val path = tmp()
     val v1 = MergeSink.merge(spark, path,
