@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -30,24 +29,11 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.ts` is nanosecond-precision in parquet. Normalize to Spark's
-    * native microsecond TIMESTAMP at the scan so every downstream operator
-    * (windows, sessionization, watermarks) sees a plain timestamp — matching
-    * DuckDB's own ns→us truncation when it reads the same file.
+  /** `events.ts` arrives either as raw nanos longs (TIMESTAMP(NANOS) data
+    * under `nanosAsLong` — see Sessions.local) or as a native µs timestamp,
+    * depending on the testdata generation. EventsSource owns the
+    * normalization — ONE copy of the unit logic for batch and streaming.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    // Spark rejects TIMESTAMP(NANOS) parquet columns outright; with
-    // `spark.sql.legacy.parquet.nanosAsLong` (set at session construction —
-    // see Sessions.local) they arrive as raw nanos longs, which we truncate
-    // to micros ourselves. `div` is exact integral division — `floor(a/b)`
-    // would round through double and drift by 1µs at epoch-ns magnitude
-    // (~1.7e18 > 2^53). Truncation-toward-zero matches DuckDB's own ns→µs
-    // conversion for the post-1970 data in these tables.
-    val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
-    }
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    graft.sources.EventsSource.batch(s, s"$d/events.parquet")
 }

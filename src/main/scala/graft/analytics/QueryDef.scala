@@ -47,28 +47,18 @@ private[analytics] object Staging {
 
   /** freshBase + an isolated copy of the events parquet (streaming drains
     * need a source DIR they can later append files to) →
-    * (srcDir, sinkPath, checkpointPath).
+    * (srcDir, sinkPath, checkpointPath). File-vs-dir layout handling lives
+    * in EventsSource.stageInto — a nested events.parquet/ dir must be
+    * FLATTENED into loose files because the streaming file source lists
+    * src/ non-recursively (an un-flattened dir stages an empty stream:
+    * zero micro-batches, the sink never created at all).
     */
   def stageEvents(prefix: String, dir: String): (String, String, String) = {
     val base = freshBase(prefix, dir)
     val src = new java.io.File(base, "src"); src.mkdirs()
-    // events.parquet is a single FILE in the driver testdata but a
-    // DIRECTORY of part files for Spark-written (e.g. scaled-up bench)
-    // tables. The staged copy must FLATTEN the latter into loose files:
-    // the streaming file source lists src/ non-recursively, so a nested
-    // events.parquet/ dir stages an empty stream (zero micro-batches —
-    // the sink is then never created at all).
-    val from = java.nio.file.Paths.get(s"$dir/events.parquet")
-    if (java.nio.file.Files.isDirectory(from)) {
-      val children = java.nio.file.Files.list(from)
-      try children
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .forEach(p => java.nio.file.Files.copy(
-          p, java.nio.file.Paths.get(src.getPath, p.getFileName.toString)))
-      finally children.close()
-    } else
-      java.nio.file.Files.copy(from,
-        java.nio.file.Paths.get(src.getPath, "events.parquet"))
+    val n = graft.sources.EventsSource.stageInto(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), src.toPath)
+    require(n > 0, s"staged zero event files from $dir/events.parquet")
     (src.getPath, s"${base.getPath}/sink", s"${base.getPath}/ckpt")
   }
 }

@@ -208,9 +208,15 @@ object StreamQueries {
       |  CAST(epoch_ms(ts) AS BIGINT) AS ms
       |FROM events""".stripMargin) { (s, dir) =>
     val (src, sink, ckpt) = Staging.stageEvents("graft_sd", dir)
-    java.nio.file.Files.copy( // the duplicated delivery
+    // the duplicated delivery: SAME flatten rules as the first copy —
+    // a dir-shaped events.parquet naively Files.copy'd here staged an
+    // EMPTY dir, silently degrading the doubled feed to a no-op (r6
+    // latent bug). stageInto suffixes file names so both copies coexist;
+    // the require proves the redelivery actually contributed files.
+    val redelivered = graft.sources.EventsSource.stageInto(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
-      java.nio.file.Paths.get(src, "events_redelivered.parquet"))
+      java.nio.file.Paths.get(src), tag = "_redelivered")
+    require(redelivered > 0, "redelivered copy staged zero files")
     EventsStream.streamDedup(s, src, sink, ckpt)
     s.read.parquet(sink).select("event_id", "user_id", "event_type", "ms")
   }

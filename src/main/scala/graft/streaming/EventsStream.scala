@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 import graft.ingest.{DedupSink, MergeSink, Watermarks}
+import graft.sources.EventsSource
 
 /** Structured Streaming runner for the `events` table (SURVEY.md §2.11):
   * `readStream` over the parquet dir → `Trigger.AvailableNow` (the
@@ -62,25 +63,20 @@ object EventsStream {
     }
   }
 
-  /** Raw schema: `ts` arrives as nanos (TIMESTAMP(NANOS) parquet read under
-    * `nanosAsLong`, set at session construction).
+  /** Events stream over a staged dir: schema derived from the staged
+    * files' own footers, ts-unit normalization shared with the batch path —
+    * see EventsSource (round 6 lost the whole streaming tier to a
+    * hardcoded-unit schema here; the loader is now the single authority).
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** ns→µs timestamp normalization, identical to Tables.events. */
-  def normalize(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private def eventsStream(spark: SparkSession, sourceDir: String): DataFrame =
+    EventsSource.stream(spark, sourceDir)
 
   /** Drain everything currently in `sourceDir` into the dedup sink at
     * `sinkPath`; returns when the AvailableNow run finishes.
     */
   def drain(spark: SparkSession, sourceDir: String, sinkPath: String,
             checkpoint: String): Unit = {
-    val stream = spark.readStream.schema(rawSchema).parquet(sourceDir)
-    val q = normalize(stream).writeStream
+    val q = eventsStream(spark, sourceDir).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -112,7 +108,7 @@ object EventsStream {
     */
   private def statefulStream(spark: SparkSession, sourceDir: String): Dataset[UserAgg] = {
     import spark.implicits._
-    val stream = normalize(spark.readStream.schema(rawSchema).parquet(sourceDir))
+    val stream = eventsStream(spark, sourceDir)
       .select(col("user_id"), unix_millis(col("ts")).as("ms"))
       .as[(Long, Long)]
     stream
@@ -208,7 +204,7 @@ object EventsStream {
     conf.set(ProviderKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try withStateTunedConf(spark) {
-      val stream = normalize(spark.readStream.schema(rawSchema).parquet(sourceDir))
+      val stream = eventsStream(spark, sourceDir)
         .select(col("user_id"), unix_millis(col("ts")).as("ms"))
         .as[(Long, Long)]
       val q = stream.groupByKey(_._1)
@@ -240,7 +236,7 @@ object EventsStream {
     */
   def streamStreamJoin(spark: SparkSession, sourceDir: String, sinkPath: String,
                        checkpoint: String): Unit = {
-    val src = normalize(spark.readStream.schema(rawSchema).parquet(sourceDir))
+    val src = eventsStream(spark, sourceDir)
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_event"))
       .withWatermark("v_ts", "1 hour")
@@ -277,7 +273,7 @@ object EventsStream {
     */
   def streamDedup(spark: SparkSession, sourceDir: String, sinkPath: String,
                   checkpoint: String): Unit = {
-    val src = normalize(spark.readStream.schema(rawSchema).parquet(sourceDir))
+    val src = eventsStream(spark, sourceDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_millis(col("ts")).as("ms"))
       .dropDuplicates("event_id")
@@ -352,7 +348,7 @@ object EventsStream {
     */
   def sessionCounts(spark: SparkSession, sourceDir: String, sinkPath: String,
                     checkpoint: String): Unit = {
-    val stream = normalize(spark.readStream.schema(rawSchema).parquet(sourceDir))
+    val stream = eventsStream(spark, sourceDir)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -386,7 +382,7 @@ object EventsStream {
   def windowedCounts(spark: SparkSession, sourceDir: String, sinkPath: String,
                      checkpoint: String): Unit = {
     import graft.functions.Num
-    val stream = normalize(spark.readStream.schema(rawSchema).parquet(sourceDir))
+    val stream = eventsStream(spark, sourceDir)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -12,21 +12,19 @@ object StreamProfile {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = graft.Sessions.local(appName = "graft-streamprofile")
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.streaming.EventsStream
     import graft.functions.Num
 
     val base = java.nio.file.Files.createTempDirectory("sprof").toString
     val src = s"$base/src"; new java.io.File(src).mkdirs()
-    java.nio.file.Files.copy(
+    graft.sources.EventsSource.stageInto(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
-      java.nio.file.Paths.get(src, "events.parquet"))
+      java.nio.file.Paths.get(src))
 
     if (args.length > 1) spark.conf.set("spark.sql.shuffle.partitions", args(1))
     if (args.length > 2)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", args(2))
     val t0 = System.nanoTime()
-    val stream = EventsStream.normalize(
-      spark.readStream.schema(EventsStream.rawSchema).parquet(src))
+    val stream = graft.sources.EventsSource.stream(spark, src)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -12,6 +12,7 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {
       val fn = graft.SparkEntry.queries(n)
+      graft.SparkEntry.prestage.get(n).foreach(_(spark, dir))
       fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

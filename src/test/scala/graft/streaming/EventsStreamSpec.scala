@@ -78,12 +78,20 @@ class EventsStreamSpec extends AnyFunSuite {
     val before = filesPerBucket
     assert(before.size > 1, "expected a bucket-partitioned sink")
 
-    // deliver ONE user's event; only that user's bucket partition may change
+    // deliver ONE user's event; only that user's bucket partition may
+    // change. The delta is derived from the staged file itself so its ts
+    // ENCODING (ns-long vs µs-timestamp, a property of the testdata
+    // generation) always matches the rest of the source dir — a
+    // hand-built long row next to µs data would poison the
+    // footer-derived stream schema.
     val oneUser = 7L
-    import spark.implicits._
     val deltaDir = s"$base/delta"
-    Seq((999999L, 1748736000000000000L, oneUser, "click", 1.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    spark.read.parquet(s"$src/events.parquet").limit(1)
+      .withColumn("event_id", lit(999999L))
+      .withColumn("user_id", lit(oneUser))
+      .withColumn("event_type", lit("click"))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
       .coalesce(1).write.parquet(deltaDir)
     val part = new java.io.File(deltaDir).listFiles()
       .find(_.getName.endsWith(".parquet")).get
