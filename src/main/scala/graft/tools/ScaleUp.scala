@@ -64,11 +64,19 @@ object ScaleUp {
     replicate("orders", Seq("o_orderkey", "o_custkey"))(id)
     replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))(id)
     replicate("events", Seq("event_id", "user_id"))(id)
+    // ALPHANUMERIC suffix with no separator: the dedup tier's clean step
+    // (graft_shingles / Norm.cleanText) drops punctuation, so a "~1"
+    // suffix would be split off into a shared standalone token
+    // interleaved through every copy-i document ("w1 1 w2 1 …") — which
+    // made all of copy i mutually near-similar and exploded LSH candidate
+    // counts 6000× in the r7 scaling audit. "x1" survives cleaning as
+    // part of the word, so each copy keeps a genuinely disjoint
+    // vocabulary with the SAME intra-copy similarity structure.
     replicate("documents", Seq("doc_id")) { (d, i) =>
       if (i == 0) d
       else d.withColumn("text",
         array_join(transform(split(col("text"), " "),
-          x => concat(x, lit("~" + i))), " "))
+          x => concat(x, lit("x" + i))), " "))
     }
     replicate("embeddings", Seq("vec_id")) { (d, i) =>
       if (i == 0) d
