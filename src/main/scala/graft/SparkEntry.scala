@@ -65,6 +65,8 @@ object SparkEntry {
     "a10_stats_moments", "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue", "tpch_q5_local_supplier",
     "tpch_q2_min_cost_supplier", "tpch_q13_customer_distribution",
+    "tpch_q4_order_priority", "tpch_q14_promo_effect",
+    "tpch_q18_large_volume",
     // joins / set-ops / limits / windows
     "j1_broadcast_enrich", "j2_star_join_revenue", "j5_asof_join",
     "j6_range_join_bucketed", "l3_topk_per_group", "u1_union_dedup_cap",
@@ -75,7 +77,7 @@ object SparkEntry {
     // similarity search
     "ann_lsh_topk", "ann_ivf_topk",
     // text analysis
-    "tx_bm25_rank", "tx_lang_id", "tx_token_count",
+    "tx_bm25_rank", "tx_lang_id", "tx_token_count", "tx_ngram_novelty",
     // events / streaming
     "ev_sessionize", "ev_tumbling_window", "ev_stream_exactly_once",
     "ev_gap_fill",

@@ -561,9 +561,168 @@ object CoreQueries {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** TPC-H Q4 order-priority checking — the EXISTS → LEFT SEMI shape:
+    * count orders in a quarter having at least one late-shipping line.
+    * The classic commit-vs-receipt predicate maps to ship-lag (the test
+    * lineitem carries no commit/receipt dates): shipped > 60 days after
+    * the order date. The correlated EXISTS decorrelates to a left-semi
+    * join with the lag predicate in the join condition; the order-date
+    * window pushes into the orders scan.
+    *
+    * Scale: one shuffle co-partitioning both facts on the order key; the
+    * semi join keeps each qualifying order ONCE however many lines
+    * qualify (no fan-out, no distinct); the priority histogram is a
+    * 5-row partial agg. All-integer output.
+    */
+  val q4PriorityCheck: QueryDef = QueryDef(
+    "tpch_q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= tsNtz("1997-01-01 00:00:00") &&
+        col("o_orderdate") < tsNtz("1997-04-01 00:00:00"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q10 returned-item reporting — revenue lost to returns per
+    * customer in a quarter, top 20: the join-agg-topk shape with a
+    * broadcast dimension on the OUTPUT side (nation names decorate the
+    * 20 survivors' groups, not the fact rows).
+    *
+    * Scale: lineitem prunes to returnflag='R' in the scan; orders prunes
+    * to the quarter; the two facts co-shuffle once on the order key; the
+    * customer join is the second exchange (custkey); nation broadcasts.
+    * The revenue agg groups on the customer PK, so every decorating
+    * attribute (name, acctbal, n_name) rides the group key for free —
+    * and the top-20 is TakeOrdered with a unique tiebreak.
+    */
+  val q10ReturnedItems: QueryDef = QueryDef(
+    "tpch_q10_returned_items",
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer c
+      |JOIN orders o ON c_custkey = o_custkey
+      |JOIN lineitem l ON l_orderkey = o_orderkey
+      |JOIN nation n ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= tsNtz("1996-07-01 00:00:00") &&
+        col("o_orderdate") < tsNtz("1996-10-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q14 promotion effect — the conditional-aggregate ratio: promo
+    * revenue share of one ship-month. Both sums accumulate exactly in
+    * DECIMAL over the SAME scan (one pass, two conditional partials) and
+    * the percentage is a single double multiply-divide at the end —
+    * bit-identical cross-engine because each side of the division is an
+    * exact sum cast once to double, and the `100 * x / y` operator chain
+    * parses left-associative identically in both engines.
+    *
+    * Scale: the month window pushes into the lineitem scan; part
+    * broadcasts (bounded dim); no shuffle beyond the single-row reduce.
+    */
+  val q14PromoEffect: QueryDef = QueryDef(
+    "tpch_q14_promo_effect",
+    """SELECT CAST(100 AS DOUBLE) *
+      |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |    THEN l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+      |    ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,6))) AS DOUBLE) /
+      |  CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+      |  AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= tsNtz("1996-09-01 00:00:00") &&
+        col("l_shipdate") < tsNtz("1996-10-01 00:00:00"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        dsum(when(col("p_type") === "PROMO", discPrice).otherwise(lit(0.0)), 6) /
+        dsum(discPrice, 6)).as("promo_revenue"))
+  }
+
+  /** TPC-H Q18 large-volume customers — the HAVING-on-aggregate semi
+    * filter: orders whose total quantity exceeds the threshold, decorated
+    * with customer and re-aggregated. The inner groupBy(orderkey) HAVING
+    * is the filter; joining its SURVIVORS (a tiny set) back to orders and
+    * customer means the big fact aggregates once and everything after
+    * runs on O(survivors).
+    *
+    * Scale: lineitem partial-aggregates on the order key (one exchange);
+    * the survivor set broadcasts back against orders; customer joins on
+    * the pruned custkeys. Quantity sums accumulate in DECIMAL both for
+    * the HAVING comparison and the output — a double SUM would make the
+    * threshold test order-dependent at the boundary.
+    */
+  val q18LargeVolume: QueryDef = QueryDef(
+    "tpch_q18_large_volume",
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250)
+      |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+      |FROM big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    val ord = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        "o_totalprice", "total_qty")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     q1PricingSummary, q6ForecastRevenue, q3ShippingPriority, q5LocalSupplier,
     q2MinCostSupplier, q13CustomerDist,
+    q4PriorityCheck, q10ReturnedItems, q14PromoEffect, q18LargeVolume,
     s1NewKeys, s2StaleKeys, k9Watermark, f10Guards,
     jBroadcastEnrich, jStarRevenue, jSemi, jOuter,
     topKRecency, topKPerGroup, unionDedupCap, intersectExcept,

@@ -333,7 +333,101 @@ object TextQueries {
         levenshtein(col("a.head"), col("b.head")).cast(LongType).as("lev"))
   }
 
+  /** E64 — Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    * fraction of a document occupied by its most frequent word bigram and
+    * by ALL repeated bigrams. Boilerplate, keyword stuffing, and
+    * generation loops light these up; pretraining pipelines drop docs
+    * above per-signal thresholds.
+    *
+    * Shape: explode bigrams → count per (doc, gram) → per-doc max/sum —
+    * two partial-aggregable groupBys on (doc_id, gram) then doc_id, the
+    * relational form that scales (a per-row higher-order-function count
+    * would be O(words²) per doc and codegen-hostile). Ratios are single
+    * int→double divisions. Docs under 2 words have no bigrams and emit no
+    * row in BOTH engines (explicit size filter = the oracle's empty
+    * unnest).
+    */
+  val repetition: QueryDef = QueryDef(
+    "tx_repetition",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE length(string_split(text, ' ')) >= 2),
+      |g AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+      |  FROM w, unnest(range(1, length(ws))) AS t(i)),
+      |c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(n) AS BIGINT) AS n_bigrams,
+      |  CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+      |  CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_bigram_frac,
+      |  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / SUM(n) AS dup_bigram_frac
+      |FROM c GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    // sequence(1, n-1) needs n >= 2: Spark infers step -1 when start >
+    // stop, so an unguarded 1-word doc would yield [1, 0], not empty —
+    // the size filter above is correctness, not just oracle parity
+    val grams = w.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1)))).as("gram"))
+    grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(
+        sum("n").as("n_bigrams"),
+        max("n").as("top_bigram_n"),
+        (max("n").cast(DoubleType) / sum("n")).as("top_bigram_frac"),
+        (sum(when(col("n") > 1, col("n")).otherwise(lit(0L))).cast(DoubleType) / sum("n"))
+          .as("dup_bigram_frac"))
+  }
+
+  /** E65 — cross-document n-gram novelty: for each document, the fraction
+    * of its distinct word 8-grams that also appear in at least one OTHER
+    * document. This is sub-document-granularity dedup signal — template
+    * boilerplate and copied passages score high while the doc-level
+    * fingerprint (dd_exact) and near-dup tiers (LSH) stay silent, and it
+    * is the containment side of benchmark decontamination generalized to
+    * corpus-vs-itself.
+    *
+    * Shape: distinct (doc, gram) → document frequency per gram → join
+    * back → per-doc fraction. Both groupBys partial-aggregate; the join
+    * is an equi-join on the gram hash — at 100 TB this is the same
+    * banded-join scale class as LSH (gram space sharded by hash), never
+    * all-pairs. Count columns are exact ints; the fraction is one
+    * division.
+    */
+  val ngramNovelty: QueryDef = QueryDef(
+    "tx_ngram_novelty",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE length(string_split(text, ' ')) >= 8),
+      |g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+      |  FROM w, unnest(range(1, length(ws) - 6)) AS t(i)),
+      |df AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY 1)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_grams,
+      |  CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS shared_frac
+      |FROM g JOIN df USING (gram) GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 8)
+    val grams = w.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("ws")) - 7),
+        i => array_join(slice(col("ws"), i, lit(8)), " "))).as("gram"))
+      .distinct()
+    val df = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
+    grams.join(df, "gram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("shared_grams"),
+        (sum(when(col("n_docs") > 1, 1L).otherwise(0L)).cast(DoubleType) / count(lit(1)))
+          .as("shared_frac"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(qualityScore, langId, tokenCount, fingerprint, rollingHash, sentiment,
-      corpusFilter, bm25Rank, editDist)
+      corpusFilter, bm25Rank, editDist, repetition, ngramNovelty)
 }
