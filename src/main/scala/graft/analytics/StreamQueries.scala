@@ -221,6 +221,27 @@ object StreamQueries {
     s.read.parquet(sink).select("event_id", "user_id", "event_type", "ms")
   }
 
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark` — the
+    * same doubled-feed proof as ev_stream_dedup, but the per-key seen
+    * state is EVICTED once the watermark passes (the variant that holds
+    * at 100 TB; the unbounded form grows with the key universe). Both
+    * copies arrive in one AvailableNow batch — inside any watermark
+    * delay — so the sink must equal plain `events`.
+    */
+  val streamDedupWm: QueryDef = QueryDef(
+    "ev_stream_dedup_wm",
+    """SELECT event_id, user_id, event_type,
+      |  CAST(epoch_ms(ts) AS BIGINT) AS ms
+      |FROM events""".stripMargin) { (s, dir) =>
+    val (src, sink, ckpt) = Staging.stageEvents("graft_sdw", dir)
+    val redelivered = graft.sources.EventsSource.stageInto(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(src), tag = "_redelivered")
+    require(redelivered > 0, "redelivered copy staged zero files")
+    EventsStream.streamDedupWithinWatermark(s, src, sink, ckpt)
+    s.read.parquet(sink).select("event_id", "user_id", "event_type", "ms")
+  }
+
   /** Time-series gap fill: the hourly activity series per event type with
     * MISSING buckets restored as zero rows — the densification step every
     * downstream windowed model (forecasting, anomaly scoring) needs,
@@ -257,5 +278,5 @@ object StreamQueries {
   val defs: Seq[QueryDef] =
     Seq(exactlyOnce, sessionize, tumbling, watermarkedWindow,
       sessionWindowStream, statefulState, transformWithStateQ,
-      streamMergeSink, streamStreamJoin, streamDedup, gapFill)
+      streamMergeSink, streamStreamJoin, streamDedup, streamDedupWm, gapFill)
 }

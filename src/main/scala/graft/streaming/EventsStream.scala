@@ -290,6 +290,40 @@ object EventsStream {
     }
   }
 
+  /** streamDedup with BOUNDED state: `dropDuplicatesWithinWatermark` keeps
+    * a key's seen-entry only until the watermark passes its event time +
+    * delay, then evicts it — the form that holds at 100 TB, where the
+    * unbounded-seen-state variant above grows with the key universe
+    * forever. The semantic contract weakens correspondingly: a duplicate
+    * arriving AFTER its original's state was evicted re-emits, so the
+    * operator guarantees exactly-once only for duplicates within the
+    * watermark delay of each other — exactly the at-least-once
+    * redelivery window upstreams actually exhibit (retries, not
+    * month-late replays; those are the K-sinks' anti-join job). The
+    * doubled feed arrives inside one AvailableNow batch — within any
+    * delay — so the drained sink must still equal plain `events`.
+    */
+  def streamDedupWithinWatermark(spark: SparkSession, sourceDir: String,
+      sinkPath: String, checkpoint: String): Unit = {
+    val src = eventsStream(spark, sourceDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+    withStateTunedConf(spark) {
+      val q = src.writeStream
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(sinkPath)
+        }
+        .start()
+      q.awaitTermination()
+    }
+  }
+
   /** Newest-wins upsert into a bucket-partitioned parquet sink: merge only
     * the buckets the batch's keys live in (partition-pruned read +
     * anti-join + union) and rewrite just those partitions via dynamic

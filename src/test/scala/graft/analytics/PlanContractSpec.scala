@@ -143,4 +143,42 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 6, p.take(2000))
     assert(p.contains("TakeOrderedAndProject"), "top-50 regressed to a global sort")
   }
+
+  test("tpch_q4: EXISTS decorrelates to a LEFT SEMI join; the quarter filter reaches the scan") {
+    val p = initialPlan("tpch_q4_order_priority")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-date window no longer pushes into the orders scan")
+  }
+
+  test("tpch_q10: returnflag prunes the lineitem scan; nation broadcasts; top-20 is TakeOrdered") {
+    val p = initialPlan("tpch_q10_returned_items")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returnflag filter fell out of the lineitem scan")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 regressed to a global sort")
+  }
+
+  test("tpch_q14: one lineitem pass — both conditional sums share a single scan and agg") {
+    val p = initialPlan("tpch_q14_promo_effect")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      "the promo ratio must not scan lineitem twice")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      "ship-month window no longer pushes into the scan")
+  }
+
+  test("tpch_q18: the HAVING aggregate partial-aggregates below the joins; facts never broadcast the big side") {
+    val p = initialPlan("tpch_q18_large_volume")
+    // partial+final HashAggregate for the per-order quantity sum
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), "top-100 regressed to a global sort")
+  }
+
+  test("ngram novelty: gram join is an equi-join, never a cross product") {
+    val p = initialPlan("tx_ngram_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+    // distinct + doc-frequency groupBys both partial-aggregate
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p.take(2000))
+  }
 }
