@@ -719,10 +719,120 @@ object CoreQueries {
       .limit(100)
   }
 
+  /** TPC-H Q15 top supplier — the aggregate-equals-its-own-maximum shape:
+    * per-supplier quarterly revenue, keep the supplier(s) at the global
+    * max. The revenue table aggregates ONCE and is reused on both sides
+    * (the per-supplier rows and the 1-row max) — the classic view-reuse
+    * the spec's CREATE VIEW forces; Spark shares it naturally because
+    * both branches read the same child plan.
+    *
+    * Scale: lineitem partial-aggregates on suppkey (one exchange); the
+    * global max is a 1-row reduce broadcast back; supplier is a bounded
+    * dim broadcast. Determinism: revenue is an exact DECIMAL sum cast
+    * once to double, so the max-equality compares bit-identical values
+    * in both engines.
+    */
+  val q15TopSupplier: QueryDef = QueryDef(
+    "tpch_q15_top_supplier",
+    """WITH rev AS MATERIALIZED (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= tsNtz("1996-01-01 00:00:00") &&
+        col("l_shipdate") < tsNtz("1996-04-01 00:00:00"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("total_revenue"))
+    val maxRev = rev.agg(max("total_revenue").as("max_revenue"))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("supplier_no") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q19 discounted revenue — the DISJUNCTIVE-bracket predicate:
+    * three OR'd (brand × quantity-range × size-range) brackets over the
+    * part-lineitem join. The shape exists to prove the optimizer
+    * factors the disjunction: the common `p_partkey` equi-join stays an
+    * equi-join (OR conditions must not degrade it to a nested loop), and
+    * the per-side conjuncts usable for pruning still push to the scans.
+    *
+    * Scale: part prunes on (brand IN ... AND size-range disjunction)
+    * before broadcast; lineitem pushes the quantity envelope; the exact
+    * bracket predicate evaluates post-join inside codegen.
+    */
+  val q19BracketRevenue: QueryDef = QueryDef(
+    "tpch_q19_bracket_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+      |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+      |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+    val bracket =
+      (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+      (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+      (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15))
+    li.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .filter(bracket)
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+  }
+
+  /** TPC-H Q22 global-sales opportunity — scalar subquery + anti-join:
+    * above-average-balance customers with NO urgent order (the classic
+    * phone-prefix/no-order form adapted to this schema: every customer
+    * here has orders, so the anti side is "no '1-URGENT' order" to keep
+    * the join meaningful). The threshold is a 1-row aggregate broadcast
+    * into the filter; the NOT EXISTS is a LEFT ANTI join on custkey.
+    *
+    * Determinism: the average is an exact DECIMAL sum divided once
+    * (davg), so the `>` threshold compares bit-identical doubles; the
+    * per-segment sums are dsum.
+    */
+  val q22SalesOpportunity: QueryDef = QueryDef(
+    "tpch_q22_sales_opportunity",
+    """WITH threshold AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0),
+      |urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT c_mktsegment,
+      |  COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, threshold
+      |WHERE c_acctbal > avg_bal
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM urgent)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val threshold = cust.filter(col("c_acctbal") > 0)
+      .agg(davg(col("c_acctbal")).as("avg_bal"))
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct()
+    cust.join(broadcast(threshold))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     q1PricingSummary, q6ForecastRevenue, q3ShippingPriority, q5LocalSupplier,
     q2MinCostSupplier, q13CustomerDist,
     q4PriorityCheck, q10ReturnedItems, q14PromoEffect, q18LargeVolume,
+    q15TopSupplier, q19BracketRevenue, q22SalesOpportunity,
     s1NewKeys, s2StaleKeys, k9Watermark, f10Guards,
     jBroadcastEnrich, jStarRevenue, jSemi, jOuter,
     topKRecency, topKPerGroup, unionDedupCap, intersectExcept,

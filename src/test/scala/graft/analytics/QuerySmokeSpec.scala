@@ -32,10 +32,12 @@ class QuerySmokeSpec extends AnyFunSuite {
   // cu_kmeans broadcasts K centroids against the corpus the same way;
   // tx_bm25_rank and gr_pagerank broadcast their single stats row
   // cu_decontaminate broadcasts its O(|eval|) probe set against one corpus
-  // scan — a broadcast nested-loop by construction (substring predicate)
+  // scan — a broadcast nested-loop by construction (substring predicate);
+  // tpch_q22 broadcasts its 1-ROW scalar-subquery threshold (the > compare
+  // has no equi-key, so a BNLJ of corpus × 1 row is the correct plan)
   private val nestedLoopAllowed =
     Set("ann_bruteforce_topk", "ann_ivf_topk", "cu_kmeans", "tx_bm25_rank",
-      "gr_pagerank", "cu_decontaminate")
+      "gr_pagerank", "cu_decontaminate", "tpch_q22_sales_opportunity")
   private val sideEffecting = Set(
     "ev_stream_exactly_once", "ev_stateful_state",
     "k1_sink_idempotence", "k4_null_key_sink",
