@@ -828,11 +828,105 @@ object CoreQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** TPC-H Q17 small-quantity-order revenue — the PER-GROUP scalar
+    * correlated subquery (Q2's shape with AVG instead of MIN): lines of
+    * one brand whose quantity is under half the part's own average. The
+    * correlation decorrelates to a per-part average aggregated once and
+    * equi-joined back — the optimizer lesson Q17 exists to teach.
+    *
+    * Scale: the per-part average is one partial-aggregable exchange on
+    * partkey; the join back is the same key (no extra shuffle class);
+    * part's brand filter prunes before broadcast. Determinism: the
+    * average is an exact DECIMAL sum divided once; `0.5 * avg` is one
+    * multiply; the `<` compares bit-identical doubles.
+    */
+  val q17SmallQtyRevenue: QueryDef = QueryDef(
+    "tpch_q17_small_qty_revenue",
+    """WITH pq AS MATERIALIZED (
+      |  SELECT l_partkey AS pk,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN pq ON pk = l_partkey
+      |WHERE p_brand = 'Brand#12'
+      |  AND l_quantity < CAST(0.5 AS DOUBLE) * avg_qty""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val avgQty = li.groupBy(col("l_partkey").as("pk"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    val brand = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#12").select("p_partkey")
+    li.join(broadcast(brand), col("p_partkey") === col("l_partkey"))
+      .join(avgQty, col("pk") === col("l_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("total_price"))
+  }
+
+  /** TPC-H Q21 suppliers-who-kept-orders-waiting — the DUAL correlated
+    * predicate (EXISTS another supplier's line AND NOT EXISTS another
+    * supplier's LATE line): the hardest decorrelation in the suite. Both
+    * correlations collapse into ONE per-order aggregate — distinct
+    * suppliers and distinct late suppliers — and the pair of existentials
+    * becomes `n_supp >= 2 AND n_late = 1` on the late line's own order
+    * ("some other supplier participated; no other supplier was late").
+    * "Late" maps to ship-lag > 60 days (the test lineitem carries no
+    * commit/receipt dates); the classic's nation filter is dropped — the
+    * count-per-supplier histogram is the shape under test.
+    *
+    * Scale: lineitem joins orders once on the order key; the per-order
+    * aggregate rides that same partitioning; the late lines join the
+    * aggregate on the order key again — one shuffle class end-to-end,
+    * then a |suppliers|-row count and a TakeOrdered(100).
+    */
+  val q21WaitingSuppliers: QueryDef = QueryDef(
+    "tpch_q21_waiting_suppliers",
+    """WITH l AS MATERIALIZED (
+      |  SELECT l_orderkey, l_suppkey,
+      |    (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+      |agg AS (
+      |  SELECT l_orderkey AS ok, COUNT(DISTINCT l_suppkey) AS n_supp,
+      |    COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+      |  FROM l GROUP BY l_orderkey),
+      |waiting AS (
+      |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      |  FROM l JOIN agg ON ok = l.l_orderkey
+      |  WHERE l.late AND n_supp >= 2 AND n_late = 1)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM waiting JOIN supplier ON s_suppkey = l_suppkey
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin) { (s, dir) =>
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("interval 60 days")).as("late"))
+    val agg = l.groupBy(col("l_orderkey").as("ok"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+    val waiting = l.filter(col("late"))
+      .join(agg, col("ok") === col("l_orderkey"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .select("l_orderkey", "l_suppkey").distinct()
+    waiting
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     q1PricingSummary, q6ForecastRevenue, q3ShippingPriority, q5LocalSupplier,
     q2MinCostSupplier, q13CustomerDist,
     q4PriorityCheck, q10ReturnedItems, q14PromoEffect, q18LargeVolume,
     q15TopSupplier, q19BracketRevenue, q22SalesOpportunity,
+    q17SmallQtyRevenue, q21WaitingSuppliers,
     s1NewKeys, s2StaleKeys, k9Watermark, f10Guards,
     jBroadcastEnrich, jStarRevenue, jSemi, jOuter,
     topKRecency, topKPerGroup, unionDedupCap, intersectExcept,
