@@ -82,5 +82,6 @@ object SparkEntry {
     "ev_sessionize", "ev_tumbling_window", "ev_stream_exactly_once",
     "ev_gap_fill",
     // multimodal / curation / graph
-    "mm_byte_histogram", "cu_pack_chunks", "cu_decontaminate", "gr_pagerank")
+    "mm_byte_histogram", "cu_pack_chunks", "cu_decontaminate",
+    "pipe_pretrain_corpus", "gr_pagerank")
 }

@@ -292,6 +292,71 @@ object CurateQueries {
       .agg(count(lit(1)).as("n_hits"), min(col("doc_id")).as("first_doc"))
   }
 
+  /** The curation tier run END-TO-END as one declarative plan: quality
+    * gate → exact dedup (min-id keeper per content hash) → benchmark
+    * decontamination (drop docs containing an eval probe) → per-language
+    * corpus accounting. This is the "data recipe" a pretraining run
+    * executes before tokenization, expressed as a single DataFrame
+    * chain so Catalyst fuses the stages — one scan feeds the quality
+    * projection, the dedup groupBy, and the decontamination join; no
+    * stage materializes an intermediate dataset.
+    *
+    * Scale: the quality gate is a codegen'd projection on the scan; the
+    * dedup keeper is one partial-aggregable exchange on the content
+    * hash; the probe set broadcasts (fixed eval suite, see
+    * cu_decontaminate); the anti-join and the final per-language rollup
+    * ride small keys. Every number in the output is an exact count or a
+    * DECIMAL-accumulated sum — the corpus report is reproducible
+    * bit-for-bit, which is what makes the recipe auditable.
+    */
+  val pipeline: QueryDef = QueryDef(
+    "pipe_pretrain_corpus",
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, text,
+       |  ${TextQueries.QualitySql} AS quality
+       |  FROM documents),
+       |clean AS (SELECT * FROM q WHERE quality >= 0.2),
+       |keeper AS (SELECT MIN(doc_id) AS keep FROM clean GROUP BY md5(text)),
+       |kept AS (SELECT c.* FROM clean c JOIN keeper k ON c.doc_id = k.keep),
+       |probes AS (
+       |  SELECT doc_id AS eval_id,
+       |    array_to_string(string_split(text, ' ')[1:10], ' ') AS probe
+       |  FROM documents WHERE doc_id % 50 = 0 AND doc_id < 1000000),
+       |contaminated AS (
+       |  SELECT DISTINCT d.doc_id FROM kept d, probes e
+       |  WHERE position(probe IN d.text) > 0 AND d.doc_id <> eval_id)
+       |SELECT lang,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+       |FROM kept
+       |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |GROUP BY lang""".stripMargin) { (s, dir) =>
+    import graft.functions.Num.dsum
+    val q = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextQueries.qualityExpr(col("text")).as("quality"))
+    val clean = q.filter(col("quality") >= 0.2)
+    val keeper = clean.groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep"))
+    val kept = clean.join(keeper, col("doc_id") === col("keep"))
+      .select("doc_id", "lang", "text", "quality")
+    val probes = Tables.documents(s, dir)
+      .filter(col("doc_id") % 50 === 0 && col("doc_id") < 1000000L)
+      .select(col("doc_id").as("eval_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 10)).as("probe"))
+    val contaminated = kept
+      .join(broadcast(probes),
+        instr(col("text"), col("probe")) > 0 && col("doc_id") =!= col("eval_id"))
+      .select(col("doc_id").as("bad_id")).distinct()
+    kept.join(contaminated, col("doc_id") === col("bad_id"), "left_anti")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+        dsum(col("quality"), 6).as("sum_quality"))
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(splitStratified, piiRedact, packChunks, kmeans, decontaminate)
+    Seq(splitStratified, piiRedact, packChunks, kmeans, decontaminate, pipeline)
 }

@@ -37,7 +37,8 @@ class QuerySmokeSpec extends AnyFunSuite {
   // has no equi-key, so a BNLJ of corpus × 1 row is the correct plan)
   private val nestedLoopAllowed =
     Set("ann_bruteforce_topk", "ann_ivf_topk", "cu_kmeans", "tx_bm25_rank",
-      "gr_pagerank", "cu_decontaminate", "tpch_q22_sales_opportunity")
+      "gr_pagerank", "cu_decontaminate", "tpch_q22_sales_opportunity",
+      "pipe_pretrain_corpus") // embeds cu_decontaminate's probe broadcast
   private val sideEffecting = Set(
     "ev_stream_exactly_once", "ev_stateful_state",
     "k1_sink_idempotence", "k4_null_key_sink",
