@@ -69,7 +69,14 @@ object DumpPlans {
       """Cross-doc 8-gram novelty: grams explode and DISTINCT per doc,
         |document frequency partial-aggregates on the gram hash, and the
         |join back is an equi-join on gram — every stage partitions by a
-        |key that shards with the data.""".stripMargin)
+        |key that shards with the data.""".stripMargin,
+    "pipe_pretrain_corpus" ->
+      """The curation tier end-to-end in ONE plan: quality gate (codegen'd
+        |projection on the scan), exact-dedup keeper (partial-aggregable
+        |groupBy on the content hash), decontamination (broadcast probe
+        |set), and the per-language rollup — Catalyst fuses all four
+        |stages off the documents scan with no intermediate
+        |materialization; the whole recipe is one job.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
