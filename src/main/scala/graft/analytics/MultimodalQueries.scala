@@ -52,5 +52,34 @@ object MultimodalQueries {
     Multimodal.sampleFrames(media, frameBytes = 4, step = 2).toDF()
   }
 
-  val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample)
+  /** Per-frame audio energy through the one-to-many featurizer shape:
+    * the 16-byte payload read as 8 big-endian signed 16-bit PCM samples,
+    * framed 4 at a time → 2 frames, each frame's Σ sample² emitted as an
+    * exact integer. The oracle recomputes every sample arithmetically
+    * from the md5 hex (sample i = signed 16-bit from hex chars
+    * [4i, 4i+4)) — byte-exact agreement or nothing.
+    */
+  val audioEnergy: QueryDef = {
+    def sample(i: Int): String = {
+      val raw = (0 until 4).map { j =>
+        val shift = math.pow(16, 3 - j).toLong
+        s"${hexVal(s"substr(md5(text), ${i * 4 + j + 1}, 1)")} * $shift"
+      }.mkString(" + ")
+      s"(CASE WHEN $raw >= 32768 THEN ($raw) - 65536 ELSE $raw END)"
+    }
+    def frameEnergySql(f: Int): String =
+      (f * 4 until f * 4 + 4).map(i => s"${sample(i)} * ${sample(i)}").mkString(" + ")
+    QueryDef(
+      "mm_audio_energy",
+      s"""SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+         |  CAST(CASE WHEN f = 0 THEN ${frameEnergySql(0)}
+         |            ELSE ${frameEnergySql(1)} END AS BIGINT) AS energy
+         |FROM documents, unnest([0, 1]) t(f)
+         |WHERE doc_id % 3 = 1""".stripMargin) { (s, dir) =>
+      val media = Multimodal.syntheticMedia(s, Tables.documents(s, dir))
+      Multimodal.frameEnergy(media, samplesPerFrame = 4).toDF()
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy)
 }

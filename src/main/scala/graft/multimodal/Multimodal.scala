@@ -74,6 +74,40 @@ object Multimodal {
     })
   }
 
+  /** One audio frame's energy: frame index + exact sum of squared
+    * samples. Integer output — nothing to drift cross-engine.
+    */
+  final case class FrameEnergy(media_id: Long, frame_idx: Int, energy: Long)
+
+  /** Per-frame audio energy: interpret the payload as big-endian signed
+    * 16-bit PCM, frame it `samplesPerFrame` at a time, and emit each
+    * frame's Σ sample² — the feature a VAD / loudness filter computes.
+    * The sample interpretation is pure byte arithmetic (no codec): a real
+    * wav/flac binding swaps the byte source, the framing loop and the
+    * one-to-many mapPartitions shape stay. Exact integer energies.
+    */
+  def frameEnergy(media: Dataset[MediaRecord], samplesPerFrame: Int): Dataset[FrameEnergy] = {
+    import media.sparkSession.implicits._
+    require(samplesPerFrame > 0)
+    media.filter(_.kind == "audio").mapPartitions(_.flatMap { m =>
+      val b = m.content
+      val nSamples = b.length / 2 // trailing odd byte ignored (incomplete sample)
+      val nFrames = (nSamples + samplesPerFrame - 1) / samplesPerFrame
+      Iterator.range(0, nFrames).map { f =>
+        var e = 0L
+        var i = f * samplesPerFrame
+        val end = math.min(i + samplesPerFrame, nSamples)
+        while (i < end) {
+          val v = ((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff)
+          val s = if (v >= 32768) v - 65536 else v
+          e += s.toLong * s
+          i += 1
+        }
+        FrameEnergy(m.media_id, f, e)
+      }
+    })
+  }
+
   /** A resized "image": target dims + the resampled bytes. */
   final case class Resized(media_id: Long, w: Int, h: Int, pixels: Array[Byte])
 
