@@ -37,15 +37,19 @@ object Bench {
     val spark = Sessions.local(appName = "graft-bench")
 
     def materialize(name: String, dir: String): Either[String, Double] =
-      Watchdog.run(spark, name, qTimeoutSec) {
-        // construction work (e.g. building k13's probed MergeSink) runs
-        // inside the watchdog but OUTSIDE the timed region: the bench
-        // number is the operator's throughput claim, not setup IO
+      // construction work (e.g. building k13's probed MergeSink) runs under
+      // its OWN watchdog budget, so slow setup IO on a throttled host can
+      // neither count against nor forfeit the query's timing slot — the
+      // bench number is the operator's throughput claim, not setup IO
+      Watchdog.run(spark, s"$name-prestage", qTimeoutSec) {
         SparkEntry.prestage.get(name).foreach(_(spark, dir))
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+      }.flatMap { _ =>
+        Watchdog.run(spark, name, qTimeoutSec) {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
       }
 
     val names = SparkEntry.benchQueries

@@ -29,6 +29,28 @@ object AnnQueries {
   private val TopK = 10
   private val SaltBuckets = 64
 
+  /** Live hyperplane count, CORPUS-SIZED (the r7 ask): the bucketed joins
+    * do Σ|bucket|² ≈ n²/2^bits work, linear only if bits grows as
+    * log2(n/targetBucket) — so the running plans derive it from the corpus
+    * count instead of freezing it. Clamped to 48 because Vec.signBucket is
+    * axis-aligned over the first `bits` vector components (embedding
+    * dim 64); past n ≈ 32·2^48 switch to random-hyperplane projections.
+    * At the oracle SF (n = 500) this IS the static 4 the oracle SQL bakes
+    * in, so the hash gate still proves the plan; at 10× bench data
+    * (n = 20 000 per the ScaleUp replication) it is 10 — bucket occupancy,
+    * and with it the pair-join cost per row, stays flat as the corpus
+    * grows (LshWiredSpec pins both facts).
+    */
+  private val TargetBucket = 32
+  def signBitsFor(n: Long): Int =
+    math.min(48, LshPlanner.signLshBits(n, TargetBucket))
+
+  /** Control-plane corpus count: parquet footer row-count metadata — no
+    * data scan, O(files) driver work at any SF.
+    */
+  private def corpusBits(s: org.apache.spark.sql.SparkSession, dir: String): Int =
+    signBitsFor(Tables.embeddings(s, dir).count())
+
   /** Oracle-side cosine, operand-ordered identically to Vec.cosine. */
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
@@ -65,10 +87,11 @@ object AnnQueries {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Hyperplane count is CORPUS-SIZED: the bucketed join does n²/2^Bits
-    * work, linear only if Bits grows as log2(n/targetBucket) — 4 is
-    * LshPlanner.signLshBits(500, 32), static because the oracle SQL is;
-    * LshPlannerSpec validates it and the doubling law (+1 bit per 2×).
+  /** ORACLE-side hyperplane count: 4 = signBitsFor(500), static ONLY
+    * because the DuckDB oracle string must be static SQL — the live Spark
+    * plans derive the width from the corpus count (corpusBits above), and
+    * the two coincide exactly at the oracle SF, which is what lets the
+    * hash gate keep proving the runtime-width plan.
     */
   private val Bits = 4
   private val LshK = 5
@@ -98,16 +121,17 @@ object AnnQueries {
        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored) t
        |WHERE rank <= $LshK""".stripMargin) { (s, dir) =>
+    val bits = corpusBits(s, dir)
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", Vec.dot(col("e"), col("e")))
-      .withColumn("bucket", Vec.signBucket(col("e"), Bits))
+      .withColumn("bucket", Vec.signBucket(col("e"), bits))
     // Multiprobe: each probe also searches every bucket at Hamming
     // distance 1 from its own code (flip one sign bit) — the standard
     // recall fix for sign-LSH without growing the table count. The probed
     // codes are pairwise distinct, so each corpus vector scores at most
     // once per probe (no dedup shuffle needed).
-    val masks = array(maskList.map(lit): _*)
+    val masks = array((0 +: (0 until bits).map(1 << _)).map(lit): _*)
     val probes = v.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("nrm").as("pnrm"),
         explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket"))
@@ -139,7 +163,7 @@ object AnnQueries {
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", Vec.dot(col("e"), col("e")))
-      .withColumn("bucket", Vec.signBucket(col("e"), Bits))
+      .withColumn("bucket", Vec.signBucket(col("e"), corpusBits(s, dir)))
     v.as("a")
       .join(v.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

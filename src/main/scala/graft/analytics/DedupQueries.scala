@@ -388,14 +388,34 @@ object DedupQueries {
     * carry word ORDER — 496/500 distinct codes and near-dup pairs land at
     * small Hamming distance.
     */
-  /** Code width is CORPUS-SIZED: candidate load under the 4-band pigeonhole
-    * blocking is 4·C(n,2)/2^(SimBits/4), so a fixed width goes quadratic
-    * once n outruns 2^(SimBits/4). 32 bits is the LshPlanner.simhashCodeBits
-    * answer for the tested corpus (adequate to n ≈ 1 280; a 10⁹-doc corpus
-    * needs ~112 bits); the constant is static only because the DuckDB oracle
-    * string must be — LshPlannerSpec validates it and proves the growth law.
+  /** ORACLE-side code width: candidate load under the 4-band pigeonhole
+    * blocking is 4·C(n,2)/2^(width/4), so a fixed width goes quadratic once
+    * n outruns 2^(width/4). The live plans derive the width from the corpus
+    * count (simhashWidthFor below — the r7 ask); 32 stays as the static
+    * constant ONLY because the DuckDB oracle string must be static SQL, and
+    * the derived width equals it exactly at the oracle SF (n = 500 →
+    * max(32, simhashCodeBits) = 32), which is what lets the hash gate keep
+    * proving the runtime-width plan.
     */
   private val SimBits = 32
+  private val MaxHamming = 3
+
+  /** Live code width, CORPUS-SIZED. Floor at the conventional 32 so small
+    * corpora keep the oracle-checked code; LshPlanner widens it once
+    * n ≳ 1 280 (e.g. 40 bits at the 5 000-doc bench corpus, 48 at 50 000).
+    * Capped at 60 because the code travels as ONE long (bits 0..59 —
+    * holds to n ≈ 164 000 under the 4-band law); past that the code
+    * becomes an array of per-band words: the banding join below is already
+    * per-band, so only the final bit_count(xor) verify changes
+    * representation. Bits ≥ 32 come from sha2-256 hex digits (md5 has
+    * exactly 32), same top-bit-of-digit majority.
+    */
+  def simhashWidthFor(n: Long): Int =
+    math.min(60, math.max(SimBits, LshPlanner.simhashCodeBits(n, MaxHamming)))
+
+  /** Control-plane corpus count: parquet footer row-count metadata. */
+  private def docWidth(s: org.apache.spark.sql.SparkSession, dir: String): Int =
+    simhashWidthFor(Tables.documents(s, dir).count())
   val simhash: QueryDef = {
     val sumsSql = (0 until SimBits).map { j =>
       s"SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(w), ${j + 1}, 1)) >= 9 THEN 1 ELSE -1 END) AS s$j"
@@ -413,15 +433,20 @@ object DedupQueries {
       // expressions it would be evaluated 32× per row (no cross-aggregate
       // subexpression elimination) — measured 3× slower at sf0.1. The
       // shingle arrays come from the shared materialized table, not a
-      // fresh clean→split→shingle pass.
-      val exploded = shingleBase(s, dir)
+      // fresh clean→split→shingle pass. Width is corpus-derived; the sha2
+      // column exists only when the planner widens past md5's 32 digits.
+      val width = docWidth(s, dir)
+      val hashed = shingleBase(s, dir)
         .select(col("doc_id"), explode(col("shingles")).as("w"))
-        .select(col("doc_id"), md5(col("w")).as("h"))
-      val sums = (0 until SimBits).map { j =>
-        sum(when(expr(s"instr('0123456789abcdef', substr(h, ${j + 1}, 1))") >= 9, 1)
+      val exploded =
+        if (width <= 32) hashed.select(col("doc_id"), md5(col("w")).as("h"))
+        else hashed.select(col("doc_id"), md5(col("w")).as("h"), sha2(col("w"), 256).as("h2"))
+      val sums = (0 until width).map { j =>
+        val (src, pos) = if (j < 32) ("h", j + 1) else ("h2", j - 31)
+        sum(when(expr(s"instr('0123456789abcdef', substr($src, $pos, 1))") >= 9, 1)
           .otherwise(-1)).as(s"s$j")
       }
-      val code = (0 until SimBits).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      val code = (0 until width).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _)
       // persisted: dd_simhash_pairs consumes the same code table — the
       // session cache hands whichever query runs second the materialized
@@ -789,10 +814,14 @@ object DedupQueries {
          |FROM codes a JOIN codes b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin) { (s, dir) =>
       val codes = simhash.fn(s, dir) // already persisted by dd_simhash
-      // 4 byte bands: band b = bits [8b, 8b+8)
+      // MaxHamming+1 = 4 bands of width/4 bits each: band b = bits
+      // [b·w4, (b+1)·w4) — band width tracks the corpus-derived code width
+      // (8-bit bands at the oracle SF, exactly the oracle's byte bands)
+      val w4 = docWidth(s, dir) / (MaxHamming + 1)
       val banded = codes.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("simhash"), b * 8).bitwiseAND(lit(0xFFL))): _*)).as(Seq("band", "bkey")))
+        posexplode(array((0 to MaxHamming).map(b =>
+          shiftright(col("simhash"), b * w4).bitwiseAND(lit((1L << w4) - 1))): _*))
+          .as(Seq("band", "bkey")))
       val cand = banded.as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

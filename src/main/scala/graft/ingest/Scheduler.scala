@@ -65,6 +65,23 @@ final class Scheduler(
     r
   }
 
+  /** tick() with the "recorded, never thrown" claim extended to failures
+    * BEFORE the per-platform loop (bad fixtures dir, stopped session):
+    * an exception escaping a scheduleAtFixedRate runnable silently cancels
+    * that cadence forever, so the scheduled paths must never let one out.
+    */
+  private def tickRecorded(mode: Mode): Unit =
+    try { tick(mode); () }
+    catch {
+      case t: Throwable =>
+        val label = mode match { case General(_) => "general"; case Catchup() => "catchup" }
+        // the injected clock may itself be the thing that threw
+        val at = try clock() catch { case _: Throwable => new Timestamp(0L) }
+        reports.add(TickReport(label, at,
+          Map("__tick__" -> Left(s"${t.getClass.getSimpleName}: ${t.getMessage}"))))
+        firstTick.countDown()
+    }
+
   /** Start the two cadences (general hourly, catchup every 5 minutes in
     * the reference; injectable here). Daemon threads: the scheduler never
     * blocks JVM exit.
@@ -74,9 +91,9 @@ final class Scheduler(
     exec = Executors.newSingleThreadScheduledExecutor { r =>
       val t = new Thread(r, "graft-scheduler"); t.setDaemon(true); t
     }
-    exec.scheduleAtFixedRate(() => { tick(General()); () },
+    exec.scheduleAtFixedRate(() => tickRecorded(General()),
       0L, generalEveryMs, TimeUnit.MILLISECONDS)
-    exec.scheduleAtFixedRate(() => { tick(Catchup()); () },
+    exec.scheduleAtFixedRate(() => tickRecorded(Catchup()),
       catchupEveryMs, catchupEveryMs, TimeUnit.MILLISECONDS)
     this
   }
@@ -92,9 +109,14 @@ final class Scheduler(
     b.result()
   }
 
-  def stop(): Unit = if (exec != null) {
+  /** Stop and allow restart. Returns false if an in-flight tick outlived
+    * the drain window — its report may still append after return; callers
+    * that need a quiescent history (specs) must check the result.
+    */
+  def stop(): Boolean = if (exec == null) true else {
     exec.shutdownNow()
-    exec.awaitTermination(10, TimeUnit.SECONDS)
-    ()
+    val drained = exec.awaitTermination(10, TimeUnit.SECONDS)
+    exec = null
+    drained
   }
 }

@@ -60,10 +60,21 @@ object EventsSource {
     * collides to zero new files would turn an exactly-once proof into a
     * no-op. Returns the number of files staged; callers staging a
     * redelivery should assert it is > 0.
+    *
+    * Each (source file, tag) may be staged into a dir at most once —
+    * deliveries are distinguished by tag, so a second copy under the SAME
+    * tag is a caller bug (two "deliveries" the downstream proof cannot
+    * tell apart), rejected eagerly with a named error rather than letting
+    * Files.copy throw a bare FileAlreadyExistsException mid-stream.
     */
   def stageInto(from: Path, destDir: Path, tag: String = ""): Int = {
-    def dest(fileName: String): Path =
-      destDir.resolve(fileName.stripSuffix(".parquet") + tag + ".parquet")
+    def dest(fileName: String): Path = {
+      val d = destDir.resolve(fileName.stripSuffix(".parquet") + tag + ".parquet")
+      require(!Files.exists(d),
+        s"stageInto: $d already staged — each (source, tag) is one delivery; " +
+          "use a distinct tag for a redelivery")
+      d
+    }
     if (Files.isDirectory(from)) {
       val children = Files.list(from)
       try {

@@ -64,4 +64,44 @@ class LshPlannerSpec extends AnyFunSuite {
     assert(c1 <= 12L * n, s"n=$n: $c1 candidates")
     assert(c2 <= 12L * (2 * n), s"n=${2 * n}: $c2 candidates — banding must absorb the doubling")
   }
+
+  // --- r8: the planner widths are WIRED into the live similarity plans ---
+
+  test("wired: live widths equal the oracle constants at the oracle SF and grow past it") {
+    // oracle SF (n=500): derived == static, so the hash gate proves the live plan
+    assert(AnnQueries.signBitsFor(500) == 4)
+    assert(DedupQueries.simhashWidthFor(500) == 32)
+    // bench SF (sf0.1: 2000 vectors, 5000 docs): widths widen
+    assert(AnnQueries.signBitsFor(2000) == 6)
+    assert(DedupQueries.simhashWidthFor(5000) == 40)
+    // 10× ScaleUp corpus: keeps widening (one bit per corpus doubling)
+    assert(AnnQueries.signBitsFor(20000) == 10)
+    // long-representation cap (migration point to per-band words)
+    assert(DedupQueries.simhashWidthFor(1_000_000) == 60)
+    // monotone: a wider corpus never gets a narrower code
+    val widths = Seq(500L, 2000L, 20000L, 200000L, 2000000L)
+    assert(widths.map(AnnQueries.signBitsFor) == widths.map(AnnQueries.signBitsFor).sorted)
+    assert(widths.map(DedupQueries.simhashWidthFor) == widths.map(DedupQueries.simhashWidthFor).sorted)
+  }
+
+  test("wired: the sf0.1 corpus is bucketed with the PLANNED width, not the oracle's 4 bits") {
+    val dir = "/root/testdata/sf0.1"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val bits = AnnQueries.signBitsFor(n)
+    assert(bits > 4, s"sf0.1 (n=$n) must widen past the oracle's 4 bits")
+    val buckets = emb
+      .select(graft.functions.Vec.signBucket(
+        graft.functions.Vec.toDouble(col("embedding")), bits).as("bucket"))
+      .agg(countDistinct(col("bucket")).as("d"), max(col("bucket")).as("m"))
+      .head()
+    assert(buckets.getLong(0) > 16, "more than the static 16 cells must be occupied")
+    assert(buckets.getInt(1).toLong < (1L << bits))
+  }
+
+  test("wired: dd_simhash keeps the 32-bit oracle code at the oracle-sized corpus") {
+    val codes = DedupQueries.simhash.fn(spark, "/root/testdata/sf0.001")
+    val bad = codes.filter(col("simhash") >= (1L << 32) || col("simhash") < 0).count()
+    assert(bad == 0, "500-doc corpus must stay on the oracle's 32-bit code")
+  }
 }

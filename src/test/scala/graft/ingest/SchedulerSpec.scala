@@ -60,9 +60,36 @@ class SchedulerSpec extends AnyFunSuite {
       val h = sched.history
       assert(h.nonEmpty && h.head.mode == "general")
       assert(h.head.failures.isEmpty, h.head.failures.mkString("; "))
-    } finally sched.stop()
+    } finally {
+      // drained=false means an in-flight tick may still append after
+      // return — wait it out before the quiescence assertion below
+      if (!sched.stop()) Thread.sleep(2000L)
+    }
     val after = sched.history.size
     Thread.sleep(200L)
     assert(sched.history.size == after, "ticks fired after stop()")
+  }
+
+  test("a tick failing BEFORE the platform loop is recorded, not cadence-cancelling") {
+    val root = Files.createTempDirectory("graft-sched-poison").toString
+    val users = s"$root/users"; writeUsers(users)
+    // poison the injected clock once: the first scheduled tick throws
+    // before runAllResilient isolates anything — exactly the escape path
+    // that would silently cancel scheduleAtFixedRate
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val clock = () =>
+      if (calls.incrementAndGet() == 1) throw new IllegalStateException("poisoned clock")
+      else t0
+    val sched = new Scheduler(spark, users, s"$root/wh", fixturesDir, clock)
+    try {
+      sched.start(generalEveryMs = 250L, catchupEveryMs = 600000L)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (sched.history.size < 2 && System.nanoTime() < deadline) Thread.sleep(50L)
+      val h = sched.history
+      assert(h.size >= 2, "cadence died after the failing tick")
+      assert(h.head.failures.exists(_.contains("poisoned clock")),
+        s"first tick must record the pre-loop failure, got ${h.head.results}")
+      assert(h(1).failures.isEmpty, "cadence must recover on the next firing")
+    } finally { if (!sched.stop()) Thread.sleep(2000L) }
   }
 }

@@ -135,4 +135,16 @@ class EventsSourceSpec extends AnyFunSuite {
     assert(sunk.count() == rows.size, "each event must be emitted exactly once")
     assert(sunk.select("event_id").distinct().count() == rows.size)
   }
+
+  test("same-tag double staging is rejected eagerly with a named error") {
+    val base = Files.createTempDirectory("graft-evsrc-sametag").toString
+    writeMicros(s"$base/events.parquet")
+    val src = s"$base/src"; new java.io.File(src).mkdirs()
+    assert(EventsSource.stageInto(Paths.get(s"$base/events.parquet"), Paths.get(src)) > 0)
+    val ex = intercept[IllegalArgumentException] {
+      EventsSource.stageInto(Paths.get(s"$base/events.parquet"), Paths.get(src))
+    }
+    assert(ex.getMessage.contains("already staged"),
+      "a same-(source,tag) re-stage is a caller bug, not a silent collision")
+  }
 }
