@@ -876,10 +876,10 @@ object CoreQueries {
     * commit/receipt dates); the classic's nation filter is dropped — the
     * count-per-supplier histogram is the shape under test.
     *
-    * Scale: lineitem joins orders once on the order key; the per-order
-    * aggregate rides that same partitioning; the late lines join the
-    * aggregate on the order key again — one shuffle class end-to-end,
-    * then a |suppliers|-row count and a TakeOrdered(100).
+    * Scale: lineitem joins orders once on the order key; both
+    * distinct-supplier counts ride that same partitioning as window
+    * collect_sets, so there is ONE lineitem scan and one shuffle class
+    * end-to-end, then a |suppliers|-row count and a TakeOrdered(100).
     */
   val q21WaitingSuppliers: QueryDef = QueryDef(
     "tpch_q21_waiting_suppliers",
@@ -904,13 +904,20 @@ object CoreQueries {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("interval 60 days")).as("late"))
-    val agg = l.groupBy(col("l_orderkey").as("ok"))
-      .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
-    val waiting = l.filter(col("late"))
-      .join(agg, col("ok") === col("l_orderkey"))
-      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+    // Both existential counts ride ONE window over the order-key
+    // partition instead of a groupBy re-joined to `l` — the join form
+    // computed the whole lineitem⋈orders subtree twice (the late-filter's
+    // pushed IsNotNulls made the two scans non-identical, so not even AQE
+    // exchange reuse could deduplicate them; r7 verdict ask #3). DISTINCT
+    // isn't a window aggregate, so the counts are collect_set sizes —
+    // per-order supplier sets are bounded (~7 in TPC-H), so the state is
+    // O(suppliers-per-order), not O(order size). One lineitem scan, one
+    // exchange class end-to-end; PlanContractSpec pins the single-scan shape.
+    val w = Window.partitionBy("l_orderkey")
+    val waiting = l
+      .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("n_late", size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+      .filter(col("late") && col("n_supp") >= 2 && col("n_late") === 1)
       .select("l_orderkey", "l_suppkey").distinct()
     waiting
       .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),

@@ -32,6 +32,31 @@ object DumpPlans {
       """EXISTS became a LEFT SEMI join (each order emitted at most once,
         |no fan-out, no DISTINCT) with the ship-lag inequality evaluated
         |inside the join; the quarter window prunes the orders scan.""".stripMargin,
+    "tpch_q17_small_qty_revenue" ->
+      """The per-group scalar correlated subquery, decorrelated: TWO pruned
+        |lineitem scans by design — the avg branch reads 2 columns and
+        |map-side-reduces to |parts| rows before its exchange, the probe
+        |branch reads 3 columns and prunes on the broadcast brand filter
+        |before its join. The alternative single-scan form (avg as a window
+        |over the part key) would shuffle the ENTIRE fact; two sequential
+        |pruned column scans are cheaper than one full-fact shuffle at
+        |100 TB. No nested loop anywhere; PlanContractSpec pins the shape.""".stripMargin,
+    "tpch_q18_large_volume" ->
+      """HAVING-on-aggregate: lineitem partial-aggregates per order below
+        |ONE exchange (the only fact shuffle), the threshold filter runs on
+        |the aggregate, and the tiny survivor set joins BACK as the
+        |broadcast side against orders and customer — verified in the final
+        |adaptive plan (one lineitem scan, BroadcastHashJoin, no
+        |SortMergeJoin; PlanContractSpec). Top-100 is TakeOrdered.""".stripMargin,
+    "tpch_q21_waiting_suppliers" ->
+      """The dual correlated existential: both distinct-supplier counts are
+        |window collect_sets over the order-key partition of ONE
+        |lineitem⋈orders join — the earlier groupBy-rejoin form scanned
+        |lineitem twice and its late-filter IsNotNulls made the subtrees
+        |non-identical, so even AQE exchange reuse could not deduplicate
+        |them. One lineitem scan, one shuffle class end-to-end
+        |(PlanContractSpec pins it in the final adaptive plan); per-order
+        |supplier sets are bounded, so window state is O(supp/order).""".stripMargin,
     "s1_f1_new_keys_anti" ->
       """The never-ingested-keys control scan: a LEFT ANTI join whose
         |build side is the distinct key set — AQE sizes it and broadcasts,
@@ -66,10 +91,12 @@ object DumpPlans {
         |windows (lag, running sum) and the final aggregate share that
         |partitioning — the plan has exactly one Exchange.""".stripMargin,
     "tx_ngram_novelty" ->
-      """Cross-doc 8-gram novelty: grams explode and DISTINCT per doc,
-        |document frequency partial-aggregates on the gram hash, and the
-        |join back is an equi-join on gram — every stage partitions by a
-        |key that shards with the data.""".stripMargin,
+      """Cross-doc 8-gram novelty: grams explode and DISTINCT per doc ONCE
+        |(exactly one Generate in the plan — the r7 form's groupBy+self-join
+        |paid the dominant explode twice), document frequency rides a
+        |count-over-window on the gram partition (same gram-sharded shuffle
+        |the join needed, minus one exchange and the second Generate), and
+        |the per-doc rollup partial-aggregates on doc_id.""".stripMargin,
     "pipe_pretrain_corpus" ->
       """The curation tier end-to-end in ONE plan: quality gate (codegen'd
         |projection on the scan), exact-dedup keeper (partial-aggregable

@@ -24,7 +24,9 @@ class PlanContractSpec extends AnyFunSuite {
   private def finalPlan(name: String): String = {
     val d = df(name)
     d.collect() // drive AQE to its final plan
-    d.queryExecution.executedPlan.toString
+    // the adaptive plan's toString appends the pre-AQE "Initial Plan"
+    // section — slice it off so node counts reflect what actually ran
+    d.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
   }
 
   test("s1 anti-join: AQE broadcasts the distinct-key build side") {
@@ -178,7 +180,63 @@ class PlanContractSpec extends AnyFunSuite {
     val p = initialPlan("tx_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(1500))
-    // distinct + doc-frequency groupBys both partial-aggregate
+    // the distinct and the final per-doc groupBy both partial-aggregate
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p.take(2000))
+  }
+
+  test("ngram novelty: the 8-gram explode runs ONCE (df via window, not a self-join)") {
+    // r7 verdict #3: the groupBy+join form computed the Scan→Generate→
+    // distinct subtree twice; the window form cannot — pin it
+    val p = initialPlan("tx_ngram_novelty")
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 1,
+      "the gram explode must appear exactly once:\n" + p.take(2000))
+    assert(p.linesIterator.count(_.contains("documents.parquet")) == 1,
+      "documents must be scanned exactly once")
+    assert(p.contains("collect_set") || p.linesIterator.exists(_.contains("- Window [")),
+      "doc frequency must ride a window over the gram partition")
+  }
+
+  test("tpch_q21: one lineitem scan; both existential counts ride one order-key window") {
+    // r7 verdict #3/#4: the groupBy-rejoin form scanned lineitem (and
+    // joined orders) twice, and the late-filter's pushed IsNotNulls made
+    // the subtrees non-identical so exchange reuse could never fire
+    val p = finalPlan("tpch_q21_waiting_suppliers")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      "q21 must scan lineitem exactly once:\n" + p.take(2000))
+    assert(p.linesIterator.count(_.contains("orders.parquet")) == 1,
+      "q21 must scan orders exactly once")
+    assert(p.linesIterator.count(_.contains("- Window [")) == 2,
+      "the two distinct-supplier counts must be window collect_sets")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 regressed to a global sort")
+  }
+
+  test("tpch_q18: one lineitem scan; the survivor set joins back as the broadcast side") {
+    val p = finalPlan("tpch_q18_large_volume")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      "q18 must aggregate lineitem once, not rescan it for the re-join")
+    // the HAVING survivors are tiny — AQE must broadcast them against
+    // orders rather than shuffling the orders fact
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "survivor re-join regressed to a shuffle join")
+  }
+
+  test("tpch_q17: decorrelated avg — two PRUNED scans, partial agg, no nested loop") {
+    // the double scan is DELIBERATE: the avg branch map-side-reduces to
+    // |parts| rows before its exchange, while a single-scan window form
+    // would shuffle the whole fact — at 100 TB two pruned column scans
+    // are cheaper than one full-fact shuffle (PLANS.md has the numbers)
+    val p = initialPlan("tpch_q17_small_qty_revenue")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the correlated subquery must stay decorrelated")
+    val lineitemScans = p.linesIterator.filter(_.contains("lineitem.parquet")).toVector
+    assert(lineitemScans.size == 2, s"expected the two-branch shape, got:\n$p".take(2000))
+    // both scans column-pruned: avg branch 2 cols, probe branch 3 cols
+    lineitemScans.foreach { l =>
+      val cols = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(l)
+        .map(_.group(1).count(_ == ':')).getOrElse(-1)
+      assert(cols >= 2 && cols <= 3, s"scan reads too much: ${l.take(300)}")
+    }
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "per-part average must partial-aggregate below its exchange")
   }
 }
