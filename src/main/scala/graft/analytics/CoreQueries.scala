@@ -928,12 +928,417 @@ object CoreQueries {
       .limit(100)
   }
 
+  /** TPC-H Q7 volume shipping — the bi-directional nation-pair join: trade
+    * volume between two nations by year, in BOTH directions. Both ends
+    * pre-filter to the two nations of interest, so the pair predicate
+    * reduces to supp_nation ≠ cust_nation (the classic OR of the two
+    * ordered pairs, which the oracle keeps verbatim).
+    *
+    * Scale: the supplier side resolves entirely by broadcast (supplier ×
+    * nation is a bounded dim), so lineitem never shuffles for it; the
+    * ship-window pushes into the lineitem scan; orders and the
+    * nation-filtered customer co-shuffle once each on their join keys
+    * (customer grows with data — NOT broadcast). The year comes off
+    * l_shipdate already in hand, and the 3-key groupBy partial-aggregates
+    * to ≤ 2·years rows.
+    */
+  val q7VolumeShipping: QueryDef = QueryDef(
+    "tpch_q7_volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+      |    l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11')
+      |      OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, dir) =>
+    val pair = Tables.nation(s, dir)
+      .filter(col("n_name").isin("NATION_12", "NATION_11"))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(pair.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(pair.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cn_key"))
+      .select("c_custkey", "cust_nation")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= tsNtz("1996-01-01 00:00:00") &&
+        col("l_shipdate") < tsNtz("1998-01-01 00:00:00"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      // both ends are pre-filtered to the two nations, so != IS the
+      // classic (1,2)-or-(2,1) disjunction
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 national market share — the ratio-of-conditional-aggregates
+    * over the widest join in the suite (7 tables): one nation's share of
+    * regional trade volume in a part segment, by order year. Numerator
+    * and denominator accumulate exactly over the SAME pass (two
+    * conditional DECIMAL partials), and the share is one double division
+    * at the end — the Q14 determinism recipe on a 7-table star.
+    *
+    * Scale: part (type-pruned) and supplier⋈nation broadcast against the
+    * lineitem scan — no fact shuffle for either; the date window pushes
+    * into the orders scan; customer (region-filtered via two broadcast
+    * dims) co-shuffles with the fact on the customer key. Group count is
+    * |years|, so the final exchange is trivial.
+    */
+  val q8MarketShare: QueryDef = QueryDef(
+    "tpch_q8_market_share",
+    """SELECT o_year,
+      |  CAST(SUM(CAST(CASE WHEN nation = 'NATION_2' THEN volume
+      |                     ELSE CAST(0 AS DOUBLE) END AS DECIMAL(18,6))) AS DOUBLE)
+      |  / CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+      |    l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part
+      |  JOIN lineitem ON l_partkey = p_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      |  JOIN region ON r_regionkey = n1.n_regionkey
+      |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin) { (s, dir) =>
+    val parts = Tables.part(s, dir)
+      .filter(col("p_type") === "ECONOMY").select("p_partkey")
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "nation")
+    val asiaCust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+        col("c_nationkey") === col("cn_key"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= tsNtz("1996-01-01 00:00:00") &&
+        col("o_orderdate") < tsNtz("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val volume = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((dsum(when(col("nation") === "NATION_2", volume)
+          .otherwise(lit(0.0)), 6) / dsum(volume, 6)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 product-type profit — the multi-fact star with a
+    * LIKE-filtered part: per-nation, per-year profit where cost comes
+    * from the (synthetic) partsupp dim. partsupp is derived from
+    * lineitem itself (min extendedprice per (part, supplier) pair — the
+    * Q2 convention; the test schema carries no partsupp table), and
+    * because the cost joins back on exactly the derivation keys, the
+    * whole partsupp⋈lineitem round-trip collapses into ONE window
+    * min over the pair partition — one lineitem scan instead of the
+    * naive two-scan self-join.
+    *
+    * Scale: the part LIKE-filter broadcasts and lands BELOW the window
+    * (sound: the min partitions by (partkey, suppkey) and the filter
+    * depends only on partkey, so every row of a pair passes or fails
+    * together) — the window shuffles only the surviving fraction;
+    * supplier⋈nation broadcasts; orders co-shuffles once on the order
+    * key; the groupBy reduces to |nations|·|years| rows.
+    */
+  val q9ProductProfit: QueryDef = QueryDef(
+    "tpch_q9_product_profit",
+    """WITH partsupp AS MATERIALIZED (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    MIN(l_extendedprice) AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT nation, o_year,
+      |  CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+      |    l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+      |      - ps_supplycost * l_quantity AS amount
+      |  FROM part
+      |  JOIN lineitem ON l_partkey = p_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN partsupp ON ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  WHERE p_name LIKE '%widget%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin) { (s, dir) =>
+    val parts = Tables.part(s, dir)
+      .filter(col("p_name").contains("widget")).select("p_partkey")
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val wps = Window.partitionBy("l_partkey", "l_suppkey")
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      // ps_supplycost via window ≡ the oracle's groupBy+re-join on the
+      // SAME pair keys — one scan, one pair-key exchange
+      .withColumn("ps_supplycost", min(col("l_extendedprice")).over(wps))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("nation"), year(col("o_orderdate")).as("o_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          - col("ps_supplycost") * col("l_quantity")).as("amount"))
+      .groupBy("nation", "o_year")
+      .agg(dsum(col("amount"), 6).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 important stock — the group-scalar HAVING: per-part stock
+    * value in one nation, kept only when it exceeds a fixed fraction of
+    * the TOTAL. The total is Σ over the same aggregated frame, so the
+    * per-part DECIMAL sums are computed once and the grand total re-sums
+    * THOSE partials (exact decimal addition is associative — no second
+    * pass over the pairs, and no drift vs the oracle's whole-frame sum).
+    *
+    * Scale: partsupp (synthetic, Q2 convention + exact-summed availqty)
+    * is one partial-aggregable exchange on the pair key; the nation
+    * filter broadcasts; the per-part groupBy re-shuffles |pairs| rows on
+    * the part key; the threshold is a 1-row broadcast nested-loop join
+    * (O(|parts|) comparisons, zero shuffle).
+    */
+  val q11ImportantStock: QueryDef = QueryDef(
+    "tpch_q11_important_stock",
+    """WITH partsupp AS MATERIALIZED (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    MIN(l_extendedprice) AS ps_supplycost,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty
+      |  FROM lineitem GROUP BY 1, 2),
+      |held AS MATERIALIZED (
+      |  SELECT ps_partkey, ps_supplycost * ps_availqty AS pair_value
+      |  FROM partsupp
+      |  JOIN supplier ON s_suppkey = ps_suppkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  WHERE n_name = 'NATION_3')
+      |SELECT ps_partkey,
+      |  CAST(SUM(CAST(pair_value AS DECIMAL(18,4))) AS DOUBLE) AS stock_value
+      |FROM held
+      |GROUP BY ps_partkey
+      |HAVING CAST(SUM(CAST(pair_value AS DECIMAL(18,4))) AS DOUBLE) >
+      |  (SELECT CAST(SUM(CAST(pair_value AS DECIMAL(18,4))) AS DOUBLE)
+      |     * CAST(0.001 AS DOUBLE) FROM held)
+      |ORDER BY stock_value DESC, ps_partkey""".stripMargin) { (s, dir) =>
+    val partsupp = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice")).as("ps_supplycost"),
+        dsum(col("l_quantity")).as("ps_availqty"))
+    val natSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val held = partsupp
+      .join(broadcast(natSupp), col("ps_suppkey") === col("s_suppkey"))
+      .select(col("ps_partkey"),
+        (col("ps_supplycost") * col("ps_availqty")).as("pair_value"))
+    // keep the per-part sums in DECIMAL so the grand total can re-sum the
+    // partials exactly (≡ the oracle's one sum over `held`) — the `held`
+    // subtree evaluates once, not twice
+    val perPart = held.groupBy("ps_partkey")
+      .agg(sum(col("pair_value").cast(DecimalType(18, 4))).as("value_dec"))
+    val threshold = perPart
+      .agg((sum(col("value_dec")).cast(DoubleType) * lit(0.001)).as("threshold"))
+    perPart
+      .crossJoin(broadcast(threshold)) // 1-row threshold against |parts| groups
+      .withColumn("stock_value", col("value_dec").cast(DoubleType))
+      .filter(col("stock_value") > col("threshold"))
+      .select("ps_partkey", "stock_value")
+      .orderBy(col("stock_value").desc, col("ps_partkey"))
+  }
+
+  /** TPC-H Q12 shipping modes & order priority — the dual conditional
+    * count over a late-shipment join. The test lineitem carries no
+    * shipmode/commit/receipt columns, so the mode group is l_returnflag
+    * and "late" is ship-lag > 45 days past the order date (the Q4
+    * convention); the aggregate shape — priority-class split counts per
+    * mode — is the operator under test. All-integer output, nothing to
+    * drift.
+    *
+    * Scale: the receipt-year window pushes into the lineitem scan; the
+    * lag predicate needs o_orderdate so it evaluates post-join inside
+    * codegen; ONE co-shuffle on the order key; both counts are partial
+    * aggregates over a 3-group key.
+    */
+  val q12ShippingPriority: QueryDef = QueryDef(
+    "tpch_q12_shipping_priority",
+    """SELECT l_returnflag,
+      |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |             THEN 1 END) AS high_line_count,
+      |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |             THEN 1 END) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= tsNtz("1997-01-01 00:00:00") &&
+        col("l_shipdate") < tsNtz("1998-01-01 00:00:00"))
+      .select("l_orderkey", "l_shipdate", "l_returnflag")
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("interval 45 days"))
+      .groupBy("l_returnflag")
+      .agg(count(when(urgent, lit(1))).as("high_line_count"),
+        count(when(!urgent, lit(1))).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q16 parts/supplier relationship — COUNT(DISTINCT) per part
+    * segment with a NOT-IN supplier exclusion. partsupp is the distinct
+    * (part, supplier) pair set from lineitem (Q2 convention); the
+    * classic complaint predicate maps to s_acctbal < 0 (no comment
+    * column in the test schema).
+    *
+    * Scale: the pair-distinct partial-aggregates on the pair key (ONE
+    * lineitem exchange); the segment-pruned part broadcasts; the NOT IN
+    * is a broadcast LEFT ANTI (the excluded supplier set is a filtered
+    * dim — tiny); COUNT(DISTINCT suppkey) expands to the two-exchange
+    * distinct-agg over |surviving pairs| rows, each exchange partial-
+    * aggregated.
+    */
+  val q16PartsSupplier: QueryDef = QueryDef(
+    "tpch_q16_parts_supplier",
+    """WITH partsupp AS MATERIALIZED (
+      |  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |  FROM lineitem)
+      |SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+      |FROM partsupp JOIN part ON p_partkey = ps_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+      |  AND ps_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < CAST(0 AS DOUBLE))
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, dir) =>
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey")).distinct()
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val complaints = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    pairs
+      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(complaints),
+        col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc,
+        col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 potential part promotion — the nested semi-join chain:
+    * suppliers (in one nation) holding excess stock of a name-prefixed
+    * part family, where "excess" compares held quantity against half of
+    * what shipped in a year. Both quantities come from ONE pass over
+    * lineitem: availqty is the all-time exact quantity sum per (part,
+    * supplier) pair and the shipped-1997 sum is a conditional partial of
+    * the same groupBy — a pair with no 1997 shipments yields NULL, which
+    * fails the > predicate exactly like the classic's empty correlated
+    * subquery.
+    *
+    * Scale: one lineitem exchange on the pair key; the part-prefix set
+    * broadcasts as a LEFT SEMI below the heavy filter; the surviving
+    * supplier keys are an aggregated bounded set → broadcast semi
+    * against the nation-filtered supplier dim. No fact re-scan, no
+    * correlated execution.
+    */
+  val q20PartPromotion: QueryDef = QueryDef(
+    "tpch_q20_part_promotion",
+    """WITH ps AS MATERIALIZED (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ps_availqty,
+      |    CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |                   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |              THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sh_qty
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s_name, s_acctbal
+      |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      |WHERE n_name = 'NATION_3'
+      |  AND s_suppkey IN (
+      |    SELECT ps_suppkey FROM ps
+      |    WHERE ps_partkey IN (
+      |        SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |      AND ps_availqty > CAST(0.5 AS DOUBLE) * sh_qty)
+      |ORDER BY s_name""".stripMargin) { (s, dir) =>
+    val inYr = col("l_shipdate") >= tsNtz("1997-01-01 00:00:00") &&
+      col("l_shipdate") < tsNtz("1998-01-01 00:00:00")
+    val ps = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(dsum(col("l_quantity")).as("ps_availqty"),
+        dsum(when(inYr, col("l_quantity"))).as("sh_qty"))
+    val redParts = Tables.part(s, dir)
+      .filter(col("p_name").startsWith("red")).select("p_partkey")
+    val qualified = ps
+      .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"),
+        "left_semi")
+      // NULL sh_qty (no 1997 shipments) fails the predicate — matches the
+      // oracle's inner-join-on-shipped semantics
+      .filter(col("ps_availqty") > lit(0.5) * col("sh_qty"))
+      .select("ps_suppkey").distinct()
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(qualified),
+        col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select("s_name", "s_acctbal")
+      .orderBy("s_name")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     q1PricingSummary, q6ForecastRevenue, q3ShippingPriority, q5LocalSupplier,
     q2MinCostSupplier, q13CustomerDist,
     q4PriorityCheck, q10ReturnedItems, q14PromoEffect, q18LargeVolume,
     q15TopSupplier, q19BracketRevenue, q22SalesOpportunity,
     q17SmallQtyRevenue, q21WaitingSuppliers,
+    q7VolumeShipping, q8MarketShare, q9ProductProfit, q11ImportantStock,
+    q12ShippingPriority, q16PartsSupplier, q20PartPromotion,
     s1NewKeys, s2StaleKeys, k9Watermark, f10Guards,
     jBroadcastEnrich, jStarRevenue, jSemi, jOuter,
     topKRecency, topKPerGroup, unionDedupCap, intersectExcept,
