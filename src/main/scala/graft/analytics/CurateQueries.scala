@@ -293,44 +293,77 @@ object CurateQueries {
   }
 
   /** The curation tier run END-TO-END as one declarative plan: quality
-    * gate → exact dedup (min-id keeper per content hash) → benchmark
-    * decontamination (drop docs containing an eval probe) → per-language
-    * corpus accounting. This is the "data recipe" a pretraining run
-    * executes before tokenization, expressed as a single DataFrame
-    * chain so Catalyst fuses the stages — one scan feeds the quality
-    * projection, the dedup groupBy, and the decontamination join; no
-    * stage materializes an intermediate dataset.
+    * gate → exact dedup (min-id keeper per content hash) → MinHash-LSH
+    * near-dedup (drop each verified pair's lower-quality member) →
+    * benchmark decontamination (drop docs containing an eval probe) →
+    * per-language corpus accounting. This is the "data recipe" a
+    * pretraining run executes before tokenization, expressed as a single
+    * DataFrame chain so Catalyst fuses the stages — no stage
+    * materializes an intermediate dataset, and no stage iterates.
+    *
+    * The near-dup keeper here is the GREEDY pairwise form: every
+    * verified pair (J ≥ 0.5) drops its lower-quality member (doc_id
+    * tiebreak). The component-transitive form (collapse whole clusters
+    * to their best member) exists as dd_cluster_keep_best; the fused
+    * pipeline uses the pairwise rule because it is expressible WITHOUT
+    * iteration — one join-project-distinct-antijoin chain — so the whole
+    * recipe stays one static Catalyst plan. The best document of every
+    * near-dup cluster always survives under either rule (it loses no
+    * pair).
+    *
+    * Pairs are qualified against `clean` (post quality gate), NOT
+    * against the exact-dedup survivors — deliberately, so the heavy
+    * keeper aggregation is not replicated into both pair sides. The
+    * survivor set is identical: an exact-dup's keeper has the SAME text
+    * (same shingles → same bands → same pairs, same quality), so any
+    * pair lost to a dup is also lost to its keeper; and a quality-gate
+    * casualty is strictly below the gate while every kept doc is at or
+    * above it, so it can never win a pair against one.
     *
     * Scale: the quality gate is a codegen'd projection on the scan; the
     * dedup keeper is one partial-aggregable exchange on the content
-    * hash; the probe set broadcasts (fixed eval suite, see
-    * cu_decontaminate); the anti-join and the final per-language rollup
-    * ride small keys. Every number in the output is an exact count or a
+    * hash; the near-dup stage reuses the SHARED shingle/band table (the
+    * one persisted intermediate every dedup pass reads — at 100 TB a
+    * lake-materialized table) and all its joins are hash-sharded
+    * equi-joins on band key / doc id; the probe set broadcasts (fixed
+    * eval suite, see cu_decontaminate); the final per-language rollup
+    * rides small keys. Every number in the output is an exact count or a
     * DECIMAL-accumulated sum — the corpus report is reproducible
     * bit-for-bit, which is what makes the recipe auditable.
     */
   val pipeline: QueryDef = QueryDef(
     "pipe_pretrain_corpus",
-    s"""WITH q AS (
+    s"""WITH ${DedupQueries.PairsCteSql},
+       |q AS (
        |  SELECT doc_id, lang, text,
        |  ${TextQueries.QualitySql} AS quality
        |  FROM documents),
        |clean AS (SELECT * FROM q WHERE quality >= 0.2),
        |keeper AS (SELECT MIN(doc_id) AS keep FROM clean GROUP BY md5(text)),
        |kept AS (SELECT c.* FROM clean c JOIN keeper k ON c.doc_id = k.keep),
+       |pairq AS (
+       |  SELECT doc_a, doc_b, ca.quality AS qa, cb.quality AS qb
+       |  FROM verified
+       |  JOIN clean ca ON ca.doc_id = doc_a
+       |  JOIN clean cb ON cb.doc_id = doc_b),
+       |losers AS (
+       |  SELECT DISTINCT CASE WHEN qa < qb OR (qa = qb AND doc_a > doc_b)
+       |                       THEN doc_a ELSE doc_b END AS loser
+       |  FROM pairq),
+       |nkept AS (
+       |  SELECT * FROM kept WHERE doc_id NOT IN (SELECT loser FROM losers)),
        |probes AS (
        |  SELECT doc_id AS eval_id,
        |    array_to_string(string_split(text, ' ')[1:10], ' ') AS probe
-       |  FROM documents WHERE doc_id % 50 = 0 AND doc_id < 1000000),
-       |contaminated AS (
-       |  SELECT DISTINCT d.doc_id FROM kept d, probes e
-       |  WHERE position(probe IN d.text) > 0 AND d.doc_id <> eval_id)
+       |  FROM documents WHERE doc_id % 50 = 0 AND doc_id < 1000000)
        |SELECT lang,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(length(string_split(text, ' '))) AS BIGINT) AS n_tokens,
        |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
-       |FROM kept
-       |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |FROM nkept d
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM probes e
+       |  WHERE position(probe IN d.text) > 0 AND d.doc_id <> eval_id)
        |GROUP BY lang""".stripMargin) { (s, dir) =>
     import graft.functions.Num.dsum
     val q = Tables.documents(s, dir)
@@ -341,15 +374,29 @@ object CurateQueries {
       .agg(min("doc_id").as("keep"))
     val kept = clean.join(keeper, col("doc_id") === col("keep"))
       .select("doc_id", "lang", "text", "quality")
+    // near-dup stage: verified pairs qualified against `clean` (see the
+    // Scaladoc equivalence argument), then the greedy lower-quality drop
+    val cleanQ = clean.select(col("doc_id"), col("quality"))
+    val pairq = DedupQueries.nearDupPairs(s, dir)
+      .join(cleanQ.select(col("doc_id").as("doc_a"), col("quality").as("qa")), "doc_a")
+      .join(cleanQ.select(col("doc_id").as("doc_b"), col("quality").as("qb")), "doc_b")
+    val losers = pairq
+      .select(when(col("qa") < col("qb") ||
+          (col("qa") === col("qb") && col("doc_a") > col("doc_b")),
+          col("doc_a")).otherwise(col("doc_b")).as("loser"))
+      .distinct()
+    val nkept = kept.join(losers, col("doc_id") === col("loser"), "left_anti")
     val probes = Tables.documents(s, dir)
       .filter(col("doc_id") % 50 === 0 && col("doc_id") < 1000000L)
       .select(col("doc_id").as("eval_id"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 10)).as("probe"))
-    val contaminated = kept
+    // decontamination as ONE left-anti broadcast pass — an inner-join +
+    // distinct + re-anti-join would reference (and recompute) the whole
+    // nkept subtree twice
+    nkept
       .join(broadcast(probes),
-        instr(col("text"), col("probe")) > 0 && col("doc_id") =!= col("eval_id"))
-      .select(col("doc_id").as("bad_id")).distinct()
-    kept.join(contaminated, col("doc_id") === col("bad_id"), "left_anti")
+        instr(col("text"), col("probe")) > 0 && col("doc_id") =!= col("eval_id"),
+        "left_anti")
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -108,7 +108,7 @@ object DedupQueries {
     * graft_rolling_hash expression. Same recall as the md5 family on this
     * corpus (25/25 verified pairs), measured with zero false candidates.
     */
-  private val PairsCteSql =
+  private[analytics] val PairsCteSql =
     s"""base AS ($BaseSql),
        |hashed AS (
        |  SELECT doc_id, shingles,
@@ -181,7 +181,7 @@ object DedupQueries {
   /** Spark-side verified near-dup pairs (doc_a, doc_b, jaccard ≥ 0.5) —
     * the pipeline behind dd_minhash_lsh, reused by dd_components.
     */
-  private def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[analytics] def nearDupPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val bands = bandTable(s, dir)
     val pairs = bands.as("a")
       .join(bands.as("b"),

@@ -239,4 +239,15 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
       "per-part average must partial-aggregate below its exchange")
   }
+
+  test("pipeline: near-dup chain runs ONCE; decontamination is one left-anti probe pass") {
+    val p = finalPlan("pipe_pretrain_corpus")
+    // 2 Generates = the two sides of the band self-join (inherent to a
+    // self-join); 3+ means a stage re-references the verified-pair subtree
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 2,
+      "the LSH band chain must appear exactly once per self-join side")
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toVector
+    assert(bnlj.size == 1 && bnlj.head.contains("LeftAnti"),
+      s"decontamination must be ONE left-anti probe broadcast, got:\n${bnlj.mkString("\n")}")
+  }
 }
