@@ -41,7 +41,9 @@ object SparkEntry {
     * the same process-local memo, so correctness is identical either way).
     */
   def prestage: Map[String, (SparkSession, String) => Unit] = Map(
-    "k13_point_lookup" -> ((s, dir) => { DedupQueries.ensurePointLookupSink(s, dir); () }))
+    "k13_point_lookup" -> ((s, dir) => { DedupQueries.ensurePointLookupSink(s, dir); () }),
+    "k14_delete" -> ((s, dir) => { DedupQueries.ensureDeleteBase(s, dir); () }),
+    "k12_incremental_agg" -> ((s, dir) => { DedupQueries.ensureIncrementalAggSink(s, dir); () }))
 
   /** Headline benchmark set — one-to-two representatives per tier, chosen
     * so the bench (a) covers every operator family, (b) finishes well
@@ -54,9 +56,12 @@ object SparkEntry {
     * all lost their numbers to exactly that.
     */
   def benchQueries: Seq[String] = Seq(
-    // scans / filters / sinks / watermarks (ingest spine)
+    // scans / filters / sinks / watermarks (ingest spine) — incl. the
+    // MergeSink DML family, so a commit-path perf regression surfaces in
+    // the bench before it breaks correctness
     "s1_f1_new_keys_anti", "s2_f2_stale_keys",
     "k1_sink_idempotence", "k10_merge_upsert", "k13_point_lookup",
+    "k11_format_roundtrip", "k12_incremental_agg", "k14_delete",
     // projections / explodes / json
     "p2_struct_array_extract", "p4_string_surface", "p14_json_props",
     "x1_concat_explode",
@@ -66,7 +71,7 @@ object SparkEntry {
     "tpch_q6_forecast_revenue", "tpch_q5_local_supplier",
     "tpch_q2_min_cost_supplier", "tpch_q13_customer_distribution",
     "tpch_q4_order_priority", "tpch_q14_promo_effect",
-    "tpch_q18_large_volume",
+    "tpch_q18_large_volume", "tpch_q8_market_share", "tpch_q9_product_profit",
     // joins / set-ops / limits / windows
     "j1_broadcast_enrich", "j2_star_join_revenue", "j5_asof_join",
     "j6_range_join_bucketed", "l3_topk_per_group", "u1_union_dedup_cap",
@@ -80,7 +85,7 @@ object SparkEntry {
     "tx_bm25_rank", "tx_lang_id", "tx_token_count", "tx_ngram_novelty",
     // events / streaming
     "ev_sessionize", "ev_tumbling_window", "ev_stream_exactly_once",
-    "ev_gap_fill",
+    "ev_gap_fill", "ev_stream_dedup_wm",
     // multimodal / curation / graph
     "mm_byte_histogram", "cu_pack_chunks", "cu_decontaminate",
     "pipe_pretrain_corpus", "gr_pagerank")
