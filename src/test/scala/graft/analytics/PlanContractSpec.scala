@@ -240,6 +240,20 @@ class PlanContractSpec extends AnyFunSuite {
       "per-part average must partial-aggregate below its exchange")
   }
 
+  test("tpch_q9: ONE lineitem scan — the partsupp round-trip is a window, not a self-join") {
+    val p = finalPlan("tpch_q9_product_profit")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      "the synthetic-partsupp cost join must stay a pair-key window over the single scan")
+    assert(p.contains("Window"), "expected the window-min ps_supplycost")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("tpch_q8: ONE lineitem scan; part and supplier resolve by broadcast") {
+    val p = finalPlan("tpch_q8_market_share")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1)
+    assert(p.contains("BroadcastHashJoin"), "part/supplier dims must broadcast")
+  }
+
   test("pipeline: near-dup chain runs ONCE; decontamination is one left-anti probe pass") {
     val p = finalPlan("pipe_pretrain_corpus")
     // 2 Generates = the two sides of the band self-join (inherent to a
