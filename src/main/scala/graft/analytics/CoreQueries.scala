@@ -508,18 +508,21 @@ object CoreQueries {
       .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
         col("n_regionkey") === col("r_regionkey"))
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    val eligible = partsupp
-      .join(broadcast(euroSupp), col("ps_suppkey") === col("s_suppkey"))
-      .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
-    val minCost = eligible.groupBy(col("ps_partkey").as("mc_partkey"))
-      .agg(min(col("ps_supplycost")).as("min_cost"))
     val parts = Tables.part(s, dir)
       .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
       .select("p_partkey", "p_brand")
-    eligible
-      .join(minCost, col("ps_partkey") === col("mc_partkey") &&
-        col("ps_supplycost") === col("min_cost"))
+    // the min-cost decorrelation as a per-part window over ONE pass of the
+    // eligible pairs — the groupBy+re-join form computed the whole
+    // partsupp aggregation twice (two lineitem scans, no exchange reuse;
+    // the q21/novelty lesson). The part filter lands BELOW the window
+    // (sound: it depends only on the partition key, so every row of a
+    // part passes or fails together and the per-part min is unchanged).
+    val w = Window.partitionBy("ps_partkey")
+    partsupp
+      .join(broadcast(euroSupp), col("ps_suppkey") === col("s_suppkey"))
       .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .withColumn("min_cost", min(col("ps_supplycost")).over(w))
+      .filter(col("ps_supplycost") === col("min_cost"))
       .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost")
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
       .limit(100)

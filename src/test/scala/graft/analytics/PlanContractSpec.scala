@@ -240,6 +240,14 @@ class PlanContractSpec extends AnyFunSuite {
       "per-part average must partial-aggregate below its exchange")
   }
 
+  test("tpch_q2: ONE lineitem scan — min-cost decorrelation is a window, not a groupBy re-join") {
+    val p = finalPlan("tpch_q2_min_cost_supplier")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      "the partsupp aggregation must not be computed twice")
+    assert(p.contains("Window"), "expected the per-part window min")
+    assert(p.contains("TakeOrdered"), "top-100 must stay a TakeOrdered, not a global sort")
+  }
+
   test("tpch_q9: ONE lineitem scan — the partsupp round-trip is a window, not a self-join") {
     val p = finalPlan("tpch_q9_product_profit")
     assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
