@@ -753,8 +753,14 @@ object CoreQueries {
         col("l_shipdate") < tsNtz("1996-04-01 00:00:00"))
       .groupBy(col("l_suppkey").as("supplier_no"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("total_revenue"))
-    val maxRev = rev.agg(max("total_revenue").as("max_revenue"))
-    rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+    // the view's global max as a single-partition window over rev — an
+    // agg+re-join would replicate the whole lineitem aggregation subtree
+    // into both references (two fact scans, no exchange reuse). The
+    // funnel is safe: rev is post-aggregation, |suppliers| rows (a
+    // dim-cardinality table), not fact-sized.
+    rev
+      .withColumn("max_revenue", max("total_revenue").over(Window.partitionBy()))
+      .filter(col("total_revenue") === col("max_revenue"))
       .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
         col("supplier_no") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "total_revenue")
@@ -1174,14 +1180,16 @@ object CoreQueries {
       .select(col("ps_partkey"),
         (col("ps_supplycost") * col("ps_availqty")).as("pair_value"))
     // keep the per-part sums in DECIMAL so the grand total can re-sum the
-    // partials exactly (≡ the oracle's one sum over `held`) — the `held`
-    // subtree evaluates once, not twice
+    // partials exactly (≡ the oracle's one sum over `held`); the total is
+    // a single-partition window over the aggregated frame — an agg+re-join
+    // would replicate the whole partsupp subtree into both references
+    // (two lineitem scans). Funnel bounded: perPart is |parts| rows, a
+    // dim-cardinality table.
     val perPart = held.groupBy("ps_partkey")
       .agg(sum(col("pair_value").cast(DecimalType(18, 4))).as("value_dec"))
-    val threshold = perPart
-      .agg((sum(col("value_dec")).cast(DoubleType) * lit(0.001)).as("threshold"))
     perPart
-      .crossJoin(broadcast(threshold)) // 1-row threshold against |parts| groups
+      .withColumn("threshold",
+        sum(col("value_dec")).over(Window.partitionBy()).cast(DoubleType) * lit(0.001))
       .withColumn("stock_value", col("value_dec").cast(DoubleType))
       .filter(col("stock_value") > col("threshold"))
       .select("ps_partkey", "stock_value")

@@ -240,6 +240,15 @@ class PlanContractSpec extends AnyFunSuite {
       "per-part average must partial-aggregate below its exchange")
   }
 
+  test("tpch_q15/q11: ONE lineitem scan each — global max/total as a window over the aggregated frame") {
+    Seq("tpch_q15_top_supplier", "tpch_q11_important_stock").foreach { q =>
+      val p = finalPlan(q)
+      assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+        s"$q replicates its fact aggregation subtree")
+      assert(!p.contains("BroadcastNestedLoop"), s"$q regressed to a nested-loop threshold join")
+    }
+  }
+
   test("tpch_q2: ONE lineitem scan — min-cost decorrelation is a window, not a groupBy re-join") {
     val p = finalPlan("tpch_q2_min_cost_supplier")
     assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,

@@ -34,12 +34,10 @@ class QuerySmokeSpec extends AnyFunSuite {
   // cu_decontaminate broadcasts its O(|eval|) probe set against one corpus
   // scan — a broadcast nested-loop by construction (substring predicate);
   // tpch_q22 broadcasts its 1-ROW scalar-subquery threshold (the > compare
-  // has no equi-key, so a BNLJ of corpus × 1 row is the correct plan);
-  // tpch_q11's HAVING-vs-total threshold is the same 1-row shape
+  // has no equi-key, so a BNLJ of corpus × 1 row is the correct plan)
   private val nestedLoopAllowed =
     Set("ann_bruteforce_topk", "ann_ivf_topk", "cu_kmeans", "tx_bm25_rank",
       "gr_pagerank", "cu_decontaminate", "tpch_q22_sales_opportunity",
-      "tpch_q11_important_stock",
       "pipe_pretrain_corpus") // embeds cu_decontaminate's probe broadcast
   private val sideEffecting = Set(
     "ev_stream_exactly_once", "ev_stateful_state",
