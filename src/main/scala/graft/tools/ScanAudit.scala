@@ -1,0 +1,42 @@
+package graft.tools
+
+/** Dev tool: duplicate-subtree sweep. For every declared query (minus a
+  * skip list of side-effectful/streaming entries whose plan is the
+  * read-back), print the per-table parquet scan count in the INITIAL
+  * physical plan plus nested-loop/cartesian flags — the cheap static
+  * signal for a heavy subtree referenced twice (the q2/q15/q11/q21
+  * family of regressions). InMemoryTableScan-backed re-reads (the shared
+  * shingle cache) do not re-scan parquet and are excluded by
+  * construction, because the cached plan's FileScan appears only in the
+  * cache-materialization subtree.
+  * Usage: runMain graft.tools.ScanAudit <sfDir> [minCount]
+  */
+object ScanAudit {
+  private val skip = Set(
+    "ev_stream_exactly_once", "ev_stateful_state", "ev_transform_with_state",
+    "ev_stream_merge_sink", "ev_stream_stream_join", "ev_stream_dedup",
+    "ev_stream_dedup_wm", "ev_watermarked_window", "ev_session_window_stream",
+    "k1_sink_idempotence", "k4_null_key_sink", "k10_merge_upsert",
+    "k11_format_roundtrip", "k12_incremental_agg", "k13_point_lookup",
+    "k14_delete", "k15_zorder_skip")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val min = if (args.length > 1) args(1).toInt else 2
+    val spark = graft.Sessions.local(appName = "graft-scanaudit")
+    spark.sparkContext.setLogLevel("ERROR")
+    val tableRe = "/([a-z_]+)\\.parquet".r
+    graft.SparkEntry.allDefs.filterNot(d => skip(d.name)).foreach { d =>
+      val p = d.fn(spark, dir).queryExecution.executedPlan.toString
+      val counts = tableRe.findAllMatchIn(p).map(_.group(1)).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val dups = counts.filter(_._2 >= min)
+      val flags = Seq(
+        if (p.contains("CartesianProduct")) Some("CARTESIAN") else None,
+        if (p.contains("BroadcastNestedLoop")) Some("BNLJ") else None).flatten
+      if (dups.nonEmpty || flags.nonEmpty)
+        println(s"${d.name}: dups=${dups.toSeq.sortBy(-_._2).mkString(",")} ${flags.mkString(",")}")
+    }
+    spark.stop()
+  }
+}
