@@ -117,5 +117,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_might_contain"),
       binary("graft_might_contain",
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(_, _))))
+    // frame ⋈ globalAgg(frame) → single-pass window (see the rule's doc;
+    // born from the measured Q2/Q15/Q11 double-subtree regressions)
+    ext.injectOptimizerRule(_ => GlobalScalarToWindow)
   }
 }
