@@ -80,7 +80,7 @@ object SparkEntry {
     "dd_exact", "dd_minhash_lsh", "dd_components_star",
     "dd_embed_cosine", "dd_incr_lsh",
     // similarity search
-    "ann_lsh_topk", "ann_ivf_topk",
+    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     // text analysis
     "tx_bm25_rank", "tx_lang_id", "tx_token_count", "tx_ngram_novelty",
     // events / streaming

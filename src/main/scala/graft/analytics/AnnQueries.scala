@@ -231,5 +231,170 @@ object AnnQueries {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
-  val defs: Seq[QueryDef] = Seq(bruteForce, lshTopK, embedNearDup, ivfTopK)
+  // ---- Product quantization -------------------------------------------
+
+  private val PqM = 4       // subspaces
+  private val PqSub = 16    // dims per subspace (embedding dim 64)
+  private val PqK = 8       // codebook entries per subspace
+  private val PqTopK = 10
+  // codebooks train on a bounded deterministic sample (all corpus rows at
+  // the oracle SFs; a fixed-size prefix at any scale) — the FAISS sampled-
+  // training practice, and what bounds the per-centroid training state
+  private val PqTrainCap = 100000L
+
+  /** L2² via dot products, operand-ordered identically in both engines:
+    * `dot(x,x) - 2·dot(x,c) + dot(c,c)` (left-associative in SQL and in
+    * Column arithmetic alike, each dot a sequential fold).
+    */
+  private def l2Col(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+    Vec.dot(x, x) - lit(2.0) * Vec.dot(x, c) + Vec.dot(c, c)
+  private def l2Sql(x: String, c: String): String =
+    s"list_dot_product($x, $x) - 2 * list_dot_product($x, $c) + list_dot_product($c, $c)"
+
+  /** PQ-compressed ANN — the MEMORY-side scale path the rest of the ANN
+    * tier lacks: each vector is stored as M small codebook indices
+    * (M·log2(K) bits ≈ 1.5 bytes here vs 256 bytes of floats), and probe
+    * distances are answered from per-probe lookup tables (ADC —
+    * asymmetric distance computation) without touching the original
+    * vectors. At 100 TB of embeddings this is what makes the corpus fit
+    * executor memory; compose with ann_ivf's cell pruning for candidate
+    * reduction (orthogonal concerns: IVF prunes candidates, PQ shrinks
+    * bytes/candidate).
+    *
+    * Codebooks: one deterministic Lloyd step per subspace (init = the
+    * first K corpus subvectors, assignment by exact L2²), with centroid
+    * means computed as an ORDER-DETERMINISTIC double fold: members sorted
+    * by vec_id, summed by a sequential left fold (the rolling-hash oracle
+    * pattern) — bit-identical in both engines. The ivf decimal-mean
+    * recipe is NOT reusable here because DuckDB's DECIMAL(38,20)→DOUBLE
+    * cast misrounds by 1 ulp when the scaled integer exceeds 2^53 (ivf
+    * survives that because its centroids only rank cells; PQ exposes
+    * centroid bits in the output distances). Training reads a BOUNDED
+    * deterministic sample (vec_id < TrainCap — the standard sampled-
+    * training practice), which also bounds the per-centroid collect state
+    * at any corpus size. Encoding and the
+    * ADC scan are pure projections and BROADCAST EQUI-JOINS: codes join
+    * their per-(probe, subspace, code) distances on (probe, code) — four
+    * hash joins, then a FIXED-ORDER four-term sum (no groupBy sum of
+    * doubles, which would be reduction-order-dependent). Scale shape: the
+    * codebook is M·K rows (broadcast), the ADC table |probes|·M·K rows
+    * (broadcast), the scan is one pass over the code table with the
+    * salted two-phase top-k of ann_bruteforce.
+    */
+  val pqTopK: QueryDef = QueryDef(
+    "ann_pq_topk",
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |subv AS (
+       |  SELECT vec_id, m, e[m*$PqSub+1 : m*$PqSub+$PqSub] AS sub
+       |  FROM v, unnest([${(0 until PqM).mkString(", ")}]) AS t(m)),
+       |init AS (SELECT m, vec_id AS j, sub AS ce FROM subv WHERE vec_id < $PqK),
+       |assign AS (
+       |  SELECT vec_id, m, sub, j FROM (
+       |    SELECT s.vec_id, s.m, s.sub, i.j,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${l2Sql("s.sub", "i.ce")}, i.j) AS rn
+       |    FROM subv s JOIN init i USING (m)
+       |    WHERE s.vec_id < $PqTrainCap) t
+       |  WHERE rn = 1),
+       |centexp AS (
+       |  SELECT vec_id, m, j, i AS pos, sub[i] AS val
+       |  FROM assign, unnest(range(1, $PqSub + 1)) AS t(i)),
+       |cent AS (
+       |  SELECT m, j, pos,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(val ORDER BY vec_id)),
+       |                (a, b) -> a + b) / COUNT(*) AS c
+       |  FROM centexp GROUP BY m, j, pos),
+       |carr AS (SELECT m, j, list(c ORDER BY pos) AS ce FROM cent GROUP BY m, j),
+       |codes0 AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT s.vec_id, s.m, c.j,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${l2Sql("s.sub", "c.ce")}, c.j) AS rn
+       |    FROM subv s JOIN carr c USING (m)) t
+       |  WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id,
+       |    ${(0 until PqM).map(m => s"MAX(CASE WHEN m = $m THEN code END) AS c$m").mkString(",\n       |    ")}
+       |  FROM codes0 GROUP BY vec_id),
+       |adc AS (
+       |  SELECT p.vec_id AS probe_id, c.m, c.j, ${l2Sql("p.sub", "c.ce")} AS pd
+       |  FROM (SELECT * FROM subv WHERE vec_id < $ProbeCount) p
+       |  JOIN carr c USING (m)),
+       |scored AS (
+       |  SELECT a0.probe_id, cd.vec_id AS neighbor_id,
+       |    a0.pd + a1.pd + a2.pd + a3.pd AS adist
+       |  FROM codes cd
+       |  JOIN adc a0 ON a0.m = 0 AND a0.j = cd.c0
+       |  JOIN adc a1 ON a1.m = 1 AND a1.j = cd.c1 AND a1.probe_id = a0.probe_id
+       |  JOIN adc a2 ON a2.m = 2 AND a2.j = cd.c2 AND a2.probe_id = a0.probe_id
+       |  JOIN adc a3 ON a3.m = 3 AND a3.j = cd.c3 AND a3.probe_id = a0.probe_id
+       |  WHERE cd.vec_id <> a0.probe_id)
+       |SELECT probe_id, neighbor_id, adist, rank FROM (
+       |  SELECT probe_id, neighbor_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $PqTopK""".stripMargin) { (s, dir) =>
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
+    val subv = v.select(col("vec_id"),
+        explode(array((0 until PqM).map(m => struct(lit(m).as("m"),
+          slice(col("e"), m * PqSub + 1, PqSub).as("sub"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sub").as("sub"))
+    val init = subv.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("j"), col("sub").as("ce"))
+    val wNearest = Window.partitionBy("vec_id", "m")
+      .orderBy(l2Col(col("sub"), col("ce")).asc, col("j"))
+    val assign = subv.filter(col("vec_id") < PqTrainCap)
+      .join(broadcast(init), "m")
+      .withColumn("rn", row_number().over(wNearest))
+      .filter(col("rn") === 1)
+      .select("vec_id", "m", "sub", "j")
+    val cent = assign
+      .select(col("vec_id"), col("m"), col("j"),
+        posexplode(col("sub")).as(Seq("pos", "val")))
+      .groupBy("m", "j", "pos")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("val")))).as("vv"),
+        count(lit(1)).as("n"))
+      .select(col("m"), col("j"), col("pos"),
+        (aggregate(transform(col("vv"), x => x.getField("val")),
+          lit(0.0), (a, b) => a + b) / col("n")).as("c"))
+    val carr = cent.groupBy("m", "j")
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("m"), col("j"), transform(col("pc"), x => x.getField("c")).as("ce"))
+    val codes0 = subv.join(broadcast(carr), "m")
+      .withColumn("rn", row_number().over(wNearest))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("j").as("code"))
+    val codes = codes0.groupBy("vec_id")
+      .agg((0 until PqM).map(m =>
+        max(when(col("m") === m, col("code"))).as(s"c$m")).head,
+        (1 until PqM).map(m =>
+          max(when(col("m") === m, col("code"))).as(s"c$m")): _*)
+    val adc = subv.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("probe_id"), col("m"), col("sub"))
+      .join(broadcast(carr), "m")
+      .select(col("probe_id"), col("m"), col("j"), l2Col(col("sub"), col("ce")).as("pd"))
+    def adcM(m: Int) = adc.filter(col("m") === m)
+      .select(col("probe_id").as(s"pid$m"), col("j").as(s"j$m"), col("pd").as(s"pd$m"))
+    val scored = codes
+      .join(broadcast(adcM(0)), col("c0") === col("j0"))
+      .join(broadcast(adcM(1)), col("c1") === col("j1") && col("pid0") === col("pid1"))
+      .join(broadcast(adcM(2)), col("c2") === col("j2") && col("pid0") === col("pid2"))
+      .join(broadcast(adcM(3)), col("c3") === col("j3") && col("pid0") === col("pid3"))
+      .filter(col("vec_id") =!= col("pid0"))
+      .select(col("pid0").as("probe_id"), col("vec_id").as("neighbor_id"),
+        (col("pd0") + col("pd1") + col("pd2") + col("pd3")).as("adist"))
+    val order = Seq(col("adist").asc, col("neighbor_id"))
+    val wLocal = Window
+      .partitionBy(col("probe_id"), pmod(hash(col("neighbor_id")), lit(SaltBuckets)))
+      .orderBy(order: _*)
+    val survivors = scored.withColumn("rk", row_number().over(wLocal))
+      .filter(col("rk") <= PqTopK).drop("rk")
+    val wGlobal = Window.partitionBy("probe_id").orderBy(order: _*)
+    survivors.withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= PqTopK)
+      .select("probe_id", "neighbor_id", "adist", "rank")
+  }
+
+  val defs: Seq[QueryDef] = Seq(bruteForce, lshTopK, embedNearDup, ivfTopK, pqTopK)
 }
