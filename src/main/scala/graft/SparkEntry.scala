@@ -83,6 +83,7 @@ object SparkEntry {
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     // text analysis
     "tx_bm25_rank", "tx_lang_id", "tx_token_count", "tx_ngram_novelty",
+    "tx_familiarity",
     // events / streaming
     "ev_sessionize", "ev_tumbling_window", "ev_stream_exactly_once",
     "ev_gap_fill", "ev_stream_dedup_wm",

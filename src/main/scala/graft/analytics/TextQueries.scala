@@ -436,7 +436,59 @@ object TextQueries {
           .as("shared_frac"))
   }
 
+  /** Corpus-familiarity scoring — the unigram-LM quality proxy (the
+    * CCNet-style "does this doc look like the corpus" filter): a unigram
+    * table is trained from the corpus itself and each document scores the
+    * add-one-smoothed MEAN word probability, plus its rare-word count.
+    * Deliberately log-free: Σ log p would need cross-engine bit-identical
+    * ln (not guaranteed between libm implementations — the same reason
+    * tx_bm25_rank ranks by rational factors rather than the log IDF), so
+    * the score is the arithmetic mean of exact rationals: every numerator
+    * and denominator is an exact BIGINT sum, and the only floating-point
+    * op is ONE final division of two exactly-representable integers —
+    * IEEE-identical everywhere.
+    *
+    * Scale: the word table partial-aggregates on the word key; the
+    * word⋈vocab join hash-shards on the word (the natural key — skewed
+    * stopwords ride AQE skew splitting); the per-doc rollup shuffles on
+    * doc_id; the corpus stats row is a two-level aggregate broadcast into
+    * the per-doc result (|docs| × 1 row).
+    */
+  val familiarity: QueryDef = QueryDef(
+    "tx_familiarity",
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |vocab AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+      |stats AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS v_size FROM vocab),
+      |doc AS (
+      |  SELECT doc_id,
+      |    COUNT(*) AS n_words,
+      |    CAST(SUM(c + 1) AS BIGINT) AS sum_smooth,
+      |    COUNT(CASE WHEN c <= 1 THEN 1 END) AS rare_words
+      |  FROM w JOIN vocab USING (word) GROUP BY doc_id)
+      |SELECT doc_id, n_words, rare_words,
+      |  CAST(sum_smooth AS DOUBLE)
+      |    / CAST(n_words * (n_total + v_size) AS DOUBLE) AS familiarity
+      |FROM doc, stats""".stripMargin) { (s, dir) =>
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val vocab = w.groupBy("word").agg(count(lit(1)).as("c"))
+    val stats = vocab.agg(sum("c").cast("long").as("n_total"),
+      count(lit(1)).as("v_size"))
+    val doc = w.join(vocab, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("c") + 1).cast("long").as("sum_smooth"),
+        count(when(col("c") <= 1, lit(1))).as("rare_words"))
+    doc.crossJoin(broadcast(stats)) // 1-row corpus stats
+      .select(col("doc_id"), col("n_words"), col("rare_words"),
+        (col("sum_smooth").cast(DoubleType) /
+          (col("n_words") * (col("n_total") + col("v_size"))).cast(DoubleType))
+          .as("familiarity"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(qualityScore, langId, tokenCount, fingerprint, rollingHash, sentiment,
-      corpusFilter, bm25Rank, editDist, repetition, ngramNovelty)
+      corpusFilter, bm25Rank, editDist, repetition, ngramNovelty, familiarity)
 }

@@ -38,6 +38,7 @@ class QuerySmokeSpec extends AnyFunSuite {
   private val nestedLoopAllowed =
     Set("ann_bruteforce_topk", "ann_ivf_topk", "cu_kmeans", "tx_bm25_rank",
       "gr_pagerank", "cu_decontaminate", "tpch_q22_sales_opportunity",
+      "tx_familiarity", // 1-row corpus-stats broadcast, bm25's shape
       "pipe_pretrain_corpus") // embeds cu_decontaminate's probe broadcast
   private val sideEffecting = Set(
     "ev_stream_exactly_once", "ev_stateful_state",
