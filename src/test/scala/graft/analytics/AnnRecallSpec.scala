@@ -38,6 +38,15 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.4, f"LSH recall collapsed: $r%.2f")
   }
 
+  test("PQ ADC recall@5 stays above the floor") {
+    // PQ ranks by quantized L2 while the baseline ranks by exact cosine,
+    // so recall reflects both quantization loss and the metric gap; the
+    // floor guards against a broken codebook/encoding, not tuning drift
+    val r = recallAt("ann_pq_topk", 5)
+    info(f"ann_pq_topk recall@5 = $r%.2f")
+    assert(r >= 0.15, f"PQ recall collapsed: $r%.2f")
+  }
+
   test("IVF nprobe-cell recall@5 stays above the floor") {
     // the `label` clustering stands in for k-means (cells are semantic
     // classes, not cosine neighborhoods), so IVF recall is structurally
