@@ -869,9 +869,89 @@ object DedupQueries {
     }
   }
 
+  // --- span-level exact dedup (C4 / RefinedWeb line dedup) ----------------
+
+  private val SpanW = 10          // words per span
+  private val SpanKeyShift = 1000000L // doc_id*shift+pos: needs pos < 1e6
+
+  /** Span-level exact deduplication — the SUB-document dedup pass between
+    * doc-level fingerprints (dd_exact) and fuzzy LSH (dd_minhash_lsh): C4
+    * drops repeated three-sentence spans, RefinedWeb drops repeated lines;
+    * boilerplate (headers, navigation, license blurbs) repeats VERBATIM
+    * across millions of pages while the surrounding documents differ, so
+    * doc-level dedup never sees it and fuzzy dedup pays LSH cost for what
+    * an exact groupBy can remove. This corpus has no sentence punctuation
+    * (space-separated words), so the span unit is a fixed 10-word
+    * non-overlapping window — the splitter is one `transform(sequence...)`
+    * expression swapped per corpus; the dedup dataflow is unit-agnostic.
+    *
+    * Semantics: the globally FIRST occurrence of a full-width span (by
+    * (doc_id, pos)) survives; later occurrences — across docs AND repeats
+    * inside one doc — are dropped. Short tail spans (< 10 words) never
+    * participate: a 1-word tail like "the" is not boilerplate evidence,
+    * and dropping it would gut documents on stopword collisions. A doc
+    * that is an exact full-width copy of an earlier doc loses every span
+    * and exits the corpus (its row is absent), which is precisely
+    * doc-level dedup falling out as the degenerate case.
+    *
+    * Scale: the span table is a pure narrow explode of the scan (no
+    * shuffle); first-occurrence keys come from a groupBy(span) whose
+    * partial aggregation collapses each map task's duplicate spans before
+    * the exchange — the wire carries distinct spans, not occurrences (a
+    * window over PARTITION BY span would shuffle every occurrence row and
+    * sort; the agg+join form trades a second occurrence shuffle for
+    * map-side reduction and AQE skew-split on the join, the right trade
+    * when boilerplate spans repeat millions of times). Reassembly is one
+    * groupBy(doc_id) with a sort_array over the kept positions —
+    * doc-sized state, the same per-key bound every window in the engine
+    * lives with.
+    */
+  val spanDedup: QueryDef = QueryDef(
+    "dd_span_dedup",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |span AS (
+       |  SELECT doc_id, i AS pos,
+       |    array_to_string(toks[i*$SpanW+1 : least((i+1)*$SpanW, len(toks))], ' ') AS s,
+       |    least((i+1)*$SpanW, len(toks)) - i*$SpanW AS nw
+       |  FROM d, unnest(range(0, (len(toks)+${SpanW - 1})//$SpanW)) AS t(i)),
+       |firsts AS (
+       |  SELECT s, MIN(doc_id*$SpanKeyShift + pos) AS first_key
+       |  FROM span WHERE nw = $SpanW GROUP BY s),
+       |kept AS (
+       |  SELECT span.doc_id, span.pos, span.s
+       |  FROM span LEFT JOIN firsts USING (s)
+       |  WHERE first_key IS NULL OR doc_id*$SpanKeyShift + pos = first_key),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM span GROUP BY doc_id)
+       |SELECT k.doc_id, n_spans, COUNT(*) AS n_kept,
+       |  md5(string_agg(s, ' ' ORDER BY pos)) AS kept_fp
+       |FROM kept k JOIN tot ON k.doc_id = tot.doc_id
+       |GROUP BY k.doc_id, n_spans""".stripMargin) { (s, dir) =>
+    val spans = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(toks)+${SpanW - 1}) div $SpanW - 1), " +
+            s"i -> struct(array_join(slice(toks, i*$SpanW+1, $SpanW), ' ') AS s, " +
+            s"size(slice(toks, i*$SpanW+1, $SpanW)) AS nw))")).as(Seq("pos", "sp")))
+      .select(col("doc_id"), col("pos"), col("sp.s").as("s"), col("sp.nw").as("nw"))
+    val key = col("doc_id") * lit(SpanKeyShift) + col("pos")
+    val firsts = spans.filter(col("nw") === SpanW)
+      .groupBy("s").agg(min(key).as("first_key"))
+    val kept = spans.join(firsts, Seq("s"), "left")
+      .filter(col("first_key").isNull || key === col("first_key"))
+      .select(col("doc_id"), col("pos"), col("s"))
+    val tot = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    kept.join(tot, "doc_id")
+      .groupBy("doc_id", "n_spans")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+            x => x.getField("s")), " ")).as("kept_fp"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exact, blockPrefix, minhashLsh, incrLsh, ngramJaccard, components,
       componentsStar, simhash, simhashPairs, sinkIdempotence, nullKeySink,
       mergeUpsert, incrementalAgg, pointLookup, deleteRows, formatRoundtrip,
-      zorderSkip, clusterKeepBest)
+      zorderSkip, clusterKeepBest, spanDedup)
 }
