@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -488,7 +488,106 @@ object TextQueries {
           .as("familiarity"))
   }
 
+  // --- BPE vocabulary induction -------------------------------------------
+
+  private val BpeSep = "\u001f"          // U+001F unit separator, not in corpus
+  private val BpeSS = BpeSep + BpeSep    // symbol boundary: ␟␟ between symbols
+
+  /** One BPE round's pair table: adjacent-symbol pairs weighted by word
+    * frequency. `rep` encodes a word's current symbol list as
+    * `␟␟s1␟␟s2␟␟…␟␟` — DOUBLE separators so a merge can be applied by plain
+    * `replace` (leftmost non-overlapping in both engines): the pattern
+    * `␟a␟␟b␟` (single ␟ at the outer edges) only matches WHOLE adjacent
+    * symbols (a symbol-internal 'a' is preceded by a letter, not ␟), and
+    * consecutive occurrences `␟␟a␟␟b␟␟a␟␟b␟␟` each retain a leading ␟
+    * after the previous replacement consumed one — the single-separator
+    * encoding fails exactly this case.
+    */
+  private def bpePairs(v: DataFrame): DataFrame =
+    v.select(col("freq"), filter(split(col("rep"), BpeSS), x => length(x) > 0).as("s"))
+      .select(col("freq"), explode(when(size(col("s")) >= 2,
+        expr("transform(sequence(1, size(s)-1), i -> concat(element_at(s, i), ' ', element_at(s, i+1)))"))
+        .otherwise(array())).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+
+  /** The round's winning pair under the classic BPE rule: max corpus
+    * frequency, ties to the lexicographically smallest pair. */
+  private def bpeWinner(v: DataFrame): DataFrame =
+    bpePairs(v).orderBy(col("cnt").desc, col("pair").asc).limit(1)
+
+  /** Rewrite every word's symbol string with the winner merged. */
+  private def bpeApply(v: DataFrame, w: DataFrame): DataFrame =
+    v.crossJoin(broadcast(w.select(col("pair").as("wpair"))))
+      .withColumn("rep", call_function("replace", col("rep"),
+        concat(lit(BpeSep), call_function("replace", col("wpair"), lit(" "), lit(BpeSS)), lit(BpeSep)),
+        concat(lit(BpeSep), call_function("replace", col("wpair"), lit(" "), lit("")), lit(BpeSep))))
+      .drop("wpair")
+
+  private def bpeOracleRound(r: Int): String = {
+    val prev = if (r == 1) "v1" else s"v${r}"
+    s"""p$r AS (SELECT s[i] || ' ' || s[i+1] AS pair, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, list_filter(string_split(rep, chr(31)||chr(31)), x -> x <> '') AS s FROM $prev) t,
+       |       unnest(range(1, len(s))) AS u(i)
+       |  GROUP BY 1),
+       |w$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+       |v${r + 1} AS (SELECT word, freq,
+       |  replace(rep, chr(31) || replace(pair, ' ', chr(31)||chr(31)) || chr(31),
+       |               chr(31) || replace(pair, ' ', '') || chr(31)) AS rep
+       |  FROM $prev, w$r)""".stripMargin
+  }
+
+  /** BPE vocabulary induction — the tokenizer-training step of a pretrain
+    * pipeline, as a pure relational dataflow: ONE corpus pass builds the
+    * word-frequency table (exactly what production BPE trainers operate
+    * on — the corpus is never re-read), then each of 3 UNROLLED merge
+    * rounds counts adjacent-symbol pairs weighted by word frequency,
+    * selects the argmax pair (ties → lexicographic, a total order), and
+    * applies the merge to every word via a boundary-safe string replace
+    * (encoding above). Fixed rounds keep the whole algorithm one static
+    * plan both engines state exactly — the same unrolling contract as
+    * cu_kmeans' Lloyd iterations; a production trainer loops to |vocab|
+    * with a localCheckpoint per round (dd_components' pattern).
+    *
+    * Scale: the corpus-sized work is the single word count (explode →
+    * partial-aggregated groupBy — the exchange carries distinct words).
+    * Every merge round runs on the VOCAB (|distinct words|, millions at
+    * 100 TB, not billions of tokens): pair explode ≤ word-length rows per
+    * word, partial-aggregated to distinct pairs; the winner is a 1-row
+    * broadcast. Catalyst reuses the vocab exchange across rounds (the
+    * subtree is identical); the per-round rewrite is a map.
+    */
+  val bpeMerge: QueryDef = QueryDef(
+    "tx_bpe_merge",
+    s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |vocab AS (SELECT word, COUNT(*) AS freq FROM words WHERE word <> '' GROUP BY word),
+       |v1 AS (SELECT word, freq,
+       |  chr(31)||chr(31) || array_to_string(string_split(word, ''), chr(31)||chr(31)) || chr(31)||chr(31) AS rep
+       |  FROM vocab),
+       |${bpeOracleRound(1)},
+       |${bpeOracleRound(2)},
+       |${bpeOracleRound(3)}
+       |SELECT 1 AS merge_rank, pair, replace(pair, ' ', '') AS merged, cnt FROM w1
+       |UNION ALL SELECT 2, pair, replace(pair, ' ', ''), cnt FROM w2
+       |UNION ALL SELECT 3, pair, replace(pair, ' ', ''), cnt FROM w3""".stripMargin) { (s, dir) =>
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val v1 = vocab.withColumn("rep",
+      concat(lit(BpeSS), array_join(filter(split(col("word"), ""), x => length(x) > 0), BpeSS), lit(BpeSS)))
+    val w1 = bpeWinner(v1)
+    val v2 = bpeApply(v1, w1)
+    val w2 = bpeWinner(v2)
+    val v3 = bpeApply(v2, w2)
+    val w3 = bpeWinner(v3)
+    def out(r: Int, w: DataFrame): DataFrame =
+      w.select(lit(r).as("merge_rank"), col("pair"),
+        call_function("replace", col("pair"), lit(" "), lit("")).as("merged"), col("cnt"))
+    out(1, w1).unionAll(out(2, w2)).unionAll(out(3, w3))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(qualityScore, langId, tokenCount, fingerprint, rollingHash, sentiment,
-      corpusFilter, bm25Rank, editDist, repetition, ngramNovelty, familiarity)
+      corpusFilter, bm25Rank, editDist, repetition, ngramNovelty, familiarity,
+      bpeMerge)
 }

@@ -1,0 +1,59 @@
+package graft.analytics
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** BPE vocabulary induction (tx_bpe_merge): the three unrolled merge
+  * rounds on a hand-computed corpus. The corpus is built so that BOTH
+  * symbol-encoding failure modes change a visible winner:
+  *
+  *  - boundary safety: after round 1 merges (a,b)→ab, the word "aba" is
+  *    [ab, a]; round 2 merges (b,a) and must NOT match the 'b' INSIDE the
+  *    symbol 'ab' (a single-separator encoding rewrites [ab,a]→[a,ba] and
+  *    round 3's winner becomes "a ba" instead of "ab a");
+  *  - consecutive occurrences: "abab" = [a,b,a,b] must merge BOTH (a,b)
+  *    occurrences in round 1 (an encoding whose replacement consumes the
+  *    next occurrence's boundary leaves [ab,a,b], and round 2's winner
+  *    flips from "b a" (6) to "ab a" (8)).
+  *
+  * Hand computation — corpus word frequencies ab×10, ba×6, aba×5, abab×3:
+  *   round 1 pairs: (a,b) = 10 + 5 + 2·3 = 21, (b,a) = 6 + 5 + 3 = 14
+  *     → merge "a b" (21); ab→[ab], ba→[b,a], aba→[ab,a], abab→[ab,ab]
+  *   round 2 pairs: (b,a) = 6, (ab,a) = 5, (ab,ab) = 3
+  *     → merge "b a" (6); ba→[ba]
+  *   round 3 pairs: (ab,a) = 5, (ab,ab) = 3 → merge "ab a" (5)
+  */
+class BpeMergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-bpe").toFile
+    d.deleteOnExit()
+    val text = (Seq.fill(10)("ab") ++ Seq.fill(6)("ba") ++
+      Seq.fill(5)("aba") ++ Seq.fill(3)("abab")).mkString(" ")
+    val df = spark.createDataFrame(Seq((1L, text))).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    df.coalesce(1).write.mode("overwrite").parquet(s"${d.getAbsolutePath}/documents.parquet")
+    d.getAbsolutePath
+  }
+
+  test("three merge rounds match the hand computation (boundary + overlap safe)") {
+    val rows = TextQueries.bpeMerge.fn(spark, dir)
+      .orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1, "a b", "ab", 21L),
+      (2, "b a", "ba", 6L),
+      (3, "ab a", "aba", 5L)))
+  }
+
+  test("merge result is invariant under input repartitioning") {
+    val a = TextQueries.bpeMerge.fn(spark, dir).collect().toSet
+    val b = TextQueries.bpeMerge.fn(spark, dir).collect().toSet
+    assert(a == b)
+  }
+}

@@ -39,7 +39,8 @@ class QuerySmokeSpec extends AnyFunSuite {
     Set("ann_bruteforce_topk", "ann_ivf_topk", "cu_kmeans", "tx_bm25_rank",
       "gr_pagerank", "cu_decontaminate", "tpch_q22_sales_opportunity",
       "tx_familiarity", // 1-row corpus-stats broadcast, bm25's shape
-      "pipe_pretrain_corpus") // embeds cu_decontaminate's probe broadcast
+      "pipe_pretrain_corpus", // embeds cu_decontaminate's probe broadcast
+      "tx_bpe_merge") // three 1-row winner broadcasts (one per merge round)
   private val sideEffecting = Set(
     "ev_stream_exactly_once", "ev_stateful_state",
     "k1_sink_idempotence", "k4_null_key_sink",
