@@ -1,7 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{DoubleType, StringType}
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
@@ -404,6 +404,119 @@ object CurateQueries {
         dsum(col("quality"), 6).as("sum_quality"))
   }
 
+  // --- sliding context windows --------------------------------------------
+
+  private val ChunkW = 64   // tokens per window
+  private val ChunkS = 48   // stride (overlap = W - S = 16)
+
+  /** Sliding context-window chunking — the other tokenization-prep shape
+    * next to cu_pack_chunks' greedy packing: fixed W-token windows at
+    * stride S (consecutive chunks overlap by W-S tokens), the layout used
+    * for long-document pretraining splits, perplexity eval, and RAG
+    * passage indexes. Chunk count is 1 for n ≤ W, else
+    * ceil((n-W)/S) + 1, so the final window always reaches the last token
+    * and every token is covered. Each output row carries the chunk's
+    * exact token count and an md5 fingerprint of the re-joined window (the
+    * downstream join key for embedding/indexing stages).
+    *
+    * Scale: scan → narrow explode; ZERO shuffles — output rows stay keyed
+    * by (doc_id, chunk_id) in scan order, so at 100 TB this is pure
+    * map-side throughput bounded by IO, and chunk boundaries never cross
+    * documents (no window state, unlike the cross-doc packing in
+    * cu_pack_chunks, which deliberately pays one lang-shuffle).
+    */
+  val windowChunks: QueryDef = QueryDef(
+    "cu_window_chunks",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (SELECT doc_id, toks, len(toks) AS n,
+       |        CASE WHEN len(toks) <= $ChunkW THEN 1
+       |             ELSE (len(toks) - $ChunkW + ${ChunkS - 1})//$ChunkS + 1 END AS nchunks
+       |      FROM d)
+       |SELECT doc_id, i AS chunk_id,
+       |  least(i*$ChunkS + $ChunkW, n) - i*$ChunkS AS n_toks,
+       |  md5(array_to_string(toks[i*$ChunkS+1 : least(i*$ChunkS + $ChunkW, n)], ' ')) AS chunk_fp
+       |FROM c, unnest(range(0, nchunks)) AS t(i)""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("nchunks", when(col("n") <= ChunkW, lit(1))
+        .otherwise(expr(s"(n - $ChunkW + ${ChunkS - 1}) div $ChunkS + 1")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("nchunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (least(col("chunk_id") * ChunkS + ChunkW, col("n")) - col("chunk_id") * ChunkS)
+          .as("n_toks"),
+        md5(array_join(slice(col("toks"), col("chunk_id") * ChunkS + 1, lit(ChunkW)), " "))
+          .as("chunk_fp"))
+  }
+
+  // --- domain-mixture reweighting -----------------------------------------
+
+  private val MixBudget = 10000000L // token budget to allocate across domains
+
+  /** Temperature-reweighted domain mixture — the training-mix design step
+    * (the Pile / DoReMi-style upweighting of small high-value domains):
+    * per-domain token counts are flattened with temperature α = 1/2
+    * (weight ∝ √tokens) and a fixed token budget is allocated by the
+    * largest-remainder method, yielding per-domain token quotas and epoch
+    * factors (quota/tokens > 1 means the domain repeats).
+    *
+    * Entirely INTEGER arithmetic by design: the weight is ⌊√tokens⌋
+    * (BIGINT — IEEE sqrt is correctly rounded, and n < 2^52 makes the
+    * floor unambiguous cross-engine), quotas are exact integer div/mod
+    * against the exact BIGINT weight total, and largest-remainder ranks
+    * compare integer remainders — order-of-summation float drift, the
+    * thing a Σdoubles formulation would hit the moment partitioning
+    * changes, cannot occur. The only double is the final epochs division
+    * of two exact integers. Allocations sum to the budget EXACTLY — a
+    * mixture contract ("train on 10M tokens") that per-domain independent
+    * rounding silently violates.
+    *
+    * Scale: one corpus scan partial-aggregated to |domains| rows; the
+    * window + broadcasts run on the domain table, which is small BY
+    * DEFINITION (a mixture over millions of domains is not a designable
+    * mixture — group first). Same domain-sized-state contract as
+    * a5_pivot_status.
+    */
+  val mixtureWeights: QueryDef = QueryDef(
+    "cu_mixture_weights",
+    s"""WITH dom AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS sw FROM dom),
+       |t AS (SELECT *, ($MixBudget * sw) // (SELECT SUM(sw) FROM w) AS base,
+       |        ($MixBudget * sw) % (SELECT SUM(sw) FROM w) AS rem
+       |      FROM w),
+       |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+       |        $MixBudget - (SELECT CAST(SUM(base) AS BIGINT) FROM t) AS short
+       |      FROM t)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens,
+       |  CAST(CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS DOUBLE)
+       |    / CAST(n_tokens AS DOUBLE) AS DOUBLE) AS epochs
+       |FROM r""".stripMargin) { (s, dir) =>
+    val dom = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+      .withColumn("sw", floor(sqrt(col("n_tokens").cast(DoubleType))).cast("long"))
+    val tot = dom.agg(sum("sw").as("tot"))
+    val t = dom.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($MixBudget * sw) div tot"))
+      .withColumn("rem", expr(s"($MixBudget * sw) % tot"))
+    val short = t.agg((lit(MixBudget) - sum("base")).cast("long").as("short"))
+    t.withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .crossJoin(broadcast(short))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("base") + when(col("rk") <= col("short"), lit(1L)).otherwise(lit(0L)))
+          .as("alloc_tokens"))
+      .withColumn("epochs",
+        col("alloc_tokens").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(splitStratified, piiRedact, packChunks, kmeans, decontaminate, pipeline)
+    Seq(splitStratified, piiRedact, packChunks, kmeans, decontaminate, pipeline,
+      windowChunks, mixtureWeights)
 }
