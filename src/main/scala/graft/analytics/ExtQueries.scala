@@ -483,9 +483,113 @@ object ExtQueries {
       lead(col("o_orderkey"), 1).over(w).as("next_key"))
   }
 
+  // --- KMV distinct sketch with set operations ----------------------------
+
+  private val KmvK = 64
+  private val KmvMod = 1000000007L
+
+  /** Per-type KMV sketch column: the k smallest DISTINCT hash values,
+    * sorted ascending. Built scalably: groupBy(type, hv) partial-aggregates
+    * raw events down to distinct hashes BEFORE the per-type top-k rank
+    * (l3's per-group-top-k pattern), so no aggregation state ever holds a
+    * full distinct set — a collect_set-then-slice formulation would
+    * materialize every distinct hash per group, which is exactly what a
+    * sketch exists to avoid.
+    */
+  private def kmvSketches(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    // hash the md5 HEX of the key, not the raw decimal string: the fold of
+    // a 1-3 digit id is small and monotone in the id (nowhere near uniform
+    // on [0, mod)), and KMV's (k-1)/h_k estimator is only unbiased under
+    // uniform hashes — md5 supplies the avalanche, the fold the numeric
+    val hv = Tables.events(s, dir)
+      .select(col("event_type"),
+        call_function("graft_rolling_hash", md5(col("user_id").cast(StringType))).as("hv"))
+      .groupBy("event_type", "hv").agg(lit(1).as("one")).drop("one")
+    hv.withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("hv")))
+      .filter(col("rn") <= KmvK)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list("hv")).as("sketch"))
+  }
+
+  /** KMV estimate from a sketch: exact size when the sketch is not full
+    * (fewer than k distinct values — the sketch IS the set), else the
+    * classic (k-1)/h_(k) estimator with hashes normalized by the modulus.
+    * (k-1)·mod is an exactly-representable double; the single division is
+    * IEEE-identical on both engines.
+    */
+  private def kmvEst(sketch: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(sketch) < KmvK, size(sketch).cast(DoubleType))
+      .otherwise(lit((KmvK - 1).toDouble * KmvMod) /
+        element_at(sketch, KmvK).cast(DoubleType))
+
+  /** A14: KMV (k-minimum-values) distinct sketches with SET OPERATIONS —
+    * the sketch family's gap after HLL (a7: distinct counts, no
+    * intersections) and CMS/GK: bottom-k sketches compose under union by
+    * construction (merge = k smallest of the concatenation), and the
+    * merged sketch yields principled union, Jaccard, and intersection
+    * estimates — "how many users did BOTH click and purchase" from
+    * k-sized state per group. Deterministic end-to-end (the hash is the
+    * engine's codegen'd graft_rolling_hash; the oracle re-derives it by
+    * list_reduce), so unlike a7's engine-specific HLL the ESTIMATES
+    * themselves hash-match cross-engine — estimator variance is pinned by
+    * SketchSpec-style properties instead of oracle slack.
+    *
+    * Scale: events partial-aggregate to distinct (type, hash) pairs; the
+    * per-type rank keeps k rows; everything after runs on |types| rows of
+    * k-length arrays (the type×type candidate join is |types|² on
+    * k-bounded lists — set-op ALGEBRA on sketch state, never on data).
+    */
+  val kmvSetOps: QueryDef = QueryDef(
+    "a14_kmv_setops",
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split(md5(CAST(user_id AS VARCHAR)), ''), c -> CAST(ord(c) AS BIGINT))),
+       |      (a, c) -> (a * 31 + c) % $KmvMod) AS hv
+       |  FROM events),
+       |sk AS (SELECT event_type, (list_sort(list_distinct(list(hv))))[1:$KmvK] AS sketch
+       |       FROM h GROUP BY event_type),
+       |pairs AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    a.sketch AS sa, b.sketch AS sb,
+       |    (list_sort(list_distinct(a.sketch || b.sketch)))[1:$KmvK] AS merged
+       |  FROM sk a JOIN sk b ON a.event_type < b.event_type),
+       |est AS (
+       |  SELECT type_a, type_b,
+       |    CASE WHEN len(sa) < $KmvK THEN CAST(len(sa) AS DOUBLE)
+       |         ELSE CAST(${(KmvK - 1).toDouble * 1000000007L} AS DOUBLE) / CAST(sa[len(sa)] AS DOUBLE) END AS est_a,
+       |    CASE WHEN len(sb) < $KmvK THEN CAST(len(sb) AS DOUBLE)
+       |         ELSE CAST(${(KmvK - 1).toDouble * 1000000007L} AS DOUBLE) / CAST(sb[len(sb)] AS DOUBLE) END AS est_b,
+       |    CASE WHEN len(merged) < $KmvK THEN CAST(len(merged) AS DOUBLE)
+       |         ELSE CAST(${(KmvK - 1).toDouble * 1000000007L} AS DOUBLE) / CAST(merged[len(merged)] AS DOUBLE) END AS est_union,
+       |    CAST(len(list_intersect(list_intersect(merged, sa), sb)) AS DOUBLE)
+       |      / len(merged) AS jaccard
+       |  FROM pairs)
+       |SELECT type_a, type_b, est_a, est_b, est_union,
+       |  jaccard * est_union AS est_inter, jaccard
+       |FROM est""".stripMargin) { (s, dir) =>
+    val sk = kmvSketches(s, dir)
+    val pairs = sk.as("a")
+      .join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.sketch").as("sa"), col("b.sketch").as("sb"),
+        slice(array_sort(array_union(col("a.sketch"), col("b.sketch"))), 1, KmvK)
+          .as("merged"))
+    pairs.select(col("type_a"), col("type_b"),
+        kmvEst(col("sa")).as("est_a"),
+        kmvEst(col("sb")).as("est_b"),
+        kmvEst(col("merged")).as("est_union"),
+        (size(array_intersect(array_intersect(col("merged"), col("sa")), col("sb")))
+          .cast(DoubleType) / size(col("merged"))).as("jaccard"))
+      .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("jaccard") * col("est_union")).as("est_inter"), col("jaccard"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     structArrayExtract, rollupSpend, groupingSetsAgg, distinctAgg,
     approxDistinct, quantileDisc, pivotStatus, rankFrames, asofJoin,
     rangeJoinBucketed, fullOuter, rangeFrame, minMaxBy, statsMoments,
-    distributionFrames, approxQuantile, unpivotMeasures)
+    distributionFrames, approxQuantile, unpivotMeasures, kmvSetOps)
 }
