@@ -901,8 +901,13 @@ object DedupQueries {
     * window over PARTITION BY span would shuffle every occurrence row and
     * sort; the agg+join form trades a second occurrence shuffle for
     * map-side reduction and AQE skew-split on the join, the right trade
-    * when boilerplate spans repeat millions of times). Reassembly is one
-    * groupBy(doc_id) with a sort_array over the kept positions —
+    * when boilerplate spans repeat millions of times). The doc's total
+    * span count rides the explode as a size() column instead of a third
+    * corpus aggregation, so the whole query is exactly TWO document scans
+    * (firsts' agg side and the probe side of the join — not fusable, the
+    * agg must complete before the join consumes it); a production run
+    * over 100 TB would persist the span table and pay one. Reassembly is
+    * one groupBy(doc_id) with a sort_array over the kept positions —
     * doc-sized state, the same per-key bound every window in the engine
     * lives with.
     */
@@ -910,7 +915,7 @@ object DedupQueries {
     "dd_span_dedup",
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |span AS (
-       |  SELECT doc_id, i AS pos,
+       |  SELECT doc_id, (len(toks)+${SpanW - 1})//$SpanW AS n_spans, i AS pos,
        |    array_to_string(toks[i*$SpanW+1 : least((i+1)*$SpanW, len(toks))], ' ') AS s,
        |    least((i+1)*$SpanW, len(toks)) - i*$SpanW AS nw
        |  FROM d, unnest(range(0, (len(toks)+${SpanW - 1})//$SpanW)) AS t(i)),
@@ -918,30 +923,27 @@ object DedupQueries {
        |  SELECT s, MIN(doc_id*$SpanKeyShift + pos) AS first_key
        |  FROM span WHERE nw = $SpanW GROUP BY s),
        |kept AS (
-       |  SELECT span.doc_id, span.pos, span.s
+       |  SELECT span.doc_id, span.n_spans, span.pos, span.s
        |  FROM span LEFT JOIN firsts USING (s)
-       |  WHERE first_key IS NULL OR doc_id*$SpanKeyShift + pos = first_key),
-       |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM span GROUP BY doc_id)
-       |SELECT k.doc_id, n_spans, COUNT(*) AS n_kept,
+       |  WHERE first_key IS NULL OR doc_id*$SpanKeyShift + pos = first_key)
+       |SELECT doc_id, n_spans, COUNT(*) AS n_kept,
        |  md5(string_agg(s, ' ' ORDER BY pos)) AS kept_fp
-       |FROM kept k JOIN tot ON k.doc_id = tot.doc_id
-       |GROUP BY k.doc_id, n_spans""".stripMargin) { (s, dir) =>
+       |FROM kept GROUP BY doc_id, n_spans""".stripMargin) { (s, dir) =>
     val spans = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
+        expr(s"(size(toks)+${SpanW - 1}) div $SpanW").as("n_spans"),
         posexplode(expr(
           s"transform(sequence(0, (size(toks)+${SpanW - 1}) div $SpanW - 1), " +
             s"i -> struct(array_join(slice(toks, i*$SpanW+1, $SpanW), ' ') AS s, " +
             s"size(slice(toks, i*$SpanW+1, $SpanW)) AS nw))")).as(Seq("pos", "sp")))
-      .select(col("doc_id"), col("pos"), col("sp.s").as("s"), col("sp.nw").as("nw"))
+      .select(col("doc_id"), col("n_spans"), col("pos"),
+        col("sp.s").as("s"), col("sp.nw").as("nw"))
     val key = col("doc_id") * lit(SpanKeyShift) + col("pos")
     val firsts = spans.filter(col("nw") === SpanW)
       .groupBy("s").agg(min(key).as("first_key"))
-    val kept = spans.join(firsts, Seq("s"), "left")
+    spans.join(firsts, Seq("s"), "left")
       .filter(col("first_key").isNull || key === col("first_key"))
-      .select(col("doc_id"), col("pos"), col("s"))
-    val tot = spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
-    kept.join(tot, "doc_id")
       .groupBy("doc_id", "n_spans")
       .agg(count(lit(1)).as("n_kept"),
         md5(array_join(
