@@ -490,6 +490,24 @@ object TextQueries {
 
   // --- BPE vocabulary induction -------------------------------------------
 
+  /** The per-(session, dir) word-frequency table, materialized once and
+    * shared by every consumer of corpus word counts — the one corpus-sized
+    * pass of the BPE trainer (shingleBase's memo-and-persist pattern;
+    * entries for stopped sessions are dropped so the map never pins a dead
+    * SparkContext).
+    */
+  private val vocabCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private def vocabBase(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    vocabCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    vocabCache.getOrElseUpdate((s, dir),
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   private val BpeSep = "\u001f"          // U+001F unit separator, not in corpus
   private val BpeSS = BpeSep + BpeSep    // symbol boundary: ␟␟ between symbols
 
@@ -549,12 +567,20 @@ object TextQueries {
     * with a localCheckpoint per round (dd_components' pattern).
     *
     * Scale: the corpus-sized work is the single word count (explode →
-    * partial-aggregated groupBy — the exchange carries distinct words).
-    * Every merge round runs on the VOCAB (|distinct words|, millions at
-    * 100 TB, not billions of tokens): pair explode ≤ word-length rows per
-    * word, partial-aggregated to distinct pairs; the winner is a 1-row
-    * broadcast. Catalyst reuses the vocab exchange across rounds (the
-    * subtree is identical); the per-round rewrite is a map.
+    * partial-aggregated groupBy — the exchange carries distinct words),
+    * materialized ONCE into a per-(session, dir) persisted table
+    * (shingleBase's pattern: at 100 TB the word table is written to the
+    * lake once and every tokenizer/familiarity consumer reads it) —
+    * without the cache the unrolled rounds re-derive v1 along every
+    * branch and the plan re-scans the corpus 2^rounds−1 times (7 scans
+    * measured at 3 rounds). Every merge round then runs on the VOCAB
+    * (|distinct words|, millions at 100 TB, not billions of tokens):
+    * pair explode ≤ word-length rows per word, partial-aggregated to
+    * distinct pairs; the winner is a 1-row broadcast; the round
+    * rewrites re-read the CACHED vocab (≤ 7 in-memory reads of a
+    * vocab-sized table). A loop-to-|vocab| trainer would localCheckpoint
+    * each round instead (dd_components' pattern), making the recompute
+    * linear in rounds.
     */
   val bpeMerge: QueryDef = QueryDef(
     "tx_bpe_merge",
@@ -569,10 +595,7 @@ object TextQueries {
        |SELECT 1 AS merge_rank, pair, replace(pair, ' ', '') AS merged, cnt FROM w1
        |UNION ALL SELECT 2, pair, replace(pair, ' ', ''), cnt FROM w2
        |UNION ALL SELECT 3, pair, replace(pair, ' ', ''), cnt FROM w3""".stripMargin) { (s, dir) =>
-    val vocab = Tables.documents(s, dir)
-      .select(explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val vocab = vocabBase(s, dir)
     val v1 = vocab.withColumn("rep",
       concat(lit(BpeSS), array_join(filter(split(col("word"), ""), x => length(x) > 0), BpeSS), lit(BpeSS)))
     val w1 = bpeWinner(v1)
