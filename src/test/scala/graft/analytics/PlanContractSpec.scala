@@ -281,4 +281,29 @@ class PlanContractSpec extends AnyFunSuite {
     assert(bnlj.size == 1 && bnlj.head.contains("LeftAnti"),
       s"decontamination must be ONE left-anti probe broadcast, got:\n${bnlj.mkString("\n")}")
   }
+
+  test("dd_span_dedup: exactly two pruned document scans, partial-agg firsts") {
+    val p = initialPlan("dd_span_dedup")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet")) == 2,
+      "span dedup must scan documents exactly twice (firsts side + probe side)")
+    assert(p.contains("partial_min"),
+      "first-occurrence keys must partial-aggregate below their exchange")
+    // the span count must ride the explode, not a third aggregation over spans
+    assert(!p.contains("partial_count(1), partial_min") &&
+      p.linesIterator.count(_.contains("Generate posexplode")) == 2, p.take(1200))
+  }
+
+  test("tx_bpe_merge: the corpus pass is cached; rounds read the word table") {
+    val p = initialPlan("tx_bpe_merge")
+    assert(p.contains("InMemoryTableScan"),
+      "the word-frequency table must come from the persisted vocab cache")
+    // every documents FileScan must sit inside cache materialization — the
+    // cache node count bounds them (without the cache: 7 live scans)
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet"))
+    val cached = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(cached >= 7 && scans <= cached * 2,
+      s"live corpus scans detected: $scans FileScans vs $cached cache reads")
+  }
 }
