@@ -40,7 +40,9 @@ class QuerySmokeSpec extends AnyFunSuite {
       "gr_pagerank", "cu_decontaminate", "tpch_q22_sales_opportunity",
       "tx_familiarity", // 1-row corpus-stats broadcast, bm25's shape
       "pipe_pretrain_corpus", // embeds cu_decontaminate's probe broadcast
-      "tx_bpe_merge") // three 1-row winner broadcasts (one per merge round)
+      "tx_bpe_merge", // three 1-row winner broadcasts (one per merge round)
+      "a14_kmv_setops", // |types|² pair join on k-bounded sketch state
+      "cu_mixture_weights") // two 1-row broadcasts (weight total, shortfall)
   private val sideEffecting = Set(
     "ev_stream_exactly_once", "ev_stateful_state",
     "k1_sink_idempotence", "k4_null_key_sink",
