@@ -472,11 +472,17 @@ object CurateQueries {
     * mixture contract ("train on 10M tokens") that per-domain independent
     * rounding silently violates.
     *
-    * Scale: one corpus scan partial-aggregated to |domains| rows; the
-    * window + broadcasts run on the domain table, which is small BY
-    * DEFINITION (a mixture over millions of domains is not a designable
-    * mixture — group first). Same domain-sized-state contract as
-    * a5_pivot_status.
+    * Scale: EXACTLY one corpus scan partial-aggregated to |domains| rows;
+    * the weight total and allocation shortfall are unpartitioned windows
+    * OVER the domain table rather than separate aggregation branches
+    * (ScanAudit caught the branch form re-deriving the corpus aggregate
+    * three times — the GlobalScalarToWindow rule sits this one out
+    * because its guards reject grouped frames, so the query states the
+    * window directly; integer window sums are order-free, so the
+    * exactness argument above survives the rewrite). The domain table is
+    * small BY DEFINITION (a mixture over millions of domains is not a
+    * designable mixture — group first), so single-partition windows over
+    * it are the contract, same as a5_pivot_status.
     */
   val mixtureWeights: QueryDef = QueryDef(
     "cu_mixture_weights",
@@ -485,30 +491,29 @@ object CurateQueries {
        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY source),
        |w AS (SELECT *, CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS sw FROM dom),
-       |t AS (SELECT *, ($MixBudget * sw) // (SELECT SUM(sw) FROM w) AS base,
-       |        ($MixBudget * sw) % (SELECT SUM(sw) FROM w) AS rem
+       |t AS (SELECT *, ($MixBudget * sw) // (SUM(sw) OVER ()) AS base,
+       |        ($MixBudget * sw) % (SUM(sw) OVER ()) AS rem
        |      FROM w),
        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
-       |        $MixBudget - (SELECT CAST(SUM(base) AS BIGINT) FROM t) AS short
+       |        $MixBudget - (SUM(CAST(base AS BIGINT)) OVER ()) AS short
        |      FROM t)
        |SELECT source, n_docs, n_tokens,
        |  CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens,
        |  CAST(CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS DOUBLE)
        |    / CAST(n_tokens AS DOUBLE) AS DOUBLE) AS epochs
        |FROM r""".stripMargin) { (s, dir) =>
-    val dom = Tables.documents(s, dir)
+    val all = Window.partitionBy() // |domains| rows — single partition BY CONTRACT
+    Tables.documents(s, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
       .withColumn("sw", floor(sqrt(col("n_tokens").cast(DoubleType))).cast("long"))
-    val tot = dom.agg(sum("sw").as("tot"))
-    val t = dom.crossJoin(broadcast(tot))
+      .withColumn("tot", sum("sw").over(all))
       .withColumn("base", expr(s"($MixBudget * sw) div tot"))
       .withColumn("rem", expr(s"($MixBudget * sw) % tot"))
-    val short = t.agg((lit(MixBudget) - sum("base")).cast("long").as("short"))
-    t.withColumn("rk",
+      .withColumn("short", lit(MixBudget) - sum("base").over(all))
+      .withColumn("rk",
         row_number().over(Window.orderBy(col("rem").desc, col("source"))))
-      .crossJoin(broadcast(short))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         (col("base") + when(col("rk") <= col("short"), lit(1L)).otherwise(lit(0L)))
           .as("alloc_tokens"))

@@ -510,6 +510,11 @@ object ExtQueries {
       .filter(col("rn") <= KmvK)
       .groupBy("event_type")
       .agg(sort_array(collect_list("hv")).as("sketch"))
+      // materialize the |types|-row sketch table before the pair self-join:
+      // both join sides would otherwise re-derive it from a full events
+      // scan each (ScanAudit: dups=(events,2)) — at 100 TB the data pass
+      // must happen once, and the set-op algebra runs on sketch STATE
+      .localCheckpoint()
   }
 
   /** KMV estimate from a sketch: exact size when the sketch is not full
