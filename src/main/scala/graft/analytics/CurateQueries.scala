@@ -521,7 +521,53 @@ object CurateQueries {
         col("alloc_tokens").cast(DoubleType) / col("n_tokens").cast(DoubleType))
   }
 
+  // --- importance weighting (DSIR-lite) -----------------------------------
+
+  /** Data-selection importance weights — the DSIR-style "does this doc look
+    * like the TARGET domain" score that modern curation uses to resample a
+    * raw crawl toward a high-quality reference corpus. The target here is
+    * the `lang = 'en'` stratum (standing in for the curated reference);
+    * features are unigrams. Full DSIR scores Σ log(p_target/p_raw) over
+    * hashed n-grams; cross-engine bit-equality forbids libm logs (the
+    * tx_familiarity argument), so the score is the collapsed rational
+    * Σ(t_w+1) / Σ(c_w+1) over the doc's word occurrences — monotone in
+    * the same direction (target-heavy vocabulary ⇒ numerator grows),
+    * exact BIGINT sums, ONE IEEE division. Smoothing (+1) keeps
+    * out-of-target words defined, exactly add-one as in tx_familiarity.
+    *
+    * Scale: both count tables partial-aggregate on the word key; the
+    * occurrence⋈counts joins hash-shard on the word (AQE skew-split for
+    * stopwords); the rollup shuffles on doc_id. Identical plan family to
+    * tx_familiarity — one more word-sharded join for the target table.
+    */
+  val dsirWeights: QueryDef = QueryDef(
+    "cu_dsir_weights",
+    """WITH w AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      |cv AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+      |tv AS (SELECT word, COUNT(*) AS t FROM w WHERE lang = 'en' GROUP BY word),
+      |doc AS (
+      |  SELECT w.doc_id, COUNT(*) AS n_words,
+      |    CAST(SUM(COALESCE(t, 0) + 1) AS BIGINT) AS num,
+      |    CAST(SUM(c + 1) AS BIGINT) AS den
+      |  FROM w JOIN cv USING (word) LEFT JOIN tv USING (word)
+      |  GROUP BY w.doc_id)
+      |SELECT doc_id, n_words, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS dsir_weight
+      |FROM doc""".stripMargin) { (s, dir) =>
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+    val cv = w.groupBy("word").agg(count(lit(1)).as("c"))
+    val tv = w.filter(col("lang") === "en").groupBy("word").agg(count(lit(1)).as("t"))
+    w.join(cv, "word").join(tv, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("t"), lit(0L)) + 1).cast("long").as("num"),
+        sum(col("c") + 1).cast("long").as("den"))
+      .select(col("doc_id"), col("n_words"),
+        (col("num").cast(DoubleType) / col("den").cast(DoubleType)).as("dsir_weight"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(splitStratified, piiRedact, packChunks, kmeans, decontaminate, pipeline,
-      windowChunks, mixtureWeights)
+      windowChunks, mixtureWeights, dsirWeights)
 }

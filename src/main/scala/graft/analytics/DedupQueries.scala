@@ -493,6 +493,54 @@ object DedupQueries {
         (inter.cast(DoubleType) / (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT detection — the near-dup signal Jaccard
+    * misses by construction: a short doc quoted verbatim inside a long one
+    * has |∩|/|∪| ≈ |A|/|B| (tiny), but containment |A∩B|/|A| ≈ 1. Real
+    * corpora are full of this shape (quoted articles, aggregated feeds,
+    * boilerplate-wrapped reposts), and the dedup policy for "B contains A"
+    * (drop A, keep B) differs from the symmetric-near-dup keeper rule —
+    * hence a separate detector. Candidates come from the same cheap
+    * prefix-block key as dd_ngram_jaccard; each pair reports BOTH
+    * directions (cont_ab = |∩|/|A|, cont_ba = |∩|/|B|), exact-integer
+    * sizes with one IEEE division each.
+    *
+    * Scale: identical to dd_ngram_jaccard — blocking equi-join, two
+    * hash-sharded joins against the shared persisted shingle table; at
+    * 100 TB a recall-complete variant swaps the blocking key for the
+    * minhash band table (the PairsCteSql machinery), same plan shape.
+    */
+  val containment: QueryDef = QueryDef(
+    "dd_containment",
+    s"""WITH blocks AS (SELECT md5(substr(text, 1, 80)) AS fp, doc_id FROM documents),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM blocks a JOIN blocks b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |base AS ($BaseSql)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_common,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |    / len(sa.shingles) AS cont_ab,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |    / len(sb.shingles) AS cont_ba
+       |FROM cand
+       |JOIN base sa ON sa.doc_id = doc_a AND len(sa.shingles) > 0
+       |JOIN base sb ON sb.doc_id = doc_b AND len(sb.shingles) > 0""".stripMargin) { (s, dir) =>
+    val blocks = Tables.documents(s, dir)
+      .select(md5(substring(col("text"), 1, 80)).as("fp"), col("doc_id"))
+    val cand = blocks.as("a")
+      .join(blocks.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val base = shingleBase(s, dir).filter(size(col("shingles")) > 0)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        inter.cast(LongType).as("n_common"),
+        (inter.cast(DoubleType) / size(col("sh_a"))).as("cont_ab"),
+        (inter.cast(DoubleType) / size(col("sh_b"))).as("cont_ba"))
+  }
+
   /** INCREMENTAL near-dup dedup — the shape a production ingest actually
     * runs: a new BATCH of documents (doc_id % 5 = 0 stands in for today's
     * arrivals) is checked against the existing CORPUS (the rest), and each
@@ -955,5 +1003,5 @@ object DedupQueries {
     Seq(exact, blockPrefix, minhashLsh, incrLsh, ngramJaccard, components,
       componentsStar, simhash, simhashPairs, sinkIdempotence, nullKeySink,
       mergeUpsert, incrementalAgg, pointLookup, deleteRows, formatRoundtrip,
-      zorderSkip, clusterKeepBest, spanDedup)
+      zorderSkip, clusterKeepBest, spanDedup, containment)
 }

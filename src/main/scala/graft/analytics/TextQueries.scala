@@ -609,8 +609,59 @@ object TextQueries {
     out(1, w1).unionAll(out(2, w2)).unionAll(out(3, w3))
   }
 
+  // --- TF-IDF keyword extraction ------------------------------------------
+
+  private val TfidfTopK = 3
+
+  /** TF-IDF keyword extraction — top-k characteristic terms per document,
+    * the classic relevance/topic signal (and the feature clustering /
+    * dedup-explanation pipelines attach to every doc). Log-free like
+    * tx_familiarity and tx_bm25_rank: the score is the exact rational
+    * tf·N/df stated as ONE IEEE division of two exact BIGINTs (tf·N and
+    * df both < 2^53), so the ranking — and the reported score — are
+    * bit-identical cross-engine; ln-based idf would hinge on libm. Ties
+    * break lexicographically (a total order, so top-k is deterministic).
+    *
+    * Scale: tf partial-aggregates on (doc, word); df on word (counting
+    * each doc once via the tf table, NOT re-counting occurrences); the
+    * tf⋈df join hash-shards on the word with AQE skew-split absorbing
+    * stopwords; N is a 1-row broadcast; the per-doc top-k is l3's
+    * rank-and-filter with doc-sized window state.
+    */
+  val tfidfKeywords: QueryDef = QueryDef(
+    "tx_tfidf_keywords",
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+       |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, word, tf, df,
+       |    CAST(tf * n_docs AS DOUBLE) / df AS tfidf,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                       ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, word) AS rk
+       |  FROM tf JOIN df USING (word), n)
+       |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       |  tfidf, CAST(rk AS INT) AS rk
+       |FROM scored WHERE rk <= $TfidfTopK""".stripMargin) { (s, dir) =>
+    val w = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val tfidf = (col("tf") * col("n_docs")).cast(DoubleType) / col("df")
+    tf.join(df, "word")
+      .crossJoin(broadcast(n)) // 1-row corpus size
+      .withColumn("tfidf", tfidf)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))))
+      .filter(col("rk") <= TfidfTopK)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        col("tfidf"), col("rk"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(qualityScore, langId, tokenCount, fingerprint, rollingHash, sentiment,
       corpusFilter, bm25Rank, editDist, repetition, ngramNovelty, familiarity,
-      bpeMerge)
+      bpeMerge, tfidfKeywords)
 }

@@ -42,7 +42,7 @@ class QuerySmokeSpec extends AnyFunSuite {
       "pipe_pretrain_corpus", // embeds cu_decontaminate's probe broadcast
       "tx_bpe_merge", // three 1-row winner broadcasts (one per merge round)
       "a14_kmv_setops", // |types|² pair join on k-bounded sketch state
-      "cu_mixture_weights") // two 1-row broadcasts (weight total, shortfall)
+      "tx_tfidf_keywords") // 1-row corpus-size broadcast, bm25's shape
   private val sideEffecting = Set(
     "ev_stream_exactly_once", "ev_stateful_state",
     "k1_sink_idempotence", "k4_null_key_sink",
