@@ -78,17 +78,17 @@ object SparkEntry {
     "w1_running_total", "w4_range_frame", "w5_distribution_frames",
     // dedup family
     "dd_exact", "dd_minhash_lsh", "dd_components_star",
-    "dd_embed_cosine", "dd_incr_lsh", "dd_span_dedup",
+    "dd_embed_cosine", "dd_incr_lsh", "dd_span_dedup", "dd_containment",
     // similarity search / sketches
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "a14_kmv_setops",
     // text analysis
     "tx_bm25_rank", "tx_lang_id", "tx_token_count", "tx_ngram_novelty",
-    "tx_familiarity", "tx_bpe_merge",
+    "tx_familiarity", "tx_bpe_merge", "tx_tfidf_keywords",
     // events / streaming
     "ev_sessionize", "ev_tumbling_window", "ev_stream_exactly_once",
     "ev_gap_fill", "ev_stream_dedup_wm",
     // multimodal / curation / graph
     "mm_byte_histogram", "cu_pack_chunks", "cu_decontaminate",
-    "cu_window_chunks", "cu_mixture_weights",
+    "cu_window_chunks", "cu_mixture_weights", "cu_dsir_weights",
     "pipe_pretrain_corpus", "gr_pagerank")
 }
