@@ -275,8 +275,103 @@ object StreamQueries {
       .select(col("event_type"), col("h"), coalesce(col("n_ev"), lit(0L)).as("n_ev"))
   }
 
+  /** Ordered conversion funnel (view → click → purchase): per-user funnel
+    * depth where each step must happen strictly AFTER the previous one —
+    * the product-analytics sequence query (a naive per-type min ignores
+    * ordering and overcounts: a purchase before the first view is not a
+    * conversion). Output: users per depth plus the exact mean
+    * view→purchase latency of completers (BIGINT ms sum, one division).
+    *
+    * Scale: ONE events scan and ONE shuffle on user_id — per-type
+    * timestamp lists are collected per user (state bounded by a user's
+    * own events, the same per-key contract as sessionize) and the
+    * sequential step logic runs as order-free array folds (min over
+    * filtered lists — collect order never matters). The chained
+    * aggregate-join formulation (t1 ⋈ events ⋈ t2 …) re-scans events per
+    * step; this form does not.
+    */
+  val funnel: QueryDef = QueryDef(
+    "ev_funnel",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS ts1,
+      |    list_filter(list(CASE WHEN event_type = 'click' THEN ts END), x -> x IS NOT NULL) AS clicks,
+      |    list_filter(list(CASE WHEN event_type = 'purchase' THEN ts END), x -> x IS NOT NULL) AS purchases
+      |  FROM events GROUP BY user_id),
+      |steps AS (
+      |  SELECT user_id, ts1,
+      |    list_aggregate(list_filter(clicks, x -> x > ts1), 'min') AS ts2
+      |  FROM u),
+      |steps3 AS (
+      |  SELECT u.user_id, s.ts1, s.ts2,
+      |    list_aggregate(list_filter(u.purchases, x -> x > s.ts2), 'min') AS ts3
+      |  FROM u JOIN steps s USING (user_id)),
+      |depth AS (
+      |  SELECT user_id,
+      |    CASE WHEN ts3 IS NOT NULL THEN 3 WHEN ts2 IS NOT NULL THEN 2
+      |         WHEN ts1 IS NOT NULL THEN 1 ELSE 0 END AS depth,
+      |    CASE WHEN ts3 IS NOT NULL
+      |         THEN epoch_ms(ts3) - epoch_ms(ts1) END AS ms_to_convert
+      |  FROM steps3)
+      |SELECT depth, COUNT(*) AS n_users,
+      |  CAST(CAST(SUM(ms_to_convert) AS DOUBLE) / COUNT(ms_to_convert) AS DOUBLE)
+      |    AS avg_ms_to_convert
+      |FROM depth GROUP BY depth""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("ts1"),
+        collect_list(when(col("event_type") === "click", col("ts"))).as("clicks"),
+        collect_list(when(col("event_type") === "purchase", col("ts"))).as("purchases"))
+      .withColumn("ts2", array_min(filter(col("clicks"), x => x > col("ts1"))))
+      .withColumn("ts3", array_min(filter(col("purchases"), x => x > col("ts2"))))
+      .select(
+        when(col("ts3").isNotNull, 3).when(col("ts2").isNotNull, 2)
+          .when(col("ts1").isNotNull, 1).otherwise(0).as("depth"),
+        when(col("ts3").isNotNull,
+          unix_millis(col("ts3")) - unix_millis(col("ts1"))).as("ms_to_convert"))
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_users"),
+        (sum("ms_to_convert").cast(DoubleType) /
+          count(col("ms_to_convert"))).cast(DoubleType).as("avg_ms_to_convert"))
+  }
+
+  /** Cohort retention: users bucketed by first-active week, counted in
+    * every subsequent active week as (cohort_week, week_offset, n_users) —
+    * the standard retention triangle. Weeks via date_trunc (Monday start
+    * on both engines); offsets are exact integer ms arithmetic.
+    *
+    * Scale: one scan partial-aggregated to (user, week) distinct rows;
+    * the cohort week is a per-user window min over those few-rows-per-user
+    * groups; the final rollup shuffles (cohort, offset)-sized state.
+    */
+  val cohortRetention: QueryDef = QueryDef(
+    "ev_cohort_retention",
+    """WITH uw AS (
+      |  SELECT user_id, date_trunc('week', ts) AS week
+      |  FROM events GROUP BY user_id, date_trunc('week', ts)),
+      |c AS (
+      |  SELECT user_id, week,
+      |    MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+      |  FROM uw)
+      |SELECT cohort_week,
+      |  (epoch_ms(week) - epoch_ms(cohort_week)) // 604800000 AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM c GROUP BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+      .withColumn("cohort_week",
+        min("week").over(Window.partitionBy("user_id")))
+      .groupBy(col("cohort_week"),
+        expr("(unix_millis(week) - unix_millis(cohort_week)) div 604800000")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exactlyOnce, sessionize, tumbling, watermarkedWindow,
       sessionWindowStream, statefulState, transformWithStateQ,
-      streamMergeSink, streamStreamJoin, streamDedup, streamDedupWm, gapFill)
+      streamMergeSink, streamStreamJoin, streamDedup, streamDedupWm, gapFill,
+      funnel, cohortRetention)
 }

@@ -660,8 +660,56 @@ object TextQueries {
         col("tfidf"), col("rk"))
   }
 
+  /** BPE tokenization with the LEARNED vocabulary — the apply half of the
+    * train→apply loop (tx_bpe_merge learns the merges; this query encodes
+    * the corpus with them and reports exact per-document token counts —
+    * the number every packing / pricing / context-budget decision
+    * downstream consumes). Same unrolled three merges; the encoded width
+    * of a word is the symbol count of its final rep.
+    *
+    * Scale: the merge rounds run on the cached vocab as in tx_bpe_merge;
+    * the apply is ONE word-sharded join of the corpus occurrences against
+    * the |vocab|-row word→rep table plus a doc_id rollup — the join a
+    * production tokenizer service does against its pretokenized cache.
+    */
+  val bpeTokenize: QueryDef = QueryDef(
+    "tx_bpe_tokenize",
+    s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |vocab AS (SELECT word, COUNT(*) AS freq FROM words WHERE word <> '' GROUP BY word),
+       |v1 AS (SELECT word, freq,
+       |  chr(31)||chr(31) || array_to_string(string_split(word, ''), chr(31)||chr(31)) || chr(31)||chr(31) AS rep
+       |  FROM vocab),
+       |${bpeOracleRound(1)},
+       |${bpeOracleRound(2)},
+       |${bpeOracleRound(3)},
+       |wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tok AS (
+       |  SELECT doc_id, len(list_filter(string_split(rep, chr(31)||chr(31)), x -> x <> '')) AS n_sym
+       |  FROM wd JOIN v4 USING (word) WHERE word <> '')
+       |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+       |  CAST(CAST(SUM(n_sym) AS DOUBLE) / COUNT(*) AS DOUBLE) AS tokens_per_word
+       |FROM tok GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val vocab = vocabBase(s, dir)
+    val v1 = vocab.withColumn("rep",
+      concat(lit(BpeSS), array_join(filter(split(col("word"), ""), x => length(x) > 0), BpeSS), lit(BpeSS)))
+    val v2 = bpeApply(v1, bpeWinner(v1))
+    val v3 = bpeApply(v2, bpeWinner(v2))
+    val v4 = bpeApply(v3, bpeWinner(v3))
+      .select(col("word"),
+        size(filter(split(col("rep"), BpeSS), x => length(x) > 0)).as("n_sym"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(v4, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sym").cast("long").as("n_tokens"),
+        (sum("n_sym").cast(DoubleType) / count(lit(1))).cast(DoubleType)
+          .as("tokens_per_word"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(qualityScore, langId, tokenCount, fingerprint, rollingHash, sentiment,
       corpusFilter, bm25Rank, editDist, repetition, ngramNovelty, familiarity,
-      bpeMerge, tfidfKeywords)
+      bpeMerge, tfidfKeywords, bpeTokenize)
 }

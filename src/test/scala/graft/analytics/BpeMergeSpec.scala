@@ -56,4 +56,14 @@ class BpeMergeSpec extends AnyFunSuite {
     val b = TextQueries.bpeMerge.fn(spark, dir).collect().toSet
     assert(a == b)
   }
+
+  test("tokenize applies the learned merges: ab/ba/aba → 1 token, abab → 2") {
+    // after the three merges above: ab=[ab], ba=[ba], aba=[aba], abab=[ab,ab]
+    // → n_tokens = 10 + 6 + 5 + 2·3 = 27 over 24 words
+    val rows = TextQueries.bpeTokenize.fn(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(1) == 24L && r.getLong(2) == 27L)
+    assert(r.getDouble(3) == 27.0 / 24.0)
+  }
 }

@@ -41,6 +41,7 @@ class QuerySmokeSpec extends AnyFunSuite {
       "tx_familiarity", // 1-row corpus-stats broadcast, bm25's shape
       "pipe_pretrain_corpus", // embeds cu_decontaminate's probe broadcast
       "tx_bpe_merge", // three 1-row winner broadcasts (one per merge round)
+      "tx_bpe_tokenize", // same three winner broadcasts + the apply join
       "a14_kmv_setops", // |types|² pair join on k-bounded sketch state
       "tx_tfidf_keywords") // 1-row corpus-size broadcast, bm25's shape
   private val sideEffecting = Set(
