@@ -83,10 +83,10 @@ object SparkEntry {
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "a14_kmv_setops",
     // text analysis
     "tx_bm25_rank", "tx_lang_id", "tx_token_count", "tx_ngram_novelty",
-    "tx_familiarity", "tx_bpe_merge", "tx_tfidf_keywords",
+    "tx_familiarity", "tx_bpe_merge", "tx_tfidf_keywords", "tx_bpe_tokenize",
     // events / streaming
     "ev_sessionize", "ev_tumbling_window", "ev_stream_exactly_once",
-    "ev_gap_fill", "ev_stream_dedup_wm",
+    "ev_gap_fill", "ev_stream_dedup_wm", "ev_funnel", "ev_cohort_retention",
     // multimodal / curation / graph
     "mm_byte_histogram", "cu_pack_chunks", "cu_decontaminate",
     "cu_window_chunks", "cu_mixture_weights", "cu_dsir_weights",
