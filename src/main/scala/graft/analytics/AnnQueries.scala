@@ -396,5 +396,63 @@ object AnnQueries {
       .select("probe_id", "neighbor_id", "adist", "rank")
   }
 
-  val defs: Seq[QueryDef] = Seq(bruteForce, lshTopK, embedNearDup, ivfTopK, pqTopK)
+  private val KnnK = 3
+
+  /** All-kNN self-join — every corpus vector's top-k neighbors, the BATCH
+    * ANN shape the probe queries don't cover (near-dup graph construction,
+    * diversity analysis, semantic clustering prep all start from it).
+    * Candidates are same-sign-bucket pairs with Hamming-1 MULTIPROBE on
+    * the left side (each vector also searches every bucket one flipped
+    * sign away — the recall fix the probe query already carries, ×(bits+1)
+    * join volume): work is Σ bucket²·(bits+1) with the planner-derived
+    * width (corpusBits) holding per-bucket load flat as the corpus grows —
+    * never n². The probed codes are pairwise distinct, so each neighbor
+    * scores at most once per vector (no dedup shuffle); vectors whose
+    * probed cells hold fewer than k cohabitants emit fewer rows,
+    * deterministically on both engines.
+    *
+    * Scale: ONE shuffle of the corpus on the bucket key for the self-join
+    * (both sides data-sized, no broadcast), then the per-vector rank —
+    * bucket-sized window state. The oracle mirrors the bucketed algorithm
+    * (like every LSH oracle here), so the hash gate checks the REAL plan.
+    */
+  val knnJoin: QueryDef = QueryDef(
+    "ann_knn_join",
+    s"""WITH v AS (
+       |  SELECT vec_id, e, $bucketSql AS bucket
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)),
+       |probed AS (
+       |  SELECT vec_id, e, unnest([xor(bucket, m) for m in [${maskList.mkString(", ")}]]) AS bucket
+       |  FROM v),
+       |scored AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    ${cosSql("a.e", "b.e")} AS cosine
+       |  FROM probed a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |SELECT vec_id, neighbor_id, cosine, rank FROM (
+       |  SELECT vec_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $KnnK""".stripMargin) { (s, dir) =>
+    val bits = corpusBits(s, dir)
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", Vec.dot(col("e"), col("e")))
+      .withColumn("bucket", Vec.signBucket(col("e"), bits))
+    val masks = array((0 +: (0 until bits).map(1 << _)).map(lit): _*)
+    val probed = v.select(col("vec_id"), col("e"), col("nrm"),
+      explode(transform(masks, m => col("bucket").bitwiseXOR(m))).as("bucket"))
+    val scored = probed.as("a")
+      .join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        Vec.cosinePre(Vec.dot(col("a.e"), col("b.e")), col("a.nrm"), col("b.nrm"))
+          .as("cosine"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select("vec_id", "neighbor_id", "cosine", "rank")
+  }
+
+  val defs: Seq[QueryDef] =
+    Seq(bruteForce, lshTopK, embedNearDup, ivfTopK, pqTopK, knnJoin)
 }

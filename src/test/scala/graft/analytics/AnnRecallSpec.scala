@@ -55,4 +55,22 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"ann_ivf_topk recall@5 = $r%.2f")
     assert(r >= 0.15, f"IVF recall collapsed: $r%.2f")
   }
+
+  test("all-kNN join recall@3 (probe subset) stays above the floor") {
+    // ann_knn_join covers EVERY vector; restrict to the brute-force
+    // probes and compare top-3 sets. Single-bucket candidates (no
+    // multiprobe) → structurally below the probe query's recall; the
+    // floor guards a broken bucket code, not tuning
+    val exact3 = topSets("ann_bruteforce_topk", 3)
+    val knn = SparkEntry.allDefs.find(_.name == "ann_knn_join").get.fn(spark, sf)
+      .filter("rank <= 3").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    val per = exact3.map { case (p, truth) =>
+      knn.getOrElse(p, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val r = per.sum / per.size
+    info(f"ann_knn_join recall@3 = $r%.2f")
+    assert(r >= 0.2, f"kNN-join recall collapsed: $r%.2f")
+  }
 }
