@@ -369,9 +369,51 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** The funnel as a STREAMING state machine (transformWithState +
+    * RocksDB, per-user FunnelState re-derived order-free each batch) —
+    * sequence detection, the workload windowed aggregation cannot
+    * express. One AvailableNow drain upserts per-user rows; the final
+    * depth rollup must equal the batch ev_funnel — same oracle.
+    */
+  val streamFunnelQ: QueryDef = QueryDef(
+    "ev_stream_funnel",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS ts1,
+      |    list_filter(list(CASE WHEN event_type = 'click' THEN ts END), x -> x IS NOT NULL) AS clicks,
+      |    list_filter(list(CASE WHEN event_type = 'purchase' THEN ts END), x -> x IS NOT NULL) AS purchases
+      |  FROM events GROUP BY user_id),
+      |steps AS (
+      |  SELECT user_id, ts1,
+      |    list_aggregate(list_filter(clicks, x -> x > ts1), 'min') AS ts2
+      |  FROM u),
+      |steps3 AS (
+      |  SELECT u.user_id, s.ts1, s.ts2,
+      |    list_aggregate(list_filter(u.purchases, x -> x > s.ts2), 'min') AS ts3
+      |  FROM u JOIN steps s USING (user_id)),
+      |depth AS (
+      |  SELECT user_id,
+      |    CASE WHEN ts3 IS NOT NULL THEN 3 WHEN ts2 IS NOT NULL THEN 2
+      |         WHEN ts1 IS NOT NULL THEN 1 ELSE 0 END AS depth,
+      |    CASE WHEN ts3 IS NOT NULL
+      |         THEN epoch_ms(ts3) - epoch_ms(ts1) END AS ms_to_convert
+      |  FROM steps3)
+      |SELECT depth, COUNT(*) AS n_users,
+      |  CAST(CAST(SUM(ms_to_convert) AS DOUBLE) / COUNT(ms_to_convert) AS DOUBLE)
+      |    AS avg_ms_to_convert
+      |FROM depth GROUP BY depth""".stripMargin) { (s, dir) =>
+    val (src, sink, ckpt) = Staging.stageEvents("graft_fun", dir)
+    EventsStream.streamFunnel(s, src, sink, ckpt)
+    s.read.parquet(sink)
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_users"),
+        (sum("ms_to_convert").cast(DoubleType) /
+          count(col("ms_to_convert"))).cast(DoubleType).as("avg_ms_to_convert"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exactlyOnce, sessionize, tumbling, watermarkedWindow,
       sessionWindowStream, statefulState, transformWithStateQ,
       streamMergeSink, streamStreamJoin, streamDedup, streamDedupWm, gapFill,
-      funnel, cohortRetention)
+      funnel, cohortRetention, streamFunnelQ)
 }

@@ -94,6 +94,19 @@ object EventsStream {
   final case class UserState(n: Long, minTsMs: Long, maxTsMs: Long)
   final case class UserAgg(user_id: Long, n_events: Long, first_ms: Long, last_ms: Long)
 
+  /** Funnel state: the minimum view timestamp plus the FULL click/purchase
+    * timestamp lists. The lists are required for correctness under
+    * out-of-order arrival: a late early view LOWERS ts1, which can only
+    * make previously-ineligible clicks eligible — so eligibility must be
+    * recomputed from the complete lists, never from a running "first
+    * qualifying click" scalar (that value is not monotone under late
+    * data). State is bounded by a user's own funnel events — the same
+    * per-key contract as the batch collect — and a production pipeline
+    * finalizes users past the watermark to reclaim it.
+    */
+  final case class FunnelState(minViewMs: Long, clicks: Seq[Long], purchases: Seq[Long])
+  final case class FunnelAgg(user_id: Long, depth: Int, ms_to_convert: Option[Long])
+
   /** Key-bucket count for the stateful sink's physical layout: updated keys
     * touch only their own bucket partitions, so the per-micro-batch upsert
     * rewrites O(touched buckets), not the whole sink.
@@ -214,6 +227,80 @@ object EventsStream {
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", checkpoint)
         .foreachBatch { (batch: Dataset[UserAgg], _: Long) =>
+          upsert(batch.sparkSession, sinkPath, batch.toDF(), Seq("user_id"))
+        }
+        .start()
+      q.awaitTermination()
+    } finally prevProvider match {
+      case Some(v) => conf.set(ProviderKey, v)
+      case None    => conf.unset(ProviderKey)
+    }
+  }
+
+  /** The ordered conversion funnel (ev_funnel's semantics) as a streaming
+    * state machine on `transformWithState`: per-user FunnelState absorbs
+    * each micro-batch's events, and the processor re-derives the funnel
+    * (ts1 = min view; ts2 = min click > ts1; ts3 = min purchase > ts2)
+    * from the COMPLETE state — an order-free fold, so arrival order,
+    * batch boundaries, and late data cannot change the final answer; the
+    * sink upsert by user converges to exactly the batch funnel. This is
+    * the sequence-detection workload (the thing windowed aggregation
+    * cannot express) that motivates arbitrary state in the first place.
+    */
+  private class FunnelProcessor
+      extends StatefulProcessor[Long, (Long, String, Long), FunnelAgg] {
+    @transient private var st: ValueState[FunnelState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, String, Long)],
+        tv: TimerValues): Iterator[FunnelAgg] = {
+      val prev = if (st.exists()) st.get() else FunnelState(Long.MaxValue, Nil, Nil)
+      var minView = prev.minViewMs
+      val clicks = Seq.newBuilder[Long]; clicks ++= prev.clicks
+      val purchases = Seq.newBuilder[Long]; purchases ++= prev.purchases
+      rows.foreach { case (_, tpe, ms) =>
+        tpe match {
+          case "view"     => if (ms < minView) minView = ms
+          case "click"    => clicks += ms
+          case "purchase" => purchases += ms
+          case _          => () // funnel ignores other event types
+        }
+      }
+      val next = FunnelState(minView, clicks.result(), purchases.result())
+      st.update(next)
+      val ts1 = if (next.minViewMs == Long.MaxValue) None else Some(next.minViewMs)
+      val ts2 = ts1.flatMap(t1 => next.clicks.filter(_ > t1).minOption)
+      val ts3 = ts2.flatMap(t2 => next.purchases.filter(_ > t2).minOption)
+      val depth = if (ts3.isDefined) 3 else if (ts2.isDefined) 2
+                  else if (ts1.isDefined) 1 else 0
+      Iterator.single(FunnelAgg(uid, depth, ts3.flatMap(t3 => ts1.map(t3 - _))))
+    }
+  }
+
+  /** Drain the events stream through the funnel state machine; the sink
+    * holds one row per user (depth + completer latency), upserted per
+    * batch — RocksDB-backed like the other transformWithState drain.
+    */
+  def streamFunnel(spark: SparkSession, sourceDir: String,
+      sinkPath: String, checkpoint: String): Unit = {
+    import spark.implicits._
+    val conf = spark.conf
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = conf.getOption(ProviderKey)
+    conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStateTunedConf(spark) {
+      val stream = eventsStream(spark, sourceDir)
+        .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+        .as[(Long, String, Long)]
+      val q = stream.groupByKey(_._1)
+        .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
+        .writeStream
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: Dataset[FunnelAgg], _: Long) =>
           upsert(batch.sparkSession, sinkPath, batch.toDF(), Seq("user_id"))
         }
         .start()
