@@ -80,7 +80,8 @@ object SparkEntry {
     "dd_exact", "dd_minhash_lsh", "dd_components_star",
     "dd_embed_cosine", "dd_incr_lsh", "dd_span_dedup", "dd_containment",
     // similarity search / sketches
-    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_knn_join", "a14_kmv_setops",
+    "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_knn_join",
+    "ann_ivfpq_topk", "a14_kmv_setops",
     // text analysis
     "tx_bm25_rank", "tx_lang_id", "tx_token_count", "tx_ngram_novelty",
     "tx_familiarity", "tx_bpe_merge", "tx_tfidf_keywords", "tx_bpe_tokenize",
