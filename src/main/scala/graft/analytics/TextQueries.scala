@@ -622,10 +622,13 @@ object TextQueries {
     * bit-identical cross-engine; ln-based idf would hinge on libm. Ties
     * break lexicographically (a total order, so top-k is deterministic).
     *
-    * Scale: tf partial-aggregates on (doc, word); df on word (counting
-    * each doc once via the tf table, NOT re-counting occurrences); the
-    * tf⋈df join hash-shards on the word with AQE skew-split absorbing
-    * stopwords; N is a 1-row broadcast; the per-doc top-k is l3's
+    * Scale: ONE corpus explode partial-aggregates to the (doc, word) tf
+    * table; df is a COUNT window OVER the word partition of that same
+    * table (counting each doc once) — the aggregate-branch form
+    * (df = tf.groupBy(word)) re-derived the explode a second time
+    * (ScanAudit: dups=(documents,3)); the window keeps the derivation
+    * single and shuffles the same word key the join would have. N is a
+    * 1-row broadcast off a doc_id-only scan; the per-doc top-k is l3's
     * rank-and-filter with doc-sized window state.
     */
   val tfidfKeywords: QueryDef = QueryDef(
@@ -633,25 +636,25 @@ object TextQueries {
     s"""WITH w AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
-       |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+       |tfdf AS (SELECT doc_id, word, tf,
+       |    COUNT(*) OVER (PARTITION BY word) AS df FROM tf),
        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
        |scored AS (
        |  SELECT doc_id, word, tf, df,
        |    CAST(tf * n_docs AS DOUBLE) / df AS tfidf,
        |    ROW_NUMBER() OVER (PARTITION BY doc_id
        |                       ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, word) AS rk
-       |  FROM tf JOIN df USING (word), n)
+       |  FROM tfdf, n)
        |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        |  tfidf, CAST(rk AS INT) AS rk
        |FROM scored WHERE rk <= $TfidfTopK""".stripMargin) { (s, dir) =>
     val w = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+    val n = Tables.documents(s, dir).select(col("doc_id")).agg(count(lit(1)).as("n_docs"))
     val tfidf = (col("tf") * col("n_docs")).cast(DoubleType) / col("df")
-    tf.join(df, "word")
-      .crossJoin(broadcast(n)) // 1-row corpus size
+    tf.crossJoin(broadcast(n)) // 1-row corpus size
       .withColumn("tfidf", tfidf)
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))))
