@@ -567,7 +567,43 @@ object CurateQueries {
         (col("num").cast(DoubleType) / col("den").cast(DoubleType)).as("dsir_weight"))
   }
 
+  /** Percentile-based quality filtering — keep the top 60% of documents
+    * WITHIN each language by the shared composite quality score (the
+    * per-stratum formulation real curation uses: a global threshold
+    * guts low-resource languages whose score distribution sits lower;
+    * a fixed-score threshold drifts as the corpus mix changes, a
+    * percentile doesn't). The cut index is exact integer arithmetic
+    * (⌈3·cnt/5⌉), rank ties break on doc_id — total order, so both
+    * engines keep the same rows. Emits every doc with its kept verdict
+    * (the auditable form; the filter is one `WHERE kept`).
+    *
+    * Scale: one shuffle on the language stratum; same per-stratum window
+    * contract (and the same salted-rank escape hatch for a skewed
+    * stratum) as cu_split_stratified.
+    */
+  val qualityFilter: QueryDef = QueryDef(
+    "cu_quality_filter",
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, ${TextQueries.QualitySql} AS quality FROM documents),
+       |r AS (SELECT doc_id, lang, quality,
+       |        ROW_NUMBER() OVER (PARTITION BY lang
+       |                           ORDER BY quality DESC, doc_id) AS rn,
+       |        COUNT(*) OVER (PARTITION BY lang) AS cnt
+       |      FROM q)
+       |SELECT doc_id, lang, quality, rn <= (3*cnt + 4) // 5 AS kept
+       |FROM r""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+    val cw = Window.partitionBy("lang")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextQueries.qualityExpr(col("text")).as("quality"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .select(col("doc_id"), col("lang"), col("quality"),
+        (col("rn") <= expr("(3*cnt + 4) div 5")).as("kept"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(splitStratified, piiRedact, packChunks, kmeans, decontaminate, pipeline,
-      windowChunks, mixtureWeights, dsirWeights)
+      windowChunks, mixtureWeights, dsirWeights, qualityFilter)
 }

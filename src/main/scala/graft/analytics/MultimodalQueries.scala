@@ -81,5 +81,29 @@ object MultimodalQueries {
     }
   }
 
-  val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy)
+  /** Perceptual average-hash over image payloads — aHash, the image-dedup
+    * bucketing fingerprint. Integer-only (bit = byte·n > Σbytes: no
+    * division, no float mean), so the 16-bit code hash-matches the oracle's
+    * arithmetic recomputation from the md5 hex bit for bit.
+    */
+  val avgHash: QueryDef = {
+    def byteSql(i: Int): String =
+      s"(${hexVal(s"substr(md5(text), ${2 * i + 1}, 1)")} * 16 + ${hexVal(s"substr(md5(text), ${2 * i + 2}, 1)")})"
+    QueryDef(
+      "mm_avg_hash",
+      s"""WITH b AS (
+         |  SELECT doc_id, [${(0 until 16).map(byteSql).mkString(", ")}] AS bt
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |t AS (SELECT doc_id, bt, list_sum(bt) AS total FROM b)
+         |SELECT doc_id AS media_id,
+         |  CAST(list_sum([CASE WHEN bt[i+1]*16 > total THEN (CAST(1 AS BIGINT) << i)
+         |                      ELSE CAST(0 AS BIGINT) END for i in range(0, 16)]) AS BIGINT) AS code,
+         |  CAST(len(list_filter(range(0, 16), i -> bt[i+1]*16 > total)) AS INTEGER) AS n_set
+         |FROM t""".stripMargin) { (s, dir) =>
+      val media = Multimodal.syntheticMedia(s, Tables.documents(s, dir))
+      Multimodal.avgHash(media).toDF()
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash)
 }

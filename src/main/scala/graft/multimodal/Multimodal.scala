@@ -108,6 +108,37 @@ object Multimodal {
     })
   }
 
+  /** Average-hash perceptual fingerprint: code bit i set iff byte i is
+    * strictly above the payload mean. */
+  final case class AvgHash(media_id: Long, code: Long, n_set: Int)
+
+  /** Perceptual average-hash over image payloads — the dedup fingerprint
+    * image pipelines bucket on (aHash; pHash swaps the mean for a DCT and
+    * keeps this exact shape). INTEGER-ONLY by construction: the
+    * above-mean test is `byte·n > Σbytes` (no division, no float mean),
+    * so the 16-bit code is bit-identical everywhere. A real codec decodes
+    * and downsamples to the fixed grid first; the thresholding loop and
+    * the mapPartitions shape stay.
+    */
+  def avgHash(media: Dataset[MediaRecord]): Dataset[AvgHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val b = m.content.map(_ & 0xff)
+      val n = b.length
+      var total = 0L
+      var i = 0
+      while (i < n) { total += b(i); i += 1 }
+      var code = 0L
+      var nset = 0
+      i = 0
+      while (i < n && i < 64) {
+        if (b(i).toLong * n > total) { code |= (1L << i); nset += 1 }
+        i += 1
+      }
+      AvgHash(m.media_id, code, nset)
+    })
+  }
+
   /** A resized "image": target dims + the resampled bytes. */
   final case class Resized(media_id: Long, w: Int, h: Int, pixels: Array[Byte])
 

@@ -74,4 +74,25 @@ class CurateWindowMixSpec extends AnyFunSuite {
       .agg(sum("alloc_tokens")).collect()(0).getLong(0)
     assert(total == 10000000L)
   }
+
+  test("quality filter keeps the top 60% per language, not globally") {
+    // en docs are all longer (higher quality) than de docs; a global
+    // threshold would drop every de doc — the per-stratum cut keeps 3/5
+    // of each (⌈3·5/5⌉ = 3)
+    val d = java.nio.file.Files.createTempDirectory("graft-qf").toFile
+    d.deleteOnExit()
+    val rows = (1L to 5L).map(i => (i, (1 to 50 + i.toInt).map(_ => "w").mkString(" "), "en")) ++
+      (6L to 10L).map(i => (i, (1 to 5 + i.toInt).map(_ => "w").mkString(" "), "de"))
+    spark.createDataFrame(rows).toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${d.getAbsolutePath}/documents.parquet")
+    val out = CurateQueries.qualityFilter.fn(spark, d.getAbsolutePath)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // highest-quality 3 in each stratum survive (longer docs score higher)
+    assert(out.count { case (_, k) => k } == 6)
+    assert(out(5L) && out(4L) && out(3L) && !out(2L) && !out(1L))
+    assert(out(10L) && out(9L) && out(8L) && !out(7L) && !out(6L))
+  }
 }

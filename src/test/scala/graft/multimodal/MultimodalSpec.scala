@@ -23,6 +23,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(1L).histogram(1) == 1 && f(1L).histogram(2) == 1 && f(1L).histogram(3) == 1)
   }
 
+  test("average-hash thresholds strictly above the mean, images only") {
+    import spark.implicits._
+    val media = Seq(
+      // bytes 10,10,10,10: mean 10, nothing STRICTLY above -> code 0
+      MediaRecord(1L, "image", Array[Byte](10, 10, 10, 10)),
+      // bytes 0,0,0,100: only index 3 above mean 25 -> code 8
+      MediaRecord(2L, "image", Array[Byte](0, 0, 0, 100)),
+      // audio is not hashed
+      MediaRecord(3L, "audio", Array[Byte](1, 2, 3))).toDS()
+    val h = avgHash(media).collect().map(x => x.media_id -> ((x.code, x.n_set))).toMap
+    assert(h(1L) == ((0L, 0)))
+    assert(h(2L) == ((8L, 1)))
+    assert(!h.contains(3L))
+  }
+
   test("frame sampling emits every step-th fixed-size frame of videos only") {
     import spark.implicits._
     val media = Seq(
