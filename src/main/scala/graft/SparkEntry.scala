@@ -89,7 +89,7 @@ object SparkEntry {
     "ev_sessionize", "ev_tumbling_window", "ev_stream_exactly_once",
     "ev_gap_fill", "ev_stream_dedup_wm", "ev_funnel", "ev_cohort_retention", "ev_stream_funnel",
     // multimodal / curation / graph
-    "mm_byte_histogram", "cu_pack_chunks", "cu_decontaminate",
-    "cu_window_chunks", "cu_mixture_weights", "cu_dsir_weights",
+    "mm_byte_histogram", "mm_avg_hash", "cu_pack_chunks", "cu_decontaminate",
+    "cu_window_chunks", "cu_mixture_weights", "cu_dsir_weights", "cu_quality_filter",
     "pipe_pretrain_corpus", "gr_pagerank")
 }
