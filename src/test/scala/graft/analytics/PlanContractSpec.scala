@@ -282,6 +282,24 @@ class PlanContractSpec extends AnyFunSuite {
       s"decontamination must be ONE left-anti probe broadcast, got:\n${bnlj.mkString("\n")}")
   }
 
+  test("ev_funnel: one events pass — no per-step join chain") {
+    val p = initialPlan("ev_funnel")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events.parquet")) == 1,
+      "the funnel must read events exactly once (per-type lists, not step joins)")
+    assert(p.contains("partial_collect_list") || p.contains("objHashAggregate") ||
+      p.contains("ObjectHashAggregate"),
+      "per-type timestamp lists must build in the aggregate")
+  }
+
+  test("cu_mixture_weights: one corpus scan feeds the whole allocation") {
+    val p = initialPlan("cu_mixture_weights")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet")) == 1,
+      "weight total / shortfall must be windows over the domain table, " +
+        "not re-derived aggregate branches")
+  }
+
   test("dd_span_dedup: exactly two pruned document scans, partial-agg firsts") {
     val p = initialPlan("dd_span_dedup")
     assert(p.linesIterator.count(l =>
