@@ -959,14 +959,33 @@ object DedupQueries {
     * doc-sized state, the same per-key bound every window in the engine
     * lives with.
     */
-  val spanDedup: QueryDef = QueryDef(
-    "dd_span_dedup",
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** Shared oracle span CTEs: every doc exploded to (doc_id, n_spans,
+    * pos, span text, width) — reused by dd_span_dedup and dd_incr_span.
+    */
+  private val SpanCteSql: String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |span AS (
        |  SELECT doc_id, (len(toks)+${SpanW - 1})//$SpanW AS n_spans, i AS pos,
        |    array_to_string(toks[i*$SpanW+1 : least((i+1)*$SpanW, len(toks))], ' ') AS s,
        |    least((i+1)*$SpanW, len(toks)) - i*$SpanW AS nw
-       |  FROM d, unnest(range(0, (len(toks)+${SpanW - 1})//$SpanW)) AS t(i)),
+       |  FROM d, unnest(range(0, (len(toks)+${SpanW - 1})//$SpanW)) AS t(i))""".stripMargin
+
+  /** Shared Spark-side span table (mirrors SpanCteSql exactly). */
+  private def spanTable(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        expr(s"(size(toks)+${SpanW - 1}) div $SpanW").as("n_spans"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(toks)+${SpanW - 1}) div $SpanW - 1), " +
+            s"i -> struct(array_join(slice(toks, i*$SpanW+1, $SpanW), ' ') AS s, " +
+            s"size(slice(toks, i*$SpanW+1, $SpanW)) AS nw))")).as(Seq("pos", "sp")))
+      .select(col("doc_id"), col("n_spans"), col("pos"),
+        col("sp.s").as("s"), col("sp.nw").as("nw"))
+
+  val spanDedup: QueryDef = QueryDef(
+    "dd_span_dedup",
+    s"""WITH $SpanCteSql,
        |firsts AS (
        |  SELECT s, MIN(doc_id*$SpanKeyShift + pos) AS first_key
        |  FROM span WHERE nw = $SpanW GROUP BY s),
@@ -977,16 +996,7 @@ object DedupQueries {
        |SELECT doc_id, n_spans, COUNT(*) AS n_kept,
        |  md5(string_agg(s, ' ' ORDER BY pos)) AS kept_fp
        |FROM kept GROUP BY doc_id, n_spans""".stripMargin) { (s, dir) =>
-    val spans = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"),
-        expr(s"(size(toks)+${SpanW - 1}) div $SpanW").as("n_spans"),
-        posexplode(expr(
-          s"transform(sequence(0, (size(toks)+${SpanW - 1}) div $SpanW - 1), " +
-            s"i -> struct(array_join(slice(toks, i*$SpanW+1, $SpanW), ' ') AS s, " +
-            s"size(slice(toks, i*$SpanW+1, $SpanW)) AS nw))")).as(Seq("pos", "sp")))
-      .select(col("doc_id"), col("n_spans"), col("pos"),
-        col("sp.s").as("s"), col("sp.nw").as("nw"))
+    val spans = spanTable(s, dir)
     val key = col("doc_id") * lit(SpanKeyShift) + col("pos")
     val firsts = spans.filter(col("nw") === SpanW)
       .groupBy("s").agg(min(key).as("first_key"))
@@ -999,9 +1009,57 @@ object DedupQueries {
             x => x.getField("s")), " ")).as("kept_fp"))
   }
 
+  /** INCREMENTAL span dedup — dd_span_dedup's daily-ingest form, the span
+    * analog of dd_incr_lsh: a new BATCH of documents (doc_id % 5 = 0
+    * stands in for today's arrivals) is cleaned against the existing
+    * CORPUS's full-width span set plus batch-internal first-occurrence
+    * dedup. A batch span survives iff it is NOT a corpus span AND it is
+    * the batch's first occurrence; short tails always survive (E70's
+    * rule). At 100 TB the corpus span set is a precomputed lake table
+    * bucketed by span (exactly the artifact the full pass's `firsts`
+    * stage writes), so the daily run joins O(batch) spans against it with
+    * no corpus re-scan — the candidate cost is O(batch), not O(corpus).
+    */
+  val incrSpan: QueryDef = QueryDef(
+    "dd_incr_span",
+    s"""WITH $SpanCteSql,
+       |batch AS (SELECT * FROM span WHERE doc_id % 5 = 0),
+       |corp AS (SELECT DISTINCT s FROM span WHERE doc_id % 5 <> 0 AND nw = $SpanW),
+       |firsts AS (
+       |  SELECT s, MIN(doc_id*$SpanKeyShift + pos) AS first_key
+       |  FROM batch WHERE nw = $SpanW GROUP BY s),
+       |kept AS (
+       |  SELECT b.doc_id, b.n_spans, b.pos, b.s
+       |  FROM batch b
+       |  LEFT JOIN corp c ON b.s = c.s
+       |  LEFT JOIN firsts f ON b.s = f.s
+       |  WHERE c.s IS NULL
+       |    AND (f.first_key IS NULL OR b.doc_id*$SpanKeyShift + b.pos = f.first_key))
+       |SELECT doc_id, n_spans, COUNT(*) AS n_kept,
+       |  md5(string_agg(s, ' ' ORDER BY pos)) AS kept_fp
+       |FROM kept GROUP BY doc_id, n_spans""".stripMargin) { (s, dir) =>
+    val spans = spanTable(s, dir)
+    val batch = spans.filter(col("doc_id") % 5 === 0)
+    val corp = spans.filter(col("doc_id") % 5 =!= 0 && col("nw") === SpanW)
+      .select(col("s")).distinct()
+    val key = col("doc_id") * lit(SpanKeyShift) + col("pos")
+    val firsts = batch.filter(col("nw") === SpanW)
+      .groupBy("s").agg(min(key).as("first_key"))
+    batch
+      .join(corp.withColumn("in_corp", lit(1)), Seq("s"), "left")
+      .join(firsts, Seq("s"), "left")
+      .filter(col("in_corp").isNull &&
+        (col("first_key").isNull || key === col("first_key")))
+      .groupBy("doc_id", "n_spans")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+            x => x.getField("s")), " ")).as("kept_fp"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exact, blockPrefix, minhashLsh, incrLsh, ngramJaccard, components,
       componentsStar, simhash, simhashPairs, sinkIdempotence, nullKeySink,
       mergeUpsert, incrementalAgg, pointLookup, deleteRows, formatRoundtrip,
-      zorderSkip, clusterKeepBest, spanDedup, containment)
+      zorderSkip, clusterKeepBest, spanDedup, containment, incrSpan)
 }

@@ -78,6 +78,27 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("incremental variant: corpus spans drop, batch-first kept, tails survive") {
+    val d = Files.createTempDirectory("graft-incrspan").toFile
+    d.deleteOnExit()
+    val rows = Seq(
+      (1L, s"$boiler ${words("corp", 10)}"), // corpus (id % 5 != 0)
+      // batch doc 10: boiler is a corpus span → drops; fresh + tail keep
+      (10L, s"$boiler ${words("fresh", 10)} t1 t2"),
+      // batch doc 15: repeats doc 10's fresh span → batch-first rule drops it
+      (15L, s"${words("fresh", 10)} t3 t4"))
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"${d.getAbsolutePath}/documents.parquet")
+    val out = DedupQueries.incrSpan.fn(spark, d.getAbsolutePath)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(!out.contains(1L), "corpus docs are not batch output")
+    assert(out(10L) == ((3L, 2L, md5Hex(s"${words("fresh", 10)} t1 t2"))))
+    assert(out(15L) == ((2L, 1L, md5Hex("t3 t4"))))
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
