@@ -603,7 +603,53 @@ object CurateQueries {
         (col("rn") <= expr("(3*cnt + 4) div 5")).as("kept"))
   }
 
+  private val Shards = 8
+
+  /** Balanced output sharding — assign documents to N training shards so
+    * per-shard token loads stay even (skewed shards starve data-loader
+    * workers): rank docs by token count (desc, doc_id ties) and SNAKE-fold
+    * the ranking across shards (positions 0..N-1 forward, N..2N-1
+    * backward), which pairs heavy docs with light ones deterministically —
+    * the classic boustrophedon balancing, all integer arithmetic. Output
+    * is the per-shard accounting (doc count, token load) the loader
+    * manifest consumes.
+    *
+    * Scale: the global rank is ONE total-order sort of (tokens, doc_id)
+    * pairs — a rangepartitioned sort, not a single-partition window
+    * funnel at cluster scale... except row_number needs the global
+    * ordering: at 100 TB shard WITHIN strata (lang, or hash-salt
+    * buckets) and snake-fold per stratum — same balance property, full
+    * parallelism (cu_split_stratified's escape hatch); the global form
+    * here is the oracle-exact statement of the rule.
+    */
+  val shardBalance: QueryDef = QueryDef(
+    "cu_shard_balance",
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents),
+       |r AS (SELECT doc_id, toks,
+       |        ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id) - 1 AS rk
+       |      FROM d),
+       |a AS (SELECT doc_id, toks,
+       |        CASE WHEN rk % ${2 * Shards} < $Shards THEN rk % ${2 * Shards}
+       |             ELSE ${2 * Shards - 1} - rk % ${2 * Shards} END AS shard
+       |      FROM r)
+       |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS shard_tokens,
+       |  MIN(doc_id) AS first_doc
+       |FROM a GROUP BY shard""".stripMargin) { (s, dir) =>
+    val r = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("toks").desc, col("doc_id"))) - 1)
+    r.withColumn("shard",
+        when(col("rk") % (2 * Shards) < Shards, col("rk") % (2 * Shards))
+          .otherwise(lit(2 * Shards - 1) - col("rk") % (2 * Shards)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").cast("long").as("shard_tokens"),
+        min("doc_id").as("first_doc"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(splitStratified, piiRedact, packChunks, kmeans, decontaminate, pipeline,
-      windowChunks, mixtureWeights, dsirWeights, qualityFilter)
+      windowChunks, mixtureWeights, dsirWeights, qualityFilter, shardBalance)
 }

@@ -95,4 +95,14 @@ class CurateWindowMixSpec extends AnyFunSuite {
     assert(out(5L) && out(4L) && out(3L) && !out(2L) && !out(1L))
     assert(out(10L) && out(9L) && out(8L) && !out(7L) && !out(6L))
   }
+
+  test("snake-fold sharding balances token loads across shards") {
+    val out = CurateQueries.shardBalance.fn(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out.size == 8)
+    val (mx, mn) = (out.values.max, out.values.min)
+    // boustrophedon pairing keeps loads within a tight band; a broken
+    // fold (e.g. plain modulo on a sorted ranking) skews far past this
+    assert(mx.toDouble / mn <= 1.05, s"shard imbalance: $out")
+  }
 }
