@@ -91,5 +91,6 @@ object SparkEntry {
     // multimodal / curation / graph
     "mm_byte_histogram", "mm_avg_hash", "cu_pack_chunks", "cu_decontaminate",
     "cu_window_chunks", "cu_mixture_weights", "cu_dsir_weights", "cu_quality_filter",
+    "cu_shard_balance",
     "pipe_pretrain_corpus", "gr_pagerank")
 }
