@@ -920,7 +920,12 @@ object DedupQueries {
   // --- span-level exact dedup (C4 / RefinedWeb line dedup) ----------------
 
   private val SpanW = 10          // words per span
-  private val SpanKeyShift = 1000000L // doc_id*shift+pos: needs pos < 1e6
+  // first-occurrence key = doc_id·shift + pos: requires pos < shift, i.e.
+  // docs under 10M words (1e6 spans × 10). Long overflow needs
+  // doc_id < ~9.2e12 on top — both far beyond this corpus generation; a
+  // corpus of book-scale docs raises the shift or switches the keeper to
+  // min(struct(doc_id, pos)) (Spark) / min of a row-struct (DuckDB).
+  private val SpanKeyShift = 1000000L
 
   /** Span-level exact deduplication — the SUB-document dedup pass between
     * doc-level fingerprints (dd_exact) and fuzzy LSH (dd_minhash_lsh): C4

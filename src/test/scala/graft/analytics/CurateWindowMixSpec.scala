@@ -105,4 +105,21 @@ class CurateWindowMixSpec extends AnyFunSuite {
     // fold (e.g. plain modulo on a sorted ranking) skews far past this
     assert(mx.toDouble / mn <= 1.05, s"shard imbalance: $out")
   }
+
+  test("mixture allocation satisfies the largest-remainder fairness bound") {
+    // every domain's quota is within 1 token of its exact real-valued
+    // share B·⌊√t⌋/Σ⌊√t⌋ — the defining property of the method; a broken
+    // remainder rank or shortfall count violates it immediately
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+      val rows = CurateQueries.mixtureWeights.fn(spark, sf)
+        .collect().map(r => (r.getLong(2), r.getLong(3)))
+      val sw = rows.map { case (t, _) => math.sqrt(t.toDouble).toLong }
+      val tot = sw.sum.toDouble
+      rows.zip(sw).foreach { case ((_, alloc), w) =>
+        val ideal = 10000000L * w / tot
+        assert(math.abs(alloc - ideal) <= 1.0, s"$sf: alloc $alloc vs ideal $ideal")
+      }
+      assert(rows.map(_._2).sum == 10000000L)
+    }
+  }
 }
