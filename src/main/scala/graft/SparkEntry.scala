@@ -66,7 +66,7 @@ object SparkEntry {
     "p2_struct_array_extract", "p4_string_surface", "p14_json_props",
     "x1_concat_explode",
     // aggregation
-    "a1_batch_counts", "a3_rollup_spend", "a7_approx_distinct",
+    "a1_batch_counts", "a3_rollup_spend", "a15_column_stats",
     "a10_stats_moments", "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue", "tpch_q5_local_supplier",
     "tpch_q2_min_cost_supplier", "tpch_q13_customer_distribution",
@@ -79,6 +79,7 @@ object SparkEntry {
     // dedup family
     "dd_exact", "dd_minhash_lsh", "dd_components_star",
     "dd_embed_cosine", "dd_incr_lsh", "dd_span_dedup", "dd_incr_span", "dd_containment",
+    "dd_entity_match",
     // similarity search / sketches
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_knn_join",
     "ann_ivfpq_topk", "a14_kmv_setops",
@@ -90,6 +91,7 @@ object SparkEntry {
     "ev_gap_fill", "ev_stream_dedup_wm", "ev_funnel", "ev_cohort_retention", "ev_stream_funnel",
     // multimodal / curation / graph
     "mm_byte_histogram", "mm_avg_hash", "cu_pack_chunks", "cu_decontaminate",
+    "cu_ngram_decontaminate",
     "cu_window_chunks", "cu_mixture_weights", "cu_dsir_weights", "cu_quality_filter",
     "cu_shard_balance",
     "pipe_pretrain_corpus", "gr_pagerank")

@@ -649,7 +649,67 @@ object CurateQueries {
         min("doc_id").as("first_doc"))
   }
 
+  /** N-gram-collision benchmark decontamination (the GPT-3/PaLM appendix-C
+    * rule: a training doc is contaminated w.r.t. an eval doc if the two
+    * share any full n-gram) — the GRAM-SHARDED form of cu_decontaminate's
+    * substring probe. The substring form is a broadcast nested-loop scan
+    * (O(|corpus| · |probes|) string searches — fine for a handful of pinned
+    * probes, flagged in the r7 verdict as the node that turns quadratic if
+    * the probe set ever grows); this form is the one that scales with BOTH
+    * sides: explode eval docs to distinct 8-grams (the pinned suite —
+    * doc_id % 50, doc_id < 1e6, same fixed-eval contract as
+    * cu_decontaminate), broadcast that gram set, and hash-join the RAW
+    * corpus gram stream against it.
+    *
+    * Scale (the whole point): the corpus side is ONE scan + explode with a
+    * broadcast hash join on the gram — NO corpus-wide shuffle and no
+    * corpus-side distinct (within-doc duplicate grams are absorbed by the
+    * COUNT(DISTINCT ...) aggregates, which only ever see the matched
+    * collision rows — a vanishing fraction of the corpus). Contrast
+    * tx_ngram_novelty, which must shuffle every corpus gram because its
+    * document-frequency is a corpus-wide property; contamination only
+    * needs grams that hit the eval suite. If the eval suite outgrows
+    * broadcast size, the same plan degrades gracefully to a gram-sharded
+    * shuffle join — still equi, never nested-loop.
+    */
+  val ngramDecontaminate: QueryDef = QueryDef(
+    "cu_ngram_decontaminate",
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE length(string_split(text, ' ')) >= 8),
+      |g AS (
+      |  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+      |  FROM w, unnest(range(1, length(ws) - 6)) AS t(i)),
+      |e AS (
+      |  SELECT DISTINCT doc_id AS eval_id, gram FROM g
+      |  WHERE doc_id % 50 = 0 AND doc_id < 1000000)
+      |SELECT e.eval_id,
+      |  CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS contaminated_docs,
+      |  CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS shared_grams
+      |FROM g JOIN e ON g.gram = e.gram AND g.doc_id <> e.eval_id
+      |GROUP BY e.eval_id""".stripMargin) { (s, dir) =>
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 7),
+          i => array_join(slice(col("ws"), i, lit(8)), " "))).as("gram"))
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    // Eval side: pinned suite (doc_id < 1e6 — does not grow with the
+    // corpus), distinct'd BEFORE the broadcast so the hash relation holds
+    // one row per (eval, gram).
+    val evalGrams = grams(docs.filter(col("doc_id") % 50 === 0 && col("doc_id") < 1000000L))
+      .select(col("doc_id").as("eval_id"), col("gram").as("egram")).distinct()
+    grams(docs)
+      .join(broadcast(evalGrams),
+        col("gram") === col("egram") && col("doc_id") =!= col("eval_id"))
+      .groupBy("eval_id")
+      .agg(countDistinct(col("doc_id")).as("contaminated_docs"),
+        countDistinct(col("gram")).as("shared_grams"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(splitStratified, piiRedact, packChunks, kmeans, decontaminate, pipeline,
-      windowChunks, mixtureWeights, dsirWeights, qualityFilter, shardBalance)
+      windowChunks, mixtureWeights, dsirWeights, qualityFilter, shardBalance,
+      ngramDecontaminate)
 }

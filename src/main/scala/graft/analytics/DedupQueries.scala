@@ -1062,9 +1062,52 @@ object DedupQueries {
             x => x.getField("s")), " ")).as("kept_fp"))
   }
 
+  /** Blocked fuzzy entity resolution — the record-linkage operator
+    * (Fellegi-Sunter blocking + edit-distance refine) that text dedup
+    * does not cover: match ENTITY records whose keys differ by typos, not
+    * documents sharing content. Candidates come only from blocks —
+    * (nation, 15-char name prefix) — so the pair space is Σ block², never
+    * n²; the refine step is codegen'd levenshtein ≤ 2 on the candidate
+    * pairs. Output is the verified match-pair table (the input to a
+    * components pass — dd_components' label-prop collapses these pairs to
+    * entity clusters exactly as it does near-dup doc pairs).
+    *
+    * Scale: one shuffle of the (small, fixed-width) entity projection on
+    * the block key; block sizes are the skew knob — a production blocker
+    * composes several cheap keys (phonetic, prefix, zip) and UNIONs the
+    * pair sets, each block bounded; the edit-distance only ever runs
+    * inside blocks. Same plan family as dd_block_prefix + tx_edit_dist,
+    * applied to the entity-record shape.
+    */
+  val entityMatch: QueryDef = QueryDef(
+    "dd_entity_match",
+    """WITH b AS (
+      |  SELECT c_custkey, c_nationkey, c_name,
+      |    substr(c_name, 1, 15) AS blk
+      |  FROM customer)
+      |SELECT a.c_custkey AS key_a, c.c_custkey AS key_b,
+      |  CAST(levenshtein(a.c_name, c.c_name) AS BIGINT) AS lev
+      |FROM b a JOIN b c
+      |  ON a.blk = c.blk AND a.c_nationkey = c.c_nationkey
+      | AND a.c_custkey < c.c_custkey
+      |WHERE levenshtein(a.c_name, c.c_name) <= 2""".stripMargin) { (s, dir) =>
+    val b = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_name"),
+        substring(col("c_name"), 1, 15).as("blk"))
+    b.as("a")
+      .join(b.as("c"),
+        col("a.blk") === col("c.blk") &&
+          col("a.c_nationkey") === col("c.c_nationkey") &&
+          col("a.c_custkey") < col("c.c_custkey"))
+      .filter(levenshtein(col("a.c_name"), col("c.c_name")) <= 2)
+      .select(col("a.c_custkey").as("key_a"), col("c.c_custkey").as("key_b"),
+        levenshtein(col("a.c_name"), col("c.c_name")).cast(LongType).as("lev"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exact, blockPrefix, minhashLsh, incrLsh, ngramJaccard, components,
       componentsStar, simhash, simhashPairs, sinkIdempotence, nullKeySink,
       mergeUpsert, incrementalAgg, pointLookup, deleteRows, formatRoundtrip,
-      zorderSkip, clusterKeepBest, spanDedup, containment, incrSpan)
+      zorderSkip, clusterKeepBest, spanDedup, containment, incrSpan,
+      entityMatch)
 }

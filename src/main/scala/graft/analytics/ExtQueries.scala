@@ -592,9 +592,51 @@ object ExtQueries {
         (col("jaccard") * col("est_union")).as("est_inter"), col("jaccard"))
   }
 
+  /** A15 — ANALYZE-style column statistics (the CBO input every engine
+    * collects before planning 100-TB joins): per-column row count, null
+    * count, exact NDV, and min/max, for five lineitem columns in ONE scan.
+    *
+    * Shape: a single global aggregate computes all five columns' stats
+    * side by side — Catalyst plans the 5 COUNT(DISTINCT)s as one Expand
+    * (×5 rows, each tagged with its grouping id) feeding a two-phase
+    * distinct aggregate, the standard exact-NDV ANALYZE plan; min/max/
+    * count ride the same pass as partial aggregates. The 1-row result is
+    * then unpivoted driver-free with `stack`. Cost at scale: the expand
+    * multiplies the SHUFFLED distinct values by the column count — for
+    * very wide schemas the sketch path (a7_approx_distinct's HLL) is the
+    * single-expand alternative; exact NDV is what ANALYZE publishes when
+    * it can afford it. Min/max as DOUBLE so one stack column carries
+    * mixed-width numerics on both engines.
+    */
+  val columnStats: QueryDef = {
+    val statCols = Seq("l_partkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    QueryDef(
+      "a15_column_stats",
+      statCols.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS ndv,
+           |  CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")) { (s, dir) =>
+      val aggs = count(lit(1)).as("n") +: statCols.flatMap(c => Seq(
+        count(col(c)).as(s"cnt_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast(DoubleType).as(s"min_$c"),
+        max(col(c)).cast(DoubleType).as(s"max_$c")))
+      Tables.lineitem(s, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${statCols.length}, " +
+          statCols.map(c => s"'$c', n, n - cnt_$c, ndv_$c, min_$c, max_$c")
+            .mkString(", ") +
+          ") AS (col_name, n_rows, n_null, ndv, min_v, max_v)")
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     structArrayExtract, rollupSpend, groupingSetsAgg, distinctAgg,
     approxDistinct, quantileDisc, pivotStatus, rankFrames, asofJoin,
     rangeJoinBucketed, fullOuter, rangeFrame, minMaxBy, statsMoments,
-    distributionFrames, approxQuantile, unpivotMeasures, kmvSetOps)
+    distributionFrames, approxQuantile, unpivotMeasures, kmvSetOps,
+    columnStats)
 }

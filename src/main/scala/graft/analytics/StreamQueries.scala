@@ -411,9 +411,136 @@ object StreamQueries {
           count(col("ms_to_convert"))).cast(DoubleType).as("avg_ms_to_convert"))
   }
 
+  private val SlidingOracle =
+    """WITH x AS (
+      |  SELECT event_type, value,
+      |    make_timestamp((epoch_ms(ts) - epoch_ms(ts) % 300000 - k * 300000) * 1000)
+      |      AS w_start
+      |  FROM events, unnest([0, 1]) AS t(k))
+      |SELECT w_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM x GROUP BY w_start, event_type""".stripMargin
+
+  /** Sliding (hopping) window aggregation — `window(ts, 10 min, 5 min)`:
+    * each event lands in length/slide = 2 overlapping windows. Spark's
+    * time-window is a Generate of the k window assignments fused into the
+    * scan projection (no join against a window table), then one
+    * (window, type)-keyed partial-aggregable groupBy — the overlap factor
+    * multiplies rows BEFORE the exchange, which is exactly how the cost
+    * scales on a cluster (2× shuffle rows, same key fan-out). The oracle
+    * derives the same two aligned starts per event arithmetically.
+    */
+  val slidingWindow: QueryDef = QueryDef(
+    "ev_sliding_window", SlidingOracle) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** The sliding window as a STREAM (readStream → watermark → hopping
+    * window → update-mode upsert sink): per-event double-assignment means
+    * every micro-batch upserts both touched windows, and the watermark
+    * evicts each window 1 h after its end — state stays at 2× the
+    * tumbling-window key count, the overlap factor. Final sink ≡ the batch
+    * hopping GROUP BY: same oracle as ev_sliding_window.
+    */
+  val streamSliding: QueryDef = QueryDef(
+    "ev_stream_sliding", SlidingOracle) { (s, dir) =>
+    val (src, sink, ckpt) = Staging.stageEvents("graft_slide", dir)
+    EventsStream.slidingCounts(s, src, sink, ckpt)
+    s.read.parquet(sink).select("w_start", "event_type", "n", "sum_value")
+  }
+
+  /** SCD Type-2 dimension build from a change feed — the warehouse
+    * operator that turns an event stream into an effective-dated history
+    * table (the MERGE-sink's dimension-maintenance companion: at the lake
+    * these rows land via MergeSink upsert keyed on (user_id, version)).
+    * Each user's event_type stream is treated as their current-state feed:
+    * consecutive repeats collapse (a change feed records CHANGES, not
+    * heartbeats), each surviving change opens a version effective at its
+    * ts and closed by the next change's ts; the open row is `is_current`.
+    *
+    * Scale: ONE shuffle on user_id — the change-detection lag, the
+    * close-out lead, and the version row_number are three window functions
+    * over the SAME (user_id, ts) partitioning-and-order, so
+    * EnsureRequirements plans the filter + later windows on the exchange
+    * already in place (no second shuffle or sort; state per key is one
+    * row). This is the batch backfill form; the incremental form is the
+    * same rule per micro-batch merged through MergeSink with the open row
+    * re-closed on arrival.
+    */
+  val scd2History: QueryDef = QueryDef(
+    "ev_scd2_history",
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |ch AS (
+      |  SELECT user_id, ts, event_id, event_type FROM c
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type AS state, ts AS effective_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+      |    AS version,
+      |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+      |    AS is_current
+      |FROM ch""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("effective_from"),
+        lead(col("ts"), 1).over(w).as("effective_to"),
+        row_number().over(w).cast(LongType).as("version"),
+        lead(col("ts"), 1).over(w).isNull.as("is_current"))
+  }
+
+  /** Last-touch marketing attribution: every purchase credits its value to
+    * the user's most recent PRECEDING touch event (view/click), or
+    * 'direct' when none precedes. The carry-forward is
+    * `last(touch, ignoreNulls) OVER (rows unbounded preceding → 1
+    * preceding)` — strictly-before semantics, so a purchase can never
+    * attribute to itself, and ties break on event_id like every ordered
+    * window in the engine.
+    *
+    * Scale: one user-sharded window pass (running ignore-nulls last is
+    * O(1) state per row) feeding a channel-keyed rollup on a handful of
+    * keys; the value sum is exact DECIMAL. First-touch, position-decay, or
+    * time-window attribution are the same plan with a different frame.
+    */
+  val attribution: QueryDef = QueryDef(
+    "ev_attribution",
+    """WITH t AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END
+      |               IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM events)
+      |SELECT COALESCE(touch, 'direct') AS channel, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY COALESCE(touch, 'direct')""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("touch",
+        last(when(col("event_type").isin("view", "click"), col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum(col("value"), 6).as("attributed_value"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exactlyOnce, sessionize, tumbling, watermarkedWindow,
       sessionWindowStream, statefulState, transformWithStateQ,
       streamMergeSink, streamStreamJoin, streamDedup, streamDedupWm, gapFill,
-      funnel, cohortRetention, streamFunnelQ)
+      funnel, cohortRetention, streamFunnelQ, scd2History, attribution,
+      slidingWindow, streamSliding)
 }

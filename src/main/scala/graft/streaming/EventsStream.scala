@@ -522,4 +522,35 @@ object EventsStream {
       q.awaitTermination()
     }
   }
+
+  /** Watermarked SLIDING-window aggregation — windowedCounts with overlap:
+    * `window(ts, 10 min, 5 min)` assigns each event to window-length/slide
+    * = 2 concurrent windows, so the state store holds 2× the tumbling
+    * window count per key range (the overlap factor is the state-size
+    * knob) and every emission upserts BOTH rows the event touched. The
+    * same watermark eviction rule bounds state; the final sink equals the
+    * batch hopping-window GROUP BY.
+    */
+  def slidingCounts(spark: SparkSession, sourceDir: String, sinkPath: String,
+                    checkpoint: String): Unit = {
+    import graft.functions.Num
+    val stream = eventsStream(spark, sourceDir)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("value"), 6).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    withStateTunedConf(spark) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          upsert(batch.sparkSession, sinkPath, batch, Seq("w_start", "event_type"))
+        }
+        .start()
+      q.awaitTermination()
+    }
+  }
 }

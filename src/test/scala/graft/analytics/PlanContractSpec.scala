@@ -312,6 +312,58 @@ class PlanContractSpec extends AnyFunSuite {
       p.linesIterator.count(_.contains("Generate posexplode")) == 2, p.take(1200))
   }
 
+  test("cu_ngram_decontaminate: corpus grams broadcast-join the eval set") {
+    val p = finalPlan("cu_ngram_decontaminate")
+    // the contamination join must be a broadcast HASH join on the gram —
+    // the whole point vs cu_decontaminate's nested-loop substring probe
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "gram decontamination regressed to the nested-loop substring shape")
+    // the CORPUS gram stream must flow map-side into that join: no
+    // exchange may sit between the corpus-side Generate (explode) and the
+    // join — only the matched collision rows shuffle (for the distinct
+    // aggregate). The eval branch's Generate feeds the broadcast; assert
+    // at least one Generate has no Exchange above it before the join.
+    val lines = p.linesIterator.toVector
+    val joinIdx = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    val corpusSide = lines.drop(joinIdx + 1)
+      .takeWhile(l => !l.contains("BroadcastExchange"))
+    assert(corpusSide.exists(_.contains("Generate")) &&
+      !corpusSide.exists(_.contains("Exchange")),
+      s"corpus grams shuffle before the contamination join:\n${corpusSide.mkString("\n")}")
+  }
+
+  test("ev_scd2_history: one user shuffle serves all three window passes") {
+    val p = initialPlan("ev_scd2_history")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id")) == 1,
+      s"change-detect lag, close-out lead and version must reuse ONE " +
+        s"user_id exchange:\n${p.take(1500)}")
+  }
+
+  test("ev_attribution: single events scan, window then small-key rollup") {
+    val p = initialPlan("ev_attribution")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events.parquet")) == 1, p.take(1200))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(1200))
+  }
+
+  test("a15_column_stats: one lineitem scan; Expand feeds the distinct agg") {
+    val p = initialPlan("a15_column_stats")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem.parquet")) == 1,
+      "ANALYZE must be one pass over the table")
+    assert(p.contains("Expand"), "exact multi-column NDV must plan as Expand")
+  }
+
+  test("dd_entity_match: candidates only from equi-blocks, never all-pairs") {
+    val p = initialPlan("dd_entity_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "entity matching regressed to an all-pairs join")
+    // levenshtein must sit ABOVE an equi-join (join keys blk + nationkey)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(1200))
+  }
+
   test("tx_bpe_merge: the corpus pass is cached; rounds read the word table") {
     val p = initialPlan("tx_bpe_merge")
     assert(p.contains("InMemoryTableScan"),
