@@ -70,16 +70,16 @@ object SparkEntry {
     "a10_stats_moments", "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue", "tpch_q5_local_supplier",
     "tpch_q2_min_cost_supplier", "tpch_q13_customer_distribution",
-    "tpch_q4_order_priority", "tpch_q14_promo_effect",
+    "tpch_q4_order_priority",
     "tpch_q18_large_volume", "tpch_q8_market_share", "tpch_q9_product_profit",
     // joins / set-ops / limits / windows
     "j1_broadcast_enrich", "j2_star_join_revenue", "j5_asof_join",
     "j6_range_join_bucketed", "l3_topk_per_group", "u1_union_dedup_cap",
-    "w1_running_total", "w4_range_frame", "w5_distribution_frames",
+    "w1_running_total", "w4_range_frame",
     // dedup family
     "dd_exact", "dd_minhash_lsh", "dd_components_star",
     "dd_embed_cosine", "dd_incr_lsh", "dd_span_dedup", "dd_incr_span", "dd_containment",
-    "dd_entity_match",
+    "dd_entity_match", "dd_semdedup",
     // similarity search / sketches
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_knn_join",
     "ann_ivfpq_topk", "a14_kmv_setops",
@@ -89,10 +89,11 @@ object SparkEntry {
     // events / streaming
     "ev_sessionize", "ev_tumbling_window", "ev_stream_exactly_once",
     "ev_gap_fill", "ev_stream_dedup_wm", "ev_funnel", "ev_cohort_retention", "ev_stream_funnel",
+    "ev_stream_topk",
     // multimodal / curation / graph
     "mm_byte_histogram", "mm_avg_hash", "cu_pack_chunks", "cu_decontaminate",
     "cu_ngram_decontaminate",
     "cu_window_chunks", "cu_mixture_weights", "cu_dsir_weights", "cu_quality_filter",
-    "cu_shard_balance",
+    "cu_shard_balance", "cu_token_budget",
     "pipe_pretrain_corpus", "gr_pagerank")
 }

@@ -16,7 +16,11 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter (builder-side
+    // iteration aid; the driver always passes exactly two args)
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSet) else None
     val spark = Sessions.local(appName = "graft-verify")
     // wipe the output dir: a stale query dir from a previous run would be
     // compared by the oracle checker and mask a now-crashing query
@@ -29,7 +33,8 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_Q_TIMEOUT", "300").toInt
     var failed = List.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1))).foreach { case (name, fn) =>
       Watchdog.run(spark, name, timeoutSec) {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -560,6 +560,97 @@ object AnnQueries {
       .select("vec_id", "neighbor_id", "cosine", "rank")
   }
 
+  private val SemK = 8      // shared with cu_kmeans' seed count
+  private val SemTau = 0.35 // shared with dd_embed_cosine's near-dup bar
+
+  /** The cluster-assignment table (vec_id, e, nrm, cid), memoized and
+    * persisted per (session, dir) — dd_semdedup references it THREE times
+    * (both pair-join sides and the verdict join); without the cache each
+    * reference re-runs the K×d broadcast + argmax, and AQE's exchange
+    * reuse only collapses two of the three at runtime (measured: 2 BNLJs
+    * survive in the final adaptive plan). The persist makes one-assignment-
+    * pass a CONTRACT of the operator, not an optimizer outcome —
+    * shingleBase's memo-and-persist pattern.
+    */
+  private val semAssignCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  private def semAssigned(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    semAssignCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    semAssignCache.getOrElseUpdate((s, dir), {
+      val v = Tables.embeddings(s, dir)
+        .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", Vec.dot(col("e"), col("e")))
+      val cents = v.filter(col("vec_id") < SemK)
+        .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
+      // argmax by (cosine desc, cid asc) as a map-side max_by aggregation —
+      // all K candidates of a vec_id sit in one partition after the
+      // broadcast join, so the exchange carries n winner rows, not n×K
+      v.join(broadcast(cents))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("e"), col("nrm"), col("cid")),
+          struct(Vec.cosinePre(Vec.dot(col("e"), col("ce")), col("nrm"), col("cnrm")),
+            -col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.e").as("e"), col("best.nrm").as("nrm"),
+          col("best.cid").as("cid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the embedding corpus, then compare vectors ONLY within their cluster
+    * and drop all but one member of each near-identical group (cosine ≥
+    * τ). The published result: clustering prunes the pair space to
+    * Σ cluster² while catching the semantic duplicates sign-LSH bucketing
+    * (dd_embed_cosine) can miss when a near-dup pair straddles a
+    * hyperplane — clusters adapt to data density, hyperplanes don't.
+    * Keeper rule: within a cluster, the LOWEST vec_id of any qualifying
+    * pair survives (the same deterministic first-occurrence rule as
+    * dd_span_dedup and the E66 greedy keeper; the paper's
+    * farthest-from-centroid choice is the same plan with a different
+    * ORDER BY). Output is the per-vector verdict (vec_id, cluster, kept).
+    *
+    * Centroids here are the K seed vectors (vec_id < K) — the fixed-seed
+    * assignment round shared with cu_kmeans; the production recipe chains
+    * cu_kmeans' Lloyd iterations first and feeds ITS centroid table to
+    * the same assignment join (identical plan shape, K×d broadcast).
+    *
+    * Scale: assignment is one broadcast of K×d against the corpus with a
+    * map-side max_by collapse (cu_kmeans' argmax shape — n rows reach the
+    * exchange, not n×K), computed ONCE and persisted (semAssigned) since
+    * three plan branches consume it; the pair join is ONE shuffle on the cluster id
+    * with Σ cluster² work — K grows ∝ n holding cluster size constant, so
+    * the pair stage stays linear (the SemDeDup paper runs n ≈ 10⁹ with
+    * K = 50 000 exactly this way); the verdict is a left anti-join back
+    * on vec_id, hash-sharded.
+    */
+  val semDedup: QueryDef = QueryDef(
+    "dd_semdedup",
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < $SemK),
+       |a AS (SELECT vec_id, e, cid FROM (
+       |  SELECT v.vec_id, v.e, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |                       ORDER BY ${cosSql("v.e", "c.ce")} DESC, c.cid) AS rn
+       |  FROM v, c) t WHERE rn = 1),
+       |removed AS (
+       |  SELECT DISTINCT y.vec_id AS id_b
+       |  FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE ${cosSql("x.e", "y.e")} >= $SemTau)
+       |SELECT a.vec_id, a.cid AS cluster, r.id_b IS NULL AS kept
+       |FROM a LEFT JOIN removed r ON a.vec_id = r.id_b""".stripMargin) { (s, dir) =>
+    val assigned = semAssigned(s, dir)
+    val removed = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .filter(Vec.cosinePre(Vec.dot(col("x.e"), col("y.e")),
+        col("x.nrm"), col("y.nrm")) >= SemTau)
+      .select(col("y.vec_id").as("id_b")).distinct()
+    assigned
+      .join(removed, col("vec_id") === col("id_b"), "left")
+      .select(col("vec_id"), col("cid").as("cluster"), col("id_b").isNull.as("kept"))
+  }
+
   val defs: Seq[QueryDef] =
-    Seq(bruteForce, lshTopK, embedNearDup, ivfTopK, pqTopK, knnJoin, ivfpqTopK)
+    Seq(bruteForce, lshTopK, embedNearDup, ivfTopK, pqTopK, knnJoin, ivfpqTopK,
+      semDedup)
 }

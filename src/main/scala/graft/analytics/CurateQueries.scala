@@ -708,8 +708,52 @@ object CurateQueries {
         countDistinct(col("gram")).as("shared_grams"))
   }
 
+  private val TokenBudget = 12000L
+
+  /** Quality-ranked selection under an exact token budget — the "best
+    * data that fits the compute budget" cut (the selection step DSIR /
+    * quality weights feed: rank by score, take greedily until the token
+    * budget is exhausted). Docs are ordered by (quality DESC, doc_id) and
+    * kept while the RUNNING token total stays ≤ budget — the boundary doc
+    * that would cross the budget is dropped, and so is everything after
+    * it (greedy prefix, not knapsack: deterministic, single-pass, and
+    * within max_doc_tokens of optimal). All-integer arithmetic; emits
+    * every doc with its verdict and the running total that decided it.
+    *
+    * Scale: the global (quality, doc_id) order is a range-partitioned
+    * sort; the running sum is the cu_pack_chunks window-funnel concern —
+    * at 100 TB you don't sort the corpus to cut it, you estimate the
+    * quality threshold τ(budget) from a GK quantile sketch over the score
+    * distribution (one pass, a9's machinery), filter score ≥ τ, and
+    * reconcile the O(ε·n)-token boundary stratum exactly — same verdict
+    * column, no global window. The global form here is the oracle-exact
+    * statement of the rule.
+    */
+  val tokenBudget: QueryDef = QueryDef(
+    "cu_token_budget",
+    s"""WITH q AS (
+       |  SELECT doc_id, ${TextQueries.QualitySql} AS quality,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents)
+       |SELECT doc_id, quality, toks,
+       |  CAST(SUM(toks) OVER (ORDER BY quality DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       |  CAST(SUM(toks) OVER (ORDER BY quality DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    <= $TokenBudget AS kept
+       |FROM q""".stripMargin) { (s, dir) =>
+    val w = Window.orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextQueries.qualityExpr(col("text")).as("quality"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .withColumn("cum_tokens", sum(col("toks")).over(w))
+      .select(col("doc_id"), col("quality"), col("toks"), col("cum_tokens"),
+        (col("cum_tokens") <= TokenBudget).as("kept"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(splitStratified, piiRedact, packChunks, kmeans, decontaminate, pipeline,
       windowChunks, mixtureWeights, dsirWeights, qualityFilter, shardBalance,
-      ngramDecontaminate)
+      ngramDecontaminate, tokenBudget)
 }

@@ -537,10 +537,61 @@ object StreamQueries {
         dsum(col("value"), 6).as("attributed_value"))
   }
 
+  private val TrendK = 3
+  private val TrendingOracle =
+    s"""WITH c AS (
+       |  SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
+       |  FROM events GROUP BY date_trunc('hour', ts), event_type)
+       |SELECT hour_start, event_type, n, rank FROM (
+       |  SELECT hour_start, event_type, n,
+       |    ROW_NUMBER() OVER (PARTITION BY hour_start
+       |                       ORDER BY n DESC, event_type) AS rank
+       |  FROM c) t WHERE rank <= $TrendK""".stripMargin
+
+  /** Windowed trending top-k — the "what's hot right now" operator: per
+    * tumbling hour, the K most frequent event types with their counts.
+    * One partial-aggregable (hour, type) groupBy collapses the corpus to
+    * hours × |type| rows BEFORE the rank, so the top-k window runs over a
+    * tiny aggregate table — never rank-over-raw-events.
+    */
+  val topkTrending: QueryDef = QueryDef(
+    "ev_topk_trending", TrendingOracle) { (s, dir) =>
+    val counts = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("hour_start").orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TrendK)
+      .select("hour_start", "event_type", "n", "rank")
+  }
+
+  /** The trending top-k as a STREAM: the watermark-bounded windowed count
+    * state (EventsStream.windowedCounts — the ev_watermarked_window
+    * machinery, reused verbatim) maintains the per-(hour, type) counts
+    * incrementally via update-mode upserts, and the RANK runs at read
+    * time over the count sink. This split is the production design, not a
+    * shortcut: a top-k is not incrementally maintainable under count
+    * updates without retraction (a type can fall OUT of the top-k when
+    * another grows), while counts are pure monotone upserts — so stream
+    * maintains what streams well and the k-row-per-window rank runs where
+    * retraction is free. Same oracle as the batch form: equality proves
+    * the maintained counts converge to the batch counts.
+    */
+  val streamTopk: QueryDef = QueryDef(
+    "ev_stream_topk", TrendingOracle) { (s, dir) =>
+    val (src, sink, ckpt) = Staging.stageEvents("graft_trend", dir)
+    EventsStream.windowedCounts(s, src, sink, ckpt)
+    val w = Window.partitionBy("hour_start").orderBy(col("n").desc, col("event_type"))
+    s.read.parquet(sink)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TrendK)
+      .select("hour_start", "event_type", "n", "rank")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exactlyOnce, sessionize, tumbling, watermarkedWindow,
       sessionWindowStream, statefulState, transformWithStateQ,
       streamMergeSink, streamStreamJoin, streamDedup, streamDedupWm, gapFill,
       funnel, cohortRetention, streamFunnelQ, scd2History, attribution,
-      slidingWindow, streamSliding)
+      slidingWindow, streamSliding, topkTrending, streamTopk)
 }

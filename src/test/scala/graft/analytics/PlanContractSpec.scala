@@ -376,4 +376,59 @@ class PlanContractSpec extends AnyFunSuite {
     assert(cached >= 7 && scans <= cached * 2,
       s"live corpus scans detected: $scans FileScans vs $cached cache reads")
   }
+
+  test("dd_semdedup: assignment cached once, pair join equi, no window rank") {
+    val p = initialPlan("dd_semdedup")
+    // the assignment table (holding the K×d broadcast + argmax) is
+    // persisted: all three consumers must read the cache, so NO nested
+    // loop (and no all-pairs) may appear in the outer plan
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+      s"pair sides + verdict join must read the cached assignment:\n${p.take(1500)}")
+    // each InMemoryTableScan prints the cached subtree (which holds the
+    // one legitimate K×d fan-out; once materialized, its AQE printout even
+    // repeats it under == Final Plan == AND == Initial Plan ==) — so strip
+    // every InMemoryRelation's indented subtree and assert no BNLJ remains
+    // as a LIVE node in the outer plan
+    def indent(l: String) = l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-' || c == '*' || c == '(').length
+    val lines = p.linesIterator.toVector
+    var cacheIndent = -1
+    val outer = lines.filter { l =>
+      if (cacheIndent >= 0 && indent(l) > cacheIndent && l.trim.nonEmpty) false
+      else {
+        cacheIndent = if (l.contains("InMemoryRelation")) indent(l) else -1
+        true
+      }
+    }
+    assert(!outer.exists(_.contains("BroadcastNestedLoopJoin")),
+      "a centroid fan-out (or an all-pairs join) leaked out of the assignment cache")
+    assert(!p.contains("CartesianProduct"), "pair stage regressed to all-pairs")
+    // within-cluster pairing is an equi-join on cid
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1500))
+    // the assignment argmax is a partial-aggregable max_by, NOT a
+    // rank-over-n×K window (the exchange must carry n rows, not n×K)
+    assert(!p.contains("Window"), "assignment argmax regressed to a window rank")
+  }
+
+  test("ev_topk_trending: rank runs over the aggregate table, not raw events") {
+    val p = initialPlan("ev_topk_trending")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events.parquet")) == 1,
+      "trending must be one events pass")
+    // the Window (rank) must sit ABOVE the final HashAggregate: counts
+    // collapse the corpus to hours × |type| rows before any rank state
+    val lines = p.linesIterator.toVector
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"rank does not run over the aggregated counts:\n${p.take(1200)}")
+  }
+
+  test("cu_token_budget: one documents scan feeds the budget window") {
+    val p = initialPlan("cu_token_budget")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet")) == 1,
+      "budget cut must be one corpus pass")
+    assert(p.contains("Window"), p.take(1200))
+  }
 }

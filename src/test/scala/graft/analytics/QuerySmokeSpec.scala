@@ -44,7 +44,11 @@ class QuerySmokeSpec extends AnyFunSuite {
       "tx_bpe_tokenize", // same three winner broadcasts + the apply join
       "a14_kmv_setops", // |types|² pair join on k-bounded sketch state
       "tx_tfidf_keywords", // 1-row corpus-size broadcast, bm25's shape
-      "ann_ivfpq_topk") // |probes|x|cells| assignment broadcast, ivf's shape
+      "ann_ivfpq_topk", // |probes|x|cells| assignment broadcast, ivf's shape
+      "dd_semdedup") // K×d centroid fan-out INSIDE the persisted assignment
+                     // cache (echoed by InMemoryTableScan printouts); the
+                     // pair stage itself is contract-pinned equi-only in
+                     // PlanContractSpec
   private val sideEffecting = Set(
     "ev_stream_exactly_once", "ev_stateful_state",
     "k1_sink_idempotence", "k4_null_key_sink",
