@@ -560,7 +560,18 @@ object AnnQueries {
       .select("vec_id", "neighbor_id", "cosine", "rank")
   }
 
-  private val SemK = 8      // shared with cu_kmeans' seed count
+  /** ORACLE-side cluster count: 8 = semKFor(500), static only because the
+    * DuckDB oracle must be static SQL — the live plan derives K from the
+    * corpus count (the signBitsFor precedent). With K fixed, the pair
+    * stage's Σ cluster² ≈ n²/K work is QUADRATIC in the corpus (measured:
+    * 4.4× wall at 10× data); holding cluster size ≈ SemTarget constant by
+    * growing K ∝ n makes it linear — exactly how the SemDeDup paper runs
+    * n ≈ 10⁹ (K = 50 000). The two coincide at the oracle SF, so the hash
+    * gate keeps proving the runtime-K plan.
+    */
+  private val SemK = 8
+  private val SemTarget = 64
+  def semKFor(n: Long): Long = math.max(1L, (n + SemTarget - 1) / SemTarget)
   private val SemTau = 0.35 // shared with dd_embed_cosine's near-dup bar
 
   /** The cluster-assignment table (vec_id, e, nrm, cid), memoized and
@@ -577,10 +588,12 @@ object AnnQueries {
   private def semAssigned(s: org.apache.spark.sql.SparkSession, dir: String) = {
     semAssignCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     semAssignCache.getOrElseUpdate((s, dir), {
+      // corpus-sized K (control-plane count, parquet footer metadata)
+      val k = semKFor(Tables.embeddings(s, dir).count())
       val v = Tables.embeddings(s, dir)
         .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
         .withColumn("nrm", Vec.dot(col("e"), col("e")))
-      val cents = v.filter(col("vec_id") < SemK)
+      val cents = v.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
       // argmax by (cosine desc, cid asc) as a map-side max_by aggregation —
       // all K candidates of a vec_id sit in one partition after the

@@ -82,6 +82,12 @@ class LshPlannerSpec extends AnyFunSuite {
     val widths = Seq(500L, 2000L, 20000L, 200000L, 2000000L)
     assert(widths.map(AnnQueries.signBitsFor) == widths.map(AnnQueries.signBitsFor).sorted)
     assert(widths.map(DedupQueries.simhashWidthFor) == widths.map(DedupQueries.simhashWidthFor).sorted)
+    // semdedup cluster count: equals the oracle's 8 at n=500, then grows
+    // ∝ n (cluster size pinned at ~64, so pair work Σ cluster² stays linear)
+    assert(AnnQueries.semKFor(500) == 8)
+    assert(AnnQueries.semKFor(2000) == 32)
+    assert(AnnQueries.semKFor(20000) == 313)
+    assert(widths.map(AnnQueries.semKFor) == widths.map(AnnQueries.semKFor).sorted)
   }
 
   test("wired: the sf0.1 corpus is bucketed with the PLANNED width, not the oracle's 4 bits") {
