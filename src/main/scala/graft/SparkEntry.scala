@@ -67,10 +67,9 @@ object SparkEntry {
     "x1_concat_explode",
     // aggregation
     "a1_batch_counts", "a3_rollup_spend", "a15_column_stats",
-    "a10_stats_moments", "tpch_q1_pricing_summary",
+    "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue", "tpch_q5_local_supplier",
     "tpch_q2_min_cost_supplier", "tpch_q13_customer_distribution",
-    "tpch_q4_order_priority",
     "tpch_q18_large_volume", "tpch_q8_market_share", "tpch_q9_product_profit",
     // joins / set-ops / limits / windows
     "j1_broadcast_enrich", "j2_star_join_revenue", "j5_asof_join",
@@ -82,14 +81,14 @@ object SparkEntry {
     "dd_entity_match", "dd_semdedup",
     // similarity search / sketches
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_knn_join",
-    "ann_ivfpq_topk", "a14_kmv_setops",
+    "ann_ivfpq_topk", "a14_kmv_setops", "ann_rrf_hybrid",
     // text analysis
     "tx_bm25_rank", "tx_lang_id", "tx_token_count", "tx_ngram_novelty",
     "tx_familiarity", "tx_bpe_merge", "tx_tfidf_keywords", "tx_bpe_tokenize",
     // events / streaming
     "ev_sessionize", "ev_tumbling_window", "ev_stream_exactly_once",
     "ev_gap_fill", "ev_stream_dedup_wm", "ev_funnel", "ev_cohort_retention", "ev_stream_funnel",
-    "ev_stream_topk",
+    "ev_stream_topk", "ev_anomaly_mad",
     // multimodal / curation / graph
     "mm_byte_histogram", "mm_avg_hash", "cu_pack_chunks", "cu_decontaminate",
     "cu_ngram_decontaminate",

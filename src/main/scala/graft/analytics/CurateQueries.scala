@@ -752,8 +752,50 @@ object CurateQueries {
         (col("cum_tokens") <= TokenBudget).as("kept"))
   }
 
+  private val EmbedTau = 0.35 // shared with dd_embed_cosine/dd_semdedup
+
+  /** Embedding-space benchmark decontamination — the SEMANTIC leak check
+    * the n-gram passes (cu_decontaminate / cu_ngram_decontaminate) cannot
+    * see: a paraphrased eval item shares no 8-gram with its training-set
+    * source but still sits next to it in embedding space. Held-out probes
+    * (every 50th vector) are screened against the training corpus by
+    * cosine ≥ τ; output is the per-probe contamination accounting (hit
+    * count + worst-case similarity), the report a release gate consumes.
+    *
+    * Scale: probes are O(|eval|) and BROADCAST against ONE corpus scan —
+    * |eval| is fixed while the corpus grows, so the scan dominates and
+    * the plan is linear (cu_decontaminate's shape, in cosine space; the
+    * max/count aggregate collapses map-side to |eval| rows). When |eval|
+    * outgrows broadcast, the same verdict comes from routing both sides
+    * through ann_ivf's cell assignment and equi-joining on the cell id,
+    * cell-bounded pairs — the composition ann_ivfpq_topk already proves.
+    */
+  val embedDecontaminate: QueryDef = QueryDef(
+    "cu_embed_decontaminate",
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id % 50 = 0),
+       |hits AS (
+       |  SELECT probe_id, ${cosSql("pe", "e")} AS cosine
+       |  FROM p, v WHERE v.vec_id % 50 <> 0)
+       |SELECT probe_id, COUNT(*) AS contaminated_vecs, MAX(cosine) AS max_cosine
+       |FROM hits WHERE cosine >= $EmbedTau GROUP BY probe_id""".stripMargin) { (s, dir) =>
+    import graft.functions.Vec
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", Vec.dot(col("e"), col("e")))
+    val probes = v.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("nrm").as("pnrm"))
+    v.filter(col("vec_id") % 50 =!= 0)
+      .join(broadcast(probes))
+      .select(col("probe_id"),
+        Vec.cosinePre(Vec.dot(col("pe"), col("e")), col("pnrm"), col("nrm")).as("cosine"))
+      .filter(col("cosine") >= EmbedTau)
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("contaminated_vecs"), max(col("cosine")).as("max_cosine"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(splitStratified, piiRedact, packChunks, kmeans, decontaminate, pipeline,
       windowChunks, mixtureWeights, dsirWeights, qualityFilter, shardBalance,
-      ngramDecontaminate, tokenBudget)
+      ngramDecontaminate, tokenBudget, embedDecontaminate)
 }

@@ -588,10 +588,66 @@ object StreamQueries {
       .select("hour_start", "event_type", "n", "rank")
   }
 
+  /** The per-event deviation table (event_id, event_type, value, dev,
+    * med), memoized and persisted per (session, dir): ev_anomaly_mad
+    * consumes it twice (the MAD aggregation and the final flag pass), and
+    * without the cache each reference re-scans events — the
+    * shingleBase/semAssigned memo-and-persist pattern. One events scan
+    * feeds the cache; the median table it joins is |types| rows,
+    * broadcast.
+    */
+  private val devCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  private def devTable(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    devCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    devCache.getOrElseUpdate((s, dir), {
+      val med = Tables.events(s, dir).groupBy("event_type")
+        .agg(expr("percentile(value, 0.5D)").as("med"))
+      Tables.events(s, dir)
+        .join(broadcast(med), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"), col("med"),
+          abs(col("value") - col("med")).as("dev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  /** Robust outlier detection via median/MAD — the Hampel-filter form of
+    * the 3σ rule: per event type, flag events whose |value − median|
+    * exceeds 3× the median absolute deviation. Median/MAD resist the very
+    * outliers they hunt (50% breakdown point), which a10's mean/stddev do
+    * not — the standard anomaly gate for heavy-tailed operational metrics.
+    *
+    * Scale: two aggregation passes by definition (MAD needs the median
+    * first); the dev table is computed once (devTable persist) so events
+    * scan TWICE total (median pass + dev pass), each aggregate collapsing
+    * to |types| rows that broadcast back onto the scan — events never
+    * shuffle. The exact `percentile` here is the oracle statement (it
+    * buffers per group — fine at |types| groups); at 100 TB swap in
+    * approx_percentile (the GK sketch, a11's machinery, partial-
+    * aggregable) with the identical plan shape.
+    */
+  val anomalyMad: QueryDef = QueryDef(
+    "ev_anomaly_mad",
+    """WITH m AS (
+      |  SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+      |d AS (
+      |  SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS dev, m.med
+      |  FROM events e JOIN m ON e.event_type = m.event_type),
+      |s AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY event_type)
+      |SELECT d.event_id, d.event_type, d.value, d.med, s.mad
+      |FROM d JOIN s ON d.event_type = s.event_type
+      |WHERE d.dev > 3.0e0 * s.mad""".stripMargin) { (s, dir) =>
+    val d = devTable(s, dir)
+    val mad = d.groupBy("event_type").agg(expr("percentile(dev, 0.5D)").as("mad"))
+    d.join(broadcast(mad), "event_type")
+      .filter(col("dev") > lit(3.0) * col("mad"))
+      .select("event_id", "event_type", "value", "med", "mad")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exactlyOnce, sessionize, tumbling, watermarkedWindow,
       sessionWindowStream, statefulState, transformWithStateQ,
       streamMergeSink, streamStreamJoin, streamDedup, streamDedupWm, gapFill,
       funnel, cohortRetention, streamFunnelQ, scd2History, attribution,
-      slidingWindow, streamSliding, topkTrending, streamTopk)
+      slidingWindow, streamSliding, topkTrending, streamTopk, anomalyMad)
 }

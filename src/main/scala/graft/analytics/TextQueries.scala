@@ -254,32 +254,42 @@ object TextQueries {
     * broadcast row; scoring is scan → project; ranking is a global top-k
     * (TakeOrdered, no full sort).
     */
-  val bm25Rank: QueryDef = QueryDef(
-    "tx_bm25_rank", {
-      val dl = "length(string_split(text, ' '))"
-      def tfSql(t: String) =
-        s"len(list_filter(string_split(text, ' '), w -> w = '$t'))"
-      val dfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"SUM(CASE WHEN ${tfSql(t)} > 0 THEN 1 ELSE 0 END) AS df$i"
-      }
-      // `e0` exponent literals force DOUBLE in DuckDB (bare `1.2` parses
-      // as DECIMAL there, and decimal-vs-IEEE arithmetic differs in ulps)
-      val scoreSql = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"""(CAST(${tfSql(t)} AS DOUBLE) * (1.0e0 + ${Bm25K1}e0)
-           | / (${tfSql(t)} + ${Bm25K1}e0 * (1.0e0 - ${Bm25B}e0 + ${Bm25B}e0 * ($dl / avgdl)))
-           | * ((n_docs - df$i + 0.5e0) / (df$i + 0.5e0)))""".stripMargin.replaceAll("\n", " ")
-      }.mkString(" + ")
-      s"""WITH stats AS (
-         |  SELECT COUNT(*) AS n_docs,
-         |    CAST(SUM(CAST($dl AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avgdl,
-         |    ${dfCols.mkString(", ")}
-         |  FROM documents)
-         |SELECT doc_id, score, rank FROM (
-         |  SELECT doc_id, $scoreSql AS score,
-         |    ROW_NUMBER() OVER (ORDER BY $scoreSql DESC, doc_id) AS rank
-         |  FROM documents, stats) t
-         |WHERE rank <= $Bm25TopK""".stripMargin
-    }) { (s, dir) =>
+  /** The BM25 ranked-list SQL (doc_id, score, rank ≤ Bm25TopK) — the
+    * tx_bm25_rank oracle, factored out so ann_rrf_hybrid can embed the
+    * SAME list as a CTE (fusion must fuse exactly what the lexical query
+    * returns).
+    */
+  private val Bm25ListSql: String = {
+    val dl = "length(string_split(text, ' '))"
+    def tfSql(t: String) =
+      s"len(list_filter(string_split(text, ' '), w -> w = '$t'))"
+    val dfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN ${tfSql(t)} > 0 THEN 1 ELSE 0 END) AS df$i"
+    }
+    // `e0` exponent literals force DOUBLE in DuckDB (bare `1.2` parses
+    // as DECIMAL there, and decimal-vs-IEEE arithmetic differs in ulps)
+    val scoreSql = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"""(CAST(${tfSql(t)} AS DOUBLE) * (1.0e0 + ${Bm25K1}e0)
+         | / (${tfSql(t)} + ${Bm25K1}e0 * (1.0e0 - ${Bm25B}e0 + ${Bm25B}e0 * ($dl / avgdl)))
+         | * ((n_docs - df$i + 0.5e0) / (df$i + 0.5e0)))""".stripMargin.replaceAll("\n", " ")
+    }.mkString(" + ")
+    s"""WITH stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST($dl AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avgdl,
+       |    ${dfCols.mkString(", ")}
+       |  FROM documents)
+       |SELECT doc_id, score, rank FROM (
+       |  SELECT doc_id, $scoreSql AS score,
+       |    ROW_NUMBER() OVER (ORDER BY $scoreSql DESC, doc_id) AS rank
+       |  FROM documents, stats) t
+       |WHERE rank <= $Bm25TopK""".stripMargin
+  }
+
+  /** The BM25 ranked list as a DataFrame — shared by tx_bm25_rank and the
+    * hybrid fusion.
+    */
+  private def bm25List(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val dl = size(words(col("text")))
     def tf(t: String): Column = size(filter(words(col("text")), w => w === t))
     val statCols =
@@ -308,6 +318,74 @@ object TextQueries {
         .partitionBy(pmod(col("doc_id"), lit(1)))
         .orderBy(col("score").desc, col("doc_id"))))
       .select("doc_id", "score", "rank")
+  }
+
+  val bm25Rank: QueryDef = QueryDef("tx_bm25_rank", Bm25ListSql)(bm25List)
+
+  private val RrfK = 60
+  private val RrfTopK = 10
+
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al., SIGIR
+    * 2009): fuse the BM25 lexical top-k with the dense-embedding cosine
+    * top-k by RRF score Σ 1/(K + rank) — the standard hybrid-search
+    * combiner (rank-based, so the two scorers need no score calibration).
+    * The lexical query is Bm25Terms; the dense query is vector 0 as a
+    * query-by-example; both lists are top-Bm25TopK, fused to RrfTopK.
+    *
+    * Scale: each input is a top-k list (the BM25 TakeOrdered; the dense
+    * side any ANN tier — brute force here, ann_lsh/ivf at the lake,
+    * identical fusion), so the fusion stage — a k×k full outer join on
+    * doc id plus a k-row rank — is O(k) regardless of corpus size; the
+    * corpus cost is exactly the two underlying retrievals. 1/(K+rank) is
+    * one IEEE division of exact ints, bit-identical cross-engine.
+    */
+  val rrfHybrid: QueryDef = QueryDef(
+    "ann_rrf_hybrid", {
+      val cos = "list_dot_product(pe, e) / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(e, e)))"
+      s"""WITH bm AS ($Bm25ListSql),
+         |vv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |pp AS (SELECT e AS pe FROM vv WHERE vec_id = 0),
+         |ann AS (
+         |  SELECT vec_id, rank FROM (
+         |    SELECT vec_id,
+         |      ROW_NUMBER() OVER (ORDER BY $cos DESC, vec_id) AS rank
+         |    FROM vv, pp) t WHERE rank <= $Bm25TopK),
+         |fused AS (
+         |  SELECT COALESCE(bm.doc_id, ann.vec_id) AS doc_id,
+         |    COALESCE(1.0e0 / ($RrfK + bm.rank), 0.0e0)
+         |      + COALESCE(1.0e0 / ($RrfK + ann.rank), 0.0e0) AS rrf
+         |  FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.vec_id)
+         |SELECT doc_id, rrf, rank FROM (
+         |  SELECT doc_id, rrf,
+         |    ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM fused) t
+         |WHERE rank <= $RrfTopK""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Vec
+    val W = org.apache.spark.sql.expressions.Window
+    val bm = bm25List(s, dir).select(col("doc_id"), col("rank").as("rank_bm"))
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", Vec.dot(col("e"), col("e")))
+    val probe = v.filter(col("vec_id") === 0)
+      .select(col("e").as("pe"), col("nrm").as("pnrm"))
+    val ann = v.join(broadcast(probe))
+      .select(col("vec_id"),
+        Vec.cosinePre(Vec.dot(col("pe"), col("e")), col("pnrm"), col("nrm")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(Bm25TopK)
+      .withColumn("rank_ann", row_number().over(W
+        .partitionBy(pmod(col("vec_id"), lit(1)))
+        .orderBy(col("cosine").desc, col("vec_id"))))
+      .select("vec_id", "rank_ann")
+    val fused = bm.join(ann, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("rank_bm")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_ann")), lit(0.0))).as("rrf"))
+    fused
+      .withColumn("rank", row_number().over(W
+        .partitionBy(pmod(col("doc_id"), lit(1)))
+        .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= RrfTopK)
+      .select("doc_id", "rrf", "rank")
   }
 
   /** Edit-distance (Levenshtein) near-dup scoring — the character-level
@@ -714,5 +792,5 @@ object TextQueries {
   val defs: Seq[QueryDef] =
     Seq(qualityScore, langId, tokenCount, fingerprint, rollingHash, sentiment,
       corpusFilter, bm25Rank, editDist, repetition, ngramNovelty, familiarity,
-      bpeMerge, tfidfKeywords, bpeTokenize)
+      bpeMerge, tfidfKeywords, bpeTokenize, rrfHybrid)
 }

@@ -21,6 +21,24 @@ class PlanContractSpec extends AnyFunSuite {
   private def initialPlan(name: String): String =
     df(name).queryExecution.executedPlan.toString
 
+  /** Drop every InMemoryRelation's indented subtree from a plan printout —
+    * cached subtrees echo under each InMemoryTableScan (twice once
+    * materialized: Final + Initial sections), so node-count assertions on
+    * the LIVE outer plan must strip them first.
+    */
+  private def stripCachedSubtrees(p: String): Vector[String] = {
+    def indent(l: String) = l.takeWhile(c =>
+      c == ' ' || c == ':' || c == '+' || c == '-' || c == '*' || c == '(').length
+    var cacheIndent = -1
+    p.linesIterator.toVector.filter { l =>
+      if (cacheIndent >= 0 && indent(l) > cacheIndent && l.trim.nonEmpty) false
+      else {
+        cacheIndent = if (l.contains("InMemoryRelation")) indent(l) else -1
+        true
+      }
+    }
+  }
+
   private def finalPlan(name: String): String = {
     val d = df(name)
     d.collect() // drive AQE to its final plan
@@ -389,16 +407,7 @@ class PlanContractSpec extends AnyFunSuite {
     // repeats it under == Final Plan == AND == Initial Plan ==) — so strip
     // every InMemoryRelation's indented subtree and assert no BNLJ remains
     // as a LIVE node in the outer plan
-    def indent(l: String) = l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-' || c == '*' || c == '(').length
-    val lines = p.linesIterator.toVector
-    var cacheIndent = -1
-    val outer = lines.filter { l =>
-      if (cacheIndent >= 0 && indent(l) > cacheIndent && l.trim.nonEmpty) false
-      else {
-        cacheIndent = if (l.contains("InMemoryRelation")) indent(l) else -1
-        true
-      }
-    }
+    val outer = stripCachedSubtrees(p)
     assert(!outer.exists(_.contains("BroadcastNestedLoopJoin")),
       "a centroid fan-out (or an all-pairs join) leaked out of the assignment cache")
     assert(!p.contains("CartesianProduct"), "pair stage regressed to all-pairs")
@@ -430,5 +439,33 @@ class PlanContractSpec extends AnyFunSuite {
       l.contains("FileScan parquet") && l.contains("documents.parquet")) == 1,
       "budget cut must be one corpus pass")
     assert(p.contains("Window"), p.take(1200))
+  }
+
+  test("ann_rrf_hybrid: both inputs are top-k lists; fusion is an equi-join") {
+    val p = initialPlan("ann_rrf_hybrid")
+    // the dense list must come from a TakeOrdered, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    // the fusion join is a doc-id equi-join (FullOuter), not a nested loop
+    assert(p.contains("FullOuter"), p.take(1500))
+    val outer = stripCachedSubtrees(p)
+    assert(!outer.exists(_.contains("CartesianProduct")), "fusion regressed to all-pairs")
+  }
+
+  test("cu_embed_decontaminate: one probe fan-out, map-side accounting collapse") {
+    val p = initialPlan("cu_embed_decontaminate")
+    // exactly the O(|eval|) probe broadcast against the corpus scan
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1, p.take(1500))
+    // the per-probe count/max must partial-aggregate below the exchange
+    assert(p.contains("partial_count") || p.contains("partial_max"),
+      "accounting aggregate lost its map-side partial phase")
+  }
+
+  test("ev_anomaly_mad: events scans live inside the persisted dev cache") {
+    val p = initialPlan("ev_anomaly_mad")
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      s"MAD aggregation and flag pass must both read the dev cache:\n${p.take(1500)}")
+    val outer = stripCachedSubtrees(p)
+    assert(!outer.exists(l => l.contains("FileScan parquet") && l.contains("events.parquet")),
+      "a live events scan escaped the dev cache — the flag pass re-scans the table")
   }
 }

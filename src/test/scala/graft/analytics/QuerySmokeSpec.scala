@@ -45,10 +45,15 @@ class QuerySmokeSpec extends AnyFunSuite {
       "a14_kmv_setops", // |types|² pair join on k-bounded sketch state
       "tx_tfidf_keywords", // 1-row corpus-size broadcast, bm25's shape
       "ann_ivfpq_topk", // |probes|x|cells| assignment broadcast, ivf's shape
-      "dd_semdedup") // K×d centroid fan-out INSIDE the persisted assignment
+      "dd_semdedup", // K×d centroid fan-out INSIDE the persisted assignment
                      // cache (echoed by InMemoryTableScan printouts); the
                      // pair stage itself is contract-pinned equi-only in
                      // PlanContractSpec
+      "ann_rrf_hybrid", // embeds bm25's 1-row stats broadcast + the 1-row
+                        // dense probe broadcast; fusion itself is an
+                        // equi-join on doc id (contract-pinned)
+      "cu_embed_decontaminate") // O(|eval|) probe broadcast against ONE
+                                // corpus scan, cu_decontaminate's shape
   private val sideEffecting = Set(
     "ev_stream_exactly_once", "ev_stateful_state",
     "k1_sink_idempotence", "k4_null_key_sink",
