@@ -49,11 +49,12 @@ object SparkEntry {
     * so the bench (a) covers every operator family, (b) finishes well
     * inside the driver's run budget on a throttled host, and (c) emits a
     * JSON line that fits the 2000-char stdout capture tail. The FULL
-    * 82-query surface is exercised by Verify (the correctness gate) and
+    * 157-query surface is exercised by Verify (the correctness gate) and
     * the ScalaTest suite; the bench's job is comparable throughput
-    * numbers, and 82 compact entries (~1972 chars) cannot fit the tail
-    * once sbt's trailing `[success]` line is accounted for — rounds 2–4
-    * all lost their numbers to exactly that.
+    * numbers, and that many compact entries cannot fit the tail once
+    * sbt's trailing `[success]` line is accounted for — rounds 2–4 all
+    * lost their numbers to exactly that. BenchLineSpec pins the worst
+    * case; swaps below keep every operator family represented.
     */
   def benchQueries: Seq[String] = Seq(
     // scans / filters / sinks / watermarks (ingest spine) — incl. the
@@ -63,13 +64,13 @@ object SparkEntry {
     "k1_sink_idempotence", "k10_merge_upsert", "k13_point_lookup",
     "k11_format_roundtrip", "k12_incremental_agg", "k14_delete",
     // projections / explodes / json
-    "p2_struct_array_extract", "p4_string_surface", "p14_json_props",
+    "p2_struct_array_extract", "p14_json_props",
     "x1_concat_explode",
     // aggregation
     "a1_batch_counts", "a3_rollup_spend", "a15_column_stats",
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue", "tpch_q5_local_supplier",
-    "tpch_q2_min_cost_supplier", "tpch_q13_customer_distribution",
+    "tpch_q2_min_cost_supplier",
     "tpch_q18_large_volume", "tpch_q8_market_share", "tpch_q9_product_profit",
     // joins / set-ops / limits / windows
     "j1_broadcast_enrich", "j2_star_join_revenue", "j5_asof_join",
@@ -88,11 +89,11 @@ object SparkEntry {
     // events / streaming
     "ev_sessionize", "ev_tumbling_window", "ev_stream_exactly_once",
     "ev_gap_fill", "ev_stream_dedup_wm", "ev_funnel", "ev_cohort_retention", "ev_stream_funnel",
-    "ev_stream_topk", "ev_anomaly_mad",
+    "ev_stream_topk", "ev_anomaly_mad", "ev_stream_scd2",
     // multimodal / curation / graph
-    "mm_byte_histogram", "mm_avg_hash", "cu_pack_chunks", "cu_decontaminate",
+    "mm_byte_histogram", "mm_avg_hash", "dd_media_dedup", "cu_pack_chunks", "cu_decontaminate",
     "cu_ngram_decontaminate",
     "cu_window_chunks", "cu_mixture_weights", "cu_dsir_weights", "cu_quality_filter",
     "cu_shard_balance", "cu_token_budget",
-    "pipe_pretrain_corpus", "gr_pagerank")
+    "pipe_pretrain_corpus", "gr_pagerank", "gr_bfs_distance")
 }

@@ -182,5 +182,65 @@ object GraphQueries {
           .as("coefficient"))
   }
 
-  val defs: Seq[QueryDef] = Seq(pagerank)
+  private val BfsSeeds = Seq(3L, 5L, 7L) // part nodes 1-3 (partkey*2+1)
+
+  /** Multi-source BFS distance — the "how far is everything from these
+    * seeds" primitive (reachability, influence radius, staleness hops)
+    * that pagerank's value propagation and components' label propagation
+    * do not answer. Frontier relaxation, 3 unrolled rounds: each round
+    * unions the current distances with every neighbor's distance+1 and
+    * keeps the per-node MIN — monotone (distances only shrink), so the
+    * unrolled dataflow is exactly Bellman-Ford restricted to unit
+    * weights. Output: every node within 3 hops of any seed, with its
+    * exact hop distance.
+    *
+    * Scale: same skeleton as pagerank — the symmetric edge table persists
+    * hash-partitioned on src once, each round is ONE shuffle (the
+    * min-groupBy; the frontier join rides sym's cached layout), distances
+    * are integers so the min is partial-aggregable map-side. A
+    * convergence-loop variant localCheckpoints per round
+    * (dd_components_star's pattern); a weighted variant swaps +1 for the
+    * edge weight — same plan.
+    */
+  val bfsDistance: QueryDef = QueryDef(
+    "gr_bfs_distance", {
+      val iter = (i: Int) =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, MIN(dist) AS dist FROM (
+           |    SELECT node, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, d.dist + 1 AS dist
+           |    FROM sym e JOIN d${i - 1} d ON d.node = e.src) t
+           |  GROUP BY node)""".stripMargin
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+         |  FROM lineitem),
+         |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+         |d0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM sym
+         |  WHERE src IN (${BfsSeeds.mkString(", ")})),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node, dist FROM d3""".stripMargin
+    }) { (s, dir) =>
+    val edges = Tables.lineitem(s, dir)
+      .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .distinct()
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val d0 = sym.filter(col("src").isin(BfsSeeds: _*))
+      .select(col("src").as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    def relax(d: DataFrame): DataFrame =
+      d.unionByName(
+        sym.join(d.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
+        .groupBy("node").agg(min("dist").as("dist"))
+    relax(relax(relax(d0)))
+  }
+
+  val defs: Seq[QueryDef] = Seq(pagerank, bfsDistance)
 }

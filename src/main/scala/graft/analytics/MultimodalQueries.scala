@@ -105,5 +105,59 @@ object MultimodalQueries {
     }
   }
 
-  val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash)
+  /** Media near-dedup by perceptual hash — the image-dedup pipeline's
+    * pair stage: aHash codes (mm_avg_hash's integer-exact fingerprint)
+    * compared at Hamming distance ≤ 1 via the XOR-multiprobe bucket join
+    * (ann_knn_join's blocking, applied to media): each code probes its
+    * own bucket plus the 16 one-bit-flip buckets, so every qualifying
+    * pair meets in EXACTLY one equi-bucket — Σ bucket² work, never
+    * all-pairs, and no pair is found twice (hamming-0 meets at mask 0,
+    * hamming-1 at the single differing bit's mask). Output is the
+    * verified pair table (id_a, id_b, hamming) — dd_components' label
+    * propagation collapses it to duplicate clusters exactly as it does
+    * text near-dup pairs.
+    *
+    * Scale: one shuffle of the (media_id, code) projection on the bucket
+    * key — 17 probe rows per media (bits+1, the multiprobe factor); the
+    * verify predicate (bit_count of xor ≤ 1) is codegen'd integer ops.
+    * A real deployment widens the code (pHash 64-bit) which SHRINKS
+    * bucket occupancy; the plan is unchanged.
+    */
+  val mediaDedup: QueryDef = {
+    def byteSql(i: Int): String =
+      s"(${hexVal(s"substr(md5(text), ${2 * i + 1}, 1)")} * 16 + ${hexVal(s"substr(md5(text), ${2 * i + 2}, 1)")})"
+    val masks = 0L +: (0 until 16).map(1L << _)
+    QueryDef(
+      "dd_media_dedup",
+      s"""WITH b AS (
+         |  SELECT doc_id, [${(0 until 16).map(byteSql).mkString(", ")}] AS bt
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |t AS (SELECT doc_id, bt, list_sum(bt) AS total FROM b),
+         |codes AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(list_sum([CASE WHEN bt[i+1]*16 > total THEN (CAST(1 AS BIGINT) << i)
+         |                        ELSE CAST(0 AS BIGINT) END for i in range(0, 16)]) AS BIGINT) AS code
+         |  FROM t),
+         |probed AS (
+         |  SELECT media_id, code, unnest([xor(code, m) for m in [${masks.mkString(", ")}]]) AS bucket
+         |  FROM codes)
+         |SELECT a.media_id AS id_a, c.media_id AS id_b,
+         |  CAST(bit_count(xor(a.code, c.code)) AS BIGINT) AS hamming
+         |FROM probed a JOIN codes c
+         |  ON a.bucket = c.code AND a.media_id < c.media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.syntheticMedia(s, Tables.documents(s, dir))
+      val codes = Multimodal.avgHash(media).toDF().select("media_id", "code")
+      val maskCol = array(masks.map(lit): _*)
+      val probed = codes.select(col("media_id"), col("code"),
+        explode(transform(maskCol, m => col("code").bitwiseXOR(m))).as("bucket"))
+      probed.as("a")
+        .join(codes.as("c"),
+          col("a.bucket") === col("c.code") && col("a.media_id") < col("c.media_id"))
+        .select(col("a.media_id").as("id_a"), col("c.media_id").as("id_b"),
+          bit_count(col("a.code").bitwiseXOR(col("c.code"))).cast("long").as("hamming"))
+    }
+  }
+
+  val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash,
+    mediaDedup)
 }

@@ -471,8 +471,7 @@ object StreamQueries {
     * same rule per micro-batch merged through MergeSink with the open row
     * re-closed on arrival.
     */
-  val scd2History: QueryDef = QueryDef(
-    "ev_scd2_history",
+  private val Scd2Oracle =
     """WITH c AS (
       |  SELECT user_id, ts, event_id, event_type,
       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -486,7 +485,10 @@ object StreamQueries {
       |    AS version,
       |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
       |    AS is_current
-      |FROM ch""".stripMargin) { (s, dir) =>
+      |FROM ch""".stripMargin
+
+  val scd2History: QueryDef = QueryDef(
+    "ev_scd2_history", Scd2Oracle) { (s, dir) =>
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -644,10 +646,68 @@ object StreamQueries {
       .select("event_id", "event_type", "value", "med", "mad")
   }
 
+  /** EWMA time-series smoothing (α = 1/8) per event type, as an ORDERED
+    * sequential fold — the one operator family that genuinely does not
+    * distribute: EWMA_n = α·v_n + (1−α)·EWMA_{n−1} is a linear recurrence
+    * whose closed form needs (1−α)^n terms that underflow/overflow, so
+    * the honest deterministic statement is the event-time-ordered fold
+    * both engines execute identically (Spark `aggregate` HOF over the
+    * sorted per-type list ≡ DuckDB `list_reduce` over `list(... ORDER
+    * BY)`; first element seeds the accumulator). Emits each type's final
+    * smoothed level and its sequence length.
+    *
+    * Scale: the per-type collect is bounded by per-type cardinality —
+    * fine for |types| dashboard series, NOT for unbounded keys. At the
+    * lake the same recurrence runs as per-key STATE over an ordered
+    * replay (transformWithState with event-time timers to impose order
+    * under the watermark — the machinery ev_stream_funnel proves), or
+    * chunked scan-carry: fold each partition, then fold the per-partition
+    * (factor, offset) pairs — EWMA is affine, so partial folds compose
+    * exactly. The grouped fold here is the oracle-exact statement.
+    */
+  val ewmaSmooth: QueryDef = QueryDef(
+    "ev_ewma_smooth",
+    """WITH s AS (
+      |  SELECT event_type, list(value ORDER BY ts, event_id) AS vs
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, CAST(len(vs) AS BIGINT) AS n,
+      |  list_reduce(vs, (acc, x) -> 0.125e0 * x + 0.875e0 * acc) AS ewma
+      |FROM s""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+        .as("evs"))
+      .select(col("event_type"),
+        size(col("evs")).cast("long").as("n"),
+        expr("""aggregate(
+                  slice(transform(evs, e -> e.value), 2, size(evs) - 1),
+                  element_at(transform(evs, e -> e.value), 1),
+                  (acc, x) -> 0.125D * x + 0.875D * acc)""").as("ewma"))
+  }
+
+  /** SCD2 as STREAMING MAINTENANCE: the dimension table is kept current
+    * by per-micro-batch incremental MERGEs (EventsStream.streamScd2 —
+    * close the open version, append the new ones, replay-idempotent on
+    * (user_id, version)) instead of ev_scd2_history's full-history
+    * backfill window. Same oracle: the maintained table must equal the
+    * batch-derived history exactly — incl. the cross-batch proof in
+    * StreamScd2Spec, where the feed is split at a time boundary and
+    * drained in two separate runs against the same sink.
+    */
+  val streamScd2Q: QueryDef = QueryDef(
+    "ev_stream_scd2", Scd2Oracle) { (s, dir) =>
+    val (src, sink, ckpt) = Staging.stageEvents("graft_sscd2", dir)
+    EventsStream.streamScd2(s, src, sink, ckpt)
+    graft.ingest.MergeSink.read(s, sink)
+      .select("user_id", "state", "effective_from", "effective_to",
+        "version", "is_current")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exactlyOnce, sessionize, tumbling, watermarkedWindow,
       sessionWindowStream, statefulState, transformWithStateQ,
       streamMergeSink, streamStreamJoin, streamDedup, streamDedupWm, gapFill,
       funnel, cohortRetention, streamFunnelQ, scd2History, attribution,
-      slidingWindow, streamSliding, topkTrending, streamTopk, anomalyMad)
+      slidingWindow, streamSliding, topkTrending, streamTopk, anomalyMad,
+      ewmaSmooth, streamScd2Q)
 }

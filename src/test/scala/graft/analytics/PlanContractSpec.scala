@@ -460,6 +460,34 @@ class PlanContractSpec extends AnyFunSuite {
       "accounting aggregate lost its map-side partial phase")
   }
 
+  test("dd_media_dedup: multiprobe pairs meet in equi-buckets, never all-pairs") {
+    val p = initialPlan("dd_media_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "media pair stage regressed to an unbounded join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+    // the 17-way probe fan-out is a Generate fused below the join
+    assert(p.contains("Generate"), "probe masks must expand via explode, not a join")
+  }
+
+  test("gr_bfs_distance: every round reads the persisted symmetric edges") {
+    val p = initialPlan("gr_bfs_distance")
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
+      s"3 relaxation rounds must reuse the cached sym table:\n${p.take(1500)}")
+    val outer = stripCachedSubtrees(p)
+    assert(!outer.exists(l => l.contains("FileScan parquet") && l.contains("lineitem.parquet")),
+      "a live lineitem scan escaped the edge cache — a round re-derives edges")
+  }
+
+  test("ev_ewma_smooth: one events scan, partial collect below the exchange") {
+    val p = initialPlan("ev_ewma_smooth")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events.parquet")) == 1,
+      "the fold must consume ONE ordered collect per type")
+    assert(p.contains("partial_collect_list"),
+      "per-type sequence must partial-aggregate map-side")
+  }
+
   test("ev_anomaly_mad: events scans live inside the persisted dev cache") {
     val p = initialPlan("ev_anomaly_mad")
     assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,

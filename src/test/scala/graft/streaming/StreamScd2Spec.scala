@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.ingest.MergeSink
+import graft.sources.EventsSource
+
+/** The load-bearing proof for ev_stream_scd2: incremental MAINTENANCE
+  * across micro-batch boundaries. The feed is split at the median
+  * timestamp and drained in two separate runs against the same sink —
+  * versions opened by the first drain must be CLOSED by the second when
+  * the user's state changes again, version numbering must continue from
+  * the persisted open row, and the final table must equal the batch
+  * backfill exactly. A third drain with nothing new pins replay
+  * idempotence.
+  */
+class StreamScd2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("split-feed two-drain SCD2 maintenance equals the batch history") {
+    val ev = graft.Tables.events(spark, sf)
+    val tss = ev.select("ts").orderBy("ts").collect().map(_.getTimestamp(0))
+    val cut = tss(tss.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_scd2spec").toFile
+    val halfA = new java.io.File(base, "halfA").getPath
+    val halfB = new java.io.File(base, "halfB").getPath
+    ev.filter(col("ts") <= lit(cut)).coalesce(1).write.parquet(halfA)
+    ev.filter(col("ts") > lit(cut)).coalesce(1).write.parquet(halfB)
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    val sink = new java.io.File(base, "sink").getPath
+    val ckpt = new java.io.File(base, "ckpt").getPath
+
+    assert(EventsSource.stageInto(java.nio.file.Paths.get(halfA), src.toPath, "a") > 0)
+    EventsStream.streamScd2(spark, src.getPath, sink, ckpt)
+    val afterA = MergeSink.read(spark, sink).collect().length
+
+    assert(EventsSource.stageInto(java.nio.file.Paths.get(halfB), src.toPath, "b") > 0)
+    EventsStream.streamScd2(spark, src.getPath, sink, ckpt)
+    // a drain with nothing new must not move the table (replay idempotence)
+    EventsStream.streamScd2(spark, src.getPath, sink, ckpt)
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), String.valueOf(r.get(2)),
+        String.valueOf(r.get(3)), r.getLong(4), r.getBoolean(5))
+    val fin = MergeSink.read(spark, sink)
+      .select("user_id", "state", "effective_from", "effective_to",
+        "version", "is_current").collect().map(key).toSet
+    val batch = graft.SparkEntry.allDefs.find(_.name == "ev_scd2_history").get
+      .fn(spark, sf).collect().map(key).toSet
+    assert(fin == batch,
+      s"maintained table diverges from batch history (sizes ${fin.size} vs ${batch.size})")
+    // the second drain must have actually extended the first (cross-batch
+    // path exercised, not a single-batch fluke)
+    assert(afterA < fin.size, "second drain added nothing; split proof vacuous")
+  }
+}
