@@ -91,9 +91,9 @@ object SparkEntry {
     "ev_gap_fill", "ev_stream_dedup_wm", "ev_funnel", "ev_cohort_retention", "ev_stream_funnel",
     "ev_stream_topk", "ev_anomaly_mad", "ev_stream_scd2",
     // multimodal / curation / graph
-    "mm_byte_histogram", "mm_avg_hash", "dd_media_dedup", "cu_pack_chunks", "cu_decontaminate",
+    "mm_byte_histogram", "mm_avg_hash", "dd_media_dedup", "cu_pack_chunks",
     "cu_ngram_decontaminate",
     "cu_window_chunks", "cu_mixture_weights", "cu_dsir_weights", "cu_quality_filter",
     "cu_shard_balance", "cu_token_budget",
-    "pipe_pretrain_corpus", "gr_pagerank", "gr_bfs_distance")
+    "pipe_pretrain_corpus", "pipe_incremental_corpus", "gr_pagerank", "gr_bfs_distance")
 }

@@ -794,8 +794,124 @@ object CurateQueries {
       .agg(count(lit(1)).as("contaminated_vecs"), max(col("cosine")).as("max_cosine"))
   }
 
+  /** The INCREMENTAL curation pipeline — pipe_pretrain_corpus's
+    * daily-ingest form, the run an operating corpus does every day: the
+    * new batch (docs with id % 5 = 0) flows quality gate → exact dedup
+    * (batch-internal keeper + corpus-fingerprint match) → LSH near-dedup
+    * (cross matches vs the corpus always drop the batch doc; batch-
+    * internal verified pairs drop the lower-quality end, E66's greedy
+    * rule) → eval-probe decontamination, and every batch doc gets ONE
+    * verdict: its FIRST failing stage, or 'kept'. The per-doc verdict
+    * table (not just survivor accounting) is what makes the daily run
+    * auditable — every drop is attributable to a stage.
+    *
+    * Scale — the O(batch) contract, stage by stage: the quality gate and
+    * probe decontamination touch only batch rows (probe set broadcast);
+    * the exact stage joins batch fingerprints against the corpus
+    * fingerprint table (precomputed and bucketed by fp at the lake — the
+    * dd_incr_lsh corpus-table pattern — so the join reads O(batch)
+    * buckets); the near-dup stage is dd_incr_lsh's band equi-join: batch
+    * bands × corpus bands meet on band_key, candidates are O(batch).
+    * Nothing rescans the corpus per batch except building the tables
+    * the lake keeps materialized. Self-contained here (the corpus
+    * tables derive in-query from the %5 split), which is also what lets
+    * one static oracle state the whole recipe.
+    */
+  val incrementalPipeline: QueryDef = QueryDef(
+    "pipe_incremental_corpus",
+    s"""WITH ${DedupQueries.PairsCteSql},
+       |b AS (
+       |  SELECT doc_id, lang, text, ${TextQueries.QualitySql} AS quality
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |corpus_fp AS (
+       |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0),
+       |clean AS (
+       |  SELECT doc_id, md5(text) AS fp, quality FROM b WHERE quality >= 0.2),
+       |ikeep AS (SELECT fp, MIN(doc_id) AS keep FROM clean GROUP BY fp),
+       |exacts AS (
+       |  SELECT c.doc_id FROM clean c
+       |  LEFT JOIN corpus_fp cf ON c.fp = cf.fp
+       |  LEFT JOIN ikeep k ON c.fp = k.fp
+       |  WHERE cf.fp IS NOT NULL OR c.doc_id <> k.keep),
+       |crossm AS (
+       |  SELECT DISTINCT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id
+       |  FROM verified WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)),
+       |ipair AS (
+       |  SELECT v.doc_a, v.doc_b, ca.quality AS qa, cb.quality AS qb
+       |  FROM verified v
+       |  JOIN clean ca ON ca.doc_id = v.doc_a
+       |  JOIN clean cb ON cb.doc_id = v.doc_b
+       |  WHERE v.doc_a % 5 = 0 AND v.doc_b % 5 = 0),
+       |ilosers AS (
+       |  SELECT DISTINCT CASE WHEN qa < qb OR (qa = qb AND doc_a > doc_b)
+       |                       THEN doc_a ELSE doc_b END AS doc_id
+       |  FROM ipair),
+       |probes AS (
+       |  SELECT doc_id AS eval_id,
+       |    array_to_string(string_split(text, ' ')[1:10], ' ') AS probe
+       |  FROM documents WHERE doc_id % 50 = 0 AND doc_id < 1000000),
+       |cont AS (
+       |  SELECT DISTINCT d.doc_id FROM b d JOIN probes e
+       |    ON position(probe IN d.text) > 0 AND d.doc_id <> eval_id)
+       |SELECT b.doc_id, b.lang,
+       |  CASE WHEN b.quality < 0.2 THEN 'quality'
+       |       WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       |       WHEN cm.doc_id IS NOT NULL OR il.doc_id IS NOT NULL THEN 'near_dup'
+       |       WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+       |       ELSE 'kept' END AS verdict
+       |FROM b
+       |LEFT JOIN exacts e ON b.doc_id = e.doc_id
+       |LEFT JOIN crossm cm ON b.doc_id = cm.doc_id
+       |LEFT JOIN ilosers il ON b.doc_id = il.doc_id
+       |LEFT JOIN cont ct ON b.doc_id = ct.doc_id""".stripMargin) { (s, dir) =>
+    val isNew = col("doc_id") % 5 === 0
+    val b = Tables.documents(s, dir).filter(isNew)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextQueries.qualityExpr(col("text")).as("quality"))
+    val corpusFp = Tables.documents(s, dir).filter(!isNew)
+      .select(md5(col("text")).as("fp")).distinct()
+    val clean = b.filter(col("quality") >= 0.2)
+      .select(col("doc_id"), md5(col("text")).as("fp"), col("quality"))
+    val ikeep = clean.groupBy("fp").agg(min("doc_id").as("keep"))
+    val exacts = clean
+      .join(corpusFp.withColumn("in_corp", lit(1)), Seq("fp"), "left")
+      .join(ikeep, Seq("fp"), "left")
+      .filter(col("in_corp").isNotNull || col("doc_id") =!= col("keep"))
+      .select(col("doc_id").as("ex_id"))
+    val pairs = DedupQueries.nearDupPairs(s, dir)
+    val crossm = pairs.filter((col("doc_a") % 5 === 0) =!= (col("doc_b") % 5 === 0))
+      .select(when(col("doc_a") % 5 === 0, col("doc_a")).otherwise(col("doc_b"))
+        .as("cm_id"))
+      .distinct()
+    val cq = clean.select(col("doc_id"), col("quality"))
+    val ipair = pairs.filter(col("doc_a") % 5 === 0 && col("doc_b") % 5 === 0)
+      .join(cq.select(col("doc_id").as("doc_a"), col("quality").as("qa")), "doc_a")
+      .join(cq.select(col("doc_id").as("doc_b"), col("quality").as("qb")), "doc_b")
+    val ilosers = ipair.select(when(col("qa") < col("qb") ||
+        (col("qa") === col("qb") && col("doc_a") > col("doc_b")),
+        col("doc_a")).otherwise(col("doc_b")).as("il_id")).distinct()
+    val probes = Tables.documents(s, dir)
+      .filter(col("doc_id") % 50 === 0 && col("doc_id") < 1000000L)
+      .select(col("doc_id").as("eval_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 10)).as("probe"))
+    val cont = b.join(broadcast(probes),
+        instr(col("text"), col("probe")) > 0 && col("doc_id") =!= col("eval_id"),
+        "left_semi")
+      .select(col("doc_id").as("ct_id"))
+    b.join(exacts, col("doc_id") === col("ex_id"), "left")
+      .join(crossm, col("doc_id") === col("cm_id"), "left")
+      .join(ilosers, col("doc_id") === col("il_id"), "left")
+      .join(cont, col("doc_id") === col("ct_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("quality") < 0.2, "quality")
+          .when(col("ex_id").isNotNull, "exact_dup")
+          .when(col("cm_id").isNotNull || col("il_id").isNotNull, "near_dup")
+          .when(col("ct_id").isNotNull, "contaminated")
+          .otherwise("kept").as("verdict"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(splitStratified, piiRedact, packChunks, kmeans, decontaminate, pipeline,
       windowChunks, mixtureWeights, dsirWeights, qualityFilter, shardBalance,
-      ngramDecontaminate, tokenBudget, embedDecontaminate)
+      ngramDecontaminate, tokenBudget, embedDecontaminate, incrementalPipeline)
 }

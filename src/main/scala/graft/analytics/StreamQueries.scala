@@ -703,11 +703,28 @@ object StreamQueries {
         "version", "is_current")
   }
 
+  /** Stream–static enrichment: events enriched against the customer
+    * dimension (broadcast per micro-batch, NO join state) and rolled up
+    * by (nation, type) — the canonical streaming-enrichment pattern,
+    * proven against the batch join+GROUP BY.
+    */
+  val streamEnrich: QueryDef = QueryDef(
+    "ev_stream_enrich",
+    """SELECT c.c_nationkey AS nation, e.event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c.c_nationkey, e.event_type""".stripMargin) { (s, dir) =>
+    val (src, sink, ckpt) = Staging.stageEvents("graft_enrich", dir)
+    val dim = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    EventsStream.enrichedCounts(s, src, dim, sink, ckpt)
+    s.read.parquet(sink).select("nation", "event_type", "n", "sum_value")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exactlyOnce, sessionize, tumbling, watermarkedWindow,
       sessionWindowStream, statefulState, transformWithStateQ,
       streamMergeSink, streamStreamJoin, streamDedup, streamDedupWm, gapFill,
       funnel, cohortRetention, streamFunnelQ, scd2History, attribution,
       slidingWindow, streamSliding, topkTrending, streamTopk, anomalyMad,
-      ewmaSmooth, streamScd2Q)
+      ewmaSmooth, streamScd2Q, streamEnrich)
 }

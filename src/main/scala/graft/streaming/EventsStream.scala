@@ -531,6 +531,37 @@ object EventsStream {
     * same watermark eviction rule bounds state; the final sink equals the
     * batch hopping-window GROUP BY.
     */
+  /** Stream–static enrichment — the most common production streaming
+    * join: the event stream enriched against a slowly-changing dimension
+    * snapshot (here the customer table) and rolled up by dimension keys.
+    * The static side joins BROADCAST per micro-batch — no state store at
+    * all for the join (unlike stream-stream joins, which buffer both
+    * sides under watermarks); only the small (nation, type) count state
+    * persists. On a cluster the dim snapshot re-broadcasts per trigger,
+    * which is exactly how you want dimension updates picked up between
+    * batches.
+    */
+  def enrichedCounts(spark: SparkSession, sourceDir: String, dim: DataFrame,
+                     sinkPath: String, checkpoint: String): Unit = {
+    import graft.functions.Num
+    val stream = eventsStream(spark, sourceDir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+    val agg = stream
+      .groupBy(col("c_nationkey").as("nation"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Num.dsum(col("value"), 6).as("sum_value"))
+    withStateTunedConf(spark) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          upsert(batch.sparkSession, sinkPath, batch, Seq("nation", "event_type"))
+        }
+        .start()
+      q.awaitTermination()
+    }
+  }
+
   /** Streaming SCD Type-2 dimension MAINTENANCE — the incremental form of
     * ev_scd2_history: each micro-batch folds its (event-time-ordered)
     * change events into the effective-dated dimension table through

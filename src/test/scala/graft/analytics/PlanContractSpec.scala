@@ -488,6 +488,19 @@ class PlanContractSpec extends AnyFunSuite {
       "per-type sequence must partial-aggregate map-side")
   }
 
+  test("pipe_incremental_corpus: verdict joins are equi; probe broadcast is the only fan-out") {
+    val p = initialPlan("pipe_incremental_corpus")
+    val outer = stripCachedSubtrees(p)
+    // the ONLY nested loop allowed is the eval-probe broadcast (substring
+    // predicate, O(batch)×O(eval)); every dedup stage must join on a key
+    assert(outer.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"a dedup stage regressed to a nested loop:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the near-dup stages must ride the shared persisted shingle table
+    assert(p.contains("InMemoryTableScan"),
+      "band candidates must come from the shared shingle cache")
+  }
+
   test("ev_anomaly_mad: events scans live inside the persisted dev cache") {
     val p = initialPlan("ev_anomaly_mad")
     assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
