@@ -78,8 +78,8 @@ object SparkEntry {
     "w1_running_total", "w4_range_frame",
     // dedup family
     "dd_exact", "dd_minhash_lsh", "dd_components_star",
-    "dd_embed_cosine", "dd_incr_lsh", "dd_span_dedup", "dd_incr_span", "dd_containment",
-    "dd_entity_match", "dd_semdedup",
+    "dd_embed_cosine", "dd_incr_lsh", "dd_span_dedup", "dd_containment",
+    "dd_entity_match", "dd_semdedup", "dd_incr_components",
     // similarity search / sketches
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_knn_join",
     "ann_ivfpq_topk", "a14_kmv_setops", "ann_rrf_hybrid",

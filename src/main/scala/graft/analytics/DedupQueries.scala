@@ -320,20 +320,14 @@ object DedupQueries {
     * component's minimum, the same contract the recursive-CTE oracle
     * states: (doc_id, min reachable id).
     */
-  val componentsStar: QueryDef = QueryDef(
-    "dd_components_star",
-    s"""WITH RECURSIVE $PairsCteSql,
-       |sym AS (SELECT doc_a AS u, doc_b AS v FROM verified
-       |        UNION SELECT doc_b, doc_a FROM verified),
-       |reach(u, v) AS (
-       |  SELECT u, v FROM sym
-       |  UNION
-       |  SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u)
-       |SELECT u AS doc_id, least(u, MIN(v)) AS component
-       |FROM reach GROUP BY u""".stripMargin) { (s, dir) =>
-    // one materialization of the near-dup pipeline feeds nodes AND edges
-    val pairs = nearDupPairs(s, dir).select("doc_a", "doc_b")
-      .localCheckpoint(true)
+  /** Star-contraction connected components over an edge list with columns
+    * (doc_a, doc_b): returns (doc_id, component) for every node appearing
+    * in an edge, component = min reachable id. Factored out of
+    * dd_components_star so dd_incr_components can run the SAME contraction
+    * on the corpus graph and on the contracted delta graph.
+    */
+  private[analytics] def starComponents(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select("doc_a", "doc_b").localCheckpoint(true)
     val nodes = pairs.select(col("doc_a").as("u"))
       .unionByName(pairs.select(col("doc_b").as("u"))).distinct()
 
@@ -378,6 +372,112 @@ object DedupQueries {
     // fixpoint edges are (child, root); roots carry no outgoing edge
     nodes.join(edges, Seq("u"), "left")
       .select(col("u").as("doc_id"), coalesce(col("v"), col("u")).as("component"))
+  }
+
+  val componentsStar: QueryDef = QueryDef(
+    "dd_components_star",
+    s"""WITH RECURSIVE $PairsCteSql,
+       |sym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+       |        UNION SELECT doc_b, doc_a FROM verified),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u)
+       |SELECT u AS doc_id, least(u, MIN(v)) AS component
+       |FROM reach GROUP BY u""".stripMargin) { (s, dir) =>
+    starComponents(nearDupPairs(s, dir))
+  }
+
+  /** INCREMENTAL connected components — the daily-ingest form of
+    * dd_components_star (the near-dup cluster table maintained as new
+    * docs arrive, dd_incr_lsh's pattern lifted to the graph): corpus
+    * components are a FIXED POINT, so the batch update contracts each
+    * corpus component to its label (a supernode) and runs star
+    * contraction only on the DELTA graph — batch docs plus the corpus
+    * labels their pairs touch. Contraction preserves connectivity and
+    * the corpus label IS its component's min id, so min-label over the
+    * contracted graph equals min-label over the full graph exactly.
+    * Output is the UPDATE SET: every batch doc's component, plus every
+    * corpus doc whose component changed (two corpus components bridged by
+    * a batch doc, or a smaller batch id taking over as label) — the rows
+    * a maintained cluster table would MERGE.
+    *
+    * Scale: the delta graph is O(batch-adjacent) nodes/edges; the corpus
+    * label table is precomputed at the lake (bucketed by label, so the
+    * changed-label fan-out join reads only touched buckets) — here it
+    * derives in-query from the %5 split, which is what lets one static
+    * oracle state both the fixed point and the update.
+    */
+  val incrComponents: QueryDef = QueryDef(
+    "dd_incr_components",
+    s"""WITH RECURSIVE $PairsCteSql,
+       |sym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+       |        UNION SELECT doc_b, doc_a FROM verified),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN sym e ON r.v = e.u),
+       |full_l AS (SELECT u AS doc_id, least(u, MIN(v)) AS component
+       |           FROM reach GROUP BY u),
+       |csym AS (SELECT doc_a AS u, doc_b AS v FROM verified
+       |         WHERE doc_a % 5 <> 0 AND doc_b % 5 <> 0
+       |         UNION SELECT doc_b, doc_a FROM verified
+       |         WHERE doc_a % 5 <> 0 AND doc_b % 5 <> 0),
+       |creach(u, v) AS (
+       |  SELECT u, v FROM csym
+       |  UNION
+       |  SELECT r.u, e.v FROM creach r JOIN csym e ON r.v = e.u),
+       |corp_l AS (SELECT u AS doc_id, least(u, MIN(v)) AS component
+       |           FROM creach GROUP BY u),
+       |batch_docs AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0)
+       |SELECT b.doc_id, COALESCE(f.component, b.doc_id) AS component
+       |FROM batch_docs b LEFT JOIN full_l f ON b.doc_id = f.doc_id
+       |UNION ALL
+       |SELECT f.doc_id, f.component
+       |FROM full_l f LEFT JOIN corp_l c ON f.doc_id = c.doc_id
+       |WHERE f.doc_id % 5 <> 0
+       |  AND f.component <> COALESCE(c.component, f.doc_id)""".stripMargin) { (s, dir) =>
+    val pairs = nearDupPairs(s, dir).select("doc_a", "doc_b").localCheckpoint(true)
+    val isNewA = col("doc_a") % 5 === 0
+    val isNewB = col("doc_b") % 5 === 0
+    val corpusPairs = pairs.filter(!isNewA && !isNewB)
+    val deltaPairs = pairs.filter(isNewA || isNewB)
+    // the corpus cluster table (the lake's precomputed fixed point)
+    val corpusLabels = starComponents(corpusPairs).localCheckpoint(true)
+    // contract corpus endpoints to their labels; batch endpoints keep ids
+    def contracted(side: String, lbl: String) =
+      corpusLabels.select(col("doc_id").as(side), col("component").as(lbl))
+    val reduced = deltaPairs
+      .join(contracted("doc_a", "la"), Seq("doc_a"), "left")
+      .join(contracted("doc_b", "lb"), Seq("doc_b"), "left")
+      .select(
+        when(isNewA, col("doc_a")).otherwise(coalesce(col("la"), col("doc_a"))).as("doc_a"),
+        when(isNewB, col("doc_b")).otherwise(coalesce(col("lb"), col("doc_b"))).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val reducedLabels = starComponents(reduced).localCheckpoint(true)
+    // batch verdicts: every batch doc, contracted label or self
+    val batchDocs = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"))
+    val batchOut = batchDocs
+      .join(reducedLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    // corpus update set: docs whose (possibly singleton) corpus label was
+    // remapped by the delta propagation. Corpus docs only in delta pairs
+    // have corpus label = self and appear as their own reduced node.
+    val deltaCorpusSingles = deltaPairs
+      .select(when(!isNewA, col("doc_a")).as("doc_id"))
+      .unionByName(deltaPairs.select(when(!isNewB, col("doc_b")).as("doc_id")))
+      .filter(col("doc_id").isNotNull)
+      .distinct()
+      .join(corpusLabels, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("component"))
+    val corpusOut = corpusLabels.unionByName(deltaCorpusSingles)
+      .join(reducedLabels.select(col("doc_id").as("component"),
+        col("component").as("new_label")), Seq("component"), "left")
+      .filter(col("new_label").isNotNull && col("new_label") =!= col("component"))
+      .select(col("doc_id"), col("new_label").as("component"))
+    batchOut.unionByName(corpusOut)
   }
 
   /** SimHash: 32-bit bit-majority signature over the document's SHINGLE
@@ -1109,5 +1209,5 @@ object DedupQueries {
       componentsStar, simhash, simhashPairs, sinkIdempotence, nullKeySink,
       mergeUpsert, incrementalAgg, pointLookup, deleteRows, formatRoundtrip,
       zorderSkip, clusterKeepBest, spanDedup, containment, incrSpan,
-      entityMatch)
+      entityMatch, incrComponents)
 }
