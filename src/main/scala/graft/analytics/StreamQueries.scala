@@ -720,11 +720,72 @@ object StreamQueries {
     s.read.parquet(sink).select("nation", "event_type", "n", "sum_value")
   }
 
+  /** Timer-driven sessionization: the 30-minute-gap sessions assembled by
+    * transformWithState EVENT-TIME TIMERS — sessions close either when a
+    * later event proves the gap or when the watermark passes the open
+    * session's timeout and the key's timer fires ("emit on silence").
+    * A `__flush` sentinel staged as a second delivery pushes the final
+    * watermark past every open timeout, so the two-drain run closes ALL
+    * sessions; the sink must equal the batch gaps-and-islands answer —
+    * ev_session_window_stream's oracle, reached through the timer path
+    * instead of session_window.
+    */
+  val streamSessionTimeout: QueryDef = QueryDef(
+    "ev_stream_session_timeout",
+    """WITH m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+      |         THEN 1 ELSE 0 END AS new_s,
+      |    event_id
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM m)
+      |SELECT user_id,
+      |  CAST(epoch_ms(MIN(ts)) AS BIGINT) AS start_ms,
+      |  CAST(epoch_ms(MAX(ts)) + 1800000 AS BIGINT) AS end_ms,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val (src, sink, ckpt) = Staging.stageEvents("graft_sto", dir)
+    EventsStream.sessionTimeout(s, src, sink, ckpt)
+    // Timers only fire DURING a batch, judged against the watermark the
+    // checkpoint restored at batch start — a batch's own rows advance the
+    // watermark only for the NEXT batch, and a drain with zero new files
+    // runs zero batches. So the close-out protocol is two sentinel
+    // deliveries: flush1 advances the stored watermark past every open
+    // timeout; flush2 exists only to make the next drain run a batch,
+    // which fires under flush1's watermark. A production query on a live
+    // trigger gets this for free — any later arrival plays the role of
+    // flush2.
+    val maxTs = Tables.events(s, dir)
+      .agg(max("ts")).collect()(0).get(0) match {
+        case t: java.time.LocalDateTime => t
+        case t: java.sql.Timestamp      => t.toLocalDateTime
+      }
+    val flushDir = java.nio.file.Files.createTempDirectory("graft_sto_flush")
+    def sentinel(tag: String, hours: Long): Unit = {
+      Seq((-1L, maxTs.plusHours(hours), -1L, "__flush", 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$flushDir/$tag")
+      graft.sources.EventsSource.stageInto(
+        java.nio.file.Paths.get(s"$flushDir/$tag"), java.nio.file.Paths.get(src), tag)
+      ()
+    }
+    sentinel("flush1", 2)
+    EventsStream.sessionTimeout(s, src, sink, ckpt)
+    sentinel("flush2", 4)
+    EventsStream.sessionTimeout(s, src, sink, ckpt)
+    s.read.parquet(sink).select("user_id", "start_ms", "end_ms", "n_events")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(exactlyOnce, sessionize, tumbling, watermarkedWindow,
       sessionWindowStream, statefulState, transformWithStateQ,
       streamMergeSink, streamStreamJoin, streamDedup, streamDedupWm, gapFill,
       funnel, cohortRetention, streamFunnelQ, scd2History, attribution,
       slidingWindow, streamSliding, topkTrending, streamTopk, anomalyMad,
-      ewmaSmooth, streamScd2Q, streamEnrich)
+      ewmaSmooth, streamScd2Q, streamEnrich, streamSessionTimeout)
 }

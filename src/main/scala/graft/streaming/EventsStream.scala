@@ -531,6 +531,98 @@ object EventsStream {
     * same watermark eviction rule bounds state; the final sink equals the
     * batch hopping-window GROUP BY.
     */
+  final case class SessOpen(startMs: Long, lastMs: Long, n: Long)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+                              n_events: Long)
+
+  /** Per-user session assembly with EVENT-TIME TIMERS — the timer half of
+    * the transformWithState API (nothing else in the tier uses it): a
+    * closed session is emitted either when a later event proves the
+    * 30-minute gap (batch-internal split) or when the key's registered
+    * timer fires as the WATERMARK passes the open session's timeout — the
+    * "emit on silence" pattern (session close-out, SLA breach, abandoned
+    * cart) that per-row processing cannot express at all. Exactly one
+    * live timer per key (re-armed on every event); expiry emits the open
+    * session and clears state, so state size is open-sessions only.
+    */
+  private class SessionTimeoutProcessor
+      extends StatefulProcessor[Long, (Long, Long), SessionOut] {
+    @transient private var st: ValueState[SessOpen] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessOpen]("open",
+        Encoders.product[SessOpen], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[(Long, Long)],
+        tv: TimerValues): Iterator[SessionOut] = {
+      // the __flush sentinel key: advances the watermark upstream, but must
+      // never open state or a timer (a pre-groupBy filter would be pushed
+      // BELOW the EventTimeWatermark node and starve the watermark instead)
+      if (uid == -1L) return Iterator.empty
+      val ms = rows.map(_._2).toArray.sorted
+      if (ms.isEmpty) return Iterator.empty
+      var out = List.empty[SessionOut]
+      var cur = if (st.exists()) st.get() else null
+      ms.foreach { m =>
+        if (cur == null) cur = SessOpen(m, m, 1L)
+        else if (m - cur.lastMs <= 1800000L)
+          cur = SessOpen(cur.startMs, m, cur.n + 1)
+        else {
+          out ::= SessionOut(uid, cur.startMs, cur.lastMs + 1800000L, cur.n)
+          cur = SessOpen(m, m, 1L)
+        }
+      }
+      st.update(cur)
+      // exactly one live timer per key: re-arm at the open session's timeout
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(cur.lastMs + 1800000L)
+      out.reverse.iterator
+    }
+    override def handleExpiredTimer(uid: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!st.exists()) return Iterator.empty
+      val cur = st.get()
+      st.clear()
+      Iterator.single(SessionOut(uid, cur.startMs, cur.lastMs + 1800000L, cur.n))
+    }
+  }
+
+  /** Drive the timer sessionizer: watermarked event-time stream (the
+    * `__flush` sentinel rows advance the watermark but never reach the
+    * processor), RocksDB state store, update-mode upserts keyed
+    * (user_id, start_ms) — a re-fired close-out is idempotent.
+    */
+  def sessionTimeout(spark: SparkSession, sourceDir: String, sinkPath: String,
+                     checkpoint: String): Unit = {
+    import spark.implicits._
+    val conf = spark.conf
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = conf.getOption(ProviderKey)
+    conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStateTunedConf(spark) {
+      val stream = eventsStream(spark, sourceDir)
+        .withWatermark("ts", "1 second")
+        .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+        .as[(Long, Long)]
+      val q = stream.groupByKey(_._1)
+        .transformWithState(new SessionTimeoutProcessor,
+          TimeMode.EventTime(), OutputMode.Update())
+        .writeStream
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: Dataset[SessionOut], _: Long) =>
+          upsert(batch.sparkSession, sinkPath, batch.toDF(),
+            Seq("user_id", "start_ms"))
+        }
+        .start()
+      q.awaitTermination()
+    } finally prevProvider match {
+      case Some(v) => conf.set(ProviderKey, v)
+      case None    => conf.unset(ProviderKey)
+    }
+  }
+
   /** Stream–static enrichment — the most common production streaming
     * join: the event stream enriched against a slowly-changing dimension
     * snapshot (here the customer table) and rolled up by dimension keys.
