@@ -865,13 +865,19 @@ object CurateQueries {
        |LEFT JOIN ilosers il ON b.doc_id = il.doc_id
        |LEFT JOIN cont ct ON b.doc_id = ct.doc_id""".stripMargin) { (s, dir) =>
     val isNew = col("doc_id") % 5 === 0
+    // the batch frame feeds SIX verdict branches; materialize it once
+    // (eager localCheckpoint — per-run, nothing leaks across invocations)
+    // instead of re-running the quality scan per branch (ScanAudit
+    // measured 16 echoed documents scans before this cut)
     val b = Tables.documents(s, dir).filter(isNew)
       .select(col("doc_id"), col("lang"), col("text"),
         TextQueries.qualityExpr(col("text")).as("quality"))
+      .localCheckpoint(true)
     val corpusFp = Tables.documents(s, dir).filter(!isNew)
       .select(md5(col("text")).as("fp")).distinct()
     val clean = b.filter(col("quality") >= 0.2)
       .select(col("doc_id"), md5(col("text")).as("fp"), col("quality"))
+      .localCheckpoint(true)
     val ikeep = clean.groupBy("fp").agg(min("doc_id").as("keep"))
     val exacts = clean
       .join(corpusFp.withColumn("in_corp", lit(1)), Seq("fp"), "left")

@@ -234,12 +234,20 @@ object GraphQueries {
     val d0 = sym.filter(col("src").isin(BfsSeeds: _*))
       .select(col("src").as("node")).distinct()
       .withColumn("dist", lit(0L))
-    def relax(d: DataFrame): DataFrame =
-      d.unionByName(
+    // per-round localCheckpoint (dd_components' pattern): relax references
+    // its input TWICE (keep ∪ neighbor+1), so an unchained plan re-expands
+    // the frontier 2^rounds times — ScanAudit measured 30 echoed lineitem
+    // scans before this cut (8 copies of d0 at 3 rounds)
+    def relax(d: DataFrame, checkpoint: Boolean): DataFrame = {
+      val r = d.unionByName(
         sym.join(d.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
         .groupBy("node").agg(min("dist").as("dist"))
-    relax(relax(relax(d0)))
+      if (checkpoint) r.localCheckpoint(true) else r
+    }
+    // the last round stays declarative (its plan is the query's contract);
+    // inner rounds materialize
+    relax(relax(relax(d0, checkpoint = true), checkpoint = true), checkpoint = false)
   }
 
   val defs: Seq[QueryDef] = Seq(pagerank, bfsDistance)

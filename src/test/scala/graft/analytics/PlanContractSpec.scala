@@ -470,10 +470,15 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "probe masks must expand via explode, not a join")
   }
 
-  test("gr_bfs_distance: every round reads the persisted symmetric edges") {
+  test("gr_bfs_distance: rounds checkpoint; edges come from the cache") {
     val p = initialPlan("gr_bfs_distance")
-    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 3,
-      s"3 relaxation rounds must reuse the cached sym table:\n${p.take(1500)}")
+    // prior rounds are materialized (localCheckpoint → ExistingRDD), so the
+    // final plan is ONE relax step — without the checkpoint the frontier
+    // subtree re-expands 2^rounds times (ScanAudit caught 30 echoed scans)
+    assert(p.contains("Scan ExistingRDD"),
+      s"relaxation rounds are not checkpointed:\n${p.take(1500)}")
+    assert(p.contains("InMemoryTableScan"),
+      "the final round must read the persisted sym table")
     val outer = stripCachedSubtrees(p)
     assert(!outer.exists(l => l.contains("FileScan parquet") && l.contains("lineitem.parquet")),
       "a live lineitem scan escaped the edge cache — a round re-derives edges")
