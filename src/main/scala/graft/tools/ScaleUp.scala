@@ -58,7 +58,20 @@ object ScaleUp {
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"copied bounded dim $t")
     }
-    replicate("customer", Seq("c_custkey"))(id)
+    // c_name keeps its verbatim "Customer#000000123" digits (they encode
+    // the ORIGINAL key, not the offset one), so replicated verbatim every
+    // (name-prefix, nation) entity-resolution block would hold N exact
+    // name copies — candidate pairs grow N² at N× data and lev=0 pairs
+    // appear across copies, a data artifact (same disease the documents
+    // table avoids with per-copy vocabulary). Rewriting one character of
+    // the constant "Customer#" region per copy keeps every copy's
+    // intra-copy name structure (blocks, edit distances) exactly intact
+    // while making blocks copy-local, like a real N× entity corpus.
+    replicate("customer", Seq("c_custkey")) { (d, i) =>
+      if (i == 0) d
+      else d.withColumn("c_name",
+        overlay(col("c_name"), lit(('a' + i - 1).toChar.toString), lit(9)))
+    }
     replicate("supplier", Seq("s_suppkey"))(id)
     replicate("part", Seq("p_partkey"))(id)
     replicate("orders", Seq("o_orderkey", "o_custkey"))(id)
