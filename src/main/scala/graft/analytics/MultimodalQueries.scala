@@ -4,14 +4,46 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
 
-/** Oracle coverage for the multimodal plumbing: the `mapPartitions` featurizer
-  * runs over real binary columns on the Spark side; the oracle recomputes the
-  * same features from the md5 hex string arithmetically. All outputs are
-  * exact integers.
+/** Oracle coverage for the multimodal tier.
+  *
+  * Since round 9 the image and audio queries run over REAL container files:
+  * `Multimodal.bmpMedia` / `wavMedia` build genuine BMP / RIFF-WAVE-PCM
+  * bytes (seeded by the md5 chain of each document's text), and the Spark
+  * side must recover every feature FROM the container — header parse,
+  * 4-byte row stride, bottom-up row flip, RIFF chunk walk, signed-LE
+  * samples. The DuckDB oracle recomputes the same features from the SEED
+  * (`md5(text) || md5(text || 'a') || …` hex arithmetic), so an encoder or
+  * parser that mishandles any format fact shows up as a hash mismatch, not
+  * a silent agreement. Raw-payload queries (histogram, video frame
+  * sampling) keep the opaque-bytes path: format-agnostic by design (video
+  * has no sane pure-JVM integer codec; its demuxer SHAPE is what a JNI
+  * binding drops into). All outputs are exact integers.
   */
 object MultimodalQueries {
 
   private def hexVal(c: String): String = s"(strpos('0123456789abcdef', $c) - 1)"
+
+  /** Chain byte `idx` (an SQL expression) of the md5-chain hex string `hx`. */
+  private def byteAt(idx: String): String =
+    s"(${hexVal(s"substr(hx, 2*($idx)+1, 1)")} * 16 + ${hexVal(s"substr(hx, 2*($idx)+2, 1)")})"
+
+  /** Shared oracle CTEs reconstructing the BMP fixtures' gray pixels from
+    * the generation seed: dims from doc_id (w ∈ {3,5,8}, h ∈ {4,5}),
+    * pixels = md5 chain bytes — the ground truth `bmpMedia` encoded into
+    * the container and the Spark parser must recover from it.
+    */
+  private val bmpPixelsCte: String =
+    s"""WITH src AS (
+       |  SELECT doc_id, md5(text) || md5(text || 'a') || md5(text || 'b') AS hx,
+       |         doc_id // 3 AS m
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |dims AS (
+       |  SELECT doc_id, hx, ([3,5,8])[CAST(m % 3 AS INTEGER) + 1] AS w,
+       |         4 + CAST(m % 2 AS INTEGER) AS h
+       |  FROM src),
+       |px AS (
+       |  SELECT doc_id, w, h, [${byteAt("i")} for i in range(0, w*h)] AS pt
+       |  FROM dims)""".stripMargin
 
   val byteHistogram: QueryDef = {
     val histSql = (0 until 16).map { j =>
@@ -52,91 +84,117 @@ object MultimodalQueries {
     Multimodal.sampleFrames(media, frameBytes = 4, step = 2).toDF()
   }
 
-  /** Per-frame audio energy through the one-to-many featurizer shape:
-    * the 16-byte payload read as 8 big-endian signed 16-bit PCM samples,
-    * framed 4 at a time → 2 frames, each frame's Σ sample² emitted as an
-    * exact integer. The oracle recomputes every sample arithmetically
-    * from the md5 hex (sample i = signed 16-bit from hex chars
-    * [4i, 4i+4)) — byte-exact agreement or nothing.
+  /** Per-frame audio energy through the REAL container: each payload is a
+    * RIFF/WAVE PCM file (JUNK chunk on even doc_ids — the chunk walk is
+    * load-bearing); Spark decodes signed LITTLE-endian 16-bit samples from
+    * the data chunk and frames them 4 at a time (7–12 samples → 2–3
+    * frames, final frame short). The oracle recomputes every sample from
+    * the md5-chain seed with the same LE reconstruction — byte-exact
+    * agreement or nothing.
     */
   val audioEnergy: QueryDef = {
-    def sample(i: Int): String = {
-      val raw = (0 until 4).map { j =>
-        val shift = math.pow(16, 3 - j).toLong
-        s"${hexVal(s"substr(md5(text), ${i * 4 + j + 1}, 1)")} * $shift"
-      }.mkString(" + ")
-      s"(CASE WHEN $raw >= 32768 THEN ($raw) - 65536 ELSE $raw END)"
+    def sample(i: String): String = {
+      val v = s"(${byteAt(s"2*($i)")} + 256 * ${byteAt(s"2*($i)+1")})"
+      s"(CASE WHEN $v >= 32768 THEN $v - 65536 ELSE $v END)"
     }
-    def frameEnergySql(f: Int): String =
-      (f * 4 until f * 4 + 4).map(i => s"${sample(i)} * ${sample(i)}").mkString(" + ")
     QueryDef(
       "mm_audio_energy",
-      s"""SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
-         |  CAST(CASE WHEN f = 0 THEN ${frameEnergySql(0)}
-         |            ELSE ${frameEnergySql(1)} END AS BIGINT) AS energy
-         |FROM documents, unnest([0, 1]) t(f)
-         |WHERE doc_id % 3 = 1""".stripMargin) { (s, dir) =>
-      val media = Multimodal.syntheticMedia(s, Tables.documents(s, dir))
-      Multimodal.frameEnergy(media, samplesPerFrame = 4).toDF()
+      s"""WITH src AS (
+         |  SELECT doc_id, md5(text) || md5(text || 'a') AS hx,
+         |         7 + CAST(doc_id % 6 AS INTEGER) AS n
+         |  FROM documents WHERE doc_id % 3 = 1)
+         |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+         |  CAST(list_sum([ ${sample("i")} * ${sample("i")}
+         |                  for i in range(f*4, least(f*4+4, n)) ]) AS BIGINT) AS energy
+         |FROM src, unnest(range(0, (n + 3) // 4)) AS t(f)""".stripMargin) { (s, dir) =>
+      val media = Multimodal.wavMedia(s, Tables.documents(s, dir))
+      Multimodal.wavFrameEnergy(media, samplesPerFrame = 4).toDF()
     }
   }
 
-  /** Perceptual average-hash over image payloads — aHash, the image-dedup
-    * bucketing fingerprint. Integer-only (bit = byte·n > Σbytes: no
-    * division, no float mean), so the 16-bit code hash-matches the oracle's
-    * arithmetic recomputation from the md5 hex bit for bit.
+  /** Perceptual average-hash through the REAL container: aHash over the
+    * BMP-decoded gray pixels (dims, stride and bottom-up row order all
+    * read from the header — w ∈ {3,5,8} exercises the 4-byte row padding).
+    * Integer-only thresholding (bit = pixel·n > Σpixels) keeps the code
+    * bit-identical to the oracle's seed-side recomputation.
     */
-  val avgHash: QueryDef = {
-    def byteSql(i: Int): String =
-      s"(${hexVal(s"substr(md5(text), ${2 * i + 1}, 1)")} * 16 + ${hexVal(s"substr(md5(text), ${2 * i + 2}, 1)")})"
-    QueryDef(
-      "mm_avg_hash",
-      s"""WITH b AS (
-         |  SELECT doc_id, [${(0 until 16).map(byteSql).mkString(", ")}] AS bt
-         |  FROM documents WHERE doc_id % 3 = 0),
-         |t AS (SELECT doc_id, bt, list_sum(bt) AS total FROM b)
-         |SELECT doc_id AS media_id,
-         |  CAST(list_sum([CASE WHEN bt[i+1]*16 > total THEN (CAST(1 AS BIGINT) << i)
-         |                      ELSE CAST(0 AS BIGINT) END for i in range(0, 16)]) AS BIGINT) AS code,
-         |  CAST(len(list_filter(range(0, 16), i -> bt[i+1]*16 > total)) AS INTEGER) AS n_set
-         |FROM t""".stripMargin) { (s, dir) =>
-      val media = Multimodal.syntheticMedia(s, Tables.documents(s, dir))
-      Multimodal.avgHash(media).toDF()
-    }
+  val avgHash: QueryDef = QueryDef(
+    "mm_avg_hash",
+    s"""$bmpPixelsCte,
+       |t AS (SELECT doc_id, pt, len(pt) AS n, list_sum(pt) AS total FROM px)
+       |SELECT doc_id AS media_id,
+       |  CAST(list_sum([CASE WHEN pt[i+1]*n > total THEN (CAST(1 AS BIGINT) << i)
+       |                      ELSE CAST(0 AS BIGINT) END for i in range(0, n)]) AS BIGINT) AS code,
+       |  CAST(len(list_filter(range(0, n), i -> pt[i+1]*n > total)) AS INTEGER) AS n_set
+       |FROM t""".stripMargin) { (s, dir) =>
+    val media = Multimodal.bmpMedia(s, Tables.documents(s, dir))
+    Multimodal.imageHash(media).toDF()
+  }
+
+  /** Decoded image metadata + exact pixel stats — the typed-metadata
+    * surface: width/height from the BITMAPINFOHEADER, pixel stats from the
+    * stride-walked rows. The oracle recomputes all of it from the seed.
+    */
+  val imageStats: QueryDef = QueryDef(
+    "mm_image_stats",
+    s"""$bmpPixelsCte
+       |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |  CAST(len(pt) AS INTEGER) AS n_px, CAST(list_sum(pt) AS BIGINT) AS sum_px,
+       |  CAST(list_min(pt) AS INTEGER) AS min_px, CAST(list_max(pt) AS INTEGER) AS max_px
+       |FROM px""".stripMargin) { (s, dir) =>
+    val media = Multimodal.bmpMedia(s, Tables.documents(s, dir))
+    Multimodal.imageStats(media).toDF()
+  }
+
+  /** Nearest-neighbor resize to the fixed 4×4 grid through the real
+    * decoder (the normalize step before any perceptual fingerprint), with
+    * a positional checksum Σ (i+1)·pixel_i as the compared value — exact
+    * integers, order-sensitive, so a row-order or stride slip flips it.
+    */
+  val resizeGrid: QueryDef = QueryDef(
+    "mm_resize",
+    s"""$bmpPixelsCte
+       |SELECT doc_id AS media_id, 4 AS out_w, 4 AS out_h,
+       |  CAST(list_sum([ (i+1) * pt[ (i//4)*h//4*w + (i%4)*w//4 + 1 ]
+       |                  for i in range(0, 16) ]) AS BIGINT) AS checksum
+       |FROM px""".stripMargin) { (s, dir) =>
+    val media = Multimodal.bmpMedia(s, Tables.documents(s, dir))
+    Multimodal.resize(media, 4, 4).toDF().select(
+      col("media_id"), col("w").as("out_w"), col("h").as("out_h"),
+      expr("""CAST(aggregate(zip_with(pixels, sequence(1, size(pixels)),
+             |(p, i) -> CAST(p AS BIGINT) * i), CAST(0 AS BIGINT),
+             |(acc, x) -> acc + x) AS BIGINT)""".stripMargin.replace("\n", " "))
+        .as("checksum"))
   }
 
   /** Media near-dedup by perceptual hash — the image-dedup pipeline's
-    * pair stage: aHash codes (mm_avg_hash's integer-exact fingerprint)
-    * compared at Hamming distance ≤ 1 via the XOR-multiprobe bucket join
-    * (ann_knn_join's blocking, applied to media): each code probes its
-    * own bucket plus the 16 one-bit-flip buckets, so every qualifying
-    * pair meets in EXACTLY one equi-bucket — Σ bucket² work, never
-    * all-pairs, and no pair is found twice (hamming-0 meets at mask 0,
-    * hamming-1 at the single differing bit's mask). Output is the
-    * verified pair table (id_a, id_b, hamming) — dd_components' label
-    * propagation collapses it to duplicate clusters exactly as it does
-    * text near-dup pairs.
+    * pair stage, now over REAL BMP fixtures: aHash codes from the decoded
+    * pixels (mm_avg_hash's fingerprint) compared at Hamming distance ≤ 1
+    * via the XOR-multiprobe bucket join (ann_knn_join's blocking applied
+    * to media): each code probes its own bucket plus the 40 one-bit-flip
+    * buckets (codes carry ≤ 40 pixel bits), so every qualifying pair meets
+    * in EXACTLY one equi-bucket — Σ bucket² work, never all-pairs, and no
+    * pair is found twice (hamming-0 meets at mask 0, hamming-1 at the
+    * single differing bit's mask). Output is the verified pair table
+    * (id_a, id_b, hamming) — dd_components' label propagation collapses it
+    * to duplicate clusters exactly as it does text near-dup pairs.
     *
     * Scale: one shuffle of the (media_id, code) projection on the bucket
-    * key — 17 probe rows per media (bits+1, the multiprobe factor); the
+    * key — 41 probe rows per media (bits+1, the multiprobe factor); the
     * verify predicate (bit_count of xor ≤ 1) is codegen'd integer ops.
     * A real deployment widens the code (pHash 64-bit) which SHRINKS
     * bucket occupancy; the plan is unchanged.
     */
   val mediaDedup: QueryDef = {
-    def byteSql(i: Int): String =
-      s"(${hexVal(s"substr(md5(text), ${2 * i + 1}, 1)")} * 16 + ${hexVal(s"substr(md5(text), ${2 * i + 2}, 1)")})"
-    val masks = 0L +: (0 until 16).map(1L << _)
+    val masks = 0L +: (0 until 40).map(1L << _)
     QueryDef(
       "dd_media_dedup",
-      s"""WITH b AS (
-         |  SELECT doc_id, [${(0 until 16).map(byteSql).mkString(", ")}] AS bt
-         |  FROM documents WHERE doc_id % 3 = 0),
-         |t AS (SELECT doc_id, bt, list_sum(bt) AS total FROM b),
+      s"""$bmpPixelsCte,
+         |t AS (SELECT doc_id, pt, len(pt) AS n, list_sum(pt) AS total FROM px),
          |codes AS (
          |  SELECT doc_id AS media_id,
-         |    CAST(list_sum([CASE WHEN bt[i+1]*16 > total THEN (CAST(1 AS BIGINT) << i)
-         |                        ELSE CAST(0 AS BIGINT) END for i in range(0, 16)]) AS BIGINT) AS code
+         |    CAST(list_sum([CASE WHEN pt[i+1]*n > total THEN (CAST(1 AS BIGINT) << i)
+         |                        ELSE CAST(0 AS BIGINT) END for i in range(0, n)]) AS BIGINT) AS code
          |  FROM t),
          |probed AS (
          |  SELECT media_id, code, unnest([xor(code, m) for m in [${masks.mkString(", ")}]]) AS bucket
@@ -145,8 +203,8 @@ object MultimodalQueries {
          |  CAST(bit_count(xor(a.code, c.code)) AS BIGINT) AS hamming
          |FROM probed a JOIN codes c
          |  ON a.bucket = c.code AND a.media_id < c.media_id""".stripMargin) { (s, dir) =>
-      val media = Multimodal.syntheticMedia(s, Tables.documents(s, dir))
-      val codes = Multimodal.avgHash(media).toDF().select("media_id", "code")
+      val media = Multimodal.bmpMedia(s, Tables.documents(s, dir))
+      val codes = Multimodal.imageHash(media).toDF().select("media_id", "code")
       val maskCol = array(masks.map(lit): _*)
       val probed = codes.select(col("media_id"), col("code"),
         explode(transform(maskCol, m => col("code").bitwiseXOR(m))).as("bucket"))
@@ -159,5 +217,5 @@ object MultimodalQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash,
-    mediaDedup)
+    imageStats, resizeGrid, mediaDedup)
 }

@@ -7,16 +7,40 @@ import org.apache.spark.sql.functions._
   * `binary` columns with a typed metadata struct, decoded/featurized via
   * `mapPartitions` over a typed Dataset.
   *
-  * The DECODER is a deliberate stub — the real jpeg/wav/mp4 libraries are
-  * not in this container — but everything Spark-side is real and tested:
-  * the schema (binary + struct metadata), the typed Encoder boundary, the
-  * per-partition batch shape (decode cost amortizes over an iterator, the
-  * same shape a JNI/FFmpeg binding needs), and the partitioning story
-  * (records are value-sized; repartition by id keeps binary volume even
-  * across tasks). Swapping `StubDecoder` for a real codec changes no
-  * plumbing.
+  * Since round 9 the image and audio tiers decode REAL container formats —
+  * BMP (24-bit BI_RGB, bottom-up padded rows) and RIFF/WAVE signed-LE PCM —
+  * via the pure-JVM `Codecs` parsers: the fixtures built by `bmpMedia` /
+  * `wavMedia` are genuine files (magic, little-endian headers, chunk
+  * walking), and every feature the queries emit is recovered FROM the
+  * container bytes. Only the video tier keeps the deterministic
+  * `StubDecoder` (no video container has a sane pure-JVM integer codec);
+  * its demuxer SHAPE — one-to-many mapPartitions, per-partition decode
+  * state — is the real thing a JNI/FFmpeg binding drops into. The
+  * raw-payload path (`features`/`sampleFrames` over `syntheticMedia`) is
+  * retained as the format-agnostic branch a pipeline takes when no codec
+  * claims the bytes.
   */
 object Multimodal {
+
+  /** First `nBytes` of the md5 chain md5(text) ‖ md5(text+"a") ‖
+    * md5(text+"b") ‖ … — the deterministic cross-engine seed both the
+    * fixture encoders here and the DuckDB oracles derive pixel/sample
+    * values from (DuckDB: `md5(text) || md5(text || 'a') || …`).
+    */
+  private[multimodal] def md5Chain(text: String, nBytes: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Int](nBytes)
+    var block = 0
+    var i = 0
+    while (i < nBytes) {
+      val suffix = if (block == 0) "" else ('a' + block - 1).toChar.toString
+      val d = md.digest((text + suffix).getBytes("UTF-8"))
+      var j = 0
+      while (j < 16 && i < nBytes) { out(i) = d(j) & 0xff; i += 1; j += 1 }
+      block += 1
+    }
+    out
+  }
 
   /** One media record: opaque bytes + where they came from. */
   final case class MediaRecord(media_id: Long, kind: String, content: Array[Byte])
@@ -79,12 +103,24 @@ object Multimodal {
     */
   final case class FrameEnergy(media_id: Long, frame_idx: Int, energy: Long)
 
-  /** Per-frame audio energy: interpret the payload as big-endian signed
-    * 16-bit PCM, frame it `samplesPerFrame` at a time, and emit each
-    * frame's Σ sample² — the feature a VAD / loudness filter computes.
-    * The sample interpretation is pure byte arithmetic (no codec): a real
-    * wav/flac binding swaps the byte source, the framing loop and the
-    * one-to-many mapPartitions shape stay. Exact integer energies.
+  /** Framing core shared by the raw and WAV paths: signed samples framed
+    * `spf` at a time, each frame's Σ sample² (exact Long).
+    */
+  private def frameEnergies(samples: Array[Int], spf: Int): Iterator[(Int, Long)] = {
+    val nFrames = (samples.length + spf - 1) / spf
+    Iterator.range(0, nFrames).map { f =>
+      var e = 0L
+      var i = f * spf
+      val end = math.min(i + spf, samples.length)
+      while (i < end) { val s = samples(i); e += s.toLong * s; i += 1 }
+      (f, e)
+    }
+  }
+
+  /** Per-frame audio energy over RAW payload bytes: big-endian signed
+    * 16-bit samples, no container — the format-agnostic branch (a real
+    * pipeline takes it for headerless PCM streams). `wavFrameEnergy` is
+    * the container-aware variant.
     */
   def frameEnergy(media: Dataset[MediaRecord], samplesPerFrame: Int): Dataset[FrameEnergy] = {
     import media.sparkSession.implicits._
@@ -92,17 +128,28 @@ object Multimodal {
     media.filter(_.kind == "audio").mapPartitions(_.flatMap { m =>
       val b = m.content
       val nSamples = b.length / 2 // trailing odd byte ignored (incomplete sample)
-      val nFrames = (nSamples + samplesPerFrame - 1) / samplesPerFrame
-      Iterator.range(0, nFrames).map { f =>
-        var e = 0L
-        var i = f * samplesPerFrame
-        val end = math.min(i + samplesPerFrame, nSamples)
-        while (i < end) {
-          val v = ((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff)
-          val s = if (v >= 32768) v - 65536 else v
-          e += s.toLong * s
-          i += 1
-        }
+      val samples = Array.tabulate(nSamples) { i =>
+        val v = ((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff)
+        if (v >= 32768) v - 65536 else v
+      }
+      frameEnergies(samples, samplesPerFrame).map { case (f, e) =>
+        FrameEnergy(m.media_id, f, e)
+      }
+    })
+  }
+
+  /** Per-frame audio energy through a REAL container: each payload is a
+    * RIFF/WAVE PCM file; `Codecs.decodeWav` walks the chunk list (incl.
+    * JUNK chunks), validates 16-bit mono PCM, and decodes the signed
+    * LITTLE-endian samples the framing core then consumes. The feature a
+    * VAD / loudness filter computes, now from the actual file bytes.
+    */
+  def wavFrameEnergy(media: Dataset[MediaRecord], samplesPerFrame: Int): Dataset[FrameEnergy] = {
+    import media.sparkSession.implicits._
+    require(samplesPerFrame > 0)
+    media.filter(_.kind == "audio").mapPartitions(_.flatMap { m =>
+      val clip = Codecs.decodeWav(m.content)
+      frameEnergies(clip.samples, samplesPerFrame).map { case (f, e) =>
         FrameEnergy(m.media_id, f, e)
       }
     })
@@ -120,50 +167,94 @@ object Multimodal {
     * and downsamples to the fixed grid first; the thresholding loop and
     * the mapPartitions shape stay.
     */
+  /** Thresholding core shared by the raw and BMP paths: bit i set iff
+    * value_i · n > Σvalues (strictly above mean, division-free), first 64
+    * values.
+    */
+  private def aHashBits(values: Array[Int]): (Long, Int) = {
+    val n = values.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += values(i); i += 1 }
+    var code = 0L
+    var nset = 0
+    i = 0
+    while (i < n && i < 64) {
+      if (values(i).toLong * n > total) { code |= (1L << i); nset += 1 }
+      i += 1
+    }
+    (code, nset)
+  }
+
   def avgHash(media: Dataset[MediaRecord]): Dataset[AvgHash] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions(_.map { m =>
-      val b = m.content.map(_ & 0xff)
-      val n = b.length
-      var total = 0L
-      var i = 0
-      while (i < n) { total += b(i); i += 1 }
-      var code = 0L
-      var nset = 0
-      i = 0
-      while (i < n && i < 64) {
-        if (b(i).toLong * n > total) { code |= (1L << i); nset += 1 }
-        i += 1
-      }
+      val (code, nset) = aHashBits(m.content.map(_ & 0xff))
       AvgHash(m.media_id, code, nset)
     })
   }
 
-  /** A resized "image": target dims + the resampled bytes. */
-  final case class Resized(media_id: Long, w: Int, h: Int, pixels: Array[Byte])
+  /** Perceptual average-hash through a REAL container: each payload is a
+    * 24-bit BMP; `Codecs.decodeBmp` recovers dimensions, row order and
+    * stride from the header and the gray pixels (top-down row-major) from
+    * the padded bottom-up rows, then the division-free thresholding core
+    * fingerprints them. A production pipeline downsamples to a fixed grid
+    * first (`resize`); the fixtures are already hash-sized.
+    */
+  def imageHash(media: Dataset[MediaRecord]): Dataset[AvgHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val img = Codecs.decodeBmp(m.content)
+      val (code, nset) = aHashBits(img.pixels)
+      AvgHash(m.media_id, code, nset)
+    })
+  }
 
-  /** Nearest-neighbor resize of the stub image grid (payload bytes in
-    * row-major order, source dims from the decoded header, out-of-range
-    * reads as 0 — exactly the padding rule StubDecoder uses). Pure byte
-    * arithmetic: a real codec swaps the pixel access, the sampling loop
-    * and the mapPartitions shape stay.
+  /** Decoded per-image metadata + exact pixel stats — the "typed metadata
+    * from the container" surface: every field recovered from the BMP
+    * header/pixel rows by the real parser.
+    */
+  final case class ImageStats(
+      media_id: Long, width: Int, height: Int,
+      n_px: Int, sum_px: Long, min_px: Int, max_px: Int)
+
+  def imageStats(media: Dataset[MediaRecord]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val img = Codecs.decodeBmp(m.content)
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      var i = 0
+      while (i < img.pixels.length) {
+        val v = img.pixels(i)
+        sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        i += 1
+      }
+      ImageStats(m.media_id, img.width, img.height, img.pixels.length, sum, mn, mx)
+    })
+  }
+
+  /** A resized image: target dims + the resampled gray pixels. */
+  final case class Resized(media_id: Long, w: Int, h: Int, pixels: Array[Int])
+
+  /** Nearest-neighbor resize through the REAL container: decode the BMP
+    * (dims, stride, row order all from the header), then sample source
+    * pixel (r·srcH/h, c·srcW/w) for each target cell — all integer
+    * arithmetic, exact cross-engine. The normalize-to-fixed-grid step
+    * every image-dedup / embedding pipeline runs before featurizing.
     */
   def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[Resized] = {
     import media.sparkSession.implicits._
     require(w > 0 && h > 0)
     media.filter(_.kind == "image").mapPartitions(_.map { m =>
-      val f = StubDecoder.decode(m)
-      val srcW = math.max(f.width, 1)
-      val srcH = math.max(f.height, 1)
-      val out = new Array[Byte](w * h)
+      val img = Codecs.decodeBmp(m.content)
+      val out = new Array[Int](w * h)
       var r = 0
       while (r < h) {
-        val sr = r * srcH / h
+        val sr = r * img.height / h
         var c = 0
         while (c < w) {
-          val sc = c * srcW / w
-          val idx = sr * srcW + sc
-          out(r * w + c) = if (idx < m.content.length) m.content(idx) else 0
+          val sc = c * img.width / w
+          out(r * w + c) = img.pixels(sr * img.width + sc)
           c += 1
         }
         r += 1
@@ -174,7 +265,8 @@ object Multimodal {
 
   /** Build a deterministic synthetic media table from `documents`
     * (content = md5 bytes of the text; kind round-robins by doc_id) —
-    * stands in for a real binary column until one exists in the data.
+    * the OPAQUE-payload branch: raw bytes with no container, exercising
+    * the format-agnostic featurizers.
     */
   def syntheticMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -184,5 +276,52 @@ object Multimodal {
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
         unhex(md5(col("text"))).as("content"))
       .as[MediaRecord]
+  }
+
+  /** Build REAL BMP files from the image-kind documents (doc_id ≡ 0 mod 3):
+    * dimensions vary per record (w ∈ {3,5,8} → strides 12/16/24, so the
+    * 4-byte row padding path is exercised, not just the pad-0 case;
+    * h ∈ {4,5}), gray pixels are the md5 chain of the text. The oracle
+    * recomputes features from the SEED (the chain); Spark must recover
+    * them from the container bytes — a parser that misreads the header,
+    * stride or row order hash-mismatches.
+    */
+  def bmpMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val widths = Array(3, 5, 8)
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val m = docId / 3
+        val w = widths((m % 3).toInt)
+        val h = 4 + (m % 2).toInt
+        val px = md5Chain(text, w * h)
+        MediaRecord(docId, "image", Codecs.encodeBmp(Codecs.GrayImage(w, h, px)))
+      })
+  }
+
+  /** Build REAL RIFF/WAVE PCM files from the audio-kind documents
+    * (doc_id ≡ 1 mod 3): 7–12 signed-LE 16-bit samples from the md5 chain
+    * (sample i = chainByte(2i) + 256·chainByte(2i+1), signed), with a JUNK
+    * chunk inserted before "data" on even doc_ids so the decoder's chunk
+    * walk is load-bearing, not decorative.
+    */
+  def wavMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val n = 7 + (docId % 6).toInt
+        val chain = md5Chain(text, 2 * n)
+        val samples = Array.tabulate(n) { i =>
+          val v = chain(2 * i) + 256 * chain(2 * i + 1)
+          if (v >= 32768) v - 65536 else v
+        }
+        val bytes = Codecs.encodeWav(
+          Codecs.PcmClip(8000, samples), junkChunk = docId % 2 == 0)
+        MediaRecord(docId, "audio", bytes)
+      })
   }
 }

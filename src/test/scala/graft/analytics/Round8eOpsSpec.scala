@@ -17,15 +17,19 @@ class Round8eOpsSpec extends AnyFunSuite {
 
   test("media dedup equals the brute-force hamming<=1 pair set") {
     import graft.multimodal.Multimodal
-    val codes = Multimodal.avgHash(
-        Multimodal.syntheticMedia(spark, graft.Tables.documents(spark, sf)))
+    // sf0.01: the real-BMP aHash codes have no hamming<=1 collision in the
+    // 167-image sf0.001 corpus (the pin would be vacuous there)
+    val sf01 = "/root/testdata/sf0.01"
+    val codes = Multimodal.imageHash(
+        Multimodal.bmpMedia(spark, graft.Tables.documents(spark, sf01)))
       .collect().map(h => h.media_id -> h.code).sortBy(_._1)
     val expected = (for {
       (ia, ca) <- codes; (ib, cb) <- codes
       if ia < ib && java.lang.Long.bitCount(ca ^ cb) <= 1
     } yield (ia, ib, java.lang.Long.bitCount(ca ^ cb).toLong)).toSet
     assert(expected.nonEmpty, "no hamming<=1 media pairs; pin is vacuous")
-    val got = run("dd_media_dedup").collect()
+    val got = SparkEntry.allDefs.find(_.name == "dd_media_dedup").get
+      .fn(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expected,
       s"multiprobe pair set diverges from brute force: got $got want $expected")

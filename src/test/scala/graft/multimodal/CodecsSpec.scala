@@ -1,0 +1,135 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import Codecs._
+
+/** The codec proofs: exact on-disk layout against the published formats
+  * (hand-computed reference bytes, not round-trip-only — a matching
+  * encode/decode bug pair cannot hide), plus round-trip properties over
+  * arbitrary dims (covering every row-padding residue) and the parser
+  * features the fixtures exercise: bottom-up AND top-down BMP rows, RIFF
+  * chunk walking with odd-size padding.
+  */
+class CodecsSpec extends AnyFunSuite {
+
+  private def check(name: String, prop: Prop): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(100)
+      .withInitialSeed(Seed(42L))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"$name failed: ${res.status}")
+  }
+
+  // ---- BMP -------------------------------------------------------------
+
+  test("encodeBmp emits the exact BITMAPFILEHEADER/INFOHEADER layout") {
+    // 2x2 gray image, top-down pixels [a=10, b=20, c=30, d=40]
+    val b = encodeBmp(GrayImage(2, 2, Array(10, 20, 30, 40)))
+    // stride = ((2*3)+3)/4*4 = 8; file = 54 + 2*8 = 70
+    assert(b.length == 70)
+    assert(b(0) == 'B' && b(1) == 'M')
+    def le32(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    assert(le32(2) == 70)   // bfSize
+    assert(le32(10) == 54)  // bfOffBits
+    assert(le32(14) == 40)  // biSize
+    assert(le32(18) == 2 && le32(22) == 2) // dims, positive height = bottom-up
+    assert((b(28) & 0xff) == 24)           // bit depth
+    assert(le32(30) == 0)                  // BI_RGB
+    // bottom row (c, d) is stored FIRST, BGR triplets + 2 pad bytes
+    assert(b.slice(54, 62).toSeq == Seq[Byte](30, 30, 30, 40, 40, 40, 0, 0))
+    assert(b.slice(62, 70).toSeq == Seq[Byte](10, 10, 10, 20, 20, 20, 0, 0))
+  }
+
+  test("decodeBmp honors top-down rows (negative height) per the spec") {
+    val img = GrayImage(3, 2, Array(1, 2, 3, 4, 5, 6))
+    val b = encodeBmp(img)
+    // rewrite height to -2 (LE i32) and reorder rows to top-down
+    val stride = 12
+    val flipped = b.clone()
+    flipped(22) = (-2 & 0xff).toByte; flipped(23) = 0xff.toByte
+    flipped(24) = 0xff.toByte; flipped(25) = 0xff.toByte
+    System.arraycopy(b, 54 + stride, flipped, 54, stride)       // top row first
+    System.arraycopy(b, 54, flipped, 54 + stride, stride)
+    assert(decodeBmp(flipped).pixels.toSeq == img.pixels.toSeq)
+  }
+
+  test("BMP round-trip is lossless for every row-padding residue") {
+    val gen = for {
+      w <- Gen.choose(1, 9) // strides hit all residues of w*3 mod 4
+      h <- Gen.choose(1, 7)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 255))
+    } yield (w, h, px)
+    check("bmp-roundtrip", Prop.forAll(gen) { case (w, h, px) =>
+      val back = decodeBmp(encodeBmp(GrayImage(w, h, px.toArray)))
+      back.width == w && back.height == h && back.pixels.toSeq == px
+    })
+  }
+
+  test("decodeBmp rejects non-BMP and truncated payloads") {
+    intercept[IllegalArgumentException] { decodeBmp(Array.fill[Byte](60)(0)) }
+    val good = encodeBmp(GrayImage(4, 4, Array.fill(16)(7)))
+    intercept[IllegalArgumentException] { decodeBmp(good.dropRight(5)) }
+  }
+
+  // ---- WAV -------------------------------------------------------------
+
+  test("encodeWav emits the exact canonical RIFF/WAVE PCM layout") {
+    val b = encodeWav(PcmClip(8000, Array(1, -1)))
+    assert(b.length == 48) // 12 RIFF/WAVE + 24 fmt + 8 data hdr + 4 samples
+    def tag(off: Int) = new String(b, off, 4, "US-ASCII")
+    def le32(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    assert(tag(0) == "RIFF" && le32(4) == 40 && tag(8) == "WAVE")
+    assert(tag(12) == "fmt " && le32(16) == 16)
+    assert(le16(20) == 1 && le16(22) == 1)        // PCM, mono
+    assert(le32(24) == 8000 && le32(28) == 16000) // rate, byteRate
+    assert(le16(32) == 2 && le16(34) == 16)       // blockAlign, bits
+    assert(tag(36) == "data" && le32(40) == 4)
+    // signed LITTLE-endian samples: 1 -> 01 00, -1 -> ff ff
+    assert(b.slice(44, 48).toSeq == Seq[Byte](1, 0, -1, -1))
+  }
+
+  test("decodeWav walks unknown chunks, including odd-size padding") {
+    val clip = PcmClip(8000, Array(100, -200, 32767, -32768))
+    // JUNK chunk via the encoder
+    assert(decodeWav(encodeWav(clip, junkChunk = true)).samples.toSeq ==
+      clip.samples.toSeq)
+    // hand-spliced ODD-size chunk (3 bytes -> 1 pad byte) before data
+    val base = encodeWav(clip)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, 36)                             // RIFF..fmt
+    out.write("odd!".getBytes("US-ASCII")); out.write(Array[Byte](3, 0, 0, 0))
+    out.write(Array[Byte](9, 9, 9, 0))                 // 3 payload + 1 pad
+    out.write(base, 36, base.length - 36)              // data chunk
+    val spliced = out.toByteArray
+    // fix the RIFF size field (+12)
+    val newSize = (base.length - 8) + 12
+    spliced(4) = (newSize & 0xff).toByte
+    spliced(5) = ((newSize >>> 8) & 0xff).toByte
+    assert(decodeWav(spliced).samples.toSeq == clip.samples.toSeq)
+    assert(decodeWav(spliced).sampleRate == 8000)
+  }
+
+  test("WAV round-trip is lossless across the full signed 16-bit range") {
+    val gen = for {
+      xs <- Gen.listOf(Gen.choose(-32768, 32767))
+      junk <- Gen.oneOf(true, false)
+    } yield (xs, junk)
+    check("wav-roundtrip", Prop.forAll(gen) { case (xs, junk) =>
+      val back = decodeWav(encodeWav(PcmClip(44100, xs.toArray), junk))
+      back.sampleRate == 44100 && back.samples.toSeq == xs
+    })
+  }
+
+  test("decodeWav rejects missing magic and missing chunks") {
+    intercept[IllegalArgumentException] { decodeWav("RIFFxxxxNOPE".getBytes) }
+    val noData = encodeWav(PcmClip(8000, Array(1))).take(36) // fmt only
+    intercept[IllegalArgumentException] { decodeWav(noData) }
+  }
+}

@@ -50,21 +50,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames((1L, 2)) == "0809") // short tail frame
   }
 
-  test("nearest-neighbor resize samples the header-dimensioned grid") {
+  test("nearest-neighbor resize samples the BMP-decoded grid") {
     import spark.implicits._
-    // 2x2 source grid: header bytes double as pixels (w=2 h=2), payload
-    // row-major [2,2,10,20]
-    val media = Seq(MediaRecord(1L, "image", Array[Byte](2, 2, 10, 20))).toDS()
+    // 2x2 source image, row-major top-down [2,2,10,20], through a REAL BMP
+    val bmp = Codecs.encodeBmp(Codecs.GrayImage(2, 2, Array(2, 2, 10, 20)))
+    val media = Seq(MediaRecord(1L, "image", bmp)).toDS()
     val up = resize(media, 4, 4).head()
     assert(up.w == 4 && up.h == 4 && up.pixels.length == 16)
     // each source pixel expands to a 2x2 block
-    assert(up.pixels.toSeq == Seq[Byte](
+    assert(up.pixels.toSeq == Seq(
       2, 2, 2, 2,
       2, 2, 2, 2,
       10, 10, 20, 20,
       10, 10, 20, 20))
     val down = resize(media, 1, 1).head()
-    assert(down.pixels.toSeq == Seq[Byte](2))
+    assert(down.pixels.toSeq == Seq(2))
+  }
+
+  test("imageHash and imageStats recover features from real BMP fixtures") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = bmpMedia(spark, docs)
+    val stats = imageStats(media).collect()
+    assert(stats.nonEmpty)
+    // every fixture's dims follow the generation law, pixels are bytes
+    stats.foreach { s =>
+      val m = s.media_id / 3
+      assert(s.width == Array(3, 5, 8)((m % 3).toInt))
+      assert(s.height == 4 + (m % 2).toInt)
+      assert(s.n_px == s.width * s.height)
+      assert(s.min_px >= 0 && s.max_px <= 255)
+    }
+    // the hash must agree with thresholding the seed chain directly: the
+    // container round-trip (encode -> parse) is lossless
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val hashes = imageHash(media).collect().map(h => h.media_id -> h).toMap
+    stats.take(5).foreach { s =>
+      val px = Multimodal.md5Chain(texts(s.media_id), s.n_px)
+      val n = px.length
+      val total = px.map(_.toLong).sum
+      val expect = px.zipWithIndex.collect {
+        case (v, i) if v.toLong * n > total => 1L << i
+      }.sum
+      assert(hashes(s.media_id).code == expect)
+    }
+  }
+
+  test("wavFrameEnergy decodes real WAV containers incl. JUNK chunks") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = wavMedia(spark, docs)
+    val energies = wavFrameEnergy(media, samplesPerFrame = 4).collect()
+      .groupBy(_.media_id)
+    assert(energies.nonEmpty)
+    energies.foreach { case (id, frames) =>
+      val n = 7 + (id % 6).toInt
+      assert(frames.length == (n + 3) / 4) // 7..12 samples -> 2..3 frames
+    }
   }
 
   test("synthetic media round-trips through binary parquet with metadata") {
