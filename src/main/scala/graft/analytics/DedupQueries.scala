@@ -57,17 +57,11 @@ object DedupQueries {
     * intermediate is written to the lake once and every near-dup pass reads
     * it — the session cache plays that role here.
     */
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
-  private def shingleBase(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    // entries for stopped sessions are dropped so the map is bounded by
-    // (live sessions × SF dirs) and never pins a dead SparkContext
-    shingleCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    shingleCache.getOrElseUpdate((s, dir),
+  private def shingleBase(s: org.apache.spark.sql.SparkSession, dir: String) =
+    PlanCache.cached(s, dir, "shingles") {
       Tables.documents(s, dir)
         .select(col("doc_id"), shingleSet.as("shingles"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+    }
 
   /** Exact dedup (hash-groupBy): one deterministic keeper per content
     * fingerprint — the K1-K8 ON-CONFLICT semantics applied to documents.

@@ -224,13 +224,17 @@ object GraphQueries {
          |${iter(3)}
          |SELECT node, dist FROM d3""".stripMargin
     }) { (s, dir) =>
-    val edges = Tables.lineitem(s, dir)
-      .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-      .distinct()
-    val sym = edges.unionByName(
-      edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // memo-and-persisted via PlanCache (one cached copy per session/dir,
+    // unpersisted on data change) — the bare per-invocation persist leaked
+    // a new cached copy every bench/verify run (r8 advice)
+    val sym = PlanCache.cached(s, dir, "bfs_sym") {
+      val edges = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
+    }
     val d0 = sym.filter(col("src").isin(BfsSeeds: _*))
       .select(col("src").as("node")).distinct()
       .withColumn("dist", lit(0L))

@@ -598,20 +598,15 @@ object StreamQueries {
     * feeds the cache; the median table it joins is |types| rows,
     * broadcast.
     */
-  private val devCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
-  private def devTable(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    devCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    devCache.getOrElseUpdate((s, dir), {
+  private def devTable(s: org.apache.spark.sql.SparkSession, dir: String) =
+    PlanCache.cached(s, dir, "ev_dev") {
       val med = Tables.events(s, dir).groupBy("event_type")
         .agg(expr("percentile(value, 0.5D)").as("med"))
       Tables.events(s, dir)
         .join(broadcast(med), "event_type")
         .select(col("event_id"), col("event_type"), col("value"), col("med"),
           abs(col("value") - col("med")).as("dev"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-  }
+    }
 
   /** Robust outlier detection via median/MAD — the Hampel-filter form of
     * the 3σ rule: per event type, flag events whose |value − median|

@@ -574,17 +574,13 @@ object TextQueries {
     * entries for stopped sessions are dropped so the map never pins a dead
     * SparkContext).
     */
-  private val vocabCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
-  private def vocabBase(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    vocabCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    vocabCache.getOrElseUpdate((s, dir),
+  private def vocabBase(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    PlanCache.cached(s, dir, "bpe_vocab") {
       Tables.documents(s, dir)
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).as("freq"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+    }
 
   private val BpeSep = "\u001f"          // U+001F unit separator, not in corpus
   private val BpeSS = BpeSep + BpeSep    // symbol boundary: ␟␟ between symbols

@@ -39,33 +39,34 @@ class AnnRecallSpec extends AnyFunSuite {
   }
 
   test("PQ ADC recall@5 stays above the floor") {
-    // PQ ranks by quantized L2 while the baseline ranks by exact cosine,
-    // so recall reflects both quantization loss and the metric gap; the
-    // floor guards against a broken codebook/encoding, not tuning drift
+    // round-9 operating point: L2-normalized subvectors (quantized L2 on
+    // the unit sphere is rank-equivalent to cosine) + the Refine-deep
+    // exact-cosine re-rank — measured 0.80 (was 0.24 unnormalized and
+    // unrefined). The floor is a USABLE retrieval bar now, not just a
+    // collapse guard.
     val r = recallAt("ann_pq_topk", 5)
     info(f"ann_pq_topk recall@5 = $r%.2f")
-    assert(r >= 0.15, f"PQ recall collapsed: $r%.2f")
+    assert(r >= 0.6, f"PQ recall below the operating point: $r%.2f")
   }
 
   test("IVF nprobe-cell recall@5 stays above the floor") {
-    // the `label` clustering stands in for k-means (cells are semantic
-    // classes, not cosine neighborhoods), so IVF recall is structurally
-    // modest on this corpus — the floor guards collapse, not quality
+    // round-9 operating point: trained spherical k-means cells (one
+    // deterministic Lloyd step) replace the label cells, which carried
+    // ZERO cosine signal on this corpus (measured intra-label mean cosine
+    // ≈ inter-label ≈ 0) — measured 0.96 (was 0.20).
     val r = recallAt("ann_ivf_topk", 5)
     info(f"ann_ivf_topk recall@5 = $r%.2f")
-    assert(r >= 0.15, f"IVF recall collapsed: $r%.2f")
+    assert(r >= 0.7, f"IVF recall below the operating point: $r%.2f")
   }
 
   test("IVF+PQ composed recall@5 stays above the floor") {
-    // double approximation — measured 0.08, ≈ the product of its stages'
-    // independent losses (IVF 0.20 × PQ 0.24 against a 0.6-ish chance
-    // denominator) on this ISOTROPIC corpus where both stages are
-    // documented as structurally modest; on clustered real embeddings the
-    // cells align with neighborhoods and the product penalty shrinks.
-    // The floor guards a broken composition (zero/near-zero), not quality.
+    // double approximation, now with spherical cells + normalized PQ +
+    // exact refine — measured 0.88 (was 0.08). The r8 verdict's bar for a
+    // usable composed index was ≥ 0.5; the floor sits above it with margin
+    // for corpus regeneration.
     val r = recallAt("ann_ivfpq_topk", 5)
     info(f"ann_ivfpq_topk recall@5 = $r%.2f")
-    assert(r >= 0.05, f"IVF+PQ recall collapsed: $r%.2f")
+    assert(r >= 0.6, f"IVF+PQ recall below the operating point: $r%.2f")
   }
 
   test("all-kNN join recall@3 (probe subset) stays above the floor") {

@@ -90,6 +90,25 @@ class LshPlannerSpec extends AnyFunSuite {
     assert(widths.map(AnnQueries.semKFor) == widths.map(AnnQueries.semKFor).sorted)
   }
 
+  test("planned: ANN operating point derives from corpus count and matches the oracle statics") {
+    // oracle coincidence at the verify SF (n = 500): the static SQL bakes
+    // in cells=8, nprobe=3, K=16 — exactly what the planner derives there
+    assert(AnnQueries.ivfCellsFor(500) == 8)
+    assert(AnnQueries.nprobeFor(AnnQueries.ivfCellsFor(500)) == 3)
+    assert(AnnQueries.pqCodebookFor(500) == 16)
+    // growth laws: cells ∝ n (cell occupancy pinned), nprobe grows with the
+    // cell count (searched fraction does not silently shrink), codebook
+    // width grows to the 8-bit FAISS cap (≥32 training vectors/centroid)
+    val ns = Seq(500L, 2000L, 20000L, 200000L)
+    assert(ns.map(AnnQueries.ivfCellsFor) == ns.map(AnnQueries.ivfCellsFor).sorted)
+    assert(ns.map(n => AnnQueries.nprobeFor(AnnQueries.ivfCellsFor(n))) ==
+      ns.map(n => AnnQueries.nprobeFor(AnnQueries.ivfCellsFor(n))).sorted)
+    assert(AnnQueries.nprobeFor(AnnQueries.ivfCellsFor(20000)) > 3,
+      "nprobe must widen as cells multiply")
+    assert(ns.map(AnnQueries.pqCodebookFor) == ns.map(AnnQueries.pqCodebookFor).sorted)
+    assert(AnnQueries.pqCodebookFor(1000000L) == 256, "8-bit code cap")
+  }
+
   test("wired: the sf0.1 corpus is bucketed with the PLANNED width, not the oracle's 4 bits") {
     val dir = "/root/testdata/sf0.1"
     val emb = graft.Tables.embeddings(spark, dir)
