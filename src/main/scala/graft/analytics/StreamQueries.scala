@@ -724,6 +724,16 @@ object StreamQueries {
     * sessions; the sink must equal the batch gaps-and-islands answer —
     * ev_session_window_stream's oracle, reached through the timer path
     * instead of session_window.
+    *
+    * DELIVERY CONTRACT (the same one streamScd2 states): the corpus drain
+    * must arrive as ONE micro-batch — stageEvents coalesces the events
+    * into a single staged file, asserted below. If the drain ever split
+    * into multiple batches, an event sitting below the watermark set by a
+    * BUSIER user's later events in an earlier batch would be dropped as
+    * late and that quiet user's session would split, diverging from the
+    * batch oracle. A production deployment states this as "late data
+    * beyond the watermark is dropped" — the standard watermark contract;
+    * the single-file staging makes the proof deterministic here.
     */
   val streamSessionTimeout: QueryDef = QueryDef(
     "ev_stream_session_timeout",
@@ -744,7 +754,18 @@ object StreamQueries {
       |  COUNT(*) AS n_events
       |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val (src, sink, ckpt) = Staging.stageEvents("graft_sto", dir)
+    // explicit single-file staging (the delivery contract above): one
+    // coalesced corpus file → the first drain is exactly one micro-batch
+    val base = Staging.freshBase("graft_sto", dir)
+    val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
+    val src = srcDir.getPath
+    val sink = s"${base.getPath}/sink"
+    val ckpt = s"${base.getPath}/ckpt"
+    val corpus = new java.io.File(base, "corpus")
+    Tables.events(s, dir).coalesce(1).write.parquet(corpus.getPath)
+    val staged = graft.sources.EventsSource.stageInto(
+      corpus.toPath, srcDir.toPath, "corpus")
+    require(staged == 1, s"corpus must stage as ONE file, staged $staged")
     EventsStream.sessionTimeout(s, src, sink, ckpt)
     // Timers only fire DURING a batch, judged against the watermark the
     // checkpoint restored at batch start — a batch's own rows advance the
@@ -760,13 +781,14 @@ object StreamQueries {
         case t: java.time.LocalDateTime => t
         case t: java.sql.Timestamp      => t.toLocalDateTime
       }
-    val flushDir = java.nio.file.Files.createTempDirectory("graft_sto_flush")
+    // sentinels live under the query's own workspace (freshBase wipes it
+    // per run — the old createTempDirectory copy was never deleted)
     def sentinel(tag: String, hours: Long): Unit = {
       Seq((-1L, maxTs.plusHours(hours), -1L, "__flush", 0.0, ""))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.parquet(s"$flushDir/$tag")
+        .coalesce(1).write.parquet(s"$base/$tag")
       graft.sources.EventsSource.stageInto(
-        java.nio.file.Paths.get(s"$flushDir/$tag"), java.nio.file.Paths.get(src), tag)
+        java.nio.file.Paths.get(s"$base/$tag"), java.nio.file.Paths.get(src), tag)
       ()
     }
     sentinel("flush1", 2)

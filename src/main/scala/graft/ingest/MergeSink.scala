@@ -101,7 +101,8 @@ object MergeSink {
       .flatMap(f => versionOf(f.getName)).sorted
 
   private final case class Manifest(schema: org.apache.spark.sql.types.StructType,
-                                    files: Seq[FileStat])
+                                    files: Seq[FileStat],
+                                    props: Map[String, String] = Map.empty)
 
   // The manifest is a driver-written TSV (line 1: table schema as compact
   // JSON; then path, minKd, maxKd, rows per file), NOT a Spark dataset: it
@@ -118,12 +119,31 @@ object MergeSink {
       java.nio.file.Files.readAllLines(f.toPath)).asScala.toSeq.filter(_.nonEmpty)
     val schema = org.apache.spark.sql.types.DataType.fromJson(lines.head)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val files = lines.tail.map { line =>
+    // "#"-prefixed lines are commit PROPERTIES (#\tkey\tvalue) — metadata a
+    // writer attaches atomically to its commit (e.g. the streaming batch
+    // high-water mark); older manifests simply have none
+    val (propLines, fileLines) = lines.tail.partition(_.startsWith("#"))
+    val props = propLines.map { line =>
+      val Array(_, k, v) = line.split("\t", 3)
+      k -> v
+    }.toMap
+    val files = fileLines.map { line =>
       val Array(p, mn, mx, n) = line.split("\t")
       FileStat(p, mn.toLong, mx.toLong, n.toLong)
     }.sortBy(_.path)
-    Manifest(schema, files)
+    Manifest(schema, files, props)
   }
+
+  /** The most recent committed value of commit property `key`, scanning
+    * versions newest-first — O(versions) driver-side manifest reads, no
+    * data scan. Properties commit atomically WITH their version (same CAS
+    * hard-link), which is what makes them usable as exactly-once markers:
+    * a reader can never observe the data change without the marker.
+    */
+  def lastProperty(path: String, key: String): Option[String] =
+    versions(path).reverseIterator
+      .map(v => readManifest(path, v).props.get(key))
+      .collectFirst { case Some(v) => v }
 
   /** Read the sink at a committed version (default: latest). Files are
     * projected through the manifest schema, so rows written before a
@@ -160,11 +180,17 @@ object MergeSink {
 
   private def writeManifest(path: String, v: Long,
                             schema: org.apache.spark.sql.types.StructType,
-                            stats: Seq[FileStat]): Unit = {
+                            stats: Seq[FileStat],
+                            props: Map[String, String] = Map.empty): Unit = {
     manifestDir(path).mkdirs()
     val tmp = new java.io.File(manifestDir(path), s".tmp-v$v-${System.nanoTime()}")
+    props.foreach { case (k, vl) =>
+      require(!k.contains("\t") && !k.contains("\n") && !vl.contains("\n"),
+        s"illegal property: $k=$vl")
+    }
     val body = (schema.json +:
-      stats.map(f => s"${f.path}\t${f.minKd}\t${f.maxKd}\t${f.rows}"))
+      (props.toSeq.sorted.map { case (k, vl) => s"#\t$k\t$vl" } ++
+        stats.map(f => s"${f.path}\t${f.minKd}\t${f.maxKd}\t${f.rows}")))
       .mkString("", "\n", "\n")
     java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
     val dst = new java.io.File(manifestDir(path), f"v$v%06d.tsv")
@@ -202,7 +228,8 @@ object MergeSink {
       key: Seq[String],
       tiebreak: Seq[Column],
       targetFileRows: Long = 1 << 20,
-      expectedVersion: Option[Long] = None): MergeResult = {
+      expectedVersion: Option[Long] = None,
+      properties: Map[String, String] = Map.empty): MergeResult = {
     val keySet = key.toSet
     val rest = batch.columns.filterNot(keySet).map(col(_).asc_nulls_last).toSeq
     val w = Window.partitionBy(key.map(col): _*)
@@ -239,7 +266,7 @@ object MergeSink {
         if (cur != e) throw new ReadConflictException(e, cur)
       }
       try return mergeAttempt(spark, path, deduped, batch.schema, key,
-        targetFileRows, d => attemptDir = Some(d))
+        targetFileRows, d => attemptDir = Some(d), properties)
       catch {
         case c: CommitConflictException =>
           attemptDir.foreach(rmRf)
@@ -265,7 +292,8 @@ object MergeSink {
       batchSchema: org.apache.spark.sql.types.StructType,
       key: Seq[String],
       targetFileRows: Long,
-      trackDir: java.io.File => Unit): MergeResult = {
+      trackDir: java.io.File => Unit,
+      properties: Map[String, String] = Map.empty): MergeResult = {
     val vs = versions(path)
     val v = vs.lastOption.getOrElse(0L) + 1
 
@@ -296,7 +324,7 @@ object MergeSink {
             .filter(f => f.getName.endsWith(".parquet")).map(_.getName).sorted
           one.take(1).map(f => FileStat(s"$rel/$f", 0L, -1L, 0L))
         }
-      writeManifest(path, v, deduped.schema, stats)
+      writeManifest(path, v, deduped.schema, stats, properties)
       return MergeResult(v, inserted = n, updated = 0, filesRewritten = 0,
         filesSkipped = 0)
     }
@@ -370,7 +398,7 @@ object MergeSink {
     // stats instead of a separate semi-join pass: the rewrite wrote
     // (touched - matched) survivors + the whole batch.
     val matched = touchedTotal + batchCount - newStats.map(_.rows).sum
-    writeManifest(path, v, tableSchema, untouched ++ newStats)
+    writeManifest(path, v, tableSchema, untouched ++ newStats, properties)
     MergeResult(v, inserted = batchCount - matched, updated = matched,
       filesRewritten = touched.size.toLong, filesSkipped = untouched.size.toLong)
   }

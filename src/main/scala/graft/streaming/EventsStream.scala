@@ -665,7 +665,16 @@ object EventsStream {
     *  3. emit the close-out of the open row (effective_to = first new
     *     change) plus the new versions numbered from open.version+1, the
     *     last one open;
-    *  4. MERGE on (user_id, version) — replay-idempotent by key.
+    *  4. MERGE on (user_id, version), recording the streaming batchId as a
+    *     commit PROPERTY — atomic with the data (same manifest CAS).
+    * Replay safety: MERGE-on-key alone only dedupes identical re-writes,
+    * not RE-DERIVED ones — if a batch's merge commits but the job dies
+    * before the streaming checkpoint commits, the replayed batch re-reads
+    * the already-updated open rows and derives different (wrong) versions.
+    * The committed batchId high-water mark closes that window: a replayed
+    * batch (id ≤ the sink's recorded mark) is skipped outright, so the
+    * apply is exactly-once against sink mutation (StreamScd2Spec drives
+    * the replay path directly).
     * Contract: batches must respect event-time order ACROSS batches (the
     * staged replay does; late data needs a watermark-delayed
     * reconciliation MERGE — documented, out of scope here). At the lake
@@ -678,15 +687,22 @@ object EventsStream {
     val q = eventsStream(spark, sourceDir).writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyScd2Batch(batch.sparkSession, sinkPath, batch); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyScd2Batch(batch.sparkSession, sinkPath, batch, Some(batchId)); ()
       }
       .start()
     q.awaitTermination()
   }
 
+  private val Scd2BatchProp = "stream.scd2.batchId"
+
   private[graft] def applyScd2Batch(s: SparkSession, sinkPath: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, batchId: Option[Long] = None): Unit = {
+    // replayed micro-batch (merge committed, checkpoint didn't): the
+    // sink's high-water mark proves this id was already applied — no-op
+    val applied = batchId.flatMap(_ =>
+      MergeSink.lastProperty(sinkPath, Scd2BatchProp).map(_.toLong))
+    if (batchId.exists(id => applied.exists(_ >= id))) return
     import org.apache.spark.sql.expressions.Window
     val seqs = batch
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -733,7 +749,8 @@ object EventsStream {
         expr("element_at(changes, 1).ts").as("effective_to"),
         col("open_version").as("version"), lit(false).as("is_current"))
     MergeSink.merge(s, sinkPath, newRows.unionByName(closing),
-      key = Seq("user_id", "version"), tiebreak = Seq(col("effective_from")))
+      key = Seq("user_id", "version"), tiebreak = Seq(col("effective_from")),
+      properties = batchId.map(id => Scd2BatchProp -> id.toString).toMap)
     withChanges.unpersist()
     ()
   }

@@ -55,4 +55,31 @@ class StreamScd2Spec extends AnyFunSuite {
     // path exercised, not a single-batch fluke)
     assert(afterA < fin.size, "second drain added nothing; split proof vacuous")
   }
+
+  test("replayed micro-batch after a committed merge is a no-op (exactly-once)") {
+    // the r8-advice window: the merge COMMITS but the streaming checkpoint
+    // does not, so the engine re-delivers the same batchId. A re-derived
+    // apply against the mutated sink would close the just-written open
+    // rows with inverted effective ranges; the committed batchId
+    // high-water mark must make the replay a structural no-op.
+    val ev = graft.Tables.events(spark, sf).filter(col("event_id") % 3 === 0)
+    val base = java.nio.file.Files.createTempDirectory("graft_scd2replay").toFile
+    val sink = new java.io.File(base, "sink").getPath
+    EventsStream.applyScd2Batch(spark, sink, ev, batchId = Some(0L))
+    val v1 = MergeSink.versions(sink).last
+    val rows1 = MergeSink.read(spark, sink).collect().map(_.toString).sorted.toSeq
+    // replay of the SAME batchId: no new version, no row changes
+    EventsStream.applyScd2Batch(spark, sink, ev, batchId = Some(0L))
+    assert(MergeSink.versions(sink).last == v1, "replay committed a version")
+    val rows2 = MergeSink.read(spark, sink).collect().map(_.toString).sorted.toSeq
+    assert(rows2 == rows1, "replay changed the table")
+    // and the mark is monotone: an OLDER id is also skipped after newer work
+    EventsStream.applyScd2Batch(spark, sink, ev, batchId = Some(0L))
+    assert(MergeSink.versions(sink).last == v1)
+    // a NEW batchId with genuinely new events advances the table
+    val more = graft.Tables.events(spark, sf)
+    EventsStream.applyScd2Batch(spark, sink, more, batchId = Some(1L))
+    assert(MergeSink.versions(sink).last > v1, "new batch did not apply")
+    assert(MergeSink.lastProperty(sink, "stream.scd2.batchId").contains("1"))
+  }
 }
