@@ -82,11 +82,21 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    // Self-adjudication (r8 verdict ask #7): entries >2× their committed
+    // envelope flag themselves, worst-ratio first, capped at 3 for the
+    // line budget — the verdict reads these instead of reconstructing
+    // which numbers need an isolated TimeQuery rebuttal.
+    val suspectJson = {
+      val sus = BenchEnvelopes.suspects(results.collect { case (n, Right(sec)) => n -> sec })
+      if (sus.isEmpty) ""
+      else sus.map { case (n, r) => s""""$n":${f"${math.min(r, 99.9)}%.1f"}""" }
+        .mkString(""","suspect":{""", ",", "}")
+    }
     // sf as the directory basename, not the full path: every char of this
     // line competes with the capturing harness's 2000-char stdout tail.
     val sf = new java.io.File(sfDir).getName
     // the headline total keeps 100 ms resolution (one value, 4-5 chars)
-    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$qs$failedJson,"sf":"$sf"}""")
+    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$qs$failedJson$suspectJson,"sf":"$sf"}""")
     Console.out.flush()
     val stopper = new Thread(() => spark.stop(), "bench-stop")
     stopper.setDaemon(true); stopper.start(); stopper.join(20000L)

@@ -1,0 +1,109 @@
+package graft
+
+/** Committed per-query envelopes (seconds at sf0.1, `local[32]`) the bench
+  * self-adjudicates against — the r8 verdict's ask #7: rounds 7–9 burned
+  * real effort reconstructing which driver-bench numbers were host-IO
+  * noise vs regressions, so the bench now flags its own outliers in the
+  * JSON line instead of leaving the forensics to the verdict.
+  *
+  * Sources: the r8 driver bench per-query values (BENCH_r08.json — typical
+  * driver-host conditions), overridden by the committed isolated 3-run
+  * rows of BASELINE.md where the driver number itself was adjudicated as
+  * host inflation (j1, tpch_q9) and for queries whose shape changed in r9
+  * (the ANN operating point, whose index build is now prestaged out of the
+  * timed region; the lake-backed incremental probe). An entry suspects
+  * itself when its measured time exceeds max(2 × envelope, envelope + 1 s)
+  * — the same >2× bar the round protocol applies, with an absolute floor
+  * so 0.1 → 0.3 s jitter never flags.
+  */
+object BenchEnvelopes {
+
+  val envelopeSec: Map[String, Double] = Map(
+    "s1_f1_new_keys_anti" -> 0.3,
+    "s2_f2_stale_keys" -> 0.3,
+    "k1_sink_idempotence" -> 1.0,
+    "k10_merge_upsert" -> 3.1,
+    "k13_point_lookup" -> 0.4,
+    "k11_format_roundtrip" -> 0.8,
+    "k12_incremental_agg" -> 0.5,
+    "k14_delete" -> 2.7,
+    "p2_struct_array_extract" -> 0.1,
+    "p14_json_props" -> 0.5,
+    "x1_concat_explode" -> 0.3,
+    "a1_batch_counts" -> 0.3,
+    "a3_rollup_spend" -> 0.4,
+    "a15_column_stats" -> 2.2,
+    "tpch_q1_pricing_summary" -> 1.1,
+    "tpch_q6_forecast_revenue" -> 0.2,
+    "tpch_q5_local_supplier" -> 0.6,
+    "tpch_q2_min_cost_supplier" -> 1.1,
+    "tpch_q18_large_volume" -> 0.9,
+    "tpch_q9_product_profit" -> 1.3, // committed isolated row (r9 adjudication)
+    "j1_broadcast_enrich" -> 1.0,    // committed isolated row (r9 adjudication)
+    "j2_star_join_revenue" -> 2.1,
+    "j5_asof_join" -> 0.5,
+    "j6_range_join_bucketed" -> 0.5,
+    "l3_topk_per_group" -> 0.8,
+    "u1_union_dedup_cap" -> 0.6,
+    "w1_running_total" -> 0.5,
+    "dd_exact" -> 0.3,
+    "dd_minhash_lsh" -> 1.5,
+    "dd_components_star" -> 3.4,
+    "dd_embed_cosine" -> 0.5,
+    "dd_incr_lsh_lake" -> 1.0,       // r9 isolated row
+    "dd_span_dedup" -> 1.0,
+    "dd_containment" -> 0.3,
+    "dd_entity_match" -> 2.4,        // r9 post-fix isolated row
+    "dd_semdedup" -> 1.1,
+    "dd_incr_components" -> 5.4,
+    "ann_lsh_topk" -> 0.6,
+    "ann_ivf_topk" -> 0.7,           // r9 operating point, index prestaged
+    "ann_pq_topk" -> 2.1,            // r9 operating point, index prestaged
+    "ann_knn_join" -> 0.9,
+    "ann_ivfpq_topk" -> 2.0,         // r9 operating point, index prestaged
+    "a14_kmv_setops" -> 0.7,
+    "ann_rrf_hybrid" -> 1.2,
+    "tx_bm25_rank" -> 0.6,
+    "tx_lang_id" -> 0.4,
+    "tx_token_count" -> 0.3,
+    "tx_ngram_novelty" -> 2.0,
+    "tx_familiarity" -> 0.6,
+    "tx_bpe_merge" -> 1.2,
+    "tx_tfidf_keywords" -> 1.1,
+    "tx_bpe_tokenize" -> 1.1,
+    "ev_sessionize" -> 0.6,
+    "ev_tumbling_window" -> 0.3,
+    "ev_stream_exactly_once" -> 2.3,
+    "ev_gap_fill" -> 0.4,
+    "ev_funnel" -> 0.6,
+    "ev_cohort_retention" -> 0.5,
+    "ev_stream_funnel" -> 2.0,
+    "ev_stream_topk" -> 3.6,
+    "ev_anomaly_mad" -> 0.9,
+    "ev_stream_scd2" -> 2.1,
+    "mm_byte_histogram" -> 0.2,
+    "mm_avg_hash" -> 0.2,            // r9 real-BMP shape
+    "dd_media_dedup" -> 0.4,         // r9 real-BMP shape
+    "cu_pack_chunks" -> 0.3,
+    "cu_ngram_decontaminate" -> 1.0,
+    "cu_mixture_weights" -> 0.4,
+    "cu_dsir_weights" -> 0.6,
+    "cu_quality_filter" -> 0.4,
+    "cu_token_budget" -> 0.3,
+    "pipe_pretrain_corpus" -> 2.2,
+    "pipe_incremental_corpus" -> 1.5,
+    "gr_pagerank" -> 5.1,
+    "gr_bfs_distance" -> 1.8)
+
+  /** Entries whose measured seconds exceed the suspect bar, worst ratio
+    * first, capped at 3 (the JSON line budget — BenchLineSpec models the
+    * worst case). A missing envelope never flags (new queries earn one the
+    * round after they land).
+    */
+  def suspects(measured: Seq[(String, Double)]): Seq[(String, Double)] =
+    measured.flatMap { case (name, sec) =>
+      envelopeSec.get(name).collect {
+        case env if sec > math.max(2 * env, env + 1.0) => name -> sec / env
+      }
+    }.sortBy(-_._2).take(3)
+}

@@ -43,7 +43,11 @@ object SparkEntry {
   def prestage: Map[String, (SparkSession, String) => Unit] = Map(
     "k13_point_lookup" -> ((s, dir) => { DedupQueries.ensurePointLookupSink(s, dir); () }),
     "k14_delete" -> ((s, dir) => { DedupQueries.ensureDeleteBase(s, dir); () }),
-    "k12_incremental_agg" -> ((s, dir) => { DedupQueries.ensureIncrementalAggSink(s, dir); () }))
+    "k12_incremental_agg" -> ((s, dir) => { DedupQueries.ensureIncrementalAggSink(s, dir); () }),
+    "dd_incr_lsh_lake" -> ((s, dir) => { DedupQueries.ensureBandSink(s, dir); () }),
+    "ann_ivf_topk" -> AnnQueries.ensureAnnIndexes,
+    "ann_pq_topk" -> AnnQueries.ensureAnnIndexes,
+    "ann_ivfpq_topk" -> AnnQueries.ensureAnnIndexes)
 
   /** Headline benchmark set — one-to-two representatives per tier, chosen
     * so the bench (a) covers every operator family, (b) finishes well
@@ -71,14 +75,15 @@ object SparkEntry {
     "tpch_q1_pricing_summary",
     "tpch_q6_forecast_revenue", "tpch_q5_local_supplier",
     "tpch_q2_min_cost_supplier",
-    "tpch_q18_large_volume", "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q18_large_volume", "tpch_q9_product_profit",
     // joins / set-ops / limits / windows
     "j1_broadcast_enrich", "j2_star_join_revenue", "j5_asof_join",
     "j6_range_join_bucketed", "l3_topk_per_group", "u1_union_dedup_cap",
-    "w1_running_total", "w4_range_frame",
-    // dedup family
+    "w1_running_total",
+    // dedup family (the lake-backed incremental probe replaces the in-plan
+    // dd_incr_lsh slot — same semantics, the 100-TB read path)
     "dd_exact", "dd_minhash_lsh", "dd_components_star",
-    "dd_embed_cosine", "dd_incr_lsh", "dd_span_dedup", "dd_containment",
+    "dd_embed_cosine", "dd_incr_lsh_lake", "dd_span_dedup", "dd_containment",
     "dd_entity_match", "dd_semdedup", "dd_incr_components",
     // similarity search / sketches
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_knn_join",
@@ -88,12 +93,12 @@ object SparkEntry {
     "tx_familiarity", "tx_bpe_merge", "tx_tfidf_keywords", "tx_bpe_tokenize",
     // events / streaming
     "ev_sessionize", "ev_tumbling_window", "ev_stream_exactly_once",
-    "ev_gap_fill", "ev_stream_dedup_wm", "ev_funnel", "ev_cohort_retention", "ev_stream_funnel",
+    "ev_gap_fill", "ev_funnel", "ev_cohort_retention", "ev_stream_funnel",
     "ev_stream_topk", "ev_anomaly_mad", "ev_stream_scd2",
     // multimodal / curation / graph
     "mm_byte_histogram", "mm_avg_hash", "dd_media_dedup", "cu_pack_chunks",
     "cu_ngram_decontaminate",
-    "cu_window_chunks", "cu_mixture_weights", "cu_dsir_weights", "cu_quality_filter",
-    "cu_shard_balance", "cu_token_budget",
+    "cu_mixture_weights", "cu_dsir_weights", "cu_quality_filter",
+    "cu_token_budget",
     "pipe_pretrain_corpus", "pipe_incremental_corpus", "gr_pagerank", "gr_bfs_distance")
 }

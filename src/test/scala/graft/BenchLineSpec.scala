@@ -24,13 +24,27 @@ class BenchLineSpec extends AnyFunSuite {
     val names = SparkEntry.benchQueries
     // worst case: every query at the 3-char clamp, every query ALSO listed
     // in "failed" is impossible (failures leave the map), so model the
-    // longer of the two renderings per entry — the map entry.
+    // longer of the two renderings per entry — the map entry. The suspect
+    // block is capped at 3 entries; model it at the 3 longest names with
+    // the 4-char ratio clamp (99.9).
     val qs = names.map(n => s""""$n":999""").mkString("{", ",", "}")
+    val sus = names.sortBy(-_.length).take(3)
+      .map(n => s""""$n":99.9""").mkString(""","suspect":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs,"sf":"sf0.01"}"""
+      s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs$sus,"sf":"sf0.01"}"""
     val sbtFraming = 7 + 70 // "[info] " prefix + "[success] Total time: …" suffix
     assert(line.length + sbtFraming <= 2000,
       s"worst-case bench line is ${line.length}+$sbtFraming chars; the driver " +
         "captures only the last 2000 — shorten names or drop a bench entry")
+  }
+
+  test("every headline entry carries a committed self-adjudication envelope") {
+    val missing = SparkEntry.benchQueries.filterNot(BenchEnvelopes.envelopeSec.contains)
+    assert(missing.isEmpty, s"bench entries without an envelope: $missing")
+    // and the suspect logic flags a 3x outlier but not jitter on tiny entries
+    val sus = BenchEnvelopes.suspects(Seq("dd_exact" -> 0.4, "gr_pagerank" -> 15.3))
+    assert(sus.map(_._1) == Seq("gr_pagerank"))
+    assert(BenchEnvelopes.suspects(
+      (1 to 10).map(i => s"q$i" -> 999.0) ++ Seq("gr_pagerank" -> 15.3)).size <= 3)
   }
 }
