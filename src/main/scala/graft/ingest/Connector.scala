@@ -133,7 +133,13 @@ final class FixtureConnector(
                 // identical survivors. Mirrors the reference's untimed
                 // caps ("whatever N items the API returned"); a backlog
                 // beyond the cap needs an event-time column to drain.
-                windowed.orderBy(xxhash64(to_json(struct(col("*"))))).limit(n)
+                // (Explicit column list: a bare star is invalid inside
+                // Sort — latent until the async seam routed per-company
+                // fetches through this branch.)
+                windowed
+                  .orderBy(xxhash64(to_json(struct(
+                    windowed.columns.toSeq.map(col): _*))))
+                  .limit(n)
             }
         }
       case None => windowed

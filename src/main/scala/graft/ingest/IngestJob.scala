@@ -188,7 +188,11 @@ object Pipelines {
           eventTimeCol = Some("date"), tiebreakCol = Some("id")),
         Normalize.twitter3, Seq("created_at"), 100, 100, 120), // twitter3_scraper.py:23-25,36
       IngestSpec("instagram", "instagram_mentions", "instagram_username",
-        fx("instagram", Schemas.instagramRaw),
+        // async-run source (instagram_scraper.py:36-53): start → poll →
+        // fetch dataset, through the AsyncPoll seam; the fixture client
+        // completes on the first poll so the hermetic path never sleeps
+        new AsyncPollConnector("instagram",
+          new FixtureRunClient(fx("instagram", Schemas.instagramRaw))),
         Normalize.instagram, Seq("created_at"), 100, 100, 90),
       IngestSpec("trustpilot", "trustpilot_reviews", "company_web_address",
         // DSv2: the page cap is a plain predicate, pushed as a scan filter
@@ -200,7 +204,9 @@ object Pipelines {
           pageCapCol = Some("page_num")),
         Normalize.feefo, Seq("review_date"), 3, 30, 3650), // tasks.py:62,322,339
       IngestSpec("google_maps", "google_maps_reviews", "place_url",
-        fx("google_maps", Schemas.googleMapsRaw),
+        // async-run source (google_maps_scraper.py:36-45), same seam
+        new AsyncPollConnector("google_maps",
+          new FixtureRunClient(fx("google_maps", Schemas.googleMapsRaw))),
         Normalize.googleMaps, Seq("review_date"), 100, 100, 3650), // tasks.py:61
       IngestSpec("reddit", "reddit_posts", "company_web_address",
         fx("reddit", Schemas.redditRaw, suffixes = Seq("_url", "_mention")), // dual query, reddit_scraper.py:66

@@ -82,6 +82,84 @@ class ConnectorSpec extends AnyFunSuite {
       canon(perCompany.fetchAll(spark, comps, until, Some(2))))
   }
 
+  // ---- async start→poll→fetch seam (instagram/google_maps shape) --------
+
+  private class VirtualClock {
+    var now = 0L
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def sleep(ms: Long): Unit = { sleeps += ms; now += ms }
+  }
+
+  private def asyncConn(dir: String, script: Map[String, Seq[AsyncPoll.RunStatus]],
+                        clock: VirtualClock, timeoutMs: Long = 10000) = {
+    val client = new FixtureRunClient(connector(dir), script)
+    (new AsyncPollConnector("twitter3", client, pollEveryMs = 2000,
+      timeoutMs = timeoutMs, nowMs = () => clock.now, sleepMs = clock.sleep), client)
+  }
+
+  test("async poll loop: RUNNING x2 then SUCCEEDED fetches the dataset on cadence") {
+    import AsyncPoll._
+    val dir = writeFixture((1 to 3).map(i => rec(i, f"2025-01-0${i}T00:00:00Z")))
+    val clock = new VirtualClock
+    val (conn, client) = asyncConn(dir,
+      Map("h" -> Seq(Running, Running, Succeeded)), clock)
+    val got = conn.fetch(spark, c, FetchParams())
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(got == Set(1L, 2L, 3L), "dataset must be the wrapped fixture fetch")
+    // two RUNNING polls → exactly two cadence sleeps, nothing aborted
+    assert(clock.sleeps.toSeq == Seq(2000L, 2000L))
+    assert(client.abortedRuns.isEmpty)
+  }
+
+  test("async poll loop: deadline aborts a hung run") {
+    import AsyncPoll._
+    val dir = writeFixture(Seq(rec(1, "2025-01-01T00:00:00Z")))
+    val clock = new VirtualClock
+    val (conn, client) = asyncConn(dir,
+      Map("h" -> Seq(Running)), clock, timeoutMs = 5000) // RUNNING forever
+    val ex = intercept[PollTimeoutException] {
+      conn.fetch(spark, c, FetchParams())
+    }
+    assert(ex.getMessage.contains("aborted"))
+    assert(client.abortedRuns.size == 1, "the hung run must be aborted")
+    // sleeps never overshoot the deadline: 2000, 2000, then the 1000 tail
+    assert(clock.sleeps.toSeq == Seq(2000L, 2000L, 1000L))
+  }
+
+  test("async poll loop: a FAILED run surfaces its reason") {
+    import AsyncPoll._
+    val dir = writeFixture(Seq(rec(1, "2025-01-01T00:00:00Z")))
+    val clock = new VirtualClock
+    val (conn, _) = asyncConn(dir,
+      Map("h" -> Seq(Running, Failed("actor crashed"))), clock)
+    val ex = intercept[RunFailedException] {
+      conn.fetch(spark, c, FetchParams())
+    }
+    assert(ex.getMessage.contains("actor crashed"))
+  }
+
+  test("async fetchAll starts every run up front and shares the poll cadence") {
+    import AsyncPoll._
+    val dir = Files.createTempDirectory("graft-conn-async")
+    val p = dir.resolve("twitter3"); p.toFile.mkdirs()
+    Files.write(p.resolve("h.json"), rec(1, "2025-01-01T00:00:00Z").getBytes)
+    Files.write(p.resolve("g.json"), rec(2, "2025-01-02T00:00:00Z").getBytes)
+    val clock = new VirtualClock
+    // h completes on poll 2, g on poll 3 — ONE shared cadence, not per-run
+    val (conn, _) = asyncConn(dir.toString,
+      Map("h" -> Seq(Running, Succeeded), "g" -> Seq(Running, Running, Succeeded)),
+      clock)
+    val comps = Seq(
+      (Company(1, "H", Some("h")), Option.empty[Timestamp]),
+      (Company(2, "G", Some("g")), Option.empty[Timestamp]))
+    val got = conn.fetchAll(spark, comps, None, None)
+      .select("id", SourceConnector.CompanyName).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got == Set(1L -> "H", 2L -> "G"))
+    assert(clock.sleeps.toSeq == Seq(2000L, 2000L),
+      "two poll rounds with pending runs → two shared sleeps")
+  }
+
   test("fetchAll plan size is O(1) in company count (500-company control table)") {
     val dir = writeFixture((1 to 6).map(i => rec(i, f"2025-01-0${i}T00:00:00Z")))
     val fx = connector(dir)
