@@ -59,7 +59,7 @@ object BenchEnvelopes {
     "ann_lsh_topk" -> 0.6,
     "ann_ivf_topk" -> 0.7,           // r9 operating point, index prestaged
     "ann_pq_topk" -> 2.1,            // r9 operating point, index prestaged
-    "ann_knn_join" -> 0.9,
+    "ann_knn_join" -> 1.3,            // r9 cell-blocked shape
     "ann_ivfpq_topk" -> 2.0,         // r9 operating point, index prestaged
     "a14_kmv_setops" -> 0.7,
     "ann_rrf_hybrid" -> 1.2,

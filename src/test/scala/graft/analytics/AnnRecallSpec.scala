@@ -71,9 +71,9 @@ class AnnRecallSpec extends AnyFunSuite {
 
   test("all-kNN join recall@3 (probe subset) stays above the floor") {
     // ann_knn_join covers EVERY vector; restrict to the brute-force
-    // probes and compare top-3 sets. Single-bucket candidates (no
-    // multiprobe) → structurally below the probe query's recall; the
-    // floor guards a broken bucket code, not tuning
+    // probes and compare top-3 sets. Round-9 operating point: candidates
+    // from the trained spherical cells (nprobe per vector) — measured
+    // 0.63 vs 0.47 for the sign-bucket blocking it replaced.
     val exact3 = topSets("ann_bruteforce_topk", 3)
     val knn = SparkEntry.allDefs.find(_.name == "ann_knn_join").get.fn(spark, sf)
       .filter("rank <= 3").collect()
@@ -84,6 +84,6 @@ class AnnRecallSpec extends AnyFunSuite {
     }
     val r = per.sum / per.size
     info(f"ann_knn_join recall@3 = $r%.2f")
-    assert(r >= 0.2, f"kNN-join recall collapsed: $r%.2f")
+    assert(r >= 0.5, f"kNN-join recall below the operating point: $r%.2f")
   }
 }
