@@ -245,12 +245,17 @@ object AnnQueries {
 
   /** Normalized corpus: (vec_id, e, nrm, en) — original vector, its self-
     * dot, and the unit-normalized copy the quantizers train on.
+    * Memo-and-persisted: every ANN stage (training, assignment, probes,
+    * refine) reads it — uncached, the ivfpq plan re-scanned the embeddings
+    * parquet 8× per run (PLANS.md audit caught it).
     */
   private def normalized(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
-      .withColumn("nrm", Vec.dot(col("e"), col("e")))
-      .withColumn("en", transform(col("e"), x => x / sqrt(col("nrm"))))
+    PlanCache.cached(s, dir, "ann_vn") {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", Vec.dot(col("e"), col("e")))
+        .withColumn("en", transform(col("e"), x => x / sqrt(col("nrm"))))
+    }
 
   /** Spark-side spherical cells, planner-sized: (corpus assignment
     * `cells`: vec_id → cell, probe assignment `pcells`: probe_id → its

@@ -103,7 +103,158 @@ object DumpPlans {
         |groupBy on the content hash), decontamination (broadcast probe
         |set), and the per-language rollup — Catalyst fuses all four
         |stages off the documents scan with no intermediate
-        |materialization; the whole recipe is one job.""".stripMargin)
+        |materialization; the whole recipe is one job.""".stripMargin,
+    "tpch_q9_product_profit" ->
+      """The multi-fact star with the synthetic partsupp dim collapsed into a window: because ps_supplycost joins back on exactly its derivation keys (partkey, suppkey), the groupBy+re-join becomes `min() OVER (PARTITION BY l_partkey, l_suppkey)` — ONE lineitem scan (the naive form scans it twice and self-joins), with the part LIKE-filter broadcast BELOW the window (sound: the filter depends only on the partition key). Final adaptive plan at sf0.1: 1 lineitem scan, 1 Window, 4 broadcast joins (part, supplier⋈nation, orders — AQE broadcasts orders at this SF; at cluster scale it degrades gracefully to the order-key co-shuffle), 2 exchanges. PlanContractSpec pins the single-scan + window shape.""".stripMargin,
+    "tpch_q8_market_share" ->
+      """The widest join in the suite (7 tables) feeding a ratio-of-conditional-aggregates: numerator and denominator accumulate as two conditional DECIMAL partials over the SAME pass. Final adaptive plan at sf0.1: ONE lineitem scan; part (type-pruned) and supplier⋈nation broadcast against it; the region-filtered customer side arrives as a LEFT SEMI (6 broadcast joins, 1 sort-merge, 3 exchanges). PlanContractSpec pins the single-scan + broadcast-dims shape.""".stripMargin,
+    "dd_span_dedup" ->
+      """Span-level exact dedup (E70). The load-bearing properties, all visible in
+        |the final plan: exactly TWO pruned document scans (ReadSchema
+        |doc_id+text only) — the firsts aggregation side and the probe side; the
+        |span count rides the probe explode as size() arithmetic (no third scan);
+        |the first-occurrence table partial-aggregates (partial_min below its
+        |exchange) so the span exchange carries distinct spans, not occurrences;
+        |at sf0.1 AQE broadcasts the distinct-span table (BroadcastHashJoin
+        |LeftOuter) — at corpus scale it degrades to the hash-sharded equi-join
+        |with AQE skew-split, never a sort of occurrence rows; reassembly is one
+        |groupBy(doc_id, n_spans) exchange with ObjectHashAggregate collect_list
+        |(doc-sized state). PlanContractSpec pins the two-scan + partial-agg
+        |shape.""".stripMargin,
+    "tx_bpe_merge" ->
+      """BPE vocabulary induction (E71). The corpus-sized pass is the vocab
+        |construction, materialized ONCE through the per-(session, dir) persisted
+        |word table — every FileScan in this dump sits INSIDE an
+        |InMemoryTableScan's cache-materialization subtree (the unrolled-round
+        |formulation without the cache re-derived v1 along every branch: 7 full
+        |corpus scans measured, growing 2^rounds−1). The three rounds are
+        |vocab-sized: pair Generate → partial-aggregated HashAggregate on the
+        |pair key → the 1-row winner TakeOrderedAndProject broadcast back via
+        |BroadcastNestedLoopJoin (1-row × vocab, the bm25/familiarity stats-row
+        |shape) → the boundary-safe replace projection. Dump trimmed to the
+        |first round's structure — rounds 2/3 repeat it over the cached table.""".stripMargin,
+    "ev_funnel" ->
+      """Ordered conversion funnel (E78). The contract this plan proves: ONE
+        |events scan feeding ONE exchange on user_id; the per-type timestamp
+        |lists build in ObjectHashAggregate with partial aggregation below the
+        |exchange (collect_list partials merge map-side), and the sequential
+        |step logic (ts2/ts3) runs as array expressions ABOVE the aggregate —
+        |no second scan, no join chain, no per-step passes. The final depth
+        |rollup is a 4-row aggregate.""".stripMargin,
+    "a14_kmv_setops" ->
+      """KMV set-operation sketch (E74). The data pass is the distinct
+        |partial-agg + per-type rank behind the localCheckpoint (materialized
+        |before this plan — ScanAudit shows zero live event scans here); the
+        |plan below is pure sketch ALGEBRA: the |types|² pair join on k-bounded
+        |arrays and the estimate projections. At 100 TB only the checkpointed
+        |stage touches data; this plan's cost is |types|²·k regardless of
+        |corpus size.""".stripMargin,
+    "dd_semdedup" ->
+      """SemDeDup semantic dedup (E94). Contracts this plan proves: (1) the
+        |cluster ASSIGNMENT — the one K×d BroadcastNestedLoopJoin fan-out plus
+        |the max_by argmax whose partial aggregation collapses n×K candidate
+        |rows to n winners BELOW the vec_id exchange — lives inside ONE
+        |persisted InMemoryRelation, and all three consumers (both pair-join
+        |sides and the verdict join) read the cache: the fan-out runs once as a
+        |contract, not as an AQE-reuse outcome (unpersisted, 2 of 3 BNLJs
+        |survived reuse — measured before the fix). (2) The within-cluster
+        |pair stage is a cid-keyed SortMergeJoin carrying the cosine and
+        |id-order predicates — Σ cluster² work, never CartesianProduct. (3)
+        |The verdict is a distinct partial-agg + left outer equi-join,
+        |hash-sharded. Window-free throughout.""".stripMargin,
+    "ev_topk_trending" ->
+      """Windowed trending top-k (E95). The contract: the rank NEVER sees raw
+        |events — one partial-aggregable (hour, type) count collapses the
+        |corpus before the exchange, and the row_number runs over the tiny
+        |aggregate table. Spark's WindowGroupLimit (Partial below the
+        |exchange, Final above) additionally prunes each partition to its top
+        |3 BEFORE shuffling — the top-k pushdown that keeps rank state k-bounded
+        |at any corpus size. The streaming twin (ev_stream_topk) maintains the
+        |same counts incrementally (watermark-bounded update-mode upserts; the
+        |ev_watermarked_window machinery verbatim) and runs this rank at read
+        |time — top-k needs retraction under count updates, counts are pure
+        |monotone upserts, so stream maintains what streams well.""".stripMargin,
+    "ann_rrf_hybrid" ->
+      """Hybrid retrieval via reciprocal-rank fusion (E97). Contracts: the dense
+        |list is a TakeOrderedAndProject (k rows off one corpus scan against the
+        |1-row broadcast probe — never a global sort); the lexical list is
+        |tx_bm25_rank's plan verbatim (1-row stats broadcast, TakeOrdered); the
+        |FUSION is a k×k FullOuter equi-join on doc id plus a k-row rank — the
+        |whole fusion stage is O(k) and corpus-size-independent, so hybrid
+        |search costs exactly its two retrievals. Swapping the dense side to
+        |ann_lsh/ann_ivf changes only that subtree.""".stripMargin,
+    "ev_anomaly_mad" ->
+      """Median/MAD robust anomaly flags (E99). Contracts: the per-event dev
+        |table (events ⋈ broadcast |types|-row median) is persisted ONCE and
+        |read by both consumers — the MAD aggregation and the flag pass — so no
+        |live events FileScan exists outside the InMemoryRelation (contract-
+        |pinned); both aggregations collapse to |types| rows map-side and
+        |broadcast back onto the scan: events NEVER shuffle. The exact
+        |percentile is the oracle statement; approx_percentile (GK, partial-
+        |aggregable) is the 100-TB swap with the identical plan shape.""".stripMargin,
+    "gr_bfs_distance" ->
+      """Multi-source BFS (E101). The contract: the visible plan is ONE
+        |relaxation round — prior rounds are eagerly checkpointed (Scan
+        |ExistingRDD), because relax references its input twice (keep ∪
+        |neighbor+1) and an unchained 3-round plan re-expands the frontier
+        |2^rounds times (ScanAudit caught 30 echoed lineitem scans; the
+        |checkpoint made the query 1.8–2.2× faster outright). The sym edge
+        |table persists hash-partitioned (InMemoryTableScan); the min-dist
+        |groupBy partial-aggregates map-side.""".stripMargin,
+    "pipe_incremental_corpus" ->
+      """Incremental curation pipeline (E104). Contracts: the quality-scored
+        |batch frame and its clean projection are checkpointed ONCE (Scan
+        |ExistingRDD) and feed all six verdict branches; every dedup stage is an
+        |equi-join (fingerprints on fp, bands on band_key from the shared
+        |persisted shingle cache); the ONLY nested loop is the O(batch)×O(eval)
+        |probe broadcast, contract-pinned to stay the only one. Left joins
+        |flag, a CASE picks the first failing stage.""".stripMargin,
+    "dd_incr_components" ->
+      """Incremental connected components (E106). The visible plan is the
+        |UPDATE-SET assembly — both star contractions (corpus fixed point and
+        |delta propagation) ran to convergence behind localCheckpoints (Scan
+        |ExistingRDD), exactly like dd_components_star's rounds; what remains is
+        |the batch left join and the changed-label fan-out equi-join, both
+        |hash-sharded. No live documents scan: candidates came from the shared
+        |shingle cache inside the contractions.""".stripMargin,
+    "ann_ivf_topk" ->
+      """The r9 operating point: the trained-cell tables come back as
+        |InMemoryTableScan (the session caches — training is construction,
+        |not probe cost), the probe-cell assignment broadcasts, and the
+        |data-sized branch is ONE equi-join of the corpus against the
+        |broadcast pcells on the cell id — at the lake the corpus is
+        |partitioned by cell and this join IS partition pruning
+        |(nprobe/cells of the table read).""".stripMargin,
+    "ann_ivfpq_topk" ->
+      """The composed index probe: cached code table joined to cached cell
+        |assignments, restricted by the broadcast probe-cell set BEFORE the
+        |eight broadcast ADC lookups — so the ADC work runs on the pruned
+        |candidate set only; the fixed-order adist sum feeds a per-probe
+        |window (cell-bounded rows), and the exact-cosine refine touches
+        ||probes|·Refine original vectors via two broadcast joins. No
+        |corpus-sized shuffle anywhere after the cached tables.""".stripMargin,
+    "ann_knn_join" ->
+      """The batch-ANN shape: the all-vector probe assignment collapses
+        |map-side (collect-sort-slice aggregate over the broadcast centroid
+        |table — n rows reach the exchange, never n×k), candidates come
+        |from ONE equi-join on the cell id against the cached assignment
+        |(pair volume nprobe·occupancy per vector, held constant by the
+        |planner), and the per-vector rank windows over cell-bounded
+        |candidate sets.""".stripMargin,
+    "dd_incr_lsh_lake" ->
+      """The lake probe: the corpus side is a parquet scan of ONLY the
+        |manifest-pruned posting files (readOverlapping lists the hit set —
+        |no directory listing of the full table), the batch bands derive
+        |from the shared shingle cache, and the explode+verify joins are
+        |batch-sized. The one corpus-sized structure in the plan is the
+        |pruned file scan itself — O(batch-bands) files by the manifest's
+        |key-digest intervals.""".stripMargin,
+    "mm_avg_hash" ->
+      """The real-codec multimodal path: ONE documents scan feeds the
+        |mapPartitions BMP encode (fixture synthesis) and decode+aHash
+        |(the featurizer under test) — all in a single stage, no shuffle at
+        |all; the per-record work is the container parse, which is exactly
+        |what a JNI codec binding would slot into.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
