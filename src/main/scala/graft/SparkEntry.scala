@@ -45,6 +45,9 @@ object SparkEntry {
     "k14_delete" -> ((s, dir) => { DedupQueries.ensureDeleteBase(s, dir); () }),
     "k12_incremental_agg" -> ((s, dir) => { DedupQueries.ensureIncrementalAggSink(s, dir); () }),
     "dd_incr_lsh_lake" -> ((s, dir) => { DedupQueries.ensureBandSink(s, dir); () }),
+    "dd_incr_components_lake" -> ((s, dir) => {
+      DedupQueries.ensureBandSink(s, dir); DedupQueries.ensureLabelSinks(s, dir); ()
+    }),
     "ann_ivf_topk" -> AnnQueries.ensureAnnIndexes,
     "ann_pq_topk" -> AnnQueries.ensureAnnIndexes,
     "ann_ivfpq_topk" -> AnnQueries.ensureAnnIndexes)

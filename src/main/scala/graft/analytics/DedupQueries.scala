@@ -474,6 +474,109 @@ object DedupQueries {
     batchOut.unionByName(corpusOut)
   }
 
+  /** Process-local memo of the corpus cluster lake tables (k13Sinks'
+    * contract): the star-contracted corpus labels persisted TWICE — keyed
+    * by doc_id (the contraction lookup) and as component → sorted member
+    * postings (the changed-label fan-out) — because the two access paths
+    * prune on different keys and MergeSink files cluster on their merge
+    * key's digest. Construction, prestaged out of the measured probe.
+    */
+  private val labelSinks =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+  private[graft] def ensureLabelSinks(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): (String, String) =
+    labelSinks.computeIfAbsent(dir, { _ =>
+      val base = Staging.freshBase("graft_labels", dir).getPath
+      val byDoc = s"$base/by_doc"
+      val byComp = s"$base/by_component"
+      val pairs = nearDupPairs(s, dir).select("doc_a", "doc_b")
+      val corpusPairs = pairs
+        .filter(col("doc_a") % 5 =!= 0 && col("doc_b") % 5 =!= 0)
+      val labels = starComponents(corpusPairs).localCheckpoint(true)
+      // tiny target: the sf-scale cluster table is small, and the pruning
+      // proof needs it to SPAN several range-clustered files
+      MergeSink.merge(s, byDoc, labels, Seq("doc_id"), Seq(col("doc_id")),
+        targetFileRows = 8)
+      val postings = labels.groupBy("component")
+        .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      MergeSink.merge(s, byComp, postings, Seq("component"), Seq(col("component")),
+        targetFileRows = 2) // few components at test SF: 2 rows/file spans it
+      (byDoc, byComp)
+    })
+
+  /** dd_incr_components with the corpus cluster table read from the LAKE:
+    * the precomputed labels live in MergeSink tables (doc-keyed for the
+    * supernode contraction, component-keyed postings for the changed-label
+    * fan-out), and the batch update touches O(batch-adjacent) FILES of
+    * each — `readOverlapping` prunes by the touched doc ids / remapped
+    * labels, so neither access reads the cluster table (the in-plan
+    * variant recomputes the whole corpus fixed point per run; this is the
+    * MERGE-maintained daily shape). Delta pairs come from the batch band
+    * self-join plus the lake band-posting probe (dd_incr_lsh_lake's
+    * candidates) — the same verified pair set, derived O(batch).
+    * Identical semantics and oracle to dd_incr_components.
+    */
+  val incrComponentsLake: QueryDef = QueryDef(
+    "dd_incr_components_lake", incrComponents.oracle.get) { (s, dir) =>
+    val (byDoc, byComp) = ensureLabelSinks(s, dir)
+    val bandSink = ensureBandSink(s, dir)
+    // delta pairs, O(batch): batch-batch via the batch band self-join,
+    // batch-corpus via the pruned posting probe — then the exact verify
+    val newBands = bandTable(s, dir).filter(col("doc_id") % 5 === 0)
+    val bb = newBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val bc = newBands.select(col("doc_id").as("doc_a"), col("band_key"))
+      .join(MergeSink.readOverlapping(s, bandSink, newBands.select("band_key"),
+        Seq("band_key")), Seq("band_key"))
+      .select(col("doc_a"), explode(col("doc_ids")).as("doc_b"))
+    val deltaPairs = verifyJaccard(s, dir, bb.unionByName(bc).distinct())
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    val isNewA = col("doc_a") % 5 === 0
+    val isNewB = col("doc_b") % 5 === 0
+    // PRUNED label lookup for the touched corpus endpoints
+    val touched = deltaPairs.select(when(!isNewA, col("doc_a")).as("doc_id"))
+      .unionByName(deltaPairs.select(when(!isNewB, col("doc_b")).as("doc_id")))
+      .filter(col("doc_id").isNotNull).distinct().localCheckpoint(true)
+    val touchedLabels = MergeSink.readOverlapping(s, byDoc, touched, Seq("doc_id"))
+      .join(touched, Seq("doc_id")) // residual: pruned files hold other rows too
+      .localCheckpoint(true)
+    def contracted(side: String, lbl: String) =
+      touchedLabels.select(col("doc_id").as(side), col("component").as(lbl))
+    val reduced = deltaPairs
+      .join(contracted("doc_a", "la"), Seq("doc_a"), "left")
+      .join(contracted("doc_b", "lb"), Seq("doc_b"), "left")
+      .select(
+        when(isNewA, col("doc_a")).otherwise(coalesce(col("la"), col("doc_a"))).as("doc_a"),
+        when(isNewB, col("doc_b")).otherwise(coalesce(col("lb"), col("doc_b"))).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val reducedLabels = starComponents(reduced).localCheckpoint(true)
+    val batchDocs = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"))
+    val batchOut = batchDocs
+      .join(reducedLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    // labels the delta propagation MOVED (reduced node ≠ its new label)
+    val remaps = reducedLabels
+      .select(col("doc_id").as("component"), col("component").as("new_label"))
+      .filter(col("new_label") =!= col("component"))
+      .localCheckpoint(true)
+    // fan-out to members via the PRUNED posting probe (batch-id "labels"
+    // in remaps simply miss — they have no postings row)
+    val memberOut = MergeSink.readOverlapping(s, byComp,
+        remaps.select("component"), Seq("component"))
+      .join(remaps, Seq("component"))
+      .select(explode(col("doc_ids")).as("doc_id"), col("new_label").as("component"))
+    // corpus endpoints with NO corpus label are their own reduced node
+    val singleOut = touched
+      .join(touchedLabels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(remaps, col("doc_id") === col("component"))
+      .select(col("doc_id"), col("new_label").as("component"))
+    batchOut.unionByName(memberOut).unionByName(singleOut)
+  }
+
   /** SimHash: 32-bit bit-majority signature over the document's SHINGLE
     * set (bit j = majority of md5(shingle) hex-digit j's top bit).
     * Features are shingles, not words: on a shared-vocabulary corpus the
@@ -1263,5 +1366,5 @@ object DedupQueries {
       componentsStar, simhash, simhashPairs, sinkIdempotence, nullKeySink,
       mergeUpsert, incrementalAgg, pointLookup, deleteRows, formatRoundtrip,
       zorderSkip, clusterKeepBest, spanDedup, containment, incrSpan,
-      entityMatch, incrComponents)
+      entityMatch, incrComponents, incrComponentsLake)
 }

@@ -41,6 +41,29 @@ class IncrLshLakeSpec extends AnyFunSuite {
       s"narrow probe opened all $total files — pruning is not happening")
   }
 
+  test("lake components update equals the in-plan incremental components") {
+    val lake = run("dd_incr_components_lake").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plan = run("dd_incr_components").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lake.nonEmpty)
+    assert(lake == plan, s"lake update diverges (sizes ${lake.size} vs ${plan.size})")
+  }
+
+  test("label lookups and posting fan-outs scan pruned file subsets") {
+    val (byDoc, byComp) = DedupQueries.ensureLabelSinks(spark, sf)
+    import spark.implicits._
+    for ((sink, keyCol) <- Seq(byDoc -> "doc_id", byComp -> "component")) {
+      val all = MergeSink.read(spark, sink)
+      val total = all.inputFiles.length
+      assert(total > 2, s"$sink must span several files, has $total")
+      val someKeys = all.select(keyCol).limit(2)
+      val probed = MergeSink.readOverlapping(spark, sink, someKeys, Seq(keyCol))
+      assert(probed.inputFiles.nonEmpty && probed.inputFiles.length < total,
+        s"narrow $keyCol probe opened all $total files of $sink")
+    }
+  }
+
   test("the posting table is maintained by MERGE: batch bands fold in") {
     // build a fresh sink from the corpus split, then MERGE the batch's
     // postings with union-of-doc-lists semantics (read-modify-write on the
