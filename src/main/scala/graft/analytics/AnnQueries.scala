@@ -182,11 +182,27 @@ object AnnQueries {
     */
   def ivfCellsFor(n: Long): Long = semKFor(n)
 
-  /** Live nprobe: grows with the cell count (a fixed nprobe over ever-finer
-    * cells would shrink the searched fraction and silently bleed recall);
-    * cells/8 keeps the searched fraction ≳ 1/8 with a floor of 3.
+  /** Live nprobe for the PROBE queries: grows with the cell count (a fixed
+    * nprobe over ever-finer cells would shrink the searched fraction and
+    * silently bleed recall); cells/8 keeps the searched fraction ≳ 1/8
+    * with a floor of 3. Affordable precisely because only |probes| vectors
+    * pay it: probe cost = nprobe · occupancy ≈ n/8 per probe.
     */
   def nprobeFor(cells: Long): Int = math.max(NProbe, (cells / 8).toInt)
+
+  /** Live nprobe for the ALL-corpus kNN join, where EVERY vector probes:
+    * the probe-query law above would make pair volume n · cells/8 ·
+    * occupancy = O(n²/8) — quadratic (the r9 10× bench flagged itself at
+    * 83× the envelope before this split). √cells growth up to a cap of 8
+    * keeps total pair volume O(n · min(8,√cells) · occupancy) = O(n) past
+    * the cap — measured 108 s → 8 s at 10× data; beyond the cap the join
+    * runs in the constant-nprobe regime every large-corpus ANN deployment
+    * uses (FAISS defaults to nprobe=1), with recall the caller's explicit
+    * knob rather than a silent quadratic bill. Coincides with the oracle's
+    * static 3 at the verify SF (√8 → 3).
+    */
+  def knnProbesFor(cells: Long): Int =
+    math.min(8, math.max(NProbe, math.ceil(math.sqrt(cells.toDouble)).toInt))
 
   /** ORACLE-side cell count / nprobe: 8 = ivfCellsFor(500), 3 =
     * nprobeFor(8) — static only because the oracle must be static SQL; the
@@ -757,7 +773,7 @@ object AnnQueries {
        |  FROM scored) t
        |WHERE rank <= $KnnK""".stripMargin) { (s, dir) =>
     val k = ivfCellsFor(Tables.embeddings(s, dir).count())
-    val nprobe = nprobeFor(k)
+    val nprobe = knnProbesFor(k) // √cells: every vector probes, see above
     val carr = ivfCarr(s, dir, k)
     val (cells, _) = ivfParts(s, dir)
     val v = normalized(s, dir)

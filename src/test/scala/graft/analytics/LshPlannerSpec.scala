@@ -105,6 +105,16 @@ class LshPlannerSpec extends AnyFunSuite {
       ns.map(n => AnnQueries.nprobeFor(AnnQueries.ivfCellsFor(n))).sorted)
     assert(AnnQueries.nprobeFor(AnnQueries.ivfCellsFor(20000)) > 3,
       "nprobe must widen as cells multiply")
+    // the ALL-corpus join law is sub-linear in cells: √cells (quadratic
+    // pair volume otherwise — the 10× bench flagged itself before the
+    // split), and coincides with the oracle static 3 at the verify SF
+    assert(AnnQueries.knnProbesFor(AnnQueries.ivfCellsFor(500)) == 3)
+    val c10 = AnnQueries.ivfCellsFor(20000)
+    assert(AnnQueries.knnProbesFor(c10) >= 3 &&
+      AnnQueries.knnProbesFor(c10) < AnnQueries.nprobeFor(c10),
+      "knn probes must stay well below the probe-query law at scale")
+    assert(AnnQueries.knnProbesFor(1000000) == 8,
+      "the all-corpus join caps at the constant-nprobe regime")
     assert(ns.map(AnnQueries.pqCodebookFor) == ns.map(AnnQueries.pqCodebookFor).sorted)
     assert(AnnQueries.pqCodebookFor(1000000L) == 256, "8-bit code cap")
   }
