@@ -42,6 +42,12 @@ class QuerySmokeSpec extends AnyFunSuite {
   private val nestedLoopAllowed =
     Set("ann_bruteforce_topk", "ann_ivf_topk", "cu_kmeans", "tx_bm25_rank",
       "gr_pagerank", "cu_decontaminate", "tpch_q22_sales_opportunity",
+      // the n×k centroid-assignment broadcast loop (cu_kmeans/ann_ivf's
+      // whitelisted shape) now also backs the PQ/IVF probe assignment and
+      // the all-corpus kNN join's per-vector cell probe — k is
+      // planner-bounded (ivfCellsFor), the loop is the k-means assignment
+      // cost, never corpus×corpus
+      "ann_pq_topk", "ann_ivfpq_topk", "ann_knn_join",
       "tx_familiarity", // 1-row corpus-stats broadcast, bm25's shape
       "pipe_pretrain_corpus", // embeds cu_decontaminate's probe broadcast
       "pipe_incremental_corpus", // same probe broadcast, batch side only
