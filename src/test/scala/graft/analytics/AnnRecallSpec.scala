@@ -86,4 +86,37 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"ann_knn_join recall@3 = $r%.2f")
     assert(r >= 0.5, f"kNN-join recall below the operating point: $r%.2f")
   }
+
+  test("all-kNN join CORPUS-WIDE recall@3 stays above the floor") {
+    // the probe subset is 5 vectors; the docstring's 0.63 claim is the
+    // average over EVERY vector — pin it with a local exact recompute
+    // (500×500 cosine, driver-side, ~16M multiplies)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val ids = vecs.map(_._1)
+    val m = vecs.map(_._2)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = ids.indices.map { i =>
+      val scored = ids.indices.filter(_ != i)
+        .map(j => (cos(m(i), m(j)), ids(j))).sortBy(t => (-t._1, t._2)).take(3)
+      ids(i) -> scored.map(_._2).toSet
+    }.toMap
+    val knn = SparkEntry.allDefs.find(_.name == "ann_knn_join").get.fn(spark, sf)
+      .filter("rank <= 3").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    val per = exact.map { case (p, truth) =>
+      knn.getOrElse(p, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val r = per.sum / per.size
+    info(f"ann_knn_join corpus-wide recall@3 = $r%.2f")
+    assert(r >= 0.55, f"corpus-wide kNN recall below the operating point: $r%.2f")
+  }
 }
