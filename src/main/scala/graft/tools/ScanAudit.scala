@@ -30,13 +30,32 @@ object ScanAudit {
     val tableRe = "/([a-z_]+)\\.parquet".r
     graft.SparkEntry.allDefs.filterNot(d => skip(d.name)).foreach { d =>
       val p = d.fn(spark, dir).queryExecution.executedPlan.toString
-      val counts = tableRe.findAllMatchIn(p).map(_.group(1)).toSeq
+      // Scans INSIDE an InMemoryRelation's cache-materialization subtree
+      // run once at cache build and amortize across every consumer —
+      // counting them as echoes produced false alarms on the PlanCache
+      // tiers (PQ/IVF/BPE all looked 10-30×-scanned). The printout nests
+      // them under the InMemoryRelation header at deeper indentation, so
+      // count LIVE scans from the lines above/outside those blocks.
+      val lines = p.linesIterator.toSeq
+      def indent(l: String) = l.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-').length
+      var cachedBelow = Int.MaxValue
+      val live = new StringBuilder
+      for (l <- lines) {
+        val ind = indent(l)
+        if (ind <= cachedBelow) cachedBelow = Int.MaxValue // left the cached block
+        if (l.contains("InMemoryRelation") && ind < cachedBelow) cachedBelow = ind
+        if (ind <= cachedBelow) live.append(l).append('\n')
+      }
+      val lp = live.toString
+      val counts = tableRe.findAllMatchIn(lp).map(_.group(1)).toSeq
         .groupBy(identity).view.mapValues(_.size).toMap
       val dups = counts.filter(_._2 >= min)
+      val cachedScans = tableRe.findAllMatchIn(p).size - tableRe.findAllMatchIn(lp).size
       val flags = Seq(
-        if (p.contains("CartesianProduct")) Some("CARTESIAN") else None,
-        if (p.contains("BroadcastNestedLoop")) Some("BNLJ") else None).flatten
-      if (dups.nonEmpty || flags.nonEmpty)
+        if (lp.contains("CartesianProduct")) Some("CARTESIAN") else None,
+        if (lp.contains("BroadcastNestedLoop")) Some("BNLJ") else None,
+        if (cachedScans > 0) Some(s"cached-subtree-scans=$cachedScans") else None).flatten
+      if (dups.nonEmpty || flags.exists(f => !f.startsWith("cached")))
         println(s"${d.name}: dups=${dups.toSeq.sortBy(-_._2).mkString(",")} ${flags.mkString(",")}")
     }
     spark.stop()
