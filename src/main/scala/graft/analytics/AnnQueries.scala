@@ -516,8 +516,14 @@ object AnnQueries {
     }
     val codes = PlanCache.cached(s, dir, "pq_codes") {
       val carrCc = carr.withColumn("cc", Vec.dot(col("ce"), col("ce")))
-      val codes0 = nearest(subv.join(broadcast(carrCc), "m"))
-        .select(col("vec_id"), col("m"), col("j").as("code"))
+      // encoding is the CORPUS-sized assignment (n·M·K candidate rows):
+      // max_by over the scalar code only — dragging the 8-dim subvector
+      // through every aggregation buffer roughly doubled the 10× first-run
+      // encode; training keeps the full `nearest` (it needs `sub` for the
+      // centroid means, and is TrainCap-bounded anyway)
+      val codes0 = subv.join(broadcast(carrCc), "m")
+        .groupBy("vec_id", "m")
+        .agg(max_by(col("j"), struct(-l2Pre, -col("j"))).as("code"))
       codes0.groupBy("vec_id")
         .agg((0 until PqM).map(m =>
           max(when(col("m") === m, col("code"))).as(s"c$m")).head,
