@@ -288,11 +288,14 @@ object AnnQueries {
       def vn = normalized(s, dir).select("vec_id", "en")
       val seeds = vn.filter(col("vec_id") < k)
         .select(col("vec_id").as("cell"), col("en").as("ce"))
+      // scalar argmax (cell only) through the n·k aggregation, vectors
+      // re-attached by an n-row join — dragging the 64-dim array through
+      // every max_by buffer was the PQ-encode cost class (72 s → 2 s)
       val assign0 = vn.join(broadcast(seeds))
         .groupBy("vec_id")
-        .agg(max_by(struct(col("en"), col("cell")),
-          struct(Vec.dot(col("en"), col("ce")), -col("cell"))).as("best"))
-        .select(col("vec_id"), col("best.en").as("en"), col("best.cell").as("cell"))
+        .agg(max_by(col("cell"),
+          struct(Vec.dot(col("en"), col("ce")), -col("cell"))).as("cell"))
+        .join(vn, Seq("vec_id"))
       val cmean = assign0
         .select(col("vec_id"), col("cell"), posexplode(col("en")).as(Seq("pos", "val")))
         .groupBy("cell", "pos")
@@ -313,21 +316,17 @@ object AnnQueries {
     val k = ivfCellsFor(Tables.embeddings(s, dir).count())
     val nprobe = nprobeFor(k)
     def vn = normalized(s, dir).select("vec_id", "en")
-    // argmax by (dot desc, cell asc) — max_by on (score, -cell), the
-    // window-free assignment shape shared with semAssigned
-    def assignTo(cents: org.apache.spark.sql.DataFrame) =
-      vn.join(broadcast(cents))
-        .groupBy("vec_id")
-        .agg(max_by(struct(col("en"), col("cell")),
-          struct(Vec.dot(col("en"), col("ce")), -col("cell"))).as("best"))
-        .select(col("vec_id"), col("best.en").as("en"), col("best.cell").as("cell"))
     // trained centroid table (|cells|·d — tiny) and the corpus assignment
     // (n rows), each memo-and-persisted: three consumers (standalone IVF,
     // the IVF+PQ composition, the cell-blocked kNN join) share one
-    // training pass per (session, dir)
+    // training pass per (session, dir). Scalar argmax (cell only) — see
+    // ivfCarr's note on the array-through-buffers cost.
     val carr = ivfCarr(s, dir, k)
     val cells = PlanCache.cached(s, dir, "ivf_cells") {
-      assignTo(carr).select("vec_id", "cell")
+      vn.join(broadcast(carr))
+        .groupBy("vec_id")
+        .agg(max_by(col("cell"),
+          struct(Vec.dot(col("en"), col("ce")), -col("cell"))).as("cell"))
     }
     val pcells = vn.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("probe_id"), col("en"))
@@ -841,14 +840,18 @@ object AnnQueries {
         .select(col("vec_id").as("cid"), col("e").as("ce"), col("nrm").as("cnrm"))
       // argmax by (cosine desc, cid asc) as a map-side max_by aggregation —
       // all K candidates of a vec_id sit in one partition after the
-      // broadcast join, so the exchange carries n winner rows, not n×K
+      // broadcast join, so the exchange carries n winner rows, not n×K.
+      // SCALAR max_by (cid only) + an n-row join-back for the vector: the
+      // struct form dragged the 64-dim array through every aggregation
+      // buffer (the PQ-encode 72 s → 2 s cost class; semdedup's 10×
+      // first-run was 28 s for the same reason)
       v.join(broadcast(cents))
         .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("e"), col("nrm"), col("cid")),
+        .agg(max_by(col("cid"),
           struct(Vec.cosinePre(Vec.dot(col("e"), col("ce")), col("nrm"), col("cnrm")),
-            -col("cid"))).as("best"))
-        .select(col("vec_id"), col("best.e").as("e"), col("best.nrm").as("nrm"),
-          col("best.cid").as("cid"))
+            -col("cid"))).as("cid"))
+        .join(v, Seq("vec_id"))
+        .select(col("vec_id"), col("e"), col("nrm"), col("cid"))
     }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
