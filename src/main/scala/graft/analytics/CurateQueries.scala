@@ -614,13 +614,16 @@ object CurateQueries {
     * is the per-shard accounting (doc count, token load) the loader
     * manifest consumes.
     *
-    * Scale: the global rank is ONE total-order sort of (tokens, doc_id)
-    * pairs — a rangepartitioned sort, not a single-partition window
-    * funnel at cluster scale... except row_number needs the global
-    * ordering: at 100 TB shard WITHIN strata (lang, or hash-salt
-    * buckets) and snake-fold per stratum — same balance property, full
-    * parallelism (cu_split_stratified's escape hatch); the global form
-    * here is the oracle-exact statement of the rule.
+    * Scale: the global rank is stated as a DISTRIBUTED sort, not a
+    * single-partition window funnel — TotalOrder.rankDesc range-buckets
+    * on the token count (order-monotone arithmetic split of [min, max]),
+    * reduces the corpus to a ≤64-row bucket histogram whose exclusive
+    * prefix offsets re-enter the plan as literals, and ranks WITHIN
+    * buckets under `Window.partitionBy(__bkt)` — bit-identical to the
+    * global row_number (so the oracle states the plain OVER (ORDER BY)),
+    * but every window task sees one bucket, never the corpus. The price
+    * is two extra pruned passes (min/max + histogram) — at 100 TB scans
+    * parallelize, serialization points don't.
     */
   val shardBalance: QueryDef = QueryDef(
     "cu_shard_balance",
@@ -637,10 +640,10 @@ object CurateQueries {
        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS shard_tokens,
        |  MIN(doc_id) AS first_doc
        |FROM a GROUP BY shard""".stripMargin) { (s, dir) =>
-    val r = Tables.documents(s, dir)
+    val d = Tables.documents(s, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks"))
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("toks").desc, col("doc_id"))) - 1)
+    val r = TotalOrder.rankDesc(d, col("toks"), col("doc_id"), "rk")
+      .withColumn("rk", col("rk").cast("int"))
     r.withColumn("shard",
         when(col("rk") % (2 * Shards) < Shards, col("rk") % (2 * Shards))
           .otherwise(lit(2 * Shards - 1) - col("rk") % (2 * Shards)))
@@ -720,14 +723,18 @@ object CurateQueries {
     * within max_doc_tokens of optimal). All-integer arithmetic; emits
     * every doc with its verdict and the running total that decided it.
     *
-    * Scale: the global (quality, doc_id) order is a range-partitioned
-    * sort; the running sum is the cu_pack_chunks window-funnel concern —
-    * at 100 TB you don't sort the corpus to cut it, you estimate the
-    * quality threshold τ(budget) from a GK quantile sketch over the score
-    * distribution (one pass, a9's machinery), filter score ≥ τ, and
-    * reconcile the O(ε·n)-token boundary stratum exactly — same verdict
-    * column, no global window. The global form here is the oracle-exact
-    * statement of the rule.
+    * Scale: the running total is TotalOrder.runningSumDesc — the exact
+    * distributed prefix sum. The quality score is in [0, 1] BY
+    * CONSTRUCTION (least(1, n/200) × a ratio ≤ 1), so the range split
+    * needs no min/max pass: one histogram job reduces the corpus to ≤64
+    * per-bucket token totals, their exclusive prefix offsets enter the
+    * plan as literals, and the running sum completes WITHIN buckets under
+    * `Window.partitionBy(__bkt)` — bit-identical to the global window
+    * (exact integer offsets + the same total order), so the oracle keeps
+    * the plain OVER (ORDER BY) statement, and no task ever sees more than
+    * one bucket. This supersedes the earlier GK-sketch design: the sketch
+    * gave an ε-approximate threshold needing boundary reconciliation; the
+    * bucket histogram is exact for one extra pruned pass.
     */
   val tokenBudget: QueryDef = QueryDef(
     "cu_token_budget",
@@ -742,12 +749,11 @@ object CurateQueries {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |    <= $TokenBudget AS kept
        |FROM q""".stripMargin) { (s, dir) =>
-    val w = Window.orderBy(col("quality").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
+    val d = Tables.documents(s, dir)
       .select(col("doc_id"), TextQueries.qualityExpr(col("text")).as("quality"),
         size(split(col("text"), " ")).cast("long").as("toks"))
-      .withColumn("cum_tokens", sum(col("toks")).over(w))
+    TotalOrder.runningSumDesc(d, col("quality"), col("doc_id"), col("toks"),
+        "cum_tokens", knownRange = Some((0.0, 1.0)))
       .select(col("doc_id"), col("quality"), col("toks"), col("cum_tokens"),
         (col("cum_tokens") <= TokenBudget).as("kept"))
   }

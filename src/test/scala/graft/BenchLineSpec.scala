@@ -41,6 +41,10 @@ class BenchLineSpec extends AnyFunSuite {
   test("every headline entry carries a committed self-adjudication envelope") {
     val missing = SparkEntry.benchQueries.filterNot(BenchEnvelopes.envelopeSec.contains)
     assert(missing.isEmpty, s"bench entries without an envelope: $missing")
+    // and no ORPHAN envelopes: a renamed/retired headline must drop its row,
+    // or the map silently stops describing the bench surface
+    val orphans = BenchEnvelopes.envelopeSec.keySet -- SparkEntry.benchQueries.toSet
+    assert(orphans.isEmpty, s"envelopes without a bench entry: $orphans")
     // and the suspect logic flags a 3x outlier but not jitter on tiny entries
     val sus = BenchEnvelopes.suspects(Seq("dd_exact" -> 0.4, "gr_pagerank" -> 15.3))
     assert(sus.map(_._1) == Seq("gr_pagerank"))

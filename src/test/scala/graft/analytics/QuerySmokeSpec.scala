@@ -81,6 +81,35 @@ class QuerySmokeSpec extends AnyFunSuite {
       }
   }
 
+  test("no corpus-sized input flows into an unpartitioned window (scale guard)") {
+    // A Window with an EMPTY partition spec funnels its whole input through
+    // one task. That is acceptable only when the input is provably bounded
+    // below — an Aggregate (group-cardinality frames: mixture domains, the
+    // GlobalScalarToWindow scalar decoration), a Limit, or a local/1-row
+    // relation — and a 100-TB killer otherwise (the r9 verdict's
+    // cu_shard_balance / cu_token_budget finding). Assert the invariant
+    // over EVERY declared query's optimized plan.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def boundedBelow(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: GlobalLimit => true
+      case _: LocalRelation | _: OneRowRelation => true
+      case l if l.children.isEmpty => false
+      case other => other.children.forall(boundedBelow)
+    }
+    SparkEntry.allDefs
+      .filterNot(d => sideEffecting(d.name))
+      .foreach { d =>
+        d.fn(spark, sf).queryExecution.optimizedPlan.foreach {
+          case w: Window if w.partitionSpec.isEmpty =>
+            assert(boundedBelow(w.child),
+              s"${d.name}: unpartitioned window over unbounded input\n" +
+                w.treeString.take(1500))
+          case _ => ()
+        }
+      }
+  }
+
   test("documents corpus is ASCII (oracle-equivalence precondition)") {
     // Norm.cleanText keeps all Unicode letters/digits while the dd_*/tx_
     // oracles mirror it as [a-z0-9 ] after lower(), and the rolling-hash
