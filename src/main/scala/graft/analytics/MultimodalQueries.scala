@@ -70,18 +70,36 @@ object MultimodalQueries {
     }
   }
 
-  /** Frame sampling through the mapPartitions demuxer shape: every 2nd
-    * 4-byte frame of each video payload. The oracle recomputes the frames
-    * as substrings of the md5 hex (frame i = hex chars [8i, 8i+8)).
+  /** Frame sampling through the REAL container (every 2nd frame of each
+    * video): the payloads are genuine uncompressed AVIs (RIFF chunk tree,
+    * strf geometry, stride-padded bottom-up '00db' DIB frames, JUNK on
+    * even ids, trailing idx1), built by `Multimodal.aviMedia` from the
+    * md5-chain seed. Spark demuxes + decodes the container; the oracle
+    * recomputes each sampled frame's gray pixels straight from the chain
+    * hex (frame f = chain bytes [w·h·f, w·h·(f+1))) — a demuxer that
+    * misreads the header, stride, row order or chunk layout
+    * hash-mismatches. Retires the round-5 stub: the video kind now
+    * round-trips real bytes like image (BMP) and audio (WAV).
     */
   val frameSample: QueryDef = QueryDef(
     "mm_frame_sample",
-    """SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
-      |  substr(md5(text), CAST(i*8+1 AS INTEGER), 8) AS frame_hex
-      |FROM documents, unnest([0, 2]) t(i)
-      |WHERE doc_id % 3 = 2""".stripMargin) { (s, dir) =>
-    val media = Multimodal.syntheticMedia(s, Tables.documents(s, dir))
-    Multimodal.sampleFrames(media, frameBytes = 4, step = 2).toDF()
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |    md5(text) || md5(text || 'a') || md5(text || 'b')
+       |      || md5(text || 'c') || md5(text || 'd') AS hx,
+       |    doc_id // 3 AS m
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |g AS (
+       |  SELECT doc_id, hx,
+       |    CASE CAST(m % 2 AS INTEGER) WHEN 0 THEN 6 ELSE 15 END AS wh,
+       |    3 + CAST(m % 3 AS INTEGER) AS nf
+       |  FROM src)
+       |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+       |  substr(hx, CAST(wh*f*2 + 1 AS INTEGER), CAST(wh*2 AS INTEGER)) AS frame_hex,
+       |  CAST(list_sum([${byteAt("i")} for i in range(wh*f, wh*(f+1))]) AS BIGINT) AS sum_px
+       |FROM g, unnest(range(0, nf, 2)) AS t(f)""".stripMargin) { (s, dir) =>
+    val media = Multimodal.aviMedia(s, Tables.documents(s, dir))
+    Multimodal.aviFrameSample(media, step = 2).toDF()
   }
 
   /** Per-frame audio energy through the REAL container: each payload is a

@@ -175,6 +175,188 @@ object Codecs {
     b
   }
 
+  // ---- AVI -------------------------------------------------------------
+
+  /** A decoded uncompressed video: dimensions + per-frame 8-bit gray
+    * pixels, frames in stream order, pixels top-down row-major (the same
+    * orientation contract as GrayImage).
+    */
+  final case class GrayVideo(width: Int, height: Int, frames: Array[Array[Int]])
+
+  /** Encode gray frames as a REAL uncompressed AVI — the standard RIFF
+    * layout (public AVI 1.0 spec, the OpenDML base form):
+    *
+    *   RIFF('AVI ' LIST('hdrl' avih(56) LIST('strl' strh(56) strf(40)))
+    *              [JUNK] LIST('movi' '00db'×n) idx1)
+    *
+    * One 'vids' stream, handler 'DIB ': each '00db' chunk is a raw
+    * device-independent bitmap frame — 24-bit BGR triplets, rows stored
+    * BOTTOM-UP and padded to a 4-byte boundary, exactly `encodeBmp`'s
+    * pixel block without the file header (that sharing is why an
+    * uncompressed AVI is in pure-JVM reach: the container is `decodeWav`'s
+    * chunk walk, the frames are `decodeBmp`'s row logic). `junkChunk=true`
+    * inserts a JUNK chunk between hdrl and movi (players emit one for
+    * sector alignment); the trailing idx1 index is always written, so a
+    * decoder that assumes movi is the last chunk breaks.
+    */
+  def encodeAvi(video: GrayVideo, junkChunk: Boolean = false): Array[Byte] = {
+    val w = video.width; val h = video.height
+    val n = video.frames.length
+    require(w > 0 && h > 0 && n > 0 && video.frames.forall(_.length == w * h))
+    val stride = ((w * 3) + 3) / 4 * 4
+    val frameBytes = stride * h
+    val hdrl = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40))) // 'hdrl' avih LIST(strl strh strf)
+    val junk = if (junkChunk) 8 + 12 else 0
+    val movi = 4 + n * (8 + frameBytes)
+    val idx1 = n * 16
+    val riffSize = 4 + (8 + hdrl) + junk + (8 + movi) + (8 + idx1)
+    val b = new Array[Byte](8 + riffSize)
+    def tag(off: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { b(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); w32(b, 4, riffSize); tag(8, "AVI ")
+    // LIST hdrl
+    var off = 12
+    tag(off, "LIST"); w32(b, off + 4, hdrl); tag(off + 8, "hdrl"); off += 12
+    // avih: MainAVIHeader (14 u32 = 56 bytes)
+    tag(off, "avih"); w32(b, off + 4, 56); off += 8
+    w32(b, off, 40000)                 // dwMicroSecPerFrame (25 fps)
+    w32(b, off + 4, frameBytes * 25)   // dwMaxBytesPerSec
+    w32(b, off + 12, 0x10)             // dwFlags: AVIF_HASINDEX
+    w32(b, off + 16, n)                // dwTotalFrames
+    w32(b, off + 24, 1)                // dwStreams
+    w32(b, off + 28, frameBytes)       // dwSuggestedBufferSize
+    w32(b, off + 32, w)                // dwWidth
+    w32(b, off + 36, h)                // dwHeight
+    off += 56
+    // LIST strl
+    tag(off, "LIST"); w32(b, off + 4, 4 + (8 + 56) + (8 + 40)); tag(off + 8, "strl"); off += 12
+    // strh: AVIStreamHeader (56 bytes)
+    tag(off, "strh"); w32(b, off + 4, 56); off += 8
+    tag(off, "vids"); tag(off + 4, "DIB ")
+    w32(b, off + 20, 1)                // dwScale
+    w32(b, off + 24, 25)               // dwRate → 25 fps
+    w32(b, off + 32, n)                // dwLength (frames)
+    w32(b, off + 36, frameBytes)       // dwSuggestedBufferSize
+    w16(b, off + 52, w & 0xffff)       // rcFrame.right
+    w16(b, off + 54, h & 0xffff)       // rcFrame.bottom
+    off += 56
+    // strf: BITMAPINFOHEADER (40 bytes) — the same geometry block a BMP carries
+    tag(off, "strf"); w32(b, off + 4, 40); off += 8
+    w32(b, off, 40); w32(b, off + 4, w); w32(b, off + 8, h) // positive: bottom-up
+    w16(b, off + 12, 1); w16(b, off + 14, 24)               // planes, bitCount
+    w32(b, off + 16, 0)                                     // BI_RGB
+    w32(b, off + 20, frameBytes)
+    off += 40
+    if (junkChunk) {
+      tag(off, "JUNK"); w32(b, off + 4, 12); off += 8 + 12 // 12 zero bytes
+    }
+    // LIST movi
+    tag(off, "LIST"); w32(b, off + 4, movi); tag(off + 8, "movi")
+    val moviStart = off + 8 // idx1 offsets are relative to the 'movi' fourcc
+    off += 12
+    val chunkOffs = new Array[Int](n)
+    var f = 0
+    while (f < n) {
+      chunkOffs(f) = off - moviStart
+      tag(off, "00db"); w32(b, off + 4, frameBytes); off += 8
+      val px = video.frames(f)
+      var r = 0
+      while (r < h) {
+        val rowOff = off + (h - 1 - r) * stride // top-down pixels → bottom-up rows
+        var c = 0
+        while (c < w) {
+          val g = (px(r * w + c) & 0xff).toByte
+          val o = rowOff + c * 3
+          b(o) = g; b(o + 1) = g; b(o + 2) = g
+          c += 1
+        }
+        r += 1
+      }
+      off += frameBytes
+      f += 1
+    }
+    // idx1: 16-byte entries (ckid, dwFlags=AVIIF_KEYFRAME, offset, length)
+    tag(off, "idx1"); w32(b, off + 4, idx1); off += 8
+    f = 0
+    while (f < n) {
+      tag(off, "00db"); w32(b, off + 4, 0x10)
+      w32(b, off + 8, chunkOffs(f)); w32(b, off + 12, frameBytes)
+      off += 16
+      f += 1
+    }
+    b
+  }
+
+  /** Parse an uncompressed AVI back to per-frame gray pixels: verify the
+    * RIFF/'AVI ' magic, WALK the top-level chunk list (JUNK/idx1/unknown
+    * chunks skipped, odd sizes padded) recursing into LISTs, read the
+    * frame geometry from the stream-format BITMAPINFOHEADER (strf) —
+    * width, height sign (bottom-up vs top-down), 24-bit BI_RGB — and
+    * decode every '00db' DIB frame with the stride-padded row walk.
+    * Frame count is cross-checked against the avih header's
+    * dwTotalFrames when present.
+    */
+  def decodeAvi(bytes: Array[Byte]): GrayVideo = {
+    def tagAt(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 12 && tagAt(0) == "RIFF" && tagAt(8) == "AVI ",
+      "not an AVI: missing RIFF/AVI magic")
+    var width = 0; var hRaw = 0; var totalFrames = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+
+    def decodeFrame(off: Int, size: Int): Unit = {
+      require(width != 0 && hRaw != 0, "AVI frame chunk before strf header")
+      val bottomUp = hRaw > 0
+      val h = math.abs(hRaw)
+      val stride = ((width * 3) + 3) / 4 * 4
+      require(size >= stride * h, s"truncated AVI frame: $size < ${stride * h}")
+      val px = new Array[Int](width * h)
+      var r = 0
+      while (r < h) {
+        val srcRow = if (bottomUp) h - 1 - r else r
+        val rowOff = off + srcRow * stride
+        var c = 0
+        while (c < width) {
+          val o = rowOff + c * 3
+          val sum = (bytes(o) & 0xff) + (bytes(o + 1) & 0xff) + (bytes(o + 2) & 0xff)
+          px(r * width + c) = sum / 3
+          c += 1
+        }
+        r += 1
+      }
+      frames += px
+    }
+
+    def walk(from: Int, until: Int): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val id = tagAt(off)
+        val size = i32(bytes, off + 4)
+        require(size >= 0 && off + 8 + size <= until, s"truncated AVI chunk $id")
+        id match {
+          case "LIST" => walk(off + 12, off + 8 + size) // skip the list type tag
+          case "avih" => totalFrames = i32(bytes, off + 8 + 16)
+          case "strf" =>
+            require(i32(bytes, off + 8) == 40, "strf is not a BITMAPINFOHEADER")
+            width = i32(bytes, off + 12)
+            hRaw = i32(bytes, off + 16)
+            require(u16(bytes, off + 22) == 24,
+              s"unsupported AVI bit depth ${u16(bytes, off + 22)}")
+            require(i32(bytes, off + 24) == 0, "compressed AVI unsupported")
+            require(width > 0 && hRaw != 0, s"bad AVI dims ${width}x$hRaw")
+          case "00db" | "00dc" => decodeFrame(off + 8, size)
+          case _ => // strh/JUNK/idx1/unknown: walk over
+        }
+        off += 8 + size + (size & 1)
+      }
+    }
+    walk(12, bytes.length)
+    require(frames.nonEmpty, "AVI contains no frame chunks")
+    require(totalFrames < 0 || totalFrames == frames.length,
+      s"avih says $totalFrames frames, movi carries ${frames.length}")
+    GrayVideo(width, math.abs(hRaw), frames.toArray)
+  }
+
   /** Parse a RIFF/WAVE PCM file: verify the RIFF/WAVE magic, WALK the
     * chunk list (skipping unknown chunks, honoring the odd-size pad byte)
     * to find "fmt " and "data", validate 16-bit mono PCM, and decode the

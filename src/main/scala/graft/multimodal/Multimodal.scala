@@ -7,18 +7,19 @@ import org.apache.spark.sql.functions._
   * `binary` columns with a typed metadata struct, decoded/featurized via
   * `mapPartitions` over a typed Dataset.
   *
-  * Since round 9 the image and audio tiers decode REAL container formats —
-  * BMP (24-bit BI_RGB, bottom-up padded rows) and RIFF/WAVE signed-LE PCM —
-  * via the pure-JVM `Codecs` parsers: the fixtures built by `bmpMedia` /
-  * `wavMedia` are genuine files (magic, little-endian headers, chunk
-  * walking), and every feature the queries emit is recovered FROM the
-  * container bytes. Only the video tier keeps the deterministic
-  * `StubDecoder` (no video container has a sane pure-JVM integer codec);
-  * its demuxer SHAPE — one-to-many mapPartitions, per-partition decode
-  * state — is the real thing a JNI/FFmpeg binding drops into. The
-  * raw-payload path (`features`/`sampleFrames` over `syntheticMedia`) is
-  * retained as the format-agnostic branch a pipeline takes when no codec
-  * claims the bytes.
+  * ALL THREE kinds decode REAL container formats via the pure-JVM `Codecs`
+  * parsers: BMP for images (24-bit BI_RGB, bottom-up padded rows),
+  * RIFF/WAVE signed-LE PCM for audio, and — since round 10 — uncompressed
+  * RIFF AVI for video ('vids'/'DIB ' stream, stride-padded bottom-up DIB
+  * frames in '00db' chunks, JUNK + idx1 walked over). The fixtures built by
+  * `bmpMedia` / `wavMedia` / `aviMedia` are genuine files (magic,
+  * little-endian headers, chunk walking), and every feature the queries
+  * emit is recovered FROM the container bytes. The raw-payload path
+  * (`features`/`sampleFrames` over `syntheticMedia`, with the deterministic
+  * `StubDecoder`) is retained as the format-agnostic branch a pipeline
+  * takes when no codec claims the bytes — headerless streams exist, and
+  * the branch keeps the one-to-many mapPartitions demuxer shape testable
+  * without any container.
   */
 object Multimodal {
 
@@ -79,6 +80,38 @@ object Multimodal {
 
   /** One sampled frame: index within the payload + its bytes as hex. */
   final case class Frame(media_id: Long, frame_idx: Int, frame_hex: String)
+
+  /** One sampled DECODED video frame: gray pixels as hex (top-down
+    * row-major — for the gray fixtures this is exactly the seed chain's
+    * hex, so the oracle can state it as a substring) + their exact sum.
+    */
+  final case class VideoFrame(
+      media_id: Long, frame_idx: Int, frame_hex: String, sum_px: Long)
+
+  /** Frame sampling through the REAL container: each payload is an
+    * uncompressed AVI; `Codecs.decodeAvi` walks the RIFF chunk tree
+    * (hdrl→strf geometry, JUNK and idx1 skipped), decodes every '00db'
+    * DIB frame from its stride-padded bottom-up rows, and every `step`-th
+    * frame is emitted with its gray pixels. Same one-to-many
+    * mapPartitions demuxer shape as the stub `sampleFrames` — but the
+    * frames now come out of actual container bytes, so a parser that
+    * misreads the header, stride, row order or chunk layout
+    * hash-mismatches the seed-side oracle.
+    */
+  def aviFrameSample(media: Dataset[MediaRecord], step: Int): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    require(step > 0)
+    media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
+      val v = Codecs.decodeAvi(m.content)
+      Iterator.range(0, v.frames.length, step).map { i =>
+        val px = v.frames(i)
+        var sum = 0L
+        var j = 0
+        while (j < px.length) { sum += px(j); j += 1 }
+        VideoFrame(m.media_id, i, px.map("%02x".format(_)).mkString, sum)
+      }
+    })
+  }
 
   /** Frame sampling: every `step`-th fixed-size frame of each video
     * payload — the one-to-many mapPartitions shape a real demuxer binding
@@ -298,6 +331,35 @@ object Multimodal {
         val h = 4 + (m % 2).toInt
         val px = md5Chain(text, w * h)
         MediaRecord(docId, "image", Codecs.encodeBmp(Codecs.GrayImage(w, h, px)))
+      })
+  }
+
+  /** Build REAL uncompressed AVI files from the video-kind documents
+    * (doc_id ≡ 2 mod 3): w ∈ {3,5} (strides 12/16 — both row-padding
+    * cases), h ∈ {2,3}, 3–5 frames (m = doc_id/3 varies all three), gray
+    * pixels = the md5 chain of the text read frame-major. A JUNK chunk
+    * sits between hdrl and movi on even doc_ids and idx1 always trails
+    * movi, so the decoder's chunk walk is load-bearing. The oracle
+    * recomputes frame pixels straight from the chain hex; Spark must
+    * recover them from the container bytes.
+    */
+  def aviMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val widths = Array(3, 5)
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val m = docId / 3
+        val w = widths((m % 2).toInt)
+        val h = 2 + (m % 2).toInt
+        val nFrames = 3 + (m % 3).toInt
+        val chain = md5Chain(text, w * h * nFrames)
+        val frames = Array.tabulate(nFrames)(f =>
+          java.util.Arrays.copyOfRange(chain, f * w * h, (f + 1) * w * h))
+        val bytes = Codecs.encodeAvi(
+          Codecs.GrayVideo(w, h, frames), junkChunk = docId % 2 == 0)
+        MediaRecord(docId, "video", bytes)
       })
   }
 

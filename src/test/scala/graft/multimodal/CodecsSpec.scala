@@ -132,4 +132,88 @@ class CodecsSpec extends AnyFunSuite {
     val noData = encodeWav(PcmClip(8000, Array(1))).take(36) // fmt only
     intercept[IllegalArgumentException] { decodeWav(noData) }
   }
+
+  // ---- AVI -------------------------------------------------------------
+
+  test("encodeAvi emits the exact RIFF(hdrl, movi, idx1) layout") {
+    // 1x1 video, one frame, pixel 9: stride 4, frameBytes 4
+    val b = encodeAvi(GrayVideo(1, 1, Array(Array(9))))
+    def tag(off: Int) = new String(b, off, 4, "US-ASCII")
+    def le32(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    assert(b.length == 260)
+    assert(tag(0) == "RIFF" && le32(4) == 252 && tag(8) == "AVI ")
+    assert(tag(12) == "LIST" && le32(16) == 192 && tag(20) == "hdrl")
+    assert(tag(24) == "avih" && le32(28) == 56)
+    assert(le32(32) == 40000)            // µs per frame (25 fps)
+    assert(le32(44) == 0x10)             // AVIF_HASINDEX
+    assert(le32(48) == 1 && le32(56) == 1) // totalFrames, streams
+    assert(le32(64) == 1 && le32(68) == 1) // dwWidth, dwHeight
+    assert(tag(88) == "LIST" && le32(92) == 116 && tag(96) == "strl")
+    assert(tag(100) == "strh" && le32(104) == 56)
+    assert(tag(108) == "vids" && tag(112) == "DIB ")
+    assert(le32(128) == 1 && le32(132) == 25) // dwScale/dwRate
+    assert(le32(140) == 1)                    // dwLength (frames)
+    assert(tag(164) == "strf" && le32(168) == 40)
+    assert(le32(172) == 40 && le32(176) == 1 && le32(180) == 1) // BIH dims
+    assert(le16(186) == 24 && le32(188) == 0) // bitCount, BI_RGB
+    assert(tag(212) == "LIST" && le32(216) == 16 && tag(220) == "movi")
+    assert(tag(224) == "00db" && le32(228) == 4)
+    // BGR triplet of gray 9 + 1 stride pad byte
+    assert(b.slice(232, 236).toSeq == Seq[Byte](9, 9, 9, 0))
+    assert(tag(236) == "idx1" && le32(240) == 16)
+    assert(tag(244) == "00db" && le32(248) == 0x10) // AVIIF_KEYFRAME
+    assert(le32(252) == 4 && le32(256) == 4)        // offset from 'movi', length
+  }
+
+  test("decodeAvi walks JUNK + idx1 and flips bottom-up frame rows") {
+    // 1x2 frames: top-down pixels [5, 200] must come back in that order
+    // even though the DIB rows are stored bottom-up
+    val v = GrayVideo(1, 2, Array(Array(5, 200), Array(7, 9)))
+    for (junk <- Seq(false, true)) {
+      val back = decodeAvi(encodeAvi(v, junkChunk = junk))
+      assert(back.width == 1 && back.height == 2)
+      assert(back.frames.map(_.toSeq).toSeq == v.frames.map(_.toSeq).toSeq)
+    }
+  }
+
+  test("decodeAvi honors top-down frames (negative strf height) per the spec") {
+    val v = GrayVideo(1, 2, Array(Array(5, 200)))
+    val b = encodeAvi(v)
+    // strf height i32 sits at 180 in the no-junk layout; rows are 4-byte
+    // strides inside the single 00db chunk at 232
+    val flipped = b.clone()
+    flipped(180) = (-2 & 0xff).toByte; flipped(181) = 0xff.toByte
+    flipped(182) = 0xff.toByte; flipped(183) = 0xff.toByte
+    System.arraycopy(b, 236, flipped, 232, 4) // top row first now
+    System.arraycopy(b, 232, flipped, 236, 4)
+    assert(decodeAvi(flipped).frames.head.toSeq == Seq(5, 200))
+  }
+
+  test("AVI round-trip is lossless over dims, paddings and frame counts") {
+    val gen = for {
+      w <- Gen.choose(1, 6) // strides hit all residues of w*3 mod 4
+      h <- Gen.choose(1, 4)
+      n <- Gen.choose(1, 5)
+      junk <- Gen.oneOf(true, false)
+      px <- Gen.listOfN(w * h * n, Gen.choose(0, 255))
+    } yield (w, h, n, junk, px)
+    check("avi-roundtrip", Prop.forAll(gen) { case (w, h, n, junk, px) =>
+      val frames = px.toArray.grouped(w * h).toArray
+      val back = decodeAvi(encodeAvi(GrayVideo(w, h, frames), junk))
+      back.width == w && back.height == h &&
+        back.frames.map(_.toSeq).toSeq == frames.map(_.toSeq).toSeq
+    })
+  }
+
+  test("decodeAvi rejects bad magic, truncation and header/frame-count drift") {
+    intercept[IllegalArgumentException] { decodeAvi(Array.fill[Byte](60)(0)) }
+    val good = encodeAvi(GrayVideo(2, 2, Array(Array(1, 2, 3, 4))))
+    intercept[IllegalArgumentException] { decodeAvi(good.dropRight(5)) }
+    // avih claims 2 frames, movi carries 1 → parsers must cross-check
+    val drift = good.clone(); drift(48) = 2
+    intercept[IllegalArgumentException] { decodeAvi(drift) }
+  }
 }

@@ -109,6 +109,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("aviFrameSample demuxes real AVI containers frame-exactly") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = aviMedia(spark, docs)
+    val frames = aviFrameSample(media, step = 2).collect().groupBy(_.media_id)
+    assert(frames.nonEmpty)
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    frames.foreach { case (id, fs) =>
+      val m = id / 3
+      val wh = Array(3, 5)((m % 2).toInt) * (2 + (m % 2).toInt)
+      val nf = 3 + (m % 3).toInt
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until nf by 2).toSeq)
+      // decoded gray pixels must BE the seed chain bytes: the container
+      // round-trip (encode → demux → row flip) is lossless
+      val chain = Multimodal.md5Chain(texts(id), wh * nf)
+      fs.foreach { f =>
+        val want = chain.slice(wh * f.frame_idx, wh * (f.frame_idx + 1))
+        assert(f.frame_hex == want.map("%02x".format(_)).mkString)
+        assert(f.sum_px == want.map(_.toLong).sum)
+      }
+    }
+  }
+
   test("synthetic media round-trips through binary parquet with metadata") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
