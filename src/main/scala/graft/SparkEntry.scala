@@ -48,6 +48,10 @@ object SparkEntry {
     "dd_incr_components_lake" -> ((s, dir) => {
       DedupQueries.ensureBandSink(s, dir); DedupQueries.ensureLabelSinks(s, dir); ()
     }),
+    "dd_incr_span_lake" -> ((s, dir) => { DedupQueries.ensureSpanSink(s, dir); () }),
+    "pipe_incremental_corpus_lake" -> ((s, dir) => {
+      CurateQueries.ensureFpSink(s, dir); DedupQueries.ensureBandSink(s, dir); ()
+    }),
     "ann_ivf_topk" -> AnnQueries.ensureAnnIndexes,
     "ann_pq_topk" -> AnnQueries.ensureAnnIndexes,
     "ann_ivfpq_topk" -> AnnQueries.ensureAnnIndexes)

@@ -779,6 +779,12 @@ object AnnQueries {
        |WHERE rank <= $KnnK""".stripMargin) { (s, dir) =>
     val k = ivfCellsFor(Tables.embeddings(s, dir).count())
     val nprobe = knnProbesFor(k) // √cells: every vector probes, see above
+    // the O(n²) guard: EVERY vector pays nprobe·occupancy pairs, so the
+    // all-corpus law must stay capped — a call-site regression to the
+    // probe-query law (cells/8, unbounded) fails HERE at bench/scale SFs
+    // instead of silently going quadratic (the r9 83×-envelope incident)
+    require(nprobe <= 8,
+      s"all-corpus kNN nprobe must stay capped at 8, got $nprobe for $k cells")
     val carr = ivfCarr(s, dir, k)
     val (cells, _) = ivfParts(s, dir)
     val v = normalized(s, dir)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StringType}
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.ingest.MergeSink
 
 /** Training-data curation operators over the `documents` corpus — the
   * dataset-preparation tier a 100-TB pretraining pipeline runs between
@@ -922,8 +923,94 @@ object CurateQueries {
           .otherwise("kept").as("verdict"))
   }
 
+  /** Process-local memo of the corpus exact-fingerprint lake table
+    * (ensureBandSink's contract): DISTINCT md5(text) of the corpus docs,
+    * keyed by the fingerprint — the dedup index a daily ingest probes.
+    */
+  private val fpSinks = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private[graft] def ensureFpSink(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): String =
+    fpSinks.computeIfAbsent(dir, { _ =>
+      val sink = s"${Staging.freshBase("graft_fps", dir).getPath}/sink"
+      val corpusFp = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+        .select(md5(col("text")).as("fp")).distinct()
+      // small target so the table spans several range-clustered files and
+      // the batch probe's pruning is a REAL subset (spec-asserted)
+      MergeSink.merge(s, sink, corpusFp, Seq("fp"), Seq(col("fp")),
+        targetFileRows = 64)
+      sink
+    })
+
+  /** pipe_incremental_corpus with every corpus-derived artifact read from
+    * the LAKE (the r9 verdict's ask #4): the exact-dup check probes the
+    * PRECOMPUTED fingerprint table (manifest-pruned to O(batch) files),
+    * and the near-dup stages take their verified pairs from
+    * DedupQueries.deltaPairsLake — batch band self-join plus the pruned
+    * band-posting probe — so NO stage rebuilds a corpus table in-plan
+    * (the in-plan variant re-fingerprints and re-bands the whole corpus
+    * per run). At 100 TB every stage of this twin is O(batch): the shape
+    * a nightly curation job actually executes against yesterday's lake
+    * indexes. Identical semantics and oracle to pipe_incremental_corpus.
+    */
+  val incrementalPipelineLake: QueryDef = QueryDef(
+    "pipe_incremental_corpus_lake", incrementalPipeline.oracle.get) { (s, dir) =>
+    val fpSink = ensureFpSink(s, dir)
+    val isNew = col("doc_id") % 5 === 0
+    val b = Tables.documents(s, dir).filter(isNew)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextQueries.qualityExpr(col("text")).as("quality"))
+      .localCheckpoint(true)
+    val clean = b.filter(col("quality") >= 0.2)
+      .select(col("doc_id"), md5(col("text")).as("fp"), col("quality"))
+      .localCheckpoint(true)
+    // manifest-pruned fingerprint probe: only files whose key-digest
+    // interval brackets some batch fp are opened; the left join is the
+    // residual filter over the pruned files' other rows
+    val corpusFp = MergeSink.readOverlapping(s, fpSink, clean.select("fp"), Seq("fp"))
+    val ikeep = clean.groupBy("fp").agg(min("doc_id").as("keep"))
+    val exacts = clean
+      .join(corpusFp.withColumn("in_corp", lit(1)), Seq("fp"), "left")
+      .join(ikeep, Seq("fp"), "left")
+      .filter(col("in_corp").isNotNull || col("doc_id") =!= col("keep"))
+      .select(col("doc_id").as("ex_id"))
+    // verified near-dup pairs touching the batch, O(batch) via the lake
+    // band postings — corpus-corpus pairs are never derived
+    val pairs = DedupQueries.deltaPairsLake(s, dir)
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    val crossm = pairs.filter((col("doc_a") % 5 === 0) =!= (col("doc_b") % 5 === 0))
+      .select(when(col("doc_a") % 5 === 0, col("doc_a")).otherwise(col("doc_b"))
+        .as("cm_id"))
+      .distinct()
+    val cq = clean.select(col("doc_id"), col("quality"))
+    val ipair = pairs.filter(col("doc_a") % 5 === 0 && col("doc_b") % 5 === 0)
+      .join(cq.select(col("doc_id").as("doc_a"), col("quality").as("qa")), "doc_a")
+      .join(cq.select(col("doc_id").as("doc_b"), col("quality").as("qb")), "doc_b")
+    val ilosers = ipair.select(when(col("qa") < col("qb") ||
+        (col("qa") === col("qb") && col("doc_a") > col("doc_b")),
+        col("doc_a")).otherwise(col("doc_b")).as("il_id")).distinct()
+    val probes = Tables.documents(s, dir)
+      .filter(col("doc_id") % 50 === 0 && col("doc_id") < 1000000L)
+      .select(col("doc_id").as("eval_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 10)).as("probe"))
+    val cont = b.join(broadcast(probes),
+        instr(col("text"), col("probe")) > 0 && col("doc_id") =!= col("eval_id"),
+        "left_semi")
+      .select(col("doc_id").as("ct_id"))
+    b.join(exacts, col("doc_id") === col("ex_id"), "left")
+      .join(crossm, col("doc_id") === col("cm_id"), "left")
+      .join(ilosers, col("doc_id") === col("il_id"), "left")
+      .join(cont, col("doc_id") === col("ct_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("quality") < 0.2, "quality")
+          .when(col("ex_id").isNotNull, "exact_dup")
+          .when(col("cm_id").isNotNull || col("il_id").isNotNull, "near_dup")
+          .when(col("ct_id").isNotNull, "contaminated")
+          .otherwise("kept").as("verdict"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(splitStratified, piiRedact, packChunks, kmeans, decontaminate, pipeline,
       windowChunks, mixtureWeights, dsirWeights, qualityFilter, shardBalance,
-      ngramDecontaminate, tokenBudget, embedDecontaminate, incrementalPipeline)
+      ngramDecontaminate, tokenBudget, embedDecontaminate, incrementalPipeline,
+      incrementalPipelineLake)
 }

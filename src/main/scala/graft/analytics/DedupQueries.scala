@@ -139,7 +139,7 @@ object DedupQueries {
     * docs that the oracle (whose `|| NULL` nulls the whole key) never
     * generates. No shingles → no n-gram similarity defined.
     */
-  private def bandTable(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[analytics] def bandTable(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val base = shingleBase(s, dir).filter(size(col("shingles")) > 0)
     val hashed = base.select(
       col("doc_id"),
@@ -516,12 +516,18 @@ object DedupQueries {
     * candidates) — the same verified pair set, derived O(batch).
     * Identical semantics and oracle to dd_incr_components.
     */
-  val incrComponentsLake: QueryDef = QueryDef(
-    "dd_incr_components_lake", incrComponents.oracle.get) { (s, dir) =>
-    val (byDoc, byComp) = ensureLabelSinks(s, dir)
+  /** Lake-derived VERIFIED delta pairs (≥ one batch endpoint), O(batch):
+    * batch-batch candidates from the batch band self-join, batch-corpus
+    * candidates from the manifest-pruned band-posting probe, then the
+    * exact Jaccard verify — the shared candidate spine of
+    * dd_incr_components_lake and pipe_incremental_corpus_lake (the corpus
+    * band table is never rebuilt in-plan; corpus-corpus pairs are never
+    * derived at all, because every incremental consumer only needs pairs
+    * touching the batch).
+    */
+  private[analytics] def deltaPairsLake(s: org.apache.spark.sql.SparkSession,
+                                        dir: String): DataFrame = {
     val bandSink = ensureBandSink(s, dir)
-    // delta pairs, O(batch): batch-batch via the batch band self-join,
-    // batch-corpus via the pruned posting probe — then the exact verify
     val newBands = bandTable(s, dir).filter(col("doc_id") % 5 === 0)
     val bb = newBands.as("a")
       .join(newBands.as("b"),
@@ -531,7 +537,13 @@ object DedupQueries {
       .join(MergeSink.readOverlapping(s, bandSink, newBands.select("band_key"),
         Seq("band_key")), Seq("band_key"))
       .select(col("doc_a"), explode(col("doc_ids")).as("doc_b"))
-    val deltaPairs = verifyJaccard(s, dir, bb.unionByName(bc).distinct())
+    verifyJaccard(s, dir, bb.unionByName(bc).distinct())
+  }
+
+  val incrComponentsLake: QueryDef = QueryDef(
+    "dd_incr_components_lake", incrComponents.oracle.get) { (s, dir) =>
+    val (byDoc, byComp) = ensureLabelSinks(s, dir)
+    val deltaPairs = deltaPairsLake(s, dir)
       .select("doc_a", "doc_b").localCheckpoint(true)
     val isNewA = col("doc_a") % 5 === 0
     val isNewB = col("doc_b") % 5 === 0
@@ -1319,6 +1331,60 @@ object DedupQueries {
             x => x.getField("s")), " ")).as("kept_fp"))
   }
 
+  /** Process-local memo of the corpus full-width span lake table
+    * (ensureBandSink's contract): the DISTINCT corpus span set keyed by
+    * the span text — exactly the artifact the full pass's `firsts` stage
+    * writes, prestaged by Bench/TimeQuery so the measured query is the
+    * batch probe.
+    */
+  private val spanSinks = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private[graft] def ensureSpanSink(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): String =
+    spanSinks.computeIfAbsent(dir, { _ =>
+      val sink = s"${Staging.freshBase("graft_spans", dir).getPath}/sink"
+      val corp = spanTable(s, dir)
+        .filter(col("doc_id") % 5 =!= 0 && col("nw") === SpanW)
+        .select(col("s")).distinct()
+      // small target so the table spans several range-clustered files and
+      // the batch probe's file pruning is a REAL subset (spec-asserted)
+      MergeSink.merge(s, sink, corp, Seq("s"), Seq(col("s")),
+        targetFileRows = 256)
+      sink
+    })
+
+  /** dd_incr_span with the corpus span set read from the LAKE (the r9
+    * verdict's ask #4, the dd_incr_lsh_lake pattern): the corpus
+    * full-width spans live in a MergeSink table keyed by the span text,
+    * and the batch probe opens ONLY the files whose key-digest interval
+    * brackets some batch span — `readOverlapping` manifest pruning, spec-
+    * asserted via inputFiles. The in-plan variant re-derives the corpus
+    * span set per run (honest at oracle SF, not the daily-ingest shape);
+    * this is the O(batch) probe a 100-TB nightly run executes, where the
+    * span table is span-bucketed and the probe is partition pruning.
+    * Identical semantics and oracle to dd_incr_span.
+    */
+  val incrSpanLake: QueryDef = QueryDef(
+    "dd_incr_span_lake", incrSpan.oracle.get) { (s, dir) =>
+    val sink = ensureSpanSink(s, dir)
+    val batch = spanTable(s, dir).filter(col("doc_id") % 5 === 0)
+    // manifest-pruned corpus read; pruned files hold other spans too, so
+    // the existence join below is the residual filter
+    val corp = MergeSink.readOverlapping(s, sink, batch.select("s"), Seq("s"))
+    val key = col("doc_id") * lit(SpanKeyShift) + col("pos")
+    val firsts = batch.filter(col("nw") === SpanW)
+      .groupBy("s").agg(min(key).as("first_key"))
+    batch
+      .join(corp.withColumn("in_corp", lit(1)), Seq("s"), "left")
+      .join(firsts, Seq("s"), "left")
+      .filter(col("in_corp").isNull &&
+        (col("first_key").isNull || key === col("first_key")))
+      .groupBy("doc_id", "n_spans")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+            x => x.getField("s")), " ")).as("kept_fp"))
+  }
+
   /** Blocked fuzzy entity resolution — the record-linkage operator
     * (Fellegi-Sunter blocking + edit-distance refine) that text dedup
     * does not cover: match ENTITY records whose keys differ by typos, not
@@ -1366,5 +1432,5 @@ object DedupQueries {
       componentsStar, simhash, simhashPairs, sinkIdempotence, nullKeySink,
       mergeUpsert, incrementalAgg, pointLookup, deleteRows, formatRoundtrip,
       zorderSkip, clusterKeepBest, spanDedup, containment, incrSpan,
-      entityMatch, incrComponents, incrComponentsLake)
+      incrSpanLake, entityMatch, incrComponents, incrComponentsLake)
 }

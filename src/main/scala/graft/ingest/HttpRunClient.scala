@@ -1,0 +1,142 @@
+package graft.ingest
+
+import java.net.{InetSocketAddress, ProxySelector, URI}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A REAL network binding for the async-run seam — the piece the fixture
+  * tiers deliberately leave out. The reference actually speaks HTTP
+  * (`requests.get` at `scrapers/trustpilot_scraper.py:42`; the Apify run
+  * lifecycle at `scrapers/instagram_scraper.py:22-53`: POST a run, GET its
+  * status until SUCCEEDED, GET the dataset items); this client implements
+  * that lifecycle over `java.net.http` against an Apify-shaped REST
+  * surface:
+  *
+  *   POST {base}/runs?handle=H            → {"id":"...","status":"RUNNING"}
+  *   GET  {base}/runs/{id}                → {"status":"RUNNING|SUCCEEDED|FAILED","reason":...}
+  *   POST {base}/runs/{id}/abort          → 204
+  *   GET  {base}/runs/{id}/items          → JSON-lines dataset
+  *
+  * and threads [[ProxyRotation]] through every request — per request the
+  * rotation picks an endpoint (or direct), a connect/5xx failure benches
+  * it and the request retries on the next endpoint (bounded by
+  * `maxAttempts`, backoff via the injected sleeper), success clears the
+  * bench. One `HttpClient` is cached per route (JDK proxy selection is
+  * client-scoped), so rotation does not rebuild connection pools.
+  *
+  * Dataset items come back as JSON lines and are read with
+  * `spark.read.json` over a `Dataset[String]` — schema-on-read, exactly
+  * how the fixture connectors surface raw records, so normalizers see the
+  * same shape through either binding. Hermetically proven in
+  * `HttpRunClientSpec` against a loopback `com.sun.net.httpserver` fixture
+  * (the `HttpApi` precedent) that also plays the FORWARD PROXY role
+  * (plain-HTTP proxying is the same request in absolute-URI form), driving
+  * start→poll→fetch, the proxy-failure cooldown path and the poll-timeout
+  * abort over real sockets — no external network.
+  */
+final class HttpRunClient(
+    base: String,
+    rotation: ProxyRotation = new ProxyRotation(Nil),
+    maxAttempts: Int = 3,
+    backoffMs: Long = 200,
+    connectTimeoutMs: Long = 5000,
+    sleepMs: Long => Unit = Thread.sleep)
+  extends AsyncPoll.AsyncRunClient {
+
+  import AsyncPoll._
+
+  require(maxAttempts >= 1)
+
+  /** One client per route: the JDK pins proxy selection at client build. */
+  private val clients =
+    scala.collection.concurrent.TrieMap.empty[Option[ProxyEndpoint], HttpClient]
+
+  private def clientFor(p: Option[ProxyEndpoint]): HttpClient =
+    clients.getOrElseUpdate(p, {
+      val b = HttpClient.newBuilder()
+        .connectTimeout(Duration.ofMillis(connectTimeoutMs))
+      p.foreach(e => b.proxy(ProxySelector.of(new InetSocketAddress(e.host, e.port))))
+      b.build()
+    })
+
+  /** Issue one request through the rotation with failure cooldown: a
+    * transport error or 5xx benches the proxy that carried it and the
+    * request retries on the rotation's next pick (which may be direct —
+    * the all-benched fallback). 4xx is NOT retried: the request itself is
+    * wrong, and re-sending it through another proxy just burns quota.
+    */
+  private def send(req: HttpRequest): String = {
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt < maxAttempts) {
+      val route = rotation.next()
+      try {
+        val resp = clientFor(route).send(req, HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() >= 500) {
+          route.foreach(rotation.reportFailure)
+          lastErr = new RuntimeException(
+            s"HTTP ${resp.statusCode()} from ${req.uri()}")
+        } else if (resp.statusCode() >= 400) {
+          throw new RuntimeException(
+            s"HTTP ${resp.statusCode()} from ${req.uri()}: ${resp.body().take(200)}")
+        } else {
+          route.foreach(rotation.reportSuccess)
+          return resp.body()
+        }
+      } catch {
+        case e: java.io.IOException =>
+          route.foreach(rotation.reportFailure)
+          lastErr = e
+      }
+      attempt += 1
+      if (attempt < maxAttempts) sleepMs(backoffMs * attempt)
+    }
+    throw new RuntimeException(
+      s"request to ${req.uri()} failed after $maxAttempts attempts", lastErr)
+  }
+
+  private def get(path: String): String =
+    send(HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build())
+
+  private def post(path: String): String =
+    send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .POST(HttpRequest.BodyPublishers.noBody()).build())
+
+  /** Minimal JSON field extraction for the tiny control responses this
+    * API returns ({"id":...,"status":...,"reason":...} — flat, string
+    * values, our own shape): no full parser needed for the control plane;
+    * the DATA plane goes through spark.read.json.
+    */
+  private def field(json: String, name: String): Option[String] =
+    ("\"" + name + "\"\\s*:\\s*\"([^\"]*)\"").r
+      .findFirstMatchIn(json).map(_.group(1))
+
+  def startRun(company: Company, params: FetchParams): String = {
+    val q = company.handle.fold("")(h =>
+      "?handle=" + java.net.URLEncoder.encode(h, "UTF-8"))
+    val body = post(s"/runs$q")
+    field(body, "id").getOrElse(
+      throw new RuntimeException(s"run start returned no id: ${body.take(200)}"))
+  }
+
+  def runStatus(runId: String): RunStatus = {
+    val body = get(s"/runs/$runId")
+    field(body, "status") match {
+      case Some("RUNNING") | Some("READY") => Running
+      case Some("SUCCEEDED")               => Succeeded
+      case Some("FAILED") => Failed(field(body, "reason").getOrElse("unreported"))
+      case Some(other)    => Failed(s"unexpected status '$other'")
+      case None           => Failed(s"malformed status response: ${body.take(120)}")
+    }
+  }
+
+  def abortRun(runId: String): Unit = { post(s"/runs/$runId/abort"); () }
+
+  def fetchDataset(spark: SparkSession, runId: String): DataFrame = {
+    import spark.implicits._
+    val lines = get(s"/runs/$runId/items").linesIterator
+      .filter(_.trim.nonEmpty).toSeq
+    spark.read.json(lines.toDS())
+  }
+}

@@ -1,0 +1,55 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+import graft.ingest.MergeSink
+
+/** The r10 lake twins (r9 verdict ask #4): dd_incr_span and
+  * pipe_incremental_corpus re-expressed against PRECOMPUTED MergeSink
+  * tables. Each twin must (1) agree exactly with its in-plan original —
+  * same oracle, so the DuckDB gate checks both, and this spec checks them
+  * against each other, and (2) probe its lake table through manifest
+  * pruning: a narrow key set opens a strict subset of the table's files.
+  */
+class LakeTwinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  private def run(name: String) =
+    SparkEntry.allDefs.find(_.name == name).get.fn(spark, sf)
+
+  test("lake span probe equals the in-plan incremental span dedup exactly") {
+    val lake = run("dd_incr_span_lake").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val plan = run("dd_incr_span").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(lake.nonEmpty, "no batch rows at sf0.01; proof vacuous")
+    assert(lake == plan, s"lake span twin diverges (${lake.size} vs ${plan.size})")
+  }
+
+  test("lake pipeline verdicts equal the in-plan incremental pipeline exactly") {
+    val lake = run("pipe_incremental_corpus_lake").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val plan = run("pipe_incremental_corpus").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(lake.nonEmpty)
+    // every verdict class must be exercised or the equality is weak proof
+    assert(lake.map(_._3).size >= 3, s"verdict classes: ${lake.map(_._3)}")
+    assert(lake == plan, s"lake pipeline twin diverges (${lake.size} vs ${plan.size})")
+  }
+
+  test("span and fingerprint sinks prune: narrow probes open strict file subsets") {
+    val spanSink = DedupQueries.ensureSpanSink(spark, sf)
+    val fpSink = CurateQueries.ensureFpSink(spark, sf)
+    for ((sink, keyCol) <- Seq(spanSink -> "s", fpSink -> "fp")) {
+      val all = MergeSink.read(spark, sink)
+      val total = all.inputFiles.length
+      assert(total > 2, s"$sink must span several files, has $total")
+      val someKeys = all.select(keyCol).limit(3)
+      val probed = MergeSink.readOverlapping(spark, sink, someKeys, Seq(keyCol))
+      assert(probed.inputFiles.nonEmpty && probed.inputFiles.length < total,
+        s"narrow $keyCol probe opened all $total files of $sink")
+    }
+  }
+}

@@ -522,6 +522,44 @@ class PlanContractSpec extends AnyFunSuite {
       "band candidates must come from the shared shingle cache")
   }
 
+  test("ann ivf/pq/ivfpq/knn: training cached, corpus never broadcast raw, no all-pairs") {
+    // the r9 recall fixes (trained cells, normalized PQ, exact refine) ride
+    // plan properties that only value-tests guarded: pin them. (1) the
+    // trained tables come from the PlanCache — a refactor that re-derives
+    // them re-trains per consumer; (2) any broadcast subtree touching the
+    // corpus must be bounded (an aggregate, a cache read, or the probe
+    // filter) — the raw embeddings relation must never be the build side;
+    // (3) no stage regresses to an unkeyed all-pairs join.
+    Seq("ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_knn_join").foreach { q =>
+      val p = initialPlan(q)
+      assert(p.contains("InMemoryTableScan"),
+        s"$q retrains instead of reading the PlanCache")
+      val outer = stripCachedSubtrees(p)
+      assert(!outer.exists(_.contains("CartesianProduct")), s"$q plans all-pairs")
+      def indent(l: String): Int =
+        l.indexWhere(c => c != ' ' && c != '+' && c != '-' && c != ':')
+      outer.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
+        case (bl, i) =>
+          val d = indent(bl)
+          val sub = outer.drop(i + 1).takeWhile(l => indent(l) > d)
+          val raw = sub.exists(_.contains("embeddings.parquet"))
+          val bounded = sub.exists(l => l.contains("HashAggregate") ||
+            l.contains("InMemoryTableScan") || l.contains("Window") ||
+            l.contains("LessThan(vec_id"))
+          assert(!raw || bounded,
+            s"$q broadcasts the raw corpus:\n${(bl +: sub).mkString("\n").take(1200)}")
+      }
+    }
+  }
+
+  test("ann ivf/knn: the per-probe top-k pushes into the window as a group limit") {
+    Seq("ann_ivf_topk", "ann_knn_join").foreach { q =>
+      val p = initialPlan(q)
+      assert(p.linesIterator.exists(_.contains("WindowGroupLimit")),
+        s"$q rank<=k no longer pushes into the window:\n${p.take(1200)}")
+    }
+  }
+
   test("ev_anomaly_mad: events scans live inside the persisted dev cache") {
     val p = initialPlan("ev_anomaly_mad")
     assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
