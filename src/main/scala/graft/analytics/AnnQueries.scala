@@ -311,10 +311,14 @@ object AnnQueries {
         .select(col("cell"), transform(col("ce0"), x => x / sqrt(col("cnrm"))).as("ce"))
     }
 
-  private def ivfParts(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[analytics] def ivfParts(s: org.apache.spark.sql.SparkSession, dir: String,
+      nprobeOverride: Option[Int] = None)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val k = ivfCellsFor(Tables.embeddings(s, dir).count())
-    val nprobe = nprobeFor(k)
+    // the override exists for the RECALL-TRADEOFF measurement only
+    // (AnnRecallSpec's nprobe→recall table); every live query takes the
+    // planner law
+    val nprobe = nprobeOverride.getOrElse(nprobeFor(k))
     def vn = normalized(s, dir).select("vec_id", "en")
     // trained centroid table (|cells|·d — tiny) and the corpus assignment
     // (n rows), each memo-and-persisted: three consumers (standalone IVF,
@@ -368,8 +372,16 @@ object AnnQueries {
        |  SELECT probe_id, neighbor_id, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM scored) t
-       |WHERE rank <= $LshK""".stripMargin) { (s, dir) =>
-    val (cells, pcells) = ivfParts(s, dir)
+       |WHERE rank <= $LshK""".stripMargin) { (s, dir) => ivfSearch(s, dir) }
+
+  /** The IVF search plan, nprobe-parameterizable for the recall-tradeoff
+    * measurement (AnnRecallSpec's nprobe -> recall table); the declared
+    * query always takes the planner law.
+    */
+  private[analytics] def ivfSearch(s: org.apache.spark.sql.SparkSession,
+      dir: String, nprobeOverride: Option[Int] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val (cells, pcells) = ivfParts(s, dir, nprobeOverride)
     val v = normalized(s, dir)
     val probes = v.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("nrm").as("pnrm"))

@@ -13,24 +13,58 @@ class AnnRecallSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private def topSets(name: String, k: Int): Map[Long, Set[Long]] =
-    SparkEntry.allDefs.find(_.name == name).get.fn(spark, sf)
+  /** CLUSTERED-corpus fixture (r9 verdict ask #5): the driver embeddings
+    * are near-isotropic, which is the EASY regime for sign-LSH and the
+    * blind one for IVF — its value and failure modes only appear when the
+    * corpus has cluster structure. Deterministic mixture of 10 Gaussians
+    * in R^64 (unit-ish centers, sigma 0.25/dim → intra-cluster cosine
+    * ≈ 0.94, inter ≈ 0), 50 vectors per cluster, vec_id interleaved
+    * (vec_id % 10 = cluster) so the 5 probes cover 5 DIFFERENT clusters
+    * and the first-k cell seeds span clusters too. Same schema as the
+    * driver table, written once per JVM to a temp dir — every ANN tier
+    * runs on it unchanged through its normal (dir-keyed) training caches.
+    */
+  private lazy val mogDir: String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(421L)
+    val dim = 64; val centers = 10; val perC = 50
+    val cs = Array.fill(centers, dim)(rnd.nextGaussian())
+    val rows = (0 until centers * perC).map { g =>
+      val c = g % centers
+      val v = Array.tabulate(dim)(d => (cs(c)(d) + 0.25 * rnd.nextGaussian()).toFloat)
+      (g.toLong, v.toSeq, c)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_mog").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def topSets(name: String, k: Int, dir: String = sf): Map[Long, Set[Long]] =
+    SparkEntry.allDefs.find(_.name == name).get.fn(spark, dir)
       .filter(s"rank <= $k").collect()
       .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id"))
       .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
 
   // the exact baseline is the costliest query in the suite — compute once
   private lazy val exactTop5 = topSets("ann_bruteforce_topk", 5)
+  private lazy val mogExactTop5 = topSets("ann_bruteforce_topk", 5, mogDir)
 
-  private def recallAt(approx: String, k: Int): Double = {
-    require(k == 5, "baseline precomputed at k=5")
-    val exact = exactTop5
-    val got = topSets(approx, k)
+  private def overlap(exact: Map[Long, Set[Long]],
+                      got: Map[Long, Set[Long]]): Double = {
     val per = exact.map { case (p, truth) =>
       got.getOrElse(p, Set.empty).intersect(truth).size.toDouble / truth.size
     }
     per.sum / per.size
   }
+
+  private def recallAt(approx: String, k: Int): Double = {
+    require(k == 5, "baseline precomputed at k=5")
+    overlap(exactTop5, topSets(approx, k))
+  }
+
+  private def mogRecallAt(approx: String): Double =
+    overlap(mogExactTop5, topSets(approx, 5, mogDir))
 
   test("sign-LSH multiprobe recall@5 stays above the floor") {
     val r = recallAt("ann_lsh_topk", 5)
@@ -67,6 +101,44 @@ class AnnRecallSpec extends AnyFunSuite {
     val r = recallAt("ann_ivfpq_topk", 5)
     info(f"ann_ivfpq_topk recall@5 = $r%.2f")
     assert(r >= 0.6, f"IVF+PQ recall below the operating point: $r%.2f")
+  }
+
+  test("CLUSTERED corpus: every tier's recall@5 stays above its floor") {
+    // floors pinned at the measured r10 operating point minus margin; the
+    // isotropic floors above guard the other corpus shape
+    val ivf = mogRecallAt("ann_ivf_topk")
+    val pq = mogRecallAt("ann_pq_topk")
+    val ivfpq = mogRecallAt("ann_ivfpq_topk")
+    val lsh = mogRecallAt("ann_lsh_topk")
+    info(f"clustered recall@5: ivf=$ivf%.2f pq=$pq%.2f ivfpq=$ivfpq%.2f lsh=$lsh%.2f")
+    // measured r10: ivf=1.00 pq=0.96 ivfpq=0.96 lsh=1.00. The fixture is
+    // seed-fixed (no regeneration drift), so the floors sit close: cluster
+    // structure is precisely where the trained cells must win
+    assert(ivf >= 0.9, f"IVF collapsed on clustered data: $ivf%.2f")
+    assert(pq >= 0.85, f"PQ collapsed on clustered data: $pq%.2f")
+    assert(ivfpq >= 0.85, f"IVF+PQ collapsed on clustered data: $ivfpq%.2f")
+    assert(lsh >= 0.9, f"sign-LSH collapsed on clustered data: $lsh%.2f")
+  }
+
+  test("nprobe → recall tradeoff is monotone and saturates (both corpora)") {
+    // the knob a deployment tunes: more probed cells → recall up, scan
+    // fraction up. Measure IVF recall@5 at nprobe 1..4 on both corpus
+    // shapes; the law's default sits on the saturating shoulder.
+    def at(dir: String, exact: Map[Long, Set[Long]], np: Int): Double =
+      overlap(exact, AnnQueries.ivfSearch(spark, dir, Some(np))
+        .filter("rank <= 5").collect()
+        .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id"))
+        .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet })
+    val iso = (1 to 4).map(at(sf, exactTop5, _))
+    val mog = (1 to 4).map(at(mogDir, mogExactTop5, _))
+    info(s"nprobe→recall@5 isotropic: ${iso.map(r => f"$r%.2f").mkString(", ")}")
+    info(s"nprobe→recall@5 clustered: ${mog.map(r => f"$r%.2f").mkString(", ")}")
+    // monotone non-decreasing in nprobe (a violation means the probe-cell
+    // ranking is broken), and the planner default (3) is near-saturated
+    assert(iso.zip(iso.tail).forall { case (a, b) => b >= a - 1e-9 })
+    assert(mog.zip(mog.tail).forall { case (a, b) => b >= a - 1e-9 })
+    assert(iso(2) >= iso(3) - 0.1 && mog(2) >= mog(3) - 0.1,
+      "the default nprobe=3 sits far below the nprobe=4 shoulder")
   }
 
   test("all-kNN join recall@3 (probe subset) stays above the floor") {
