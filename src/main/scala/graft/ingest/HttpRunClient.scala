@@ -41,7 +41,8 @@ final class HttpRunClient(
     maxAttempts: Int = 3,
     backoffMs: Long = 200,
     connectTimeoutMs: Long = 5000,
-    sleepMs: Long => Unit = Thread.sleep)
+    sleepMs: Long => Unit = Thread.sleep,
+    itemsSchema: Option[org.apache.spark.sql.types.StructType] = None)
   extends AsyncPoll.AsyncRunClient {
 
   import AsyncPoll._
@@ -112,9 +113,18 @@ final class HttpRunClient(
     ("\"" + name + "\"\\s*:\\s*\"([^\"]*)\"").r
       .findFirstMatchIn(json).map(_.group(1))
 
+  /** Start a run, TRANSMITTING the fetch window — the pushdown travels to
+    * the actor as run input (`since:`/`until:` in the Apify query,
+    * scrapers/twitter_scraper.py:27,35; maxItems caps): the server filters,
+    * the engine never re-reads what the window excludes.
+    */
   def startRun(company: Company, params: FetchParams): String = {
-    val q = company.handle.fold("")(h =>
-      "?handle=" + java.net.URLEncoder.encode(h, "UTF-8"))
+    val qs = Seq(
+      company.handle.map(h => "handle=" + java.net.URLEncoder.encode(h, "UTF-8")),
+      params.since.map(t => s"since=${t.getTime}"),
+      params.until.map(t => s"until=${t.getTime}"),
+      params.limit.map(l => s"limit=$l")).flatten
+    val q = if (qs.isEmpty) "" else qs.mkString("?", "&", "")
     val body = post(s"/runs$q")
     field(body, "id").getOrElse(
       throw new RuntimeException(s"run start returned no id: ${body.take(200)}"))
@@ -137,6 +147,13 @@ final class HttpRunClient(
     import spark.implicits._
     val lines = get(s"/runs/$runId/items").linesIterator
       .filter(_.trim.nonEmpty).toSeq
-    spark.read.json(lines.toDS())
+    // with a declared raw schema (the FixtureConnector contract), fields
+    // absent from every item still surface as null columns, so the
+    // normalizers' F3-F9 null-robustness applies unchanged; without one,
+    // schema-on-read inference
+    itemsSchema match {
+      case Some(sch) => spark.read.schema(sch).json(lines.toDS())
+      case None      => spark.read.json(lines.toDS())
+    }
   }
 }

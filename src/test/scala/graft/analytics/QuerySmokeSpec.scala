@@ -51,6 +51,8 @@ class QuerySmokeSpec extends AnyFunSuite {
       "tx_familiarity", // 1-row corpus-stats broadcast, bm25's shape
       "pipe_pretrain_corpus", // embeds cu_decontaminate's probe broadcast
       "pipe_incremental_corpus", // same probe broadcast, batch side only
+      "pipe_incremental_corpus_lake", // same probe broadcast; dedup stages
+                                      // ride the pruned lake tables
       "tx_bpe_merge", // three 1-row winner broadcasts (one per merge round)
       "tx_bpe_tokenize", // same three winner broadcasts + the apply join
       "a14_kmv_setops", // |types|² pair join on k-bounded sketch state

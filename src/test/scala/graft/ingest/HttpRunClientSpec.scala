@@ -18,11 +18,19 @@ class HttpRunClientSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   /** Loopback actor-API fixture. `statusScript` maps a handle to the
-    * statuses its run reports on successive polls (last repeats).
+    * statuses its run reports on successive polls (last repeats); `items`
+    * maps a handle to its dataset's JSON lines (default: two synthetic
+    * records). The fixture honors the run-input WINDOW the client
+    * transmits — since/until on the twitter-format createdAt (records
+    * without one pass, the FixtureConnector null contract) and a
+    * newest-first limit cap — because that is what a real actor does with
+    * its input.
     */
-  private final class ApiFixture(statusScript: Map[String, Seq[String]]) {
+  private final class ApiFixture(statusScript: Map[String, Seq[String]],
+                                 items: Map[String, Seq[String]] = Map.empty) {
     private val seq = new java.util.concurrent.atomic.AtomicLong()
     private val runs = scala.collection.concurrent.TrieMap.empty[String, String] // id -> handle
+    private val runParams = scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
     private val polls = scala.collection.concurrent.TrieMap.empty[String, Int]
     val aborted = scala.collection.concurrent.TrieMap.empty[String, Boolean]
     val proxiedRequests = new java.util.concurrent.atomic.AtomicInteger()
@@ -52,18 +60,40 @@ class HttpRunClientSpec extends AnyFunSuite {
         respond(ex, 503, """{"error":"synthetic outage"}""")
       } else (method, path) match {
         case ("POST", "/runs") =>
-          val handle = Option(uri.getQuery).map(_.stripPrefix("handle=")).getOrElse("")
+          val q = Option(uri.getQuery).getOrElse("").split("&").filter(_.contains("="))
+            .map { kv => val Array(k, v) = kv.split("=", 2)
+              k -> java.net.URLDecoder.decode(v, "UTF-8") }.toMap
           val id = s"run-${seq.incrementAndGet()}"
-          runs.put(id, handle)
+          runs.put(id, q.getOrElse("handle", ""))
+          runParams.put(id, q)
           respond(ex, 201, s"""{"id":"$id","status":"RUNNING"}""")
         case ("POST", p) if p.matches("/runs/[^/]+/abort") =>
           aborted.put(p.split("/")(2), true)
           respond(ex, 204, "")
         case ("GET", p) if p.matches("/runs/[^/]+/items") =>
-          val handle = runs(p.split("/")(2))
-          respond(ex, 200,
-            s"""{"post_id":1,"author_handle":"$handle","like_count":10}
-               |{"post_id":2,"author_handle":"$handle","like_count":3}""".stripMargin)
+          val id = p.split("/")(2)
+          val handle = runs(id)
+          val prm = runParams.getOrElse(id, Map.empty)
+          val raw = items.getOrElse(handle, Seq(
+            s"""{"post_id":1,"author_handle":"$handle","like_count":10}""",
+            s"""{"post_id":2,"author_handle":"$handle","like_count":3}"""))
+          def ts(line: String): Option[Long] =
+            "\"createdAt\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(line).flatMap { m =>
+              val fmt = new java.text.SimpleDateFormat(
+                "EEE MMM dd HH:mm:ss Z yyyy", java.util.Locale.US)
+              scala.util.Try(fmt.parse(m.group(1)).getTime).toOption
+            }
+          val since = prm.get("since").map(_.toLong)
+          val until = prm.get("until").map(_.toLong)
+          val windowed = raw.filter(l => ts(l) match {
+            case None    => true // null event times pass (FixtureConnector contract)
+            case Some(t) => since.forall(t >= _) && until.forall(t < _)
+          })
+          val capped = prm.get("limit").map(_.toInt) match {
+            case Some(n) => windowed.sortBy(l => -ts(l).getOrElse(Long.MinValue)).take(n)
+            case None    => windowed
+          }
+          respond(ex, 200, capped.mkString("\n"))
         case ("GET", p) if p.matches("/runs/[^/]+") =>
           statusPolls.incrementAndGet()
           val id = p.split("/")(2)
@@ -181,6 +211,48 @@ class HttpRunClientSpec extends AnyFunSuite {
       }
       assert(ex.getMessage.contains("5000ms"))
       assert(api.aborted.keySet.nonEmpty, "abort never reached the server")
+    } finally api.stop()
+  }
+
+  test("IngestJob.run over HTTP: control scan → actor window pushdown → normalize → sink → watermark") {
+    // the SAME acmeco twitter fixture the hermetic spine tests ingest,
+    // served over a real socket: the run input carries the catchup window
+    // (since = now − 90d), the "actor" filters server-side (t3, Jan 2023,
+    // never crosses the wire), the normalizer F3-drops t2 (no createdAt),
+    // the sink merges the duplicate t1, and the watermark advances — the
+    // full K1/K9 ingest spine with HTTP as the data plane.
+    import org.apache.spark.sql.Row
+    import graft.schema.Schemas
+    val fixture = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        getClass.getResource("/fixtures/twitter/acmeco.json").toURI)), "UTF-8")
+    val api = new ApiFixture(Map.empty,
+      items = Map("acmeco" -> fixture.linesIterator.filter(_.trim.nonEmpty).toSeq))
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-http-wh").toString
+      val usersPath = s"$root/users"
+      val rows = Seq(Row(Seq(1, "Acme", null, null, "acmeco", null, null, null,
+        null) ++ Seq.fill(10)(null): _*))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), Schemas.users)
+      Watermarks.overwriteParquet(spark, usersPath, df)
+      val now = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
+      var clock = 0L
+      val client = new HttpRunClient(api.base, sleepMs = _ => (),
+        itemsSchema = Some(Schemas.twitterRaw))
+      val spec = IngestSpec("twitter", "twitter_mentions", "twitter_username",
+        new AsyncPollConnector("twitter", client,
+          nowMs = () => clock, sleepMs = ms => clock += ms),
+        Normalize.twitter, Seq("created_at"), 500, 500, 90)
+      val res = IngestJob.run(spark, usersPath, root, spec, Catchup(), now)
+      assert(res.perCompany == Map("Acme" -> 3L),
+        s"expected t1,t4,t5 through the wire; got ${res.perCompany}")
+      val sunk = spark.read.parquet(s"$root/twitter_mentions")
+        .collect().map(_.getAs[String]("tweet_id")).toSet
+      assert(sunk == Set("t1", "t4", "t5"))
+      val wm = graft.ingest.Watermarks.read(spark, usersPath).collect().head
+        .getAs[java.sql.Timestamp]("last_fetched_twitter")
+      assert(wm == now, "watermark must advance to the batch timestamp")
     } finally api.stop()
   }
 
