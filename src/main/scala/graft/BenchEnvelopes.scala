@@ -89,7 +89,10 @@ object BenchEnvelopes {
     "cu_mixture_weights" -> 0.4,
     "cu_dsir_weights" -> 0.6,
     "cu_quality_filter" -> 0.4,
-    "cu_token_budget" -> 0.3,
+    "cu_token_budget" -> 0.6, // r10 plan change: the distributed prefix sum
+                              // adds a bucket-histogram pass (TotalOrder) —
+                              // the price of retiring the single-partition
+                              // window; measured 0.6 s at sf0.1
     "pipe_pretrain_corpus" -> 2.2,
     "pipe_incremental_corpus" -> 1.5,
     "gr_pagerank" -> 5.1,

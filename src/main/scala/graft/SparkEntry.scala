@@ -44,13 +44,17 @@ object SparkEntry {
     "k13_point_lookup" -> ((s, dir) => { DedupQueries.ensurePointLookupSink(s, dir); () }),
     "k14_delete" -> ((s, dir) => { DedupQueries.ensureDeleteBase(s, dir); () }),
     "k12_incremental_agg" -> ((s, dir) => { DedupQueries.ensureIncrementalAggSink(s, dir); () }),
-    "dd_incr_lsh_lake" -> ((s, dir) => { DedupQueries.ensureBandSink(s, dir); () }),
+    "dd_incr_lsh_lake" -> ((s, dir) => {
+      DedupQueries.ensureBandSink(s, dir); DedupQueries.ensureShingleSink(s, dir); ()
+    }),
     "dd_incr_components_lake" -> ((s, dir) => {
-      DedupQueries.ensureBandSink(s, dir); DedupQueries.ensureLabelSinks(s, dir); ()
+      DedupQueries.ensureBandSink(s, dir); DedupQueries.ensureLabelSinks(s, dir)
+      DedupQueries.ensureShingleSink(s, dir); ()
     }),
     "dd_incr_span_lake" -> ((s, dir) => { DedupQueries.ensureSpanSink(s, dir); () }),
     "pipe_incremental_corpus_lake" -> ((s, dir) => {
-      CurateQueries.ensureFpSink(s, dir); DedupQueries.ensureBandSink(s, dir); ()
+      CurateQueries.ensureFpSink(s, dir); DedupQueries.ensureBandSink(s, dir)
+      DedupQueries.ensureShingleSink(s, dir); ()
     }),
     "ann_ivf_topk" -> AnnQueries.ensureAnnIndexes,
     "ann_pq_topk" -> AnnQueries.ensureAnnIndexes,

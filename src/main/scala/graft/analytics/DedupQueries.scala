@@ -516,6 +516,51 @@ object DedupQueries {
     * candidates) — the same verified pair set, derived O(batch).
     * Identical semantics and oracle to dd_incr_components.
     */
+  /** Process-local memo of the corpus SHINGLE lake table (doc_id-keyed):
+    * the verify stage's corpus-side input as a MergeSink table, so exact
+    * Jaccard over matched pairs reads O(touched-docs) FILES instead of the
+    * corpus-wide shingle cache — the last in-plan corpus artifact of the
+    * incremental tier (r10).
+    */
+  private val shingleSinks = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private[graft] def ensureShingleSink(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): String =
+    shingleSinks.computeIfAbsent(dir, { _ =>
+      val sink = s"${Staging.freshBase("graft_shingles", dir).getPath}/sink"
+      val corpus = shingleBase(s, dir).filter(col("doc_id") % 5 =!= 0)
+        .filter(size(col("shingles")) > 0) // verifyJaccard's base contract
+      MergeSink.merge(s, sink, corpus, Seq("doc_id"), Seq(col("doc_id")),
+        targetFileRows = 64)
+      sink
+    })
+
+  /** Exact-Jaccard verification with the CORPUS side read from the LAKE:
+    * batch shingles derive in-plan (O(batch) — the honest side to compute
+    * fresh), while the corpus endpoints' shingles come from the doc-keyed
+    * MergeSink table, manifest-pruned to the pairs' touched doc ids.
+    * Same shingle content as [[verifyJaccard]], so verdicts are identical;
+    * pair orientation contract: doc_a is always a batch doc.
+    */
+  private[analytics] def verifyJaccardLake(s: org.apache.spark.sql.SparkSession,
+      dir: String, pairs: DataFrame): DataFrame = {
+    val sink = ensureShingleSink(s, dir)
+    val batchSh = shingleBase(s, dir).filter(col("doc_id") % 5 === 0)
+      .filter(size(col("shingles")) > 0)
+    val corpusIds = pairs.select(col("doc_b").as("doc_id"))
+      .filter(col("doc_id") % 5 =!= 0).distinct()
+    val corpusSh = MergeSink.readOverlapping(s, sink, corpusIds, Seq("doc_id"))
+      .join(corpusIds, Seq("doc_id")) // residual: pruned files hold other docs
+    val bSide = batchSh.unionByName(corpusSh)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    pairs
+      .join(batchSh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(bSide.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jaccard",
+        inter.cast(DoubleType) / (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Lake-derived VERIFIED delta pairs (≥ one batch endpoint), O(batch):
     * batch-batch candidates from the batch band self-join, batch-corpus
     * candidates from the manifest-pruned band-posting probe, then the
@@ -537,7 +582,7 @@ object DedupQueries {
       .join(MergeSink.readOverlapping(s, bandSink, newBands.select("band_key"),
         Seq("band_key")), Seq("band_key"))
       .select(col("doc_a"), explode(col("doc_ids")).as("doc_b"))
-    verifyJaccard(s, dir, bb.unionByName(bc).distinct())
+    verifyJaccardLake(s, dir, bb.unionByName(bc).distinct())
   }
 
   val incrComponentsLake: QueryDef = QueryDef(
@@ -839,7 +884,9 @@ object DedupQueries {
       .join(corpus, Seq("band_key"))
       .select(col("doc_a"), explode(col("doc_ids")).as("doc_b"))
       .distinct()
-    verifyJaccard(s, dir, cand)
+    // verify reads the corpus shingles from the LAKE too (pruned to the
+    // candidates' touched doc ids) — no corpus-wide artifact in this plan
+    verifyJaccardLake(s, dir, cand)
       .groupBy(col("doc_a").as("new_doc"))
       .agg(min("doc_b").as("keeper"), max("jaccard").as("best_j"),
         count(lit(1)).as("n_matches"))

@@ -39,10 +39,12 @@ class LakeTwinsSpec extends AnyFunSuite {
     assert(lake == plan, s"lake pipeline twin diverges (${lake.size} vs ${plan.size})")
   }
 
-  test("span and fingerprint sinks prune: narrow probes open strict file subsets") {
+  test("span, fingerprint and shingle sinks prune: narrow probes open strict file subsets") {
     val spanSink = DedupQueries.ensureSpanSink(spark, sf)
     val fpSink = CurateQueries.ensureFpSink(spark, sf)
-    for ((sink, keyCol) <- Seq(spanSink -> "s", fpSink -> "fp")) {
+    val shingleSink = DedupQueries.ensureShingleSink(spark, sf)
+    for ((sink, keyCol) <- Seq(spanSink -> "s", fpSink -> "fp",
+        shingleSink -> "doc_id")) {
       val all = MergeSink.read(spark, sink)
       val total = all.inputFiles.length
       assert(total > 2, s"$sink must span several files, has $total")
