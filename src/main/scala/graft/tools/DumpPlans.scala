@@ -254,7 +254,44 @@ object DumpPlans {
         |mapPartitions BMP encode (fixture synthesis) and decode+aHash
         |(the featurizer under test) — all in a single stage, no shuffle at
         |all; the per-record work is the container parse, which is exactly
-        |what a JNI codec binding would slot into.""".stripMargin)
+        |what a JNI codec binding would slot into.""".stripMargin,
+    "mm_frame_sample" ->
+      """The r10 real-VIDEO path: same single-stage shape as mm_avg_hash —
+        |one documents scan, mapPartitions AVI encode (fixture synthesis)
+        |then demux + per-frame DIB decode, one row out per sampled frame
+        |(the one-to-many demuxer iterator), zero shuffles. The last media
+        |kind off the stub.""".stripMargin,
+    "cu_token_budget" ->
+      """The r10 distributed prefix sum (TotalOrder): ONE live documents
+        |scan; the running total rides Window [..], [__bkt..] — a BUCKET
+        |partition spec, never the r9 empty one that funneled the corpus
+        |through a single task — with the per-bucket offsets folded in as
+        |LITERALS (the histogram job ran at plan build, a second parallel
+        |pass). Exchange hashes on __bkt: every window task sees one
+        |bucket. Flat 1×/3×/10× wall in BASELINE.md is this plan's
+        |receipt.""".stripMargin,
+    "cu_shard_balance" ->
+      """Same TotalOrder machinery for the global RANK: bucket-partitioned
+        |row_number + literal offsets, then the snake-fold arithmetic and
+        |an 8-row partial-aggregated shard rollup. No unpartitioned window
+        |anywhere (QuerySmokeSpec's scale guard asserts this across all
+        |declared queries).""".stripMargin,
+    "dd_incr_span_lake" ->
+      """The daily span probe against the LAKE: the corpus span set is a
+        |MergeSink table and this plan's scan lists ONLY the files whose
+        |key-digest interval brackets a batch span (readOverlapping manifest
+        |pruning — the file list is in the scan's Location). Batch spans
+        |derive in-plan (O(batch)); the existence check is the residual
+        |left join over the pruned files.""".stripMargin,
+    "pipe_incremental_corpus_lake" ->
+      """Every verdict stage O(batch) against pruned lake tables: exact-dup
+        |probes the fp MergeSink, near-dup candidates come from the batch
+        |band self-join + the band-postings probe, and the exact-Jaccard
+        |verify reads corpus shingles from the doc-keyed shingle table
+        |pruned to the touched ids — NO corpus-wide artifact is derived
+        |in-plan. The one BroadcastNestedLoopJoin is the pinned-eval
+        |substring probe (O(batch)×O(eval)), the same fan-out the in-plan
+        |pipeline carries.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
