@@ -50,7 +50,10 @@ object BenchEnvelopes {
     "dd_minhash_lsh" -> 1.5,
     "dd_components_star" -> 3.4,
     "dd_embed_cosine" -> 0.5,
-    "dd_incr_lsh_lake" -> 1.0,       // r9 isolated row
+    "dd_incr_lsh_lake" -> 1.7,       // r10 isolated row: the verify stage
+                                     // now reads corpus shingles from the
+                                     // pruned lake table (real storage IO
+                                     // replacing a RAM cache)
     "dd_span_dedup" -> 1.0,
     "dd_containment" -> 0.3,
     "dd_entity_match" -> 2.4,        // r9 post-fix isolated row

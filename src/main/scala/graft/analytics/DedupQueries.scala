@@ -544,15 +544,19 @@ object DedupQueries {
   private[analytics] def verifyJaccardLake(s: org.apache.spark.sql.SparkSession,
       dir: String, pairs: DataFrame): DataFrame = {
     val sink = ensureShingleSink(s, dir)
+    // the candidate subtree feeds THREE consumers (the pruning probe's
+    // digest collect, then both verify joins) — materialize it once, or
+    // the band join recomputes per consumer (measured 1.6× at 10×)
+    val p = pairs.localCheckpoint(true)
     val batchSh = shingleBase(s, dir).filter(col("doc_id") % 5 === 0)
       .filter(size(col("shingles")) > 0)
-    val corpusIds = pairs.select(col("doc_b").as("doc_id"))
+    val corpusIds = p.select(col("doc_b").as("doc_id"))
       .filter(col("doc_id") % 5 =!= 0).distinct()
     val corpusSh = MergeSink.readOverlapping(s, sink, corpusIds, Seq("doc_id"))
       .join(corpusIds, Seq("doc_id")) // residual: pruned files hold other docs
     val bSide = batchSh.unionByName(corpusSh)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    pairs
+    p
       .join(batchSh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(bSide.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("jaccard",
@@ -872,21 +876,32 @@ object DedupQueries {
     * doc_id % 5 = 0 split, matches = corpus docs sharing an LSH band with
     * exact Jaccard ≥ 0.5.
     */
-  val incrLshLake: QueryDef = QueryDef(
-    "dd_incr_lsh_lake", IncrLshSql) { (s, dir) =>
+  /** The lake probe's candidate subtree — a separate method so the wiring
+    * pin (IncrLshLakeSpec) can assert THIS frame's scan set equals the
+    * manifest hit set: the verify stage checkpoints the candidates (their
+    * three consumers must not recompute the band join), which cuts the
+    * final plan's lineage, so the scan-set assertion must read the frame
+    * before the checkpoint boundary.
+    */
+  private[analytics] def incrLshCandidatesLake(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
     val sink = ensureBandSink(s, dir)
     val newBands = bandTable(s, dir).filter(col("doc_id") % 5 === 0)
     // manifest-pruned corpus read: ONLY files overlapping the batch's
     // band-key digests are listed in this scan
     val corpus = MergeSink.readOverlapping(
       s, sink, newBands.select("band_key"), Seq("band_key"))
-    val cand = newBands.select(col("doc_id").as("doc_a"), col("band_key"))
+    newBands.select(col("doc_id").as("doc_a"), col("band_key"))
       .join(corpus, Seq("band_key"))
       .select(col("doc_a"), explode(col("doc_ids")).as("doc_b"))
       .distinct()
+  }
+
+  val incrLshLake: QueryDef = QueryDef(
+    "dd_incr_lsh_lake", IncrLshSql) { (s, dir) =>
     // verify reads the corpus shingles from the LAKE too (pruned to the
     // candidates' touched doc ids) — no corpus-wide artifact in this plan
-    verifyJaccardLake(s, dir, cand)
+    verifyJaccardLake(s, dir, incrLshCandidatesLake(s, dir))
       .groupBy(col("doc_a").as("new_doc"))
       .agg(min("doc_b").as("keeper"), max("jaccard").as("best_j"),
         count(lit(1)).as("n_matches"))

@@ -41,21 +41,24 @@ class IncrLshLakeSpec extends AnyFunSuite {
       s"narrow probe opened all $total files — pruning is not happening")
   }
 
-  test("the LIVE lake probe's plan scans exactly the manifest hit set") {
-    // wiring pin (r9 verdict ask #7): the DECLARED query must read the
-    // posting table through readOverlapping — its plan's scan set over the
-    // sink equals the manifest prune for the same batch keys, and is a
-    // subset of the manifest's full file list (a refactor to a directory
-    // read or a full manifest read changes the set and fails here)
+  test("the LIVE lake probe's candidate subtree scans exactly the manifest hit set") {
+    // wiring pin (r9 verdict ask #7): the DECLARED query's candidate frame
+    // must read the posting table through readOverlapping — its scan set
+    // over the sink equals the manifest prune for the same batch keys, and
+    // is a subset of the manifest's full file list (a refactor to a
+    // directory read or a full manifest read changes the set and fails
+    // here). Asserted on incrLshCandidatesLake — the exact frame the query
+    // consumes — because the verify stage checkpoints it (the final plan's
+    // lineage is deliberately cut there).
     val sink = DedupQueries.ensureBandSink(spark, sf)
     val batchKeys = DedupQueries.bandTable(spark, sf)
       .filter(col("doc_id") % 5 === 0).select("band_key")
     val expected = MergeSink.readOverlapping(spark, sink, batchKeys, Seq("band_key"))
       .inputFiles.toSet
-    val live = run("dd_incr_lsh_lake").inputFiles
+    val live = DedupQueries.incrLshCandidatesLake(spark, sf).inputFiles
       .filter(_.contains("graft_bands")).toSet
     assert(live == expected,
-      s"live scan set (${live.size} files) != manifest hit set (${expected.size})")
+      s"candidate scan set (${live.size} files) != manifest hit set (${expected.size})")
     assert(expected.subsetOf(MergeSink.read(spark, sink).inputFiles.toSet))
   }
 
