@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -1319,6 +1320,54 @@ object DedupQueries {
       .select(col("doc_id"), col("n_spans"), col("pos"),
         col("sp.s").as("s"), col("sp.nw").as("nw"))
 
+  /** STRIDE-1 exact-substring duplication coverage — the ExactSubstr
+    * measure of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2022): a position is duplicated iff its L-token
+    * window occurs anywhere else in the corpus (another document OR
+    * another offset of the same document). dd_span_dedup samples
+    * NON-OVERLAPPING stride-W windows — cheap, but a duplicated passage
+    * straddling a span boundary hides from it; the stride-1 form sees
+    * every alignment, at W× the gram volume. Output is the per-document
+    * accounting a filtering threshold consumes (ExactSubstr drops docs
+    * past a duplicated-fraction cut): window count + duplicated-window
+    * count, all integers.
+    *
+    * Scale: the gram stream is corpus-token-sized and shuffles ONCE on
+    * the window content (count-over-window, the tx_ngram_novelty shape —
+    * no join-back recompute), then rolls up per doc. At 100 TB the
+    * shuffle key is the window's ROLLING HASH (64-bit, the graft
+    * expression) with within-bucket string verify, and degenerate
+    * boilerplate windows (one key = millions of rows) are the skew knob —
+    * AQE skew split, or salt the heavy keys and aggregate the occ counts
+    * per salt. L = SpanW so the two span tiers state the same window
+    * contract.
+    */
+  val exactSubstr: QueryDef = QueryDef(
+    "dd_exact_substr",
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $SpanW),
+       |w AS (
+       |  SELECT doc_id, array_to_string(toks[i+1:i+$SpanW], ' ') AS s
+       |  FROM d, unnest(range(0, len(toks) - ${SpanW - 1})) AS t(i)),
+       |o AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY s) AS occ FROM w)
+       |SELECT doc_id, COUNT(*) AS n_win,
+       |  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |FROM o GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= SpanW)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - SpanW),
+          i => array_join(slice(col("toks"), i + 1, lit(SpanW)), " "))).as("s"))
+    grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("s")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup"))
+  }
+
   val spanDedup: QueryDef = QueryDef(
     "dd_span_dedup",
     s"""WITH $SpanCteSql,
@@ -1493,6 +1542,6 @@ object DedupQueries {
     Seq(exact, blockPrefix, minhashLsh, incrLsh, incrLshLake, ngramJaccard, components,
       componentsStar, simhash, simhashPairs, sinkIdempotence, nullKeySink,
       mergeUpsert, incrementalAgg, pointLookup, deleteRows, formatRoundtrip,
-      zorderSkip, clusterKeepBest, spanDedup, containment, incrSpan,
+      zorderSkip, clusterKeepBest, spanDedup, exactSubstr, containment, incrSpan,
       incrSpanLake, entityMatch, incrComponents, incrComponentsLake)
 }

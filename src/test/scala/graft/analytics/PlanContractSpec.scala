@@ -318,6 +318,18 @@ class PlanContractSpec extends AnyFunSuite {
         "not re-derived aggregate branches")
   }
 
+  test("dd_exact_substr: one documents scan; occ rides a content-keyed window") {
+    val p = initialPlan("dd_exact_substr")
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet")) == 1,
+      "stride-1 coverage must be ONE gram pass (count-over-window, no join-back)")
+    val win = p.linesIterator.find(_.contains("Window [")).getOrElse("")
+    assert(win.contains("[s#") || win.contains(", [s"),
+      s"occurrence count lost its content partition: $win")
+    // the per-doc rollup partial-aggregates below its exchange
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(1500))
+  }
+
   test("dd_span_dedup: exactly two pruned document scans, partial-agg firsts") {
     val p = initialPlan("dd_span_dedup")
     assert(p.linesIterator.count(l =>
