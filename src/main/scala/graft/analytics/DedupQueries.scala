@@ -1332,15 +1332,21 @@ object DedupQueries {
     * past a duplicated-fraction cut): window count + duplicated-window
     * count, all integers.
     *
-    * Scale: the gram stream is corpus-token-sized and shuffles ONCE on
-    * the window content (count-over-window, the tx_ngram_novelty shape —
-    * no join-back recompute), then rolls up per doc. At 100 TB the
-    * shuffle key is the window's ROLLING HASH (64-bit, the graft
-    * expression) with within-bucket string verify, and degenerate
-    * boilerplate windows (one key = millions of rows) are the skew knob —
-    * AQE skew split, or salt the heavy keys and aggregate the occ counts
-    * per salt. L = SpanW so the two span tiers state the same window
-    * contract.
+    * Scale: the gram stream is corpus-token-sized — the heaviest volume
+    * class in the dedup tier — so the occurrence count must NOT ride a
+    * count-over-window (that shuffles every gram ROW on the content key,
+    * and degenerate boilerplate windows make one reducer eat millions of
+    * rows). Instead the duplicated-window set derives from a
+    * PARTIAL-AGGREGATED groupBy (map-side combine collapses heavy keys
+    * before the shuffle — skew-immune by construction) and only windows
+    * with occ > 1 survive: a vanishing fraction of the corpus, which AQE
+    * then BROADCASTS against the second gram pass (falling back to a
+    * hash join when the dup set outgrows broadcast — still equi, still
+    * skew-splittable). Two pruned document scans (dd_span_dedup's
+    * accepted price) buy a skew-proof plan. At 100 TB the join key is
+    * the window's ROLLING HASH (64-bit, the graft expression) with
+    * within-bucket string verify. L = SpanW so the two span tiers state
+    * the same window contract.
     */
   val exactSubstr: QueryDef = QueryDef(
     "dd_exact_substr",
@@ -1355,17 +1361,20 @@ object DedupQueries {
        |  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
        |FROM o GROUP BY doc_id""".stripMargin) { (s, dir) =>
     val toks = split(col("text"), " ")
-    val grams = Tables.documents(s, dir)
+    def grams = Tables.documents(s, dir)
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) >= SpanW)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("toks")) - SpanW),
           i => array_join(slice(col("toks"), i + 1, lit(SpanW)), " "))).as("s"))
-    grams
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy("s")))
+    // duplicated-window set: partial-aggregated count, heavy keys collapse
+    // map-side; only occ > 1 survives (a vanishing fraction → broadcast)
+    val dups = grams.groupBy("s").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1).select(col("s"), lit(1L).as("dup"))
+    grams.join(dups, Seq("s"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_win"),
-        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup"))
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
   }
 
   val spanDedup: QueryDef = QueryDef(

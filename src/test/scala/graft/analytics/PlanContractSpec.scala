@@ -318,16 +318,23 @@ class PlanContractSpec extends AnyFunSuite {
         "not re-derived aggregate branches")
   }
 
-  test("dd_exact_substr: one documents scan; occ rides a content-keyed window") {
+  test("dd_exact_substr: skew-proof shape — partial-agg dup set, no gram-row window") {
+    // the gram stream is the heaviest volume class in the dedup tier: the
+    // occurrence count must be a map-side-combined aggregate (heavy
+    // boilerplate windows collapse BEFORE the shuffle), never a
+    // count-over-window that ships every gram row to one reducer per key
     val p = initialPlan("dd_exact_substr")
+    assert(!p.contains("Window"),
+      "occ regressed to a gram-row window — one boilerplate key melts a reducer")
+    assert(p.contains("partial_count"),
+      "the dup-set count lost its map-side partial phase")
     assert(p.linesIterator.count(l =>
-      l.contains("FileScan parquet") && l.contains("documents.parquet")) == 1,
-      "stride-1 coverage must be ONE gram pass (count-over-window, no join-back)")
-    val win = p.linesIterator.find(_.contains("Window [")).getOrElse("")
-    assert(win.contains("[s#") || win.contains(", [s"),
-      s"occurrence count lost its content partition: $win")
-    // the per-doc rollup partial-aggregates below its exchange
-    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(1500))
+      l.contains("FileScan parquet") && l.contains("documents.parquet")) == 2,
+      "expected the two-pass shape (dup-set branch + rollup branch)")
+    // the dup-set join is an equi-join; at this SF AQE broadcasts it
+    val pf = finalPlan("dd_exact_substr")
+    assert(pf.contains("BroadcastHashJoin"),
+      "the tiny duplicated-window set should broadcast under AQE")
   }
 
   test("dd_span_dedup: exactly two pruned document scans, partial-agg firsts") {
