@@ -52,6 +52,7 @@ object SparkEntry {
       DedupQueries.ensureShingleSink(s, dir); ()
     }),
     "dd_incr_span_lake" -> ((s, dir) => { DedupQueries.ensureSpanSink(s, dir); () }),
+    "dd_incr_substr_lake" -> ((s, dir) => { DedupQueries.ensureSubstrSink(s, dir); () }),
     "pipe_incremental_corpus_lake" -> ((s, dir) => {
       CurateQueries.ensureFpSink(s, dir); DedupQueries.ensureBandSink(s, dir)
       DedupQueries.ensureShingleSink(s, dir); ()

@@ -1,7 +1,6 @@
 package graft.analytics
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -1360,13 +1359,7 @@ object DedupQueries {
        |SELECT doc_id, COUNT(*) AS n_win,
        |  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
        |FROM o GROUP BY doc_id""".stripMargin) { (s, dir) =>
-    val toks = split(col("text"), " ")
-    def grams = Tables.documents(s, dir)
-      .select(col("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= SpanW)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("toks")) - SpanW),
-          i => array_join(slice(col("toks"), i + 1, lit(SpanW)), " "))).as("s"))
+    def grams = substrGrams(s, dir)
     // duplicated-window set: partial-aggregated count, heavy keys collapse
     // map-side; only occ > 1 survives (a vanishing fraction → broadcast)
     val dups = grams.groupBy("s").agg(count(lit(1)).as("occ"))
@@ -1375,6 +1368,80 @@ object DedupQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_win"),
         sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+  }
+
+  /** Process-local memo of the corpus stride-1 WINDOW lake table: the
+    * DISTINCT corpus L-token windows keyed by content — what a daily
+    * ExactSubstr pass probes (at 100 TB the stored key is the window's
+    * rolling hash, W× smaller than the strings; the string form here
+    * keeps the oracle exact).
+    */
+  private val substrSinks = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private[graft] def ensureSubstrSink(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): String =
+    substrSinks.computeIfAbsent(dir, { _ =>
+      val sink = s"${Staging.freshBase("graft_substr", dir).getPath}/sink"
+      val corp = substrGrams(s, dir).filter(col("doc_id") % 5 =!= 0)
+        .select(col("s")).distinct()
+      MergeSink.merge(s, sink, corp, Seq("s"), Seq(col("s")),
+        targetFileRows = 2048)
+      sink
+    })
+
+  /** Shared stride-1 L-token window stream (dd_exact_substr's gram shape). */
+  private def substrGrams(s: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= SpanW)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - SpanW),
+          i => array_join(slice(col("toks"), i + 1, lit(SpanW)), " "))).as("s"))
+  }
+
+  /** INCREMENTAL ExactSubstr — dd_exact_substr's daily-ingest form against
+    * the LAKE (the dd_incr_span pattern at stride 1): a batch window is
+    * duplicated iff it exists in the PRECOMPUTED corpus window table OR
+    * occurs at another alignment within the batch itself. The corpus
+    * probe opens only manifest-pruned files; the batch-internal
+    * occurrence check keeps dd_exact_substr's skew-proof shape (map-side-
+    * combined dup set, never a gram-row window). Per-batch-doc integer
+    * accounting, same verdict columns as the full pass.
+    */
+  val incrSubstrLake: QueryDef = QueryDef(
+    "dd_incr_substr_lake",
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $SpanW),
+       |w AS (
+       |  SELECT doc_id, array_to_string(toks[i+1:i+$SpanW], ' ') AS s
+       |  FROM d, unnest(range(0, len(toks) - ${SpanW - 1})) AS t(i)),
+       |corp AS (SELECT DISTINCT s FROM w WHERE doc_id % 5 <> 0),
+       |b AS (SELECT doc_id, s FROM w WHERE doc_id % 5 = 0),
+       |bd AS (SELECT s FROM b GROUP BY s HAVING COUNT(*) > 1)
+       |SELECT b.doc_id, COUNT(*) AS n_win,
+       |  CAST(SUM(CASE WHEN c.s IS NOT NULL OR x.s IS NOT NULL
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |FROM b
+       |LEFT JOIN corp c ON b.s = c.s
+       |LEFT JOIN bd x ON b.s = x.s
+       |GROUP BY b.doc_id""".stripMargin) { (s, dir) =>
+    val sink = ensureSubstrSink(s, dir)
+    def batch = substrGrams(s, dir).filter(col("doc_id") % 5 === 0)
+    // corpus probe: manifest-pruned files only; the join is the residual
+    val corp = MergeSink.readOverlapping(s, sink, batch.select("s"), Seq("s"))
+      .select(col("s"), lit(1L).as("in_corp"))
+    // batch-internal duplicated windows: the skew-proof aggregate shape
+    val bdups = batch.groupBy("s").agg(count(lit(1)).as("bocc"))
+      .filter(col("bocc") > 1).select(col("s"), lit(1L).as("in_batch"))
+    batch
+      .join(corp, Seq("s"), "left")
+      .join(bdups, Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        sum(when(col("in_corp").isNotNull || col("in_batch").isNotNull, 1L)
+          .otherwise(0L)).as("n_dup"))
   }
 
   val spanDedup: QueryDef = QueryDef(
@@ -1551,6 +1618,7 @@ object DedupQueries {
     Seq(exact, blockPrefix, minhashLsh, incrLsh, incrLshLake, ngramJaccard, components,
       componentsStar, simhash, simhashPairs, sinkIdempotence, nullKeySink,
       mergeUpsert, incrementalAgg, pointLookup, deleteRows, formatRoundtrip,
-      zorderSkip, clusterKeepBest, spanDedup, exactSubstr, containment, incrSpan,
+      zorderSkip, clusterKeepBest, spanDedup, exactSubstr, incrSubstrLake,
+      containment, incrSpan,
       incrSpanLake, entityMatch, incrComponents, incrComponentsLake)
 }

@@ -43,8 +43,9 @@ class LakeTwinsSpec extends AnyFunSuite {
     val spanSink = DedupQueries.ensureSpanSink(spark, sf)
     val fpSink = CurateQueries.ensureFpSink(spark, sf)
     val shingleSink = DedupQueries.ensureShingleSink(spark, sf)
+    val substrSink = DedupQueries.ensureSubstrSink(spark, sf)
     for ((sink, keyCol) <- Seq(spanSink -> "s", fpSink -> "fp",
-        shingleSink -> "doc_id")) {
+        shingleSink -> "doc_id", substrSink -> "s")) {
       val all = MergeSink.read(spark, sink)
       val total = all.inputFiles.length
       assert(total > 2, s"$sink must span several files, has $total")
