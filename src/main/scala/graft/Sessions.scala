@@ -57,12 +57,32 @@ object Sessions {
     // corpus-sized case is excluded STATICALLY: QuerySmokeSpec's
     // "unpartitioned window (scale guard)" walks every declared query's
     // optimized plan and fails the build if an unpartitioned window's input
-    // is not bounded below by an Aggregate/Limit/local relation. With the
-    // exact plan-level invariant enforced, the runtime heuristic is noise —
-    // silence it so real WARNs stay visible in the bench tail.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window",
-      org.apache.logging.log4j.Level.ERROR)
+    // is not bounded below by a provably-small frame. With the exact
+    // plan-level invariant enforced, the runtime heuristic is noise — but
+    // ONLY that one message: a RegexFilter on the window-exec logger DENYs
+    // the heuristic and stays NEUTRAL for everything else, so future
+    // spill / byte-limit WARNs from the same package remain visible
+    // (the r10 advice: a package-level ERROR override ate those too).
+    locally {
+      import org.apache.logging.log4j.core.{Filter, LoggerContext}
+      import org.apache.logging.log4j.core.config.LoggerConfig
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[LoggerContext]
+      val conf = ctx.getConfiguration
+      val name = "org.apache.spark.sql.execution.window"
+      val lc = conf.getLoggerConfig(name) match {
+        case exact if exact.getName == name => exact
+        case parent =>
+          val fresh = new LoggerConfig(name, parent.getLevel, true)
+          conf.addLogger(name, fresh)
+          fresh
+      }
+      lc.addFilter(RegexFilter.createFilter(
+        ".*No Partition Defined for Window.*", null, java.lang.Boolean.FALSE,
+        Filter.Result.DENY, Filter.Result.NEUTRAL))
+      ctx.updateLoggers()
+    }
     spark
   }
 }

@@ -620,7 +620,7 @@ object CurateQueries {
     * on the token count (order-monotone arithmetic split of [min, max]),
     * reduces the corpus to a ≤64-row bucket histogram whose exclusive
     * prefix offsets re-enter the plan as literals, and ranks WITHIN
-    * buckets under `Window.partitionBy(__bkt)` — bit-identical to the
+    * buckets under `Window.partitionBy(__pkt)` — bit-identical to the
     * global row_number (so the oracle states the plain OVER (ORDER BY)),
     * but every window task sees one bucket, never the corpus. The price
     * is two extra pruned passes (min/max + histogram) — at 100 TB scans
@@ -643,11 +643,13 @@ object CurateQueries {
        |FROM a GROUP BY shard""".stripMargin) { (s, dir) =>
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks"))
+    // the snake-fold modulo runs on the LONG rank (an int cast here would
+    // silently wrap past 2^31 rows — r10 advice); only the tiny shard id
+    // narrows to int, preserving the output schema
     val r = TotalOrder.rankDesc(d, col("toks"), col("doc_id"), "rk")
-      .withColumn("rk", col("rk").cast("int"))
     r.withColumn("shard",
         when(col("rk") % (2 * Shards) < Shards, col("rk") % (2 * Shards))
-          .otherwise(lit(2 * Shards - 1) - col("rk") % (2 * Shards)))
+          .otherwise(lit(2 * Shards - 1) - col("rk") % (2 * Shards)).cast("int"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("toks").cast("long").as("shard_tokens"),
         min("doc_id").as("first_doc"))
@@ -730,7 +732,7 @@ object CurateQueries {
     * needs no min/max pass: one histogram job reduces the corpus to ≤64
     * per-bucket token totals, their exclusive prefix offsets enter the
     * plan as literals, and the running sum completes WITHIN buckets under
-    * `Window.partitionBy(__bkt)` — bit-identical to the global window
+    * `Window.partitionBy(__pkt)` — bit-identical to the global window
     * (exact integer offsets + the same total order), so the oracle keeps
     * the plain OVER (ORDER BY) statement, and no task ever sees more than
     * one bucket. This supersedes the earlier GK-sketch design: the sketch

@@ -66,6 +66,16 @@ final class HttpRunClient(
     * request retries on the rotation's next pick (which may be direct —
     * the all-benched fallback). 4xx is NOT retried: the request itself is
     * wrong, and re-sending it through another proxy just burns quota.
+    *
+    * POST-retry safety (r10 advice): a lost response is indistinguishable
+    * from a failure to act, so retrying a non-idempotent POST could act
+    * twice. The two POSTs this client issues are both safe to retry:
+    * `/runs/{id}/abort` is naturally idempotent (aborting an aborted run
+    * is a no-op), and `startRun` carries a per-call IDEMPOTENCY TOKEN in
+    * the query string — every retry of one logical start re-sends the same
+    * token, so a server that already acted dedupes and returns the
+    * original run id (HttpRunClientSpec proves the acted-then-failed
+    * path creates exactly one run).
     */
   private def send(req: HttpRequest): String = {
     var attempt = 0
@@ -119,11 +129,15 @@ final class HttpRunClient(
     * the engine never re-reads what the window excludes.
     */
   def startRun(company: Company, params: FetchParams): String = {
+    // one token per LOGICAL start: retries inside send() re-send the same
+    // token, so a duplicate POST after a lost response dedupes server-side
+    val idem = java.util.UUID.randomUUID().toString
     val qs = Seq(
       company.handle.map(h => "handle=" + java.net.URLEncoder.encode(h, "UTF-8")),
       params.since.map(t => s"since=${t.getTime}"),
       params.until.map(t => s"until=${t.getTime}"),
-      params.limit.map(l => s"limit=$l")).flatten
+      params.limit.map(l => s"limit=$l"),
+      Some(s"idem=$idem")).flatten
     val q = if (qs.isEmpty) "" else qs.mkString("?", "&", "")
     val body = post(s"/runs$q")
     field(body, "id").getOrElse(

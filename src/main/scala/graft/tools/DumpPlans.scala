@@ -263,11 +263,11 @@ object DumpPlans {
         |kind off the stub.""".stripMargin,
     "cu_token_budget" ->
       """The r10 distributed prefix sum (TotalOrder): ONE live documents
-        |scan; the running total rides Window [..], [__bkt..] — a BUCKET
+        |scan; the running total rides Window [..], [__pkt..] — a BUCKET
         |partition spec, never the r9 empty one that funneled the corpus
         |through a single task — with the per-bucket offsets folded in as
         |LITERALS (the histogram job ran at plan build, a second parallel
-        |pass). Exchange hashes on __bkt: every window task sees one
+        |pass). Exchange hashes on __pkt: every window task sees one
         |bucket. Flat 1×/3×/10× wall in BASELINE.md is this plan's
         |receipt.""".stripMargin,
     "cu_shard_balance" ->

@@ -32,10 +32,17 @@ class HttpRunClientSpec extends AnyFunSuite {
     private val runs = scala.collection.concurrent.TrieMap.empty[String, String] // id -> handle
     private val runParams = scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
     private val polls = scala.collection.concurrent.TrieMap.empty[String, Int]
+    // a real actor API honors the client's idempotency token: the same
+    // token re-POSTed returns the ORIGINAL run instead of starting another
+    private val runsByIdem = scala.collection.concurrent.TrieMap.empty[String, String]
     val aborted = scala.collection.concurrent.TrieMap.empty[String, Boolean]
     val proxiedRequests = new java.util.concurrent.atomic.AtomicInteger()
     val statusPolls = new java.util.concurrent.atomic.AtomicInteger()
     @volatile var failNextWith5xx = 0
+    // acted-then-failed: the server CREATES the run, then reports 503 — the
+    // response-loss case whose retry must not double-start
+    @volatile var actThenFailNext = 0
+    def runCount: Int = runs.size
 
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
 
@@ -63,10 +70,19 @@ class HttpRunClientSpec extends AnyFunSuite {
           val q = Option(uri.getQuery).getOrElse("").split("&").filter(_.contains("="))
             .map { kv => val Array(k, v) = kv.split("=", 2)
               k -> java.net.URLDecoder.decode(v, "UTF-8") }.toMap
-          val id = s"run-${seq.incrementAndGet()}"
-          runs.put(id, q.getOrElse("handle", ""))
-          runParams.put(id, q)
-          respond(ex, 201, s"""{"id":"$id","status":"RUNNING"}""")
+          val id = q.get("idem").flatMap(runsByIdem.get) match {
+            case Some(existing) => existing // deduped re-POST of one logical start
+            case None =>
+              val fresh = s"run-${seq.incrementAndGet()}"
+              runs.put(fresh, q.getOrElse("handle", ""))
+              runParams.put(fresh, q)
+              q.get("idem").foreach(runsByIdem.put(_, fresh))
+              fresh
+          }
+          if (actThenFailNext > 0) {
+            actThenFailNext -= 1
+            respond(ex, 503, """{"error":"acted, then the response was lost"}""")
+          } else respond(ex, 201, s"""{"id":"$id","status":"RUNNING"}""")
         case ("POST", p) if p.matches("/runs/[^/]+/abort") =>
           aborted.put(p.split("/")(2), true)
           respond(ex, 204, "")
@@ -268,6 +284,24 @@ class HttpRunClientSpec extends AnyFunSuite {
         conn.fetch(spark, Company(1, "Bad", Some("bad")), FetchParams())
       }
       assert(ex.getMessage.contains("actor crashed"))
+    } finally api.stop()
+  }
+
+  test("acted-then-failed POST retry dedupes on the idempotency token: ONE run") {
+    // the non-idempotent-POST hazard (r10 advice): the server starts the
+    // run but the 201 is lost (modeled as a post-act 503). The retry
+    // re-sends the SAME idem token, so the server returns the original run
+    // instead of double-starting.
+    val api = new ApiFixture(Map.empty)
+    try {
+      val client = new HttpRunClient(api.base, maxAttempts = 3, sleepMs = _ => ())
+      api.actThenFailNext = 1
+      val id = client.startRun(Company(1, "Acme", Some("acme")), FetchParams())
+      assert(id == "run-1", s"retry must return the ORIGINAL run, got $id")
+      assert(api.runCount == 1, s"duplicate run started: ${api.runCount} runs")
+      // and two DISTINCT logical starts still get two distinct runs
+      val id2 = client.startRun(Company(1, "Acme", Some("acme")), FetchParams())
+      assert(id2 != id && api.runCount == 2)
     } finally api.stop()
   }
 
