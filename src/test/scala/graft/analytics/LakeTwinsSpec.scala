@@ -44,15 +44,17 @@ class LakeTwinsSpec extends AnyFunSuite {
     val fpSink = CurateQueries.ensureFpSink(spark, sf)
     val shingleSink = DedupQueries.ensureShingleSink(spark, sf)
     val substrSink = DedupQueries.ensureSubstrSink(spark, sf)
-    for ((sink, keyCol) <- Seq(spanSink -> "s", fpSink -> "fp",
-        shingleSink -> "doc_id", substrSink -> "s")) {
+    for ((sink, keyCols) <- Seq(spanSink -> Seq("s"), fpSink -> Seq("fp"),
+        shingleSink -> Seq("doc_id"),
+        // hash-keyed since r11: the window table prunes on (h, fp) longs
+        substrSink -> Seq("h", "fp"))) {
       val all = MergeSink.read(spark, sink)
       val total = all.inputFiles.length
       assert(total > 2, s"$sink must span several files, has $total")
-      val someKeys = all.select(keyCol).limit(3)
-      val probed = MergeSink.readOverlapping(spark, sink, someKeys, Seq(keyCol))
+      val someKeys = all.select(keyCols.map(col): _*).limit(3)
+      val probed = MergeSink.readOverlapping(spark, sink, someKeys, keyCols)
       assert(probed.inputFiles.nonEmpty && probed.inputFiles.length < total,
-        s"narrow $keyCol probe opened all $total files of $sink")
+        s"narrow ${keyCols.mkString(",")} probe opened all $total files of $sink")
     }
   }
 }

@@ -318,23 +318,69 @@ class PlanContractSpec extends AnyFunSuite {
         "not re-derived aggregate branches")
   }
 
-  test("dd_exact_substr: skew-proof shape — partial-agg dup set, no gram-row window") {
+  test("dd_exact_substr: skew-proof shape — partial-agg dup set on the 8-BYTE hash, no gram-row window") {
     // the gram stream is the heaviest volume class in the dedup tier: the
     // occurrence count must be a map-side-combined aggregate (heavy
     // boilerplate windows collapse BEFORE the shuffle), never a
-    // count-over-window that ships every gram row to one reducer per key
-    val p = initialPlan("dd_exact_substr")
-    assert(!p.contains("Window"),
+    // count-over-window that ships every gram row to one reducer per key —
+    // and since r11 the corpus-sized exchange must carry the 64-bit
+    // rolling hash, NOT window strings (the r10 verdict's ask #2)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val cand = DedupQueries.substrCandidates(spark, sf)
+    val cp = cand.queryExecution.executedPlan.toString
+    assert(!cp.contains("Window"),
       "occ regressed to a gram-row window — one boilerplate key melts a reducer")
-    assert(p.contains("partial_count"),
-      "the dup-set count lost its map-side partial phase")
+    assert(cp.contains("partial_count"),
+      "the dup-hash count lost its map-side partial phase")
+    // the corpus-sized aggregate groups by EXACTLY one LongType key (h):
+    // a string in the grouping would put the W-word windows back on the wire
+    val gramAggs = cand.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.groupingExpressions.nonEmpty => a
+    }
+    assert(gramAggs.nonEmpty)
+    gramAggs.foreach { a =>
+      assert(a.groupingExpressions.forall(_.dataType == LongType),
+        s"gram-stream aggregate key is not the 8-byte hash: ${a.groupingExpressions}")
+    }
+    // ...and the candidate join key is hash-only too
+    cand.queryExecution.optimizedPlan.collect { case j: Join => j }.foreach { j =>
+      assert(j.condition.forall(_.references.forall(_.dataType == LongType)),
+        s"candidate join regressed off the 8-byte key: ${j.condition}")
+    }
+    // the FULL query keeps the exact string verify within hash buckets
+    // (the (h, s) re-count) and needs only ONE live documents scan — the
+    // n_win side is per-doc arithmetic; the gram subtree sits behind the
+    // checkpoint, asserted above
+    val p = initialPlan("dd_exact_substr")
+    assert(!p.contains("Window"))
     assert(p.linesIterator.count(l =>
-      l.contains("FileScan parquet") && l.contains("documents.parquet")) == 2,
-      "expected the two-pass shape (dup-set branch + rollup branch)")
-    // the dup-set join is an equi-join; at this SF AQE broadcasts it
-    val pf = finalPlan("dd_exact_substr")
-    assert(pf.contains("BroadcastHashJoin"),
-      "the tiny duplicated-window set should broadcast under AQE")
+      l.contains("FileScan parquet") && l.contains("documents.parquet")) == 1,
+      "n_win must be per-doc arithmetic on one pruned scan (no extra explode)")
+    val q = df("dd_exact_substr")
+    val verifyJoins = q.queryExecution.optimizedPlan.collect { case j: Join => j }
+      .filter(_.condition.exists(_.references.exists(_.dataType == StringType)))
+    assert(verifyJoins.nonEmpty,
+      "the within-bucket STRING verify join is gone — hash collisions would leak")
+  }
+
+  test("dd_incr_substr_lake: the corpus probe joins on the two 64-bit keys, table stores no strings") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.LongType
+    // the lake window table is (h, fp) ONLY — the W×-smaller state the
+    // 100-TB design demands; a string column reappearing here fails
+    val sink = DedupQueries.ensureSubstrSink(spark, sf)
+    val schema = graft.ingest.MergeSink.read(spark, sink).schema
+    assert(schema.fieldNames.toSet == Set("h", "fp"),
+      s"window table regressed to string storage: ${schema.simpleString}")
+    assert(schema.fields.forall(_.dataType == LongType))
+    // and the probe's corpus join references only LongType keys
+    val q = df("dd_incr_substr_lake")
+    val hashJoins = q.queryExecution.optimizedPlan.collect { case j: Join => j }
+      .filter(_.condition.exists(c =>
+        c.references.nonEmpty && c.references.forall(_.dataType == LongType)))
+    assert(hashJoins.nonEmpty,
+      "the corpus probe lost its hash-only (h, fp) join key")
   }
 
   test("dd_span_dedup: exactly two pruned document scans, partial-agg firsts") {
@@ -463,14 +509,14 @@ class PlanContractSpec extends AnyFunSuite {
     // r9 verdict flagged
     val win = p.linesIterator.find(_.trim.startsWith("+- Window "))
       .orElse(p.linesIterator.find(_.contains("Window ["))).getOrElse("")
-    assert(win.contains("__bkt"),
+    assert(win.contains("__pkt"),
       s"budget window lost its bucket partition spec: $win")
   }
 
   test("cu_shard_balance: the global rank is bucket-partitioned, never one task") {
     val p = initialPlan("cu_shard_balance")
     val win = p.linesIterator.find(_.contains("Window [")).getOrElse("")
-    assert(win.contains("__bkt"),
+    assert(win.contains("__pkt"),
       s"shard rank lost its bucket partition spec: $win")
     // rank + snake fold + final shard rollup partial-aggregates map-side
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(1500))
