@@ -16,7 +16,7 @@ object SparkEntry {
   /** All declared queries, each optionally paired with a DuckDB oracle. */
   def allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ NormQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ AnnQueries.defs ++ StreamQueries.defs ++
+      DedupQueries.defs ++ AnnQueries.defs ++ AnnLake.defs ++ StreamQueries.defs ++
       MultimodalQueries.defs ++ ExtQueries.defs ++ CurateQueries.defs ++
       GraphQueries.defs
 
@@ -59,7 +59,12 @@ object SparkEntry {
     }),
     "ann_ivf_topk" -> AnnQueries.ensureAnnIndexes,
     "ann_pq_topk" -> AnnQueries.ensureAnnIndexes,
-    "ann_ivfpq_topk" -> AnnQueries.ensureAnnIndexes)
+    "ann_ivfpq_topk" -> AnnQueries.ensureAnnIndexes,
+    // the lake probes measure the PROBE, not index construction (k13's
+    // contract: a daily job probes yesterday's index)
+    "ann_ivf_lake" -> ((s, dir) => { AnnLake.ensureAnnLake(s, dir); () }),
+    "ann_ivfpq_lake" -> ((s, dir) => { AnnLake.ensureAnnLake(s, dir); () }),
+    "ann_ivfpq_incr" -> ((s, dir) => { AnnLake.ensureAnnIncrLake(s, dir); () }))
 
   /** Headline benchmark set — one-to-two representatives per tier, chosen
     * so the bench (a) covers every operator family, (b) finishes well

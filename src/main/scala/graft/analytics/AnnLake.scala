@@ -1,0 +1,381 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ingest.MergeSink
+
+/** The LAKE-PERSISTED ANN index (r10 verdict ask #1) — the last tier whose
+  * corpus-sized artifacts lived only in the process-local PlanCache now
+  * stores them as MergeSink tables, like every other incremental operator:
+  *
+  *  - `centroids` — the trained spherical IVF cells (cell, ce), tiny;
+  *  - `cells`     — CELL-KEYED member postings (cell, members[]): the
+  *    corpus assignment laid out so a probe's nprobe cells map to a
+  *    manifest-pruned FILE subset (the E109/E115 posting pattern — cell
+  *    occupancy is planner-bounded ≈ SemTarget, so a posting row is a
+  *    bounded unit of work at any corpus size);
+  *  - `codebook`  — trained PQ codebooks (m, j, ce), M·K rows;
+  *  - `codes`     — cell-keyed PQ code postings (cell, codes[]), the
+  *    compressed corpus a 100-TB ADC scan reads INSTEAD of vectors.
+  *
+  * Two tiers:
+  *  - FULL (`ensureAnnLake`): the corpus-trained artifacts (shared with
+  *    the in-plan queries through the same PlanCache training passes) are
+  *    written once; `ann_ivf_lake` / `ann_ivfpq_lake` probe ONLY the lake
+  *    (+ original vectors for the exact refine) and reuse the in-plan
+  *    oracles verbatim — the round-trip must be invisible to results.
+  *  - INCREMENTAL (`ensureAnnIncrLake`): the index is trained on the
+  *    corpus slice (vec_id % 5 ≠ 0 — the standing batch convention), the
+  *    slice is assigned + encoded, and then the DAILY BATCH path runs: the
+  *    batch is assigned to the EXISTING centroids and encoded with the
+  *    EXISTING codebooks read back from the lake — no retrain, no corpus
+  *    re-encode — and its postings MERGE into the touched cells only
+  *    (read-modify-write through readOverlapping, the inverted-index
+  *    pattern). `ann_ivfpq_incr` probes the merged index end-to-end with a
+  *    full DuckDB oracle mirroring the slice-trained dataflow.
+  *
+  * Freshness: sinks are memoized per (process, dir) like every ensure*
+  * sibling; at lake scale the staleness signal is the table's commit
+  * version (MergeSink.versions), which the manifest carries already.
+  */
+object AnnLake {
+
+  import AnnQueries._
+
+  final case class Sinks(centroids: String, cells: String,
+                         codebook: String, codes: String)
+
+  private def sinksUnder(base: String) = Sinks(
+    s"$base/centroids", s"$base/cells", s"$base/codebook", s"$base/codes")
+
+  private val codeFields: Seq[String] = (0 until PqM).map(m => s"c$m")
+
+  /** One posting-struct per encoded vector; vec_id leads so sort_array
+    * orders postings deterministically by member id.
+    */
+  private def codeStruct = struct(
+    (col("vec_id") +: codeFields.map(col)): _*)
+
+  // small targetFileRows so the posting tables span several range-clustered
+  // files even at oracle SF and the probes' manifest pruning is a REAL
+  // subset (spec-asserted); production sizes by bytes instead
+  private val PostingFileRows = 2L
+
+  private def cellPostings(cells: DataFrame): DataFrame =
+    cells.groupBy("cell")
+      .agg(sort_array(collect_list(col("vec_id"))).as("members"))
+
+  private def codePostings(codes: DataFrame, cells: DataFrame): DataFrame =
+    codes.join(cells, Seq("vec_id"))
+      .groupBy("cell")
+      .agg(sort_array(collect_list(codeStruct)).as("codes"))
+
+  // ---- FULL-corpus lake index -------------------------------------------
+
+  private val fullSinks = new java.util.concurrent.ConcurrentHashMap[String, Sinks]
+
+  private[graft] def ensureAnnLake(s: SparkSession, dir: String): Sinks =
+    fullSinks.computeIfAbsent(dir, { _ =>
+      val sk = sinksUnder(Staging.freshBase("graft_ann", dir).getPath)
+      val k = ivfCellsFor(Tables.embeddings(s, dir).count())
+      // the SAME cached training passes the in-plan queries run — the lake
+      // write is a persistence step, not a second training recipe
+      val carr = ivfCarr(s, dir, k)
+      MergeSink.merge(s, sk.centroids, carr, Seq("cell"), Seq(col("cell")),
+        targetFileRows = 64)
+      val (cells, _) = ivfParts(s, dir)
+      MergeSink.merge(s, sk.cells, cellPostings(cells), Seq("cell"),
+        Seq(col("cell")), targetFileRows = PostingFileRows)
+      MergeSink.merge(s, sk.codebook, pqCodebook(s, dir), Seq("m", "j"),
+        Seq(col("m"), col("j")), targetFileRows = 256)
+      MergeSink.merge(s, sk.codes, codePostings(pqCodeTable(s, dir), cells),
+        Seq("cell"), Seq(col("cell")), targetFileRows = PostingFileRows)
+      sk
+    })
+
+  // ---- INCREMENTAL slice-trained index + daily-batch merge ----------------
+
+  private val incrSinks =
+    new java.util.concurrent.ConcurrentHashMap[String, (Sinks, Long)]
+
+  /** Union fresh postings into the touched cells: read ONLY the
+    * manifest-pruned old rows, concat member arrays (slice and batch ids
+    * are disjoint), and MERGE back — O(touched cells), never O(table).
+    */
+  private def appendPostings(s: SparkSession, sink: String, fresh: DataFrame,
+      payload: String): Unit = {
+    val old = MergeSink.readOverlapping(s, sink, fresh.select("cell"), Seq("cell"))
+      .select(col("cell"), col(payload).as("__old"))
+    val updated = fresh.join(old, Seq("cell"), "left")
+      .select(col("cell"),
+        when(col("__old").isNull, col(payload))
+          .otherwise(sort_array(concat(col("__old"), col(payload)))).as(payload))
+    MergeSink.merge(s, sink, updated, Seq("cell"), Seq(col("cell")),
+      targetFileRows = PostingFileRows)
+    ()
+  }
+
+  /** Builds the slice-trained index, then runs the incremental batch path.
+    * Returns the sinks plus the trained cell count (the probe's nprobe
+    * law needs it without re-counting).
+    */
+  private[graft] def ensureAnnIncrLake(s: SparkSession, dir: String): (Sinks, Long) =
+    incrSinks.computeIfAbsent(dir, { _ =>
+      val sk = sinksUnder(Staging.freshBase("graft_ann_incr", dir).getPath)
+      val v = normalized(s, dir)
+      val slice = v.filter(col("vec_id") % 5 =!= 0)
+      val vnSlice = slice.select("vec_id", "en")
+      val k = ivfCellsFor(slice.count())
+
+      // --- train on the SLICE (the k smallest slice ids seed, mirroring
+      // the in-plan vec_id < k over a dense id space)
+      val seeds = vnSlice.orderBy("vec_id").limit(k.toInt)
+        .select(col("vec_id").as("cell"), col("en").as("ce"))
+      val carr = trainCellsFrom(vnSlice, seeds)
+      MergeSink.merge(s, sk.centroids, carr, Seq("cell"), Seq(col("cell")),
+        targetFileRows = 64)
+      val sliceCells = assignCells(vnSlice, carr)
+      MergeSink.merge(s, sk.cells, cellPostings(sliceCells), Seq("cell"),
+        Seq(col("cell")), targetFileRows = PostingFileRows)
+      val subvSlice = subvectors(slice.select(col("vec_id"), col("en").as("e")))
+      val pqK = pqCodebookFor(slice.count())
+      val sids = vnSlice.orderBy("vec_id").limit(pqK).select("vec_id")
+      val init = subvSlice.join(sids, Seq("vec_id"))
+        .select(col("m"), col("vec_id").as("j"), col("sub").as("ce"),
+          col("xx").as("cc"))
+      val pqCarr = trainPqFrom(subvSlice.filter(col("vec_id") < PqTrainCap), init)
+      MergeSink.merge(s, sk.codebook, pqCarr, Seq("m", "j"),
+        Seq(col("m"), col("j")), targetFileRows = 256)
+      val sliceCodes = encodePq(subvSlice, pqCarr)
+      MergeSink.merge(s, sk.codes, codePostings(sliceCodes, sliceCells),
+        Seq("cell"), Seq(col("cell")), targetFileRows = PostingFileRows)
+
+      // --- the DAILY BATCH path: assign to EXISTING cells, encode with
+      // EXISTING codebooks (both read back from the LAKE — the round trip
+      // is the point), append postings to touched cells only
+      val batch = v.filter(col("vec_id") % 5 === 0)
+      val lakeCarr = MergeSink.read(s, sk.centroids)
+      val batchCells = assignCells(batch.select("vec_id", "en"), lakeCarr)
+      appendPostings(s, sk.cells, cellPostings(batchCells), "members")
+      val lakeCodebook = MergeSink.read(s, sk.codebook)
+      val batchCodes = encodePq(
+        subvectors(batch.select(col("vec_id"), col("en").as("e"))), lakeCodebook)
+      appendPostings(s, sk.codes, codePostings(batchCodes, batchCells), "codes")
+      (sk, k)
+    })
+
+  // ---- lake probes --------------------------------------------------------
+
+  /** Per-probe top-nprobe cells against the LAKE centroid table. */
+  private[analytics] def lakePcells(s: SparkSession, dir: String, sinks: Sinks,
+      nprobe: Int): DataFrame = {
+    val v = normalized(s, dir)
+    val probes = v.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("probe_id"), col("en"))
+    probeCells(probes, MergeSink.read(s, sinks.centroids), nprobe)
+  }
+
+  /** IVF search over the lake: pcells → manifest-pruned member postings →
+    * exact cosine over the original vectors → per-probe rank. Identical
+    * results to ivfSearch by construction (same centroids round-tripped
+    * exactly; parquet preserves doubles bit-for-bit).
+    */
+  private def lakeIvfSearch(s: SparkSession, dir: String, sinks: Sinks,
+      nprobe: Int): DataFrame = {
+    val v = normalized(s, dir)
+    val pcells = lakePcells(s, dir, sinks, nprobe)
+    val probes = v.filter(col("vec_id") < ProbeCount)
+      .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("nrm").as("pnrm"))
+    val members = MergeSink
+      .readOverlapping(s, sinks.cells, pcells.select("cell"), Seq("cell"))
+    val scored = members
+      .join(broadcast(pcells), Seq("cell")) // exact residual over the pruned files
+      .select(col("probe_id"), explode(col("members")).as("neighbor_id"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("e"), col("nrm")),
+        Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        graft.functions.Vec.cosinePre(
+          graft.functions.Vec.dot(col("pe"), col("e")),
+          col("pnrm"), col("nrm")).as("cosine"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= LshK)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** The cell-pruned code-posting frame a lake ADC scan reads — exposed so
+    * AnnLakeSpec can pin its scan set to the manifest hit set (the
+    * incrLshCandidatesLake precedent).
+    */
+  private[analytics] def lakeCodeRows(s: SparkSession, dir: String, sinks: Sinks,
+      pcells: DataFrame): DataFrame =
+    MergeSink.readOverlapping(s, sinks.codes, pcells.select("cell"), Seq("cell"))
+      .join(broadcast(pcells.select(col("cell"), col("probe_id").as("cpid"))),
+        Seq("cell"))
+      .select(col("cpid") +: explode(col("codes")).as("c") +: Nil: _*)
+      .select(col("cpid") +: col("c.vec_id").as("vec_id") +:
+        codeFields.map(f => col(s"c.$f").as(f)): _*)
+
+  /** IVF+PQ search over the lake: cell-pruned code postings ranked by ADC
+    * against the LAKE codebook, exact-cosine refine of the shortlist —
+    * ann_ivfpq_topk's plan with every index artifact read from storage.
+    */
+  private def lakeIvfPqSearch(s: SparkSession, dir: String, sinks: Sinks,
+      nprobe: Int): DataFrame = {
+    val pcells = lakePcells(s, dir, sinks, nprobe)
+    val codes = lakeCodeRows(s, dir, sinks, pcells)
+    val adc = adcFrom(pqSubv(s, dir).filter(col("vec_id") < ProbeCount),
+      MergeSink.read(s, sinks.codebook))
+    val scored = adcScored(codes, adc, restrictProbe = Some("cpid"))
+    // candidates are cell-bounded by construction — plain per-probe window
+    val w = Window.partitionBy("probe_id").orderBy(col("adist").asc, col("neighbor_id"))
+    val short = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Refine)
+      .select("probe_id", "neighbor_id")
+    refineExact(s, dir, short)
+  }
+
+  // ---- declared queries ---------------------------------------------------
+
+  /** The full-corpus IVF probe served ENTIRELY from the lake — same oracle
+    * as ann_ivf_topk: persistence must be invisible to results.
+    */
+  val ivfLake: QueryDef = QueryDef(
+    "ann_ivf_lake", ivfTopK.oracle.get) { (s, dir) =>
+    val sinks = ensureAnnLake(s, dir)
+    val k = ivfCellsFor(Tables.embeddings(s, dir).count())
+    lakeIvfSearch(s, dir, sinks, nprobeFor(k))
+  }
+
+  /** The full-corpus IVF+PQ probe from the lake — codes, codebooks and
+    * centroids all read back from MergeSink tables; same oracle as
+    * ann_ivfpq_topk.
+    */
+  val ivfpqLake: QueryDef = QueryDef(
+    "ann_ivfpq_lake", ivfpqTopK.oracle.get) { (s, dir) =>
+    val sinks = ensureAnnLake(s, dir)
+    val k = ivfCellsFor(Tables.embeddings(s, dir).count())
+    lakeIvfPqSearch(s, dir, sinks, nprobeFor(k))
+  }
+
+  /** ORACLE statics for the incremental index, slice-derived: the corpus
+    * slice at the oracle SF holds 400 vectors → 7 cells (ivfCellsFor),
+    * nprobe 3 (nprobeFor), 16 codebook entries (pqCodebookFor) — the live
+    * plan derives all three from the slice count and coincides exactly at
+    * the oracle SF (the signBitsFor precedent).
+    */
+  private val IncrCells = 7
+  private val IncrNProbe = 3
+  private val IncrPqK = 16
+
+  /** The INCREMENTAL index end-to-end: slice-trained centroids/codebooks,
+    * batch assigned to EXISTING cells and encoded with EXISTING codebooks
+    * (no retrain, no corpus re-encode), postings MERGE-appended, then the
+    * standard IVF+PQ probe over the merged index. The oracle mirrors the
+    * whole dataflow: training CTEs read only the slice, while assignment/
+    * encoding/probing read everything — exactly what build-then-merge
+    * produces, since both paths apply the same trained artifacts.
+    */
+  val ivfpqIncr: QueryDef = QueryDef(
+    "ann_ivfpq_incr",
+    s"""WITH $VnCte,
+       |vc AS MATERIALIZED (SELECT vec_id, en FROM vn WHERE vec_id % 5 <> 0),
+       |iseed AS (SELECT vec_id AS cell, en AS ce FROM (
+       |    SELECT vec_id, en, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM vc) t
+       |  WHERE rn <= $IncrCells),
+       |iassign0 AS MATERIALIZED (
+       |  SELECT vec_id, en, cell FROM (
+       |    SELECT n.vec_id, n.en, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.en, s.ce) DESC, s.cell) AS rn
+       |    FROM vc n, iseed s) t
+       |  WHERE rn = 1),
+       |icexp AS MATERIALIZED (SELECT vec_id, cell, i AS pos, en[i] AS val
+       |          FROM iassign0, unnest(range(1, len(en) + 1)) AS t(i)),
+       |icmean AS MATERIALIZED (
+       |  SELECT cell, pos,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(val ORDER BY vec_id)),
+       |                (a, b) -> a + b) / COUNT(*) AS c
+       |  FROM icexp GROUP BY cell, pos),
+       |icarr AS MATERIALIZED (
+       |  SELECT cell, list_transform(ce, x -> x / sqrt(list_dot_product(ce, ce))) AS ce
+       |  FROM (SELECT cell, list(c ORDER BY pos) AS ce FROM icmean GROUP BY cell) t),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.en, c.ce) DESC, c.cell) AS rn
+       |    FROM vn n, icarr c) t
+       |  WHERE rn = 1),
+       |pcells AS MATERIALIZED (
+       |  SELECT probe_id, cell FROM (
+       |    SELECT n.vec_id AS probe_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |        ORDER BY list_dot_product(n.en, c.ce) DESC, c.cell) AS rn
+       |    FROM vn n, icarr c WHERE n.vec_id < $ProbeCount) t
+       |  WHERE rn <= $IncrNProbe),
+       |subv AS (
+       |  SELECT vec_id, m, en[m*$PqSub+1 : m*$PqSub+$PqSub] AS sub
+       |  FROM vn, unnest([${(0 until PqM).mkString(", ")}]) AS t(m)),
+       |sids AS (SELECT vec_id FROM (
+       |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM vc) t
+       |  WHERE rn <= $IncrPqK),
+       |init AS MATERIALIZED (
+       |  SELECT m, s.vec_id AS j, sub AS ce
+       |  FROM subv s JOIN sids d ON s.vec_id = d.vec_id),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, m, sub, j FROM (
+       |    SELECT s.vec_id, s.m, s.sub, i.j,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${l2Sql("s.sub", "i.ce")}, i.j) AS rn
+       |    FROM subv s JOIN init i USING (m)
+       |    WHERE s.vec_id % 5 <> 0 AND s.vec_id < $PqTrainCap) t
+       |  WHERE rn = 1),
+       |centexp AS MATERIALIZED (
+       |  SELECT vec_id, m, j, i AS pos, sub[i] AS val
+       |  FROM assign, unnest(range(1, $PqSub + 1)) AS t(i)),
+       |cent AS MATERIALIZED (
+       |  SELECT m, j, pos,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(val ORDER BY vec_id)),
+       |                (a, b) -> a + b) / COUNT(*) AS c
+       |  FROM centexp GROUP BY m, j, pos),
+       |carr AS MATERIALIZED (SELECT m, j, list(c ORDER BY pos) AS ce FROM cent GROUP BY m, j),
+       |codes0 AS MATERIALIZED (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT s.vec_id, s.m, c.j,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${l2Sql("s.sub", "c.ce")}, c.j) AS rn
+       |    FROM subv s JOIN carr c USING (m)) t
+       |  WHERE rn = 1),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    ${(0 until PqM).map(m => s"MAX(CASE WHEN m = $m THEN code END) AS c$m").mkString(",\n       |    ")}
+       |  FROM codes0 GROUP BY vec_id),
+       |adc AS MATERIALIZED (
+       |  SELECT p.vec_id AS probe_id, c.m, c.j, ${l2Sql("p.sub", "c.ce")} AS pd
+       |  FROM (SELECT * FROM subv WHERE vec_id < $ProbeCount) p
+       |  JOIN carr c USING (m)),
+       |scored AS MATERIALIZED (
+       |  SELECT pc.probe_id, cd.vec_id AS neighbor_id, $AdistSql AS adist
+       |  FROM codes cd
+       |  JOIN cells cl ON cl.vec_id = cd.vec_id
+       |  JOIN pcells pc ON pc.cell = cl.cell
+       |$AdcJoinSql
+       |  WHERE cd.vec_id <> pc.probe_id AND a0.probe_id = pc.probe_id),
+       |short AS MATERIALIZED (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, neighbor_id) AS rn
+       |    FROM scored) t
+       |  WHERE rn <= $Refine),
+       |$RefineSql""".stripMargin) { (s, dir) =>
+    val (sinks, k) = ensureAnnIncrLake(s, dir)
+    lakeIvfPqSearch(s, dir, sinks, nprobeFor(k))
+  }
+
+  val defs: Seq[QueryDef] = Seq(ivfLake, ivfpqLake, ivfpqIncr)
+}

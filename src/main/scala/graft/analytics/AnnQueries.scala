@@ -25,7 +25,7 @@ import graft.functions.Vec
   */
 object AnnQueries {
 
-  private val ProbeCount = 5
+  private[analytics] val ProbeCount = 5
   private val TopK = 10
   private val SaltBuckets = 64
 
@@ -94,7 +94,7 @@ object AnnQueries {
     * hash gate keep proving the runtime-width plan.
     */
   private val Bits = 4
-  private val LshK = 5
+  private[analytics] val LshK = 5
   // nprobe trades cells searched for recall (AnnRecallSpec measures it
   // against brute force; 2 → 3 lifted recall@5 from 0.16); shared with the
   // oracle SQL so both engines search the same cells
@@ -215,7 +215,7 @@ object AnnQueries {
     * IEEE-correctly-rounded, and the dot is the shared sequential fold, so
     * the normalized components are bit-identical cross-engine.
     */
-  private val VnCte: String =
+  private[analytics] val VnCte: String =
     s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |vn AS MATERIALIZED (SELECT vec_id, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS en FROM v)""".stripMargin
 
@@ -265,7 +265,7 @@ object AnnQueries {
     * refine) reads it — uncached, the ivfpq plan re-scanned the embeddings
     * parquet 8× per run (PLANS.md audit caught it).
     */
-  private def normalized(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[analytics] def normalized(s: org.apache.spark.sql.SparkSession, dir: String) =
     PlanCache.cached(s, dir, "ann_vn") {
       Tables.embeddings(s, dir)
         .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
@@ -282,34 +282,67 @@ object AnnQueries {
   /** The trained spherical centroid table (cell, ce) — one deterministic
     * Lloyd step from the first-k seeds, memo-and-persisted.
     */
-  private def ivfCarr(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[analytics] def ivfCarr(s: org.apache.spark.sql.SparkSession, dir: String,
       k: Long): org.apache.spark.sql.DataFrame =
     PlanCache.cached(s, dir, "ivf_carr") {
       def vn = normalized(s, dir).select("vec_id", "en")
       val seeds = vn.filter(col("vec_id") < k)
         .select(col("vec_id").as("cell"), col("en").as("ce"))
-      // scalar argmax (cell only) through the n·k aggregation, vectors
-      // re-attached by an n-row join — dragging the 64-dim array through
-      // every max_by buffer was the PQ-encode cost class (72 s → 2 s)
-      val assign0 = vn.join(broadcast(seeds))
-        .groupBy("vec_id")
-        .agg(max_by(col("cell"),
-          struct(Vec.dot(col("en"), col("ce")), -col("cell"))).as("cell"))
-        .join(vn, Seq("vec_id"))
-      val cmean = assign0
-        .select(col("vec_id"), col("cell"), posexplode(col("en")).as(Seq("pos", "val")))
-        .groupBy("cell", "pos")
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("val")))).as("vv"),
-          count(lit(1)).as("n"))
-        .select(col("cell"), col("pos"),
-          (aggregate(transform(col("vv"), x => x.getField("val")),
-            lit(0.0), (a, b) => a + b) / col("n")).as("c"))
-      cmean.groupBy("cell")
-        .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("cell"), transform(col("pc"), x => x.getField("c")).as("ce0"))
-        .withColumn("cnrm", Vec.dot(col("ce0"), col("ce0")))
-        .select(col("cell"), transform(col("ce0"), x => x / sqrt(col("cnrm"))).as("ce"))
+      trainCellsFrom(vn, seeds)
     }
+
+  /** The one deterministic spherical Lloyd step, parameterized over the
+    * training frame and its seed centroids so the LAKE tier (AnnLake) can
+    * train on a corpus SLICE through the exact same dataflow — extracted
+    * verbatim from ivfCarr (r11), dataflow unchanged.
+    */
+  private[analytics] def trainCellsFrom(vn: org.apache.spark.sql.DataFrame,
+      seeds: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // scalar argmax (cell only) through the n·k aggregation, vectors
+    // re-attached by an n-row join — dragging the 64-dim array through
+    // every max_by buffer was the PQ-encode cost class (72 s → 2 s)
+    val assign0 = vn.join(broadcast(seeds))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"),
+        struct(Vec.dot(col("en"), col("ce")), -col("cell"))).as("cell"))
+      .join(vn, Seq("vec_id"))
+    val cmean = assign0
+      .select(col("vec_id"), col("cell"), posexplode(col("en")).as(Seq("pos", "val")))
+      .groupBy("cell", "pos")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("val")))).as("vv"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"),
+        (aggregate(transform(col("vv"), x => x.getField("val")),
+          lit(0.0), (a, b) => a + b) / col("n")).as("c"))
+    cmean.groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cell"), transform(col("pc"), x => x.getField("c")).as("ce0"))
+      .withColumn("cnrm", Vec.dot(col("ce0"), col("ce0")))
+      .select(col("cell"), transform(col("ce0"), x => x / sqrt(col("cnrm"))).as("ce"))
+  }
+
+  /** The map-side argmax cell assignment of `vn` (vec_id, en) against a
+    * centroid table — ivfParts' corpus-assignment shape, exposed for the
+    * lake tier's build and its incremental batch path.
+    */
+  private[analytics] def assignCells(vn: org.apache.spark.sql.DataFrame,
+      carr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    vn.join(broadcast(carr))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"),
+        struct(Vec.dot(col("en"), col("ce")), -col("cell"))).as("cell"))
+
+  /** Per-probe top-nprobe cells against a centroid table — ivfParts'
+    * probe-assignment shape, exposed for the lake tier.
+    */
+  private[analytics] def probeCells(probes: org.apache.spark.sql.DataFrame,
+      carr: org.apache.spark.sql.DataFrame, nprobe: Int): org.apache.spark.sql.DataFrame =
+    probes
+      .join(broadcast(carr))
+      .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(Vec.dot(col("en"), col("ce")).desc, col("cell"))))
+      .filter(col("rn") <= nprobe)
+      .select("probe_id", "cell")
 
   private[analytics] def ivfParts(s: org.apache.spark.sql.SparkSession, dir: String,
       nprobeOverride: Option[Int] = None)
@@ -327,18 +360,12 @@ object AnnQueries {
     // ivfCarr's note on the array-through-buffers cost.
     val carr = ivfCarr(s, dir, k)
     val cells = PlanCache.cached(s, dir, "ivf_cells") {
-      vn.join(broadcast(carr))
-        .groupBy("vec_id")
-        .agg(max_by(col("cell"),
-          struct(Vec.dot(col("en"), col("ce")), -col("cell"))).as("cell"))
+      assignCells(vn, carr)
     }
-    val pcells = vn.filter(col("vec_id") < ProbeCount)
-      .select(col("vec_id").as("probe_id"), col("en"))
-      .join(broadcast(carr))
-      .withColumn("rn", row_number().over(Window.partitionBy("probe_id")
-        .orderBy(Vec.dot(col("en"), col("ce")).desc, col("cell"))))
-      .filter(col("rn") <= nprobe)
-      .select("probe_id", "cell")
+    val pcells = probeCells(
+      vn.filter(col("vec_id") < ProbeCount)
+        .select(col("vec_id").as("probe_id"), col("en")),
+      carr, nprobe)
     (cells, pcells)
   }
 
@@ -400,19 +427,19 @@ object AnnQueries {
 
   // ---- Product quantization -------------------------------------------
 
-  private val PqM = 8       // subspaces (embedding dim 64 → 8 dims each)
-  private val PqSub = 8     // dims per subspace
+  private[analytics] val PqM = 8       // subspaces (embedding dim 64 → 8 dims each)
+  private[analytics] val PqSub = 8     // dims per subspace
   private val PqTopK = 10
   // ADC shortlist size for the exact-cosine refine stage (FAISS "refine"):
   // the quantizer SHORTLISTS Refine candidates per probe from the code
   // table, then the original vectors of only those candidates are scored
   // exactly — measured recall@5 0.28 unrefined → 0.80 refined (PQ) and
   // 0.40 → 0.88 (IVF+PQ) at this corpus
-  private val Refine = 4 * PqTopK
+  private[analytics] val Refine = 4 * PqTopK
   // codebooks train on a bounded deterministic sample (all corpus rows at
   // the oracle SFs; a fixed-size prefix at any scale) — the FAISS sampled-
   // training practice, and what bounds the per-centroid training state
-  private val PqTrainCap = 100000L
+  private[analytics] val PqTrainCap = 100000L
 
   /** Live codebook width, CORPUS-SIZED (the signBitsFor precedent):
     * quantization error shrinks as K grows; n/32 keeps ≥ 32 training
@@ -429,7 +456,7 @@ object AnnQueries {
     */
   private def l2Col(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
     Vec.dot(x, x) - lit(2.0) * Vec.dot(x, c) + Vec.dot(c, c)
-  private def l2Sql(x: String, c: String): String =
+  private[analytics] def l2Sql(x: String, c: String): String =
     s"list_dot_product($x, $x) - 2 * list_dot_product($x, $c) + list_dot_product($c, $c)"
 
   /** PQ-compressed ANN — the MEMORY-side scale path the rest of the ANN
@@ -477,75 +504,122 @@ object AnnQueries {
     * (`adc`: probe_id, m, j, pd) — used by ann_pq_topk and the IVF+PQ
     * composition so training/encoding cannot drift between them.
     */
-  private def pqParts(s: org.apache.spark.sql.SparkSession, dir: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val k = pqCodebookFor(Tables.embeddings(s, dir).count())
-    val v = normalized(s, dir).select(col("vec_id"), col("en").as("e"))
-    // per-subvector and per-centroid self-dots are computed ONCE and
-    // carried alongside: the K-candidate L2² then costs one 8-dim dot per
-    // candidate instead of three (xx − 2·x·c + cc is the same bits as the
-    // inline form — identical folds, evaluated once). The subvector table
-    // feeds FOUR plan branches (seeds, training assignment, encoding, ADC)
-    // — memo-and-persisted like the shingle table it mirrors.
-    val subv = PlanCache.cached(s, dir, "pq_subv") {
-      v.select(col("vec_id"),
-          explode(array((0 until PqM).map(m => struct(lit(m).as("m"),
-            slice(col("e"), m * PqSub + 1, PqSub).as("sub"))): _*)).as("x"))
-        .select(col("vec_id"), col("x.m").as("m"), col("x.sub").as("sub"))
-        .withColumn("xx", Vec.dot(col("sub"), col("sub")))
-    }
-    val init = subv.filter(col("vec_id") < k)
-      .select(col("m"), col("vec_id").as("j"), col("sub").as("ce"), col("xx").as("cc"))
-    def l2Pre = col("xx") - lit(2.0) * Vec.dot(col("sub"), col("ce")) + col("cc")
-    // argmin by (L2², j) as a map-side max_by on (−L2², −j) — the
-    // semAssigned collapse: n·M rows reach the exchange, not n·M·K (the
-    // row_number form shuffled the full candidate product)
-    def nearest(cands: org.apache.spark.sql.DataFrame) = cands
+  // per-subvector and per-centroid self-dots are computed ONCE and
+  // carried alongside: the K-candidate L2² then costs one 8-dim dot per
+  // candidate instead of three (xx − 2·x·c + cc is the same bits as the
+  // inline form — identical folds, evaluated once).
+  private def l2Pre = col("xx") - lit(2.0) * Vec.dot(col("sub"), col("ce")) + col("cc")
+
+  /** The per-subspace split of (vec_id, e) — exposed so the lake tier can
+    * subvector a corpus slice / daily batch through the same projection.
+    */
+  private[analytics] def subvectors(v: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    v.select(col("vec_id"),
+        explode(array((0 until PqM).map(m => struct(lit(m).as("m"),
+          slice(col("e"), m * PqSub + 1, PqSub).as("sub"))): _*)).as("x"))
+      .select(col("vec_id"), col("x.m").as("m"), col("x.sub").as("sub"))
+      .withColumn("xx", Vec.dot(col("sub"), col("sub")))
+
+  // argmin by (L2², j) as a map-side max_by on (−L2², −j) — the
+  // semAssigned collapse: n·M rows reach the exchange, not n·M·K (the
+  // row_number form shuffled the full candidate product)
+  private def nearest(cands: org.apache.spark.sql.DataFrame) = cands
+    .groupBy("vec_id", "m")
+    .agg(max_by(struct(col("sub"), col("xx"), col("j")),
+      struct(-l2Pre, -col("j"))).as("best"))
+    .select(col("vec_id"), col("m"),
+      col("best.sub").as("sub"), col("best.xx").as("xx"), col("best.j").as("j"))
+
+  /** One deterministic Lloyd step per subspace from `init` seeds over a
+    * (TrainCap-bounded) training subvector frame — extracted verbatim from
+    * pqParts (r11) so the lake tier trains on a corpus slice through the
+    * identical dataflow. `init` columns: (m, j, ce, cc).
+    */
+  private[analytics] def trainPqFrom(trainSubv: org.apache.spark.sql.DataFrame,
+      init: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val assign = nearest(trainSubv.join(broadcast(init), "m"))
+    val cent = assign
+      .select(col("vec_id"), col("m"), col("j"),
+        posexplode(col("sub")).as(Seq("pos", "val")))
+      .groupBy("m", "j", "pos")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("val")))).as("vv"),
+        count(lit(1)).as("n"))
+      .select(col("m"), col("j"), col("pos"),
+        (aggregate(transform(col("vv"), x => x.getField("val")),
+          lit(0.0), (a, b) => a + b) / col("n")).as("c"))
+    cent.groupBy("m", "j")
+      .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("m"), col("j"), transform(col("pc"), x => x.getField("c")).as("ce"))
+  }
+
+  /** Encode a subvector frame against a trained codebook → one code row
+    * per vector (vec_id, c0..c7). The CORPUS-sized assignment: max_by over
+    * the scalar code only — dragging the 8-dim subvector through every
+    * aggregation buffer roughly doubled the 10× first-run encode.
+    */
+  private[analytics] def encodePq(subv: org.apache.spark.sql.DataFrame,
+      carr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val carrCc = carr.withColumn("cc", Vec.dot(col("ce"), col("ce")))
+    val codes0 = subv.join(broadcast(carrCc), "m")
       .groupBy("vec_id", "m")
-      .agg(max_by(struct(col("sub"), col("xx"), col("j")),
-        struct(-l2Pre, -col("j"))).as("best"))
-      .select(col("vec_id"), col("m"),
-        col("best.sub").as("sub"), col("best.xx").as("xx"), col("best.j").as("j"))
-    // trained codebook (M·K rows) and corpus code table (n rows), each
-    // memo-and-persisted: training + encoding run once per (session, dir)
-    // and both PQ queries read the materialized results
-    val carr = PlanCache.cached(s, dir, "pq_carr") {
-      val assign = nearest(
-        subv.filter(col("vec_id") < PqTrainCap).join(broadcast(init), "m"))
-      val cent = assign
-        .select(col("vec_id"), col("m"), col("j"),
-          posexplode(col("sub")).as(Seq("pos", "val")))
-        .groupBy("m", "j", "pos")
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("val")))).as("vv"),
-          count(lit(1)).as("n"))
-        .select(col("m"), col("j"), col("pos"),
-          (aggregate(transform(col("vv"), x => x.getField("val")),
-            lit(0.0), (a, b) => a + b) / col("n")).as("c"))
-      cent.groupBy("m", "j")
-        .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("m"), col("j"), transform(col("pc"), x => x.getField("c")).as("ce"))
-    }
-    val codes = PlanCache.cached(s, dir, "pq_codes") {
-      val carrCc = carr.withColumn("cc", Vec.dot(col("ce"), col("ce")))
-      // encoding is the CORPUS-sized assignment (n·M·K candidate rows):
-      // max_by over the scalar code only — dragging the 8-dim subvector
-      // through every aggregation buffer roughly doubled the 10× first-run
-      // encode; training keeps the full `nearest` (it needs `sub` for the
-      // centroid means, and is TrainCap-bounded anyway)
-      val codes0 = subv.join(broadcast(carrCc), "m")
-        .groupBy("vec_id", "m")
-        .agg(max_by(col("j"), struct(-l2Pre, -col("j"))).as("code"))
-      codes0.groupBy("vec_id")
-        .agg((0 until PqM).map(m =>
-          max(when(col("m") === m, col("code"))).as(s"c$m")).head,
-          (1 until PqM).map(m =>
-            max(when(col("m") === m, col("code"))).as(s"c$m")): _*)
-    }
-    val adc = subv.filter(col("vec_id") < ProbeCount)
+      .agg(max_by(col("j"), struct(-l2Pre, -col("j"))).as("code"))
+    codes0.groupBy("vec_id")
+      .agg((0 until PqM).map(m =>
+        max(when(col("m") === m, col("code"))).as(s"c$m")).head,
+        (1 until PqM).map(m =>
+          max(when(col("m") === m, col("code"))).as(s"c$m")): _*)
+  }
+
+  /** Per-(probe, subspace, code) ADC distance table from a probe subvector
+    * frame and a trained codebook — the lake tier recomputes it from the
+    * LAKE codebook, so it lives here as the one shared expression.
+    */
+  private[analytics] def adcFrom(probeSubv: org.apache.spark.sql.DataFrame,
+      carr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    probeSubv
       .select(col("vec_id").as("probe_id"), col("m"), col("sub"))
       .join(broadcast(carr), "m")
       .select(col("probe_id"), col("m"), col("j"), l2Col(col("sub"), col("ce")).as("pd"))
-    (codes, adc)
+
+  /** Memo-and-persisted corpus subvector table — it feeds FOUR plan
+    * branches (seeds, training assignment, encoding, ADC), like the
+    * shingle table it mirrors.
+    */
+  private[analytics] def pqSubv(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    PlanCache.cached(s, dir, "pq_subv") {
+      subvectors(normalized(s, dir).select(col("vec_id"), col("en").as("e")))
+    }
+
+  /** The trained corpus codebook (M·K rows), memo-and-persisted. */
+  private[analytics] def pqCodebook(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    PlanCache.cached(s, dir, "pq_carr") {
+      val subv = pqSubv(s, dir)
+      val k = pqCodebookFor(Tables.embeddings(s, dir).count())
+      val init = subv.filter(col("vec_id") < k)
+        .select(col("m"), col("vec_id").as("j"), col("sub").as("ce"), col("xx").as("cc"))
+      trainPqFrom(subv.filter(col("vec_id") < PqTrainCap), init)
+    }
+
+  /** The corpus code table (n rows), memo-and-persisted. */
+  private[analytics] def pqCodeTable(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    PlanCache.cached(s, dir, "pq_codes") {
+      encodePq(pqSubv(s, dir), pqCodebook(s, dir))
+    }
+
+  /** Shared Spark-side PQ pipeline: trained codebooks → corpus code table
+    * (`codes`: vec_id, c0..c7) and the per-probe ADC distance table
+    * (`adc`: probe_id, m, j, pd) — used by ann_pq_topk and the IVF+PQ
+    * composition so training/encoding cannot drift between them.
+    */
+  private def pqParts(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val adc = adcFrom(pqSubv(s, dir).filter(col("vec_id") < ProbeCount),
+      pqCodebook(s, dir))
+    (pqCodeTable(s, dir), adc)
   }
 
   /** M broadcast ADC joins + the fixed-order adist sum, shared by both PQ
@@ -553,7 +627,7 @@ object AnnQueries {
     * pins which probe's ADC rows may join (the IVF+PQ cell restriction);
     * without it every probe scores every code row.
     */
-  private def adcScored(codes: org.apache.spark.sql.DataFrame,
+  private[analytics] def adcScored(codes: org.apache.spark.sql.DataFrame,
       adc: org.apache.spark.sql.DataFrame,
       restrictProbe: Option[String] = None): org.apache.spark.sql.DataFrame = {
     def adcM(m: Int) = adc.filter(col("m") === m)
@@ -574,7 +648,7 @@ object AnnQueries {
     * the ORIGINAL vectors — the FAISS refine stage, shared by both PQ
     * queries. Output: (probe_id, neighbor_id, cosine, rank ≤ PqTopK).
     */
-  private def refineExact(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[analytics] def refineExact(s: org.apache.spark.sql.SparkSession, dir: String,
       shortlist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val v = normalized(s, dir)
     val probes = v.filter(col("vec_id") < ProbeCount)
@@ -637,17 +711,17 @@ object AnnQueries {
   /** Oracle-side ADC joins + fixed-order adist sum, mirrored from
     * adcScored (left-associative both sides).
     */
-  private val AdcJoinSql: String =
+  private[analytics] val AdcJoinSql: String =
     s"  JOIN adc a0 ON a0.m = 0 AND a0.j = cd.c0\n" +
       (1 until PqM).map(m =>
         s"       |  JOIN adc a$m ON a$m.m = $m AND a$m.j = cd.c$m AND a$m.probe_id = a0.probe_id")
         .mkString("\n")
-  private val AdistSql: String = (0 until PqM).map(m => s"a$m.pd").mkString(" + ")
+  private[analytics] val AdistSql: String = (0 until PqM).map(m => s"a$m.pd").mkString(" + ")
 
   /** Oracle-side exact-cosine refine of the `short` CTE, mirrored from
     * refineExact.
     */
-  private val RefineSql: String =
+  private[analytics] val RefineSql: String =
     s"""pv AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < $ProbeCount)
        |SELECT probe_id, neighbor_id, cosine, rank FROM (
        |  SELECT s.probe_id, s.neighbor_id, ${cosSql("p.pe", "x.e")} AS cosine,

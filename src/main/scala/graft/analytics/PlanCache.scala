@@ -18,6 +18,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scale note: the fingerprint walk is control-plane driver work, O(files)
   * per cache lookup, no data scan. At lake scale the equivalent signal is
   * the table's commit version (MergeSink.versions) — cheaper still.
+  *
+  * Since r11 this cache is a PROCESS-LOCAL ACCELERATOR, not the system of
+  * record: the ANN tier's trained cells, PQ codebooks and code tables are
+  * persisted as MergeSink tables (AnnLake) with an incremental
+  * assign-and-append path, so a new session probes the lake instead of
+  * retraining — the same story as every other corpus-scale artifact.
   */
 object PlanCache {
 

@@ -65,8 +65,12 @@ class QuerySmokeSpec extends AnyFunSuite {
       "ann_rrf_hybrid", // embeds bm25's 1-row stats broadcast + the 1-row
                         // dense probe broadcast; fusion itself is an
                         // equi-join on doc id (contract-pinned)
-      "cu_embed_decontaminate") // O(|eval|) probe broadcast against ONE
+      "cu_embed_decontaminate", // O(|eval|) probe broadcast against ONE
                                 // corpus scan, cu_decontaminate's shape
+      // the lake ANN probes embed the same |probes|×|cells| centroid
+      // assignment broadcast as their whitelisted in-plan originals; the
+      // data-sized side is the manifest-pruned posting read
+      "ann_ivf_lake", "ann_ivfpq_lake", "ann_ivfpq_incr")
   private val sideEffecting = Set(
     "ev_stream_exactly_once", "ev_stateful_state",
     "k1_sink_idempotence", "k4_null_key_sink",
