@@ -22,11 +22,11 @@ object BenchEnvelopes {
     "s1_f1_new_keys_anti" -> 0.3,
     "s2_f2_stale_keys" -> 0.3,
     "k1_sink_idempotence" -> 1.0,
-    "k10_merge_upsert" -> 3.1,
+    "k10_merge_upsert" -> 4.0, // r11 re-pin: fresh-JVM isolation row, BASELINE.md
     "k13_point_lookup" -> 0.4,
     "k11_format_roundtrip" -> 0.8,
     "k12_incremental_agg" -> 0.5,
-    "k14_delete" -> 2.7,
+    "k14_delete" -> 3.2, // r11 re-pin: fresh-JVM isolation row, BASELINE.md
     "p2_struct_array_extract" -> 0.1,
     "p14_json_props" -> 0.5,
     "x1_concat_explode" -> 0.3,
