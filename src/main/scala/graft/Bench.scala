@@ -75,13 +75,16 @@ object Bench {
     // queries map: each failure must SHRINK the line (entry ~name+7 chars
     // out, "failed" element ~name+3 in), because the overflow-vs-window
     // failure mode would otherwise strike exactly when a query breaks
+    // emitted keys go through benchAlias — every char competes with the
+    // 2000-char capture tail; BASELINE.md r11 records the map
+    def key(n: String): String = SparkEntry.benchAlias.getOrElse(n, n)
     val qs = results.collect {
-      case (n, Right(sec)) => s"\"$n\":${fmt(sec)}"
+      case (n, Right(sec)) => s"\"${key(n)}\":${fmt(sec)}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(sec)) => sec }.sum
     val failedJson =
       if (failed.isEmpty) ""
-      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      else failed.map("\"" + key(_) + "\"").mkString(""","failed":[""", ",", "]")
     // Self-adjudication (r8 verdict ask #7): entries >2× their committed
     // envelope flag themselves, worst-ratio first, capped at 3 for the
     // line budget — the verdict reads these instead of reconstructing
@@ -89,7 +92,7 @@ object Bench {
     val suspectJson = {
       val sus = BenchEnvelopes.suspects(results.collect { case (n, Right(sec)) => n -> sec })
       if (sus.isEmpty) ""
-      else sus.map { case (n, r) => s""""$n":${f"${math.min(r, 99.9)}%.1f"}""" }
+      else sus.map { case (n, r) => s""""${key(n)}":${f"${math.min(r, 99.9)}%.1f"}""" }
         .mkString(""","suspect":{""", ",", "}")
     }
     // sf as the directory basename, not the full path: every char of this

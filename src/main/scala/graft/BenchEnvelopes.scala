@@ -97,9 +97,16 @@ object BenchEnvelopes {
                               // the price of retiring the single-partition
                               // window; measured 0.6 s at sf0.1
     "pipe_pretrain_corpus" -> 2.2,
-    "pipe_incremental_corpus" -> 1.5,
+    "pipe_incremental_corpus_lake" -> 3.2, // r11 promotion (replaces the
+                                           // in-plan slot): isolated 3-run
     "gr_pagerank" -> 5.1,
-    "gr_bfs_distance" -> 1.8)
+    "gr_bfs_distance" -> 1.8,
+    // r11 promotions — isolated 3-run rows at sf0.1 (BASELINE.md r11)
+    "dd_exact_substr" -> 3.1,      // hash-keyed two-phase + eager checkpoint
+    "dd_incr_substr_lake" -> 2.3,  // (h, fp) lake probe
+    "dd_incr_span_lake" -> 1.1,
+    "mm_frame_sample" -> 0.2,      // real-AVI decode
+    "ann_ivfpq_incr" -> 1.3)       // lake probe, index build prestaged
 
   /** Entries whose measured seconds exceed the suspect bar, worst ratio
     * first, capped at 3 (the JSON line budget — BenchLineSpec models the

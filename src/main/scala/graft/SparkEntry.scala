@@ -98,13 +98,15 @@ object SparkEntry {
     "j6_range_join_bucketed", "l3_topk_per_group", "u1_union_dedup_cap",
     "w1_running_total",
     // dedup family (the lake-backed incremental probe replaces the in-plan
-    // dd_incr_lsh slot — same semantics, the 100-TB read path)
+    // dd_incr_lsh slot — same semantics, the 100-TB read path; r11 adds the
+    // stride-1 ExactSubstr pair and the span lake twin)
     "dd_exact", "dd_minhash_lsh", "dd_components_star",
     "dd_embed_cosine", "dd_incr_lsh_lake", "dd_span_dedup", "dd_containment",
     "dd_entity_match", "dd_semdedup", "dd_incr_components",
-    // similarity search / sketches
+    "dd_exact_substr", "dd_incr_substr_lake", "dd_incr_span_lake",
+    // similarity search / sketches (+ the r11 incremental lake index probe)
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_knn_join",
-    "ann_ivfpq_topk", "a14_kmv_setops", "ann_rrf_hybrid",
+    "ann_ivfpq_topk", "a14_kmv_setops", "ann_rrf_hybrid", "ann_ivfpq_incr",
     // text analysis
     "tx_bm25_rank", "tx_lang_id", "tx_token_count", "tx_ngram_novelty",
     "tx_familiarity", "tx_bpe_merge", "tx_tfidf_keywords", "tx_bpe_tokenize",
@@ -112,10 +114,34 @@ object SparkEntry {
     "ev_sessionize", "ev_tumbling_window", "ev_stream_exactly_once",
     "ev_gap_fill", "ev_funnel", "ev_cohort_retention", "ev_stream_funnel",
     "ev_stream_topk", "ev_anomaly_mad", "ev_stream_scd2",
-    // multimodal / curation / graph
-    "mm_byte_histogram", "mm_avg_hash", "dd_media_dedup", "cu_pack_chunks",
-    "cu_ngram_decontaminate",
+    // multimodal / curation / graph (the lake pipeline twin replaces the
+    // in-plan incremental slot, the dd_incr_lsh_lake precedent; r11 adds
+    // the real-container frame sampler)
+    "mm_byte_histogram", "mm_avg_hash", "mm_frame_sample", "dd_media_dedup",
+    "cu_pack_chunks", "cu_ngram_decontaminate",
     "cu_mixture_weights", "cu_dsir_weights", "cu_quality_filter",
     "cu_token_budget",
-    "pipe_pretrain_corpus", "pipe_incremental_corpus", "gr_pagerank", "gr_bfs_distance")
+    "pipe_pretrain_corpus", "pipe_incremental_corpus_lake", "gr_pagerank",
+    "gr_bfs_distance")
+
+  /** Short keys for the emitted bench JSON — every character of the line
+    * competes with the driver's 2000-char stdout capture (BenchLineSpec
+    * models the worst case). The TPC-H aliases are canonical query numbers
+    * (self-evident mapping); the rest are r11 promotions whose full names
+    * would overflow the window. BASELINE.md r11 records the map for
+    * round-over-round comparability.
+    */
+  def benchAlias: Map[String, String] = Map(
+    "tpch_q1_pricing_summary" -> "tpch_q1",
+    "tpch_q2_min_cost_supplier" -> "tpch_q2",
+    "tpch_q5_local_supplier" -> "tpch_q5",
+    "tpch_q6_forecast_revenue" -> "tpch_q6",
+    "tpch_q9_product_profit" -> "tpch_q9",
+    "tpch_q18_large_volume" -> "tpch_q18",
+    "dd_exact_substr" -> "dd_xsubstr",
+    "dd_incr_substr_lake" -> "dd_xsub_lk",
+    "dd_incr_span_lake" -> "dd_span_lk",
+    "pipe_incremental_corpus_lake" -> "pipe_incr_lk",
+    "mm_frame_sample" -> "mm_frame",
+    "ann_ivfpq_incr" -> "ann_pq_incr")
 }

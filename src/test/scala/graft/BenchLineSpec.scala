@@ -20,8 +20,21 @@ class BenchLineSpec extends AnyFunSuite {
     assert(unknown.isEmpty, s"benchQueries not in SparkEntry.queries: $unknown")
   }
 
+  test("bench aliases map only registered queries, to unique short keys") {
+    val unknown = SparkEntry.benchAlias.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"aliases for unknown queries: $unknown")
+    // emitted keys must stay collision-free across aliased + plain names
+    val emitted = SparkEntry.benchQueries
+      .map(n => SparkEntry.benchAlias.getOrElse(n, n))
+    assert(emitted.distinct.size == emitted.size, "alias collision in emitted keys")
+    // and every alias must actually shorten the line
+    SparkEntry.benchAlias.foreach { case (n, a) =>
+      assert(a.length < n.length, s"alias '$a' does not shorten '$n'") }
+  }
+
   test("worst-case bench JSON line fits the 2000-char capture tail") {
     val names = SparkEntry.benchQueries
+      .map(n => SparkEntry.benchAlias.getOrElse(n, n))
     // worst case: every query at the 3-char clamp, every query ALSO listed
     // in "failed" is impossible (failures leave the map), so model the
     // longer of the two renderings per entry — the map entry. The suspect
