@@ -234,6 +234,30 @@ object MultimodalQueries {
     }
   }
 
+  /** Image stats through the COMPRESSED container (r10 stretch ask #8):
+    * the fixtures are real 8-bit grayscale PNGs — zlib IDAT split across
+    * 16-byte chunks, rows filtered through all five spec filter types,
+    * every chunk CRC-guarded — carrying the SAME seeded pixels as the BMP
+    * fixtures, so the oracle is mm_image_stats' seed recomputation
+    * verbatim. Spark must inflate (java.util.zip.Inflater), unfilter and
+    * CRC-walk the container to agree; any slip hash-mismatches.
+    */
+  val pngStats: QueryDef = QueryDef(
+    "mm_png_stats", imageStats.oracle.get) { (s, dir) =>
+    val media = Multimodal.pngMedia(s, Tables.documents(s, dir))
+    Multimodal.imageStats(media).toDF()
+  }
+
+  /** Perceptual aHash through the compressed container — mm_avg_hash's
+    * fingerprint (same oracle) recovered from PNG bytes instead of BMP:
+    * proves the dedup fingerprint path is container-independent.
+    */
+  val pngHash: QueryDef = QueryDef(
+    "mm_png_hash", avgHash.oracle.get) { (s, dir) =>
+    val media = Multimodal.pngMedia(s, Tables.documents(s, dir))
+    Multimodal.imageHash(media).toDF()
+  }
+
   val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash,
-    imageStats, resizeGrid, mediaDedup)
+    imageStats, resizeGrid, mediaDedup, pngStats, pngHash)
 }

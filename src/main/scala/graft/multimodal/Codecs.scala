@@ -398,4 +398,206 @@ object Codecs {
     }
     PcmClip(sampleRate, out)
   }
+
+  // ---- PNG ---------------------------------------------------------------
+  //
+  // The COMPRESSED container of the set (r10 verdict's stretch ask #8): the
+  // BMP/WAV/AVI codecs are raw byte layouts; PNG adds zlib/DEFLATE (via
+  // java.util.zip — pure JVM, public spec), per-chunk CRC32 integrity, and
+  // the scanline FILTER pipeline. Format facts used (the PNG spec, RFC 2083
+  // / ISO 15948):
+  //  - signature 89 50 4E 47 0D 0A 1A 0A; all integers BIG-endian (the
+  //    opposite of BMP/RIFF — the byte helpers below are deliberately
+  //    separate);
+  //  - chunks: u32 length, 4-char type, payload, u32 CRC32 over type+payload;
+  //  - IHDR (13 bytes): width, height, bit depth, color type (0 = grayscale),
+  //    compression 0, filter 0, interlace 0;
+  //  - IDAT: the zlib stream of all scanlines, each row prefixed by ONE
+  //    filter byte (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth); a file may
+  //    split the stream across ANY number of IDAT chunks at arbitrary
+  //    boundaries — decoders must concatenate before inflating;
+  //  - IEND closes the file.
+
+  private def wbe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = ((v >>> 24) & 0xff).toByte; b(off + 1) = ((v >>> 16) & 0xff).toByte
+    b(off + 2) = ((v >>> 8) & 0xff).toByte; b(off + 3) = (v & 0xff).toByte
+  }
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def crcOf(tpe: String, data: Array[Byte], from: Int, len: Int): Int = {
+    val crc = new java.util.zip.CRC32
+    crc.update(tpe.getBytes("US-ASCII"))
+    crc.update(data, from, len)
+    crc.getValue.toInt
+  }
+
+  /** a = left, b = up, c = upper-left — the spec's predictor. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode gray pixels as a real 8-bit grayscale PNG. Every row uses
+    * filter `row % 5`, so None/Sub/Up/Average/Paeth are ALL live in every
+    * fixture taller than 4 rows (and the unfilter path is load-bearing for
+    * any fixture at all); the zlib stream splits across IDAT chunks of
+    * `idatChunk` bytes, so multi-IDAT concatenation is exercised too.
+    */
+  def encodePng(img: GrayImage, idatChunk: Int = 16): Array[Byte] = {
+    val w = img.width; val h = img.height
+    require(w > 0 && h > 0 && img.pixels.length == w * h)
+    // filtered scanlines: filter byte + w filtered gray bytes per row
+    val raw = new Array[Byte]((w + 1) * h)
+    var r = 0
+    while (r < h) {
+      val ft = r % 5
+      raw(r * (w + 1)) = ft.toByte
+      var c = 0
+      while (c < w) {
+        val x = img.pixels(r * w + c) & 0xff
+        val left = if (c > 0) img.pixels(r * w + c - 1) & 0xff else 0
+        val up = if (r > 0) img.pixels((r - 1) * w + c) & 0xff else 0
+        val ul = if (r > 0 && c > 0) img.pixels((r - 1) * w + c - 1) & 0xff else 0
+        val f = ft match {
+          case 0 => x
+          case 1 => x - left
+          case 2 => x - up
+          case 3 => x - (left + up) / 2
+          case 4 => x - paeth(left, up, ul)
+        }
+        raw(r * (w + 1) + 1 + c) = (f & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new Array[Byte](raw.length + 64)
+    var zLen = 0
+    while (!deflater.finished()) {
+      val n = deflater.deflate(zBuf, zLen, zBuf.length - zLen)
+      zLen += n
+      require(zLen < zBuf.length || deflater.finished(), "deflate buffer overrun")
+    }
+    deflater.end()
+
+    val out = new java.io.ByteArrayOutputStream
+    out.write(PngSig)
+    def chunk(tpe: String, data: Array[Byte], from: Int = 0, len: Int = -1): Unit = {
+      val n = if (len < 0) data.length else len
+      val head = new Array[Byte](8)
+      wbe32(head, 0, n)
+      System.arraycopy(tpe.getBytes("US-ASCII"), 0, head, 4, 4)
+      out.write(head)
+      out.write(data, from, n)
+      val tail = new Array[Byte](4)
+      wbe32(tail, 0, crcOf(tpe, data, from, n))
+      out.write(tail)
+    }
+    val ihdr = new Array[Byte](13)
+    wbe32(ihdr, 0, w); wbe32(ihdr, 4, h)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 0 // grayscale
+    // ihdr(10..12) = compression 0, filter 0, interlace 0
+    chunk("IHDR", ihdr)
+    var off = 0
+    while (off < zLen) {
+      val n = math.min(idatChunk, zLen - off)
+      chunk("IDAT", zBuf, off, n)
+      off += n
+    }
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Parse an 8-bit grayscale PNG: verify the signature, walk the
+    * BIG-endian chunk stream CHECKING EVERY CRC, concatenate all IDAT
+    * payloads, inflate through java.util.zip.Inflater, and reverse the
+    * per-row filters (all five spec types). Top-down row-major output —
+    * PNG stores rows top-down, no flip.
+    */
+  def decodePng(bytes: Array[Byte]): GrayImage = {
+    require(bytes.length >= 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i)),
+      "not a PNG: missing signature")
+    var off = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream
+    var ended = false
+    while (!ended) {
+      require(off + 8 <= bytes.length, "truncated PNG chunk header")
+      val len = be32(bytes, off)
+      val tpe = new String(bytes, off + 4, 4, "US-ASCII")
+      require(len >= 0 && off + 12 + len <= bytes.length, s"truncated PNG chunk $tpe")
+      val crc = be32(bytes, off + 8 + len)
+      require(crc == crcOf(tpe, bytes, off + 8, len),
+        s"PNG chunk $tpe fails its CRC — corrupt container")
+      tpe match {
+        case "IHDR" =>
+          require(len == 13, "bad IHDR length")
+          w = be32(bytes, off + 8); h = be32(bytes, off + 12)
+          require(bytes(off + 16) == 8, "unsupported PNG bit depth")
+          require(bytes(off + 17) == 0, "unsupported PNG color type (need grayscale)")
+          require(bytes(off + 18) == 0 && bytes(off + 19) == 0 && bytes(off + 20) == 0,
+            "unsupported PNG compression/filter/interlace method")
+          require(w > 0 && h > 0, s"bad PNG dims ${w}x$h")
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "IEND" => ended = true
+        case _ => // ancillary chunks (tEXt/pHYs/...): CRC-checked, skipped
+      }
+      off += 12 + len
+    }
+    require(w > 0, "PNG missing IHDR")
+    val z = idat.toByteArray
+    require(z.nonEmpty, "PNG missing IDAT")
+    val raw = new Array[Byte]((w + 1) * h)
+    val inflater = new java.util.zip.Inflater
+    inflater.setInput(z)
+    var got = 0
+    while (got < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, raw.length - got)
+      require(n > 0 || inflater.finished(), "stalled/underfull PNG zlib stream")
+      got += n
+    }
+    inflater.end()
+    require(got == raw.length, s"PNG scanline stream short: $got of ${raw.length}")
+    val px = new Array[Int](w * h)
+    var r = 0
+    while (r < h) {
+      val ft = raw(r * (w + 1)) & 0xff
+      var c = 0
+      while (c < w) {
+        val f = raw(r * (w + 1) + 1 + c) & 0xff
+        val left = if (c > 0) px(r * w + c - 1) else 0
+        val up = if (r > 0) px((r - 1) * w + c) else 0
+        val ul = if (r > 0 && c > 0) px((r - 1) * w + c - 1) else 0
+        val x = ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case 4 => f + paeth(left, up, ul)
+          case other => throw new IllegalArgumentException(s"bad PNG filter $other")
+        }
+        px(r * w + c) = x & 0xff
+        c += 1
+      }
+      r += 1
+    }
+    GrayImage(w, h, px)
+  }
+
+  /** Format-dispatching image decode — the typed-metadata surface accepts
+    * any container the codec set speaks: "BM" → BMP, the 8-byte signature
+    * → PNG.
+    */
+  def decodeImage(bytes: Array[Byte]): GrayImage =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes.length >= 8 && bytes(0) == PngSig(0) && bytes(1) == 'P') decodePng(bytes)
+    else throw new IllegalArgumentException("unrecognized image container magic")
 }

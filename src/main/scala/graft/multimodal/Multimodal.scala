@@ -237,7 +237,7 @@ object Multimodal {
   def imageHash(media: Dataset[MediaRecord]): Dataset[AvgHash] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions(_.map { m =>
-      val img = Codecs.decodeBmp(m.content)
+      val img = Codecs.decodeImage(m.content)
       val (code, nset) = aHashBits(img.pixels)
       AvgHash(m.media_id, code, nset)
     })
@@ -254,7 +254,7 @@ object Multimodal {
   def imageStats(media: Dataset[MediaRecord]): Dataset[ImageStats] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions(_.map { m =>
-      val img = Codecs.decodeBmp(m.content)
+      val img = Codecs.decodeImage(m.content)
       var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
       var i = 0
       while (i < img.pixels.length) {
@@ -279,7 +279,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     require(w > 0 && h > 0)
     media.filter(_.kind == "image").mapPartitions(_.map { m =>
-      val img = Codecs.decodeBmp(m.content)
+      val img = Codecs.decodeImage(m.content)
       val out = new Array[Int](w * h)
       var r = 0
       while (r < h) {
@@ -331,6 +331,28 @@ object Multimodal {
         val h = 4 + (m % 2).toInt
         val px = md5Chain(text, w * h)
         MediaRecord(docId, "image", Codecs.encodeBmp(Codecs.GrayImage(w, h, px)))
+      })
+  }
+
+  /** Build REAL PNG files from the image-kind documents — the SAME seeded
+    * dims/pixels as bmpMedia (so the BMP oracles apply verbatim), but the
+    * bytes travel through the COMPRESSED container: zlib IDAT stream split
+    * across 16-byte chunks, per-row filters cycling None/Sub/Up/Average/
+    * Paeth, CRC-guarded chunks. A decoder that skips the inflate, the
+    * unfilter or the CRC walk cannot reproduce the pixels.
+    */
+  def pngMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val widths = Array(3, 5, 8)
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val m = docId / 3
+        val w = widths((m % 3).toInt)
+        val h = 4 + (m % 2).toInt
+        val px = md5Chain(text, w * h)
+        MediaRecord(docId, "image", Codecs.encodePng(Codecs.GrayImage(w, h, px)))
       })
   }
 

@@ -216,4 +216,63 @@ class CodecsSpec extends AnyFunSuite {
     val drift = good.clone(); drift(48) = 2
     intercept[IllegalArgumentException] { decodeAvi(drift) }
   }
+
+  // ---- PNG ---------------------------------------------------------------
+
+  test("encodePng emits the exact signature/IHDR layout (big-endian)") {
+    val b = encodePng(GrayImage(2, 3, Array(10, 20, 30, 40, 50, 60)))
+    assert((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+    assert(b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a)
+    def be32(off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    assert(be32(8) == 13) // IHDR length
+    assert(new String(b, 12, 4, "US-ASCII") == "IHDR")
+    assert(be32(16) == 2 && be32(20) == 3) // width, height — BIG-endian
+    assert(b(24) == 8 && b(25) == 0)       // bit depth 8, grayscale
+    assert(b(26) == 0 && b(27) == 0 && b(28) == 0) // methods
+    assert(new String(b, b.length - 8, 4, "US-ASCII") == "IEND")
+  }
+
+  test("PNG round-trip is lossless over dims that exercise every filter and multi-IDAT") {
+    val gen = for {
+      w <- Gen.choose(1, 11)
+      h <- Gen.choose(1, 9) // h ≥ 5 cycles through all five filter types
+      px <- Gen.listOfN(w * h, Gen.choose(0, 255))
+    } yield (w, h, px.toArray)
+    check("png round-trip", Prop.forAll(gen) { case (w, h, px) =>
+      val img = decodePng(encodePng(GrayImage(w, h, px)))
+      img.width == w && img.height == h && img.pixels.sameElements(px)
+    })
+  }
+
+  test("PNG and BMP round-trips agree through the dispatching decoder") {
+    val px = Array.tabulate(8 * 5)(i => (i * 37 + 11) % 256)
+    val viaPng = decodeImage(encodePng(GrayImage(8, 5, px)))
+    val viaBmp = decodeImage(encodeBmp(GrayImage(8, 5, px)))
+    assert(viaPng.pixels.sameElements(viaBmp.pixels))
+    assert(viaPng.width == viaBmp.width && viaPng.height == viaBmp.height)
+  }
+
+  test("the zlib stream really splits across IDAT chunks and concatenates back") {
+    val px = Array.tabulate(11 * 7)(i => (i * 73) % 256)
+    val b = encodePng(GrayImage(11, 7, px), idatChunk = 5)
+    val idats = Iterator.iterate(8) { off =>
+      off + 12 + (((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff))
+    }.takeWhile(_ < b.length - 4)
+      .count(off => new String(b, off + 4, 4, "US-ASCII") == "IDAT")
+    assert(idats > 3, s"expected a split zlib stream, got $idats IDAT chunk(s)")
+    assert(decodePng(b).pixels.sameElements(px))
+  }
+
+  test("decodePng rejects CRC corruption, bad magic and truncation") {
+    val good = encodePng(GrayImage(4, 4, Array.tabulate(16)(_ * 16)))
+    intercept[IllegalArgumentException] { decodePng(Array.fill[Byte](20)(0)) }
+    intercept[IllegalArgumentException] { decodePng(good.dropRight(6)) }
+    // flip one pixel byte inside an IDAT payload: the chunk CRC must catch it
+    val corrupt = good.clone()
+    corrupt(37) = (corrupt(37) ^ 0x5a).toByte
+    intercept[IllegalArgumentException] { decodePng(corrupt) }
+  }
 }
