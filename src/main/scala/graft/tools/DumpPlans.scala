@@ -291,7 +291,48 @@ object DumpPlans {
         |pruned to the touched ids — NO corpus-wide artifact is derived
         |in-plan. The one BroadcastNestedLoopJoin is the pinned-eval
         |substring probe (O(batch)×O(eval)), the same fan-out the in-plan
-        |pipeline carries.""".stripMargin)
+        |pipeline carries.""".stripMargin,
+
+    "dd_exact_substr" ->
+      """HASH-KEYED two-phase ExactSubstr (r11): the corpus-sized exchange
+        |is groupBy(h) over the codegen'd rolling hash — 8-byte keys,
+        |partial_count map-side combine — and only hash-repeating rows
+        |(the LogicalRDD below is the checkpointed candidate set, a
+        |vanishing fraction) carry strings into the exact (h, s) verify
+        |re-count. n_win is per-doc arithmetic on the single live documents
+        |scan: no second explode, no Window anywhere. Measured shuffle
+        |write 7.6 → 2.1 MB at sf0.1 (3.6×).""".stripMargin,
+
+    "dd_incr_substr_lake" ->
+      """The lake probe joins on the TWO 64-bit keys (h = rolling hash,
+        |fp = xxhash64 verify) against the string-free window table —
+        |manifest pruning and any shuffle ride fixed-width longs; the
+        |batch-internal dup set is the two-phase shape in miniature and
+        |the string column is dropped before the corpus join (78 → 49 MB
+        |shuffle at the 10× replica).""".stripMargin,
+
+    "ann_ivf_lake" ->
+      """The lake-served IVF probe: pcells from the read-back centroid
+        |table (broadcast), member postings from the manifest-pruned FILE
+        |subset of the cell-keyed posting table (the FileScan below lists
+        |only the hit files), exact cosine against original vectors, plain
+        |per-probe rank — identical results to ann_ivf_topk with zero
+        |training work in-plan.""".stripMargin,
+
+    "ann_ivfpq_incr" ->
+      """The incremental lake index end-to-end at probe time: everything
+        |corpus-sized is a read of MERGED posting tables (slice built +
+        |batch appended through readOverlapping read-modify-write); the
+        |ADC table derives from the read-back codebook (broadcast), the
+        |shortlist is cell-bounded, the refine touches |probes|·Refine
+        |original vectors. No retrain, no corpus re-encode in any run
+        |after the first.""".stripMargin,
+
+    "mm_png_stats" ->
+      """Image stats through the COMPRESSED container: one documents scan,
+        |PNG encode/decode inside mapPartitions (CRC-checked chunk walk,
+        |multi-IDAT Inflater, all five scanline filters) — per-doc work,
+        |no shuffle until the implicit output collect.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
