@@ -1,0 +1,207 @@
+package graft.ingest
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal pure-JVM HTML DOM: a tolerant tag-soup parser plus the
+  * BS4-shaped query surface the reference's scraping layer uses
+  * (`soup.find_all("div", {"class": ...})` → nested `find` → `get_text
+  * (strip=True)` / attribute pulls, `scrapers/trustpilot_scraper.py:50-91`).
+  * Closes the r10 "What's missing #3": HTML fidelity for the scraping
+  * sources was fixture-level (pre-extracted fields); the card extraction
+  * is now a REAL DOM walk over page HTML, and the pre-extracted fixtures
+  * are proven to be exactly what the walk yields (TrustpilotHtmlSpec).
+  *
+  * Parser scope (documented, spec-pinned): tags with single-/double-/
+  * un-quoted attributes, void elements (img, br, hr, meta, link, input),
+  * self-closing syntax, comments and doctype skipped, script/style bodies
+  * treated as raw text (never parsed as markup), basic entities
+  * (&amp; &lt; &gt; &quot; &#39; &nbsp;) decoded in text and attribute
+  * values, and unclosed tags recovered by popping the open stack — the
+  * tolerance real review pages require. No CSS engine: the query surface
+  * is (tag, class-subset) matching, which is what the reference's
+  * BS4 dict filters express.
+  */
+object HtmlDoc {
+
+  final class Node(
+      val tag: String,
+      val attrs: Map[String, String],
+      val children: ArrayBuffer[Either[String, Node]] = ArrayBuffer.empty) {
+
+    def classes: Set[String] =
+      attrs.getOrElse("class", "").split("\\s+").filter(_.nonEmpty).toSet
+
+    def attr(name: String): Option[String] = attrs.get(name)
+
+    /** All descendant elements (document order) matching tag + a CLASS
+      * SUBSET (the element carries every class in `withClasses` — the
+      * intent of the reference's space-joined class filters).
+      */
+    def findAll(tag: String, withClasses: Set[String] = Set.empty): Seq[Node] = {
+      val out = ArrayBuffer.empty[Node]
+      def walk(n: Node): Unit = n.children.foreach {
+        case Right(c) =>
+          if (c.tag == tag && withClasses.subsetOf(c.classes)) out += c
+          walk(c)
+        case _ => ()
+      }
+      walk(this)
+      out.toSeq
+    }
+
+    def find(tag: String, withClasses: Set[String] = Set.empty): Option[Node] =
+      findAll(tag, withClasses).headOption
+
+    /** BS4 `get_text(strip=True)`: every descendant text node stripped,
+      * empties dropped, concatenated without a separator.
+      */
+    def textStripped: String = {
+      val sb = new StringBuilder
+      def walk(n: Node): Unit = n.children.foreach {
+        case Left(t) => val s = t.trim; if (s.nonEmpty) sb.append(s)
+        case Right(c) => walk(c)
+      }
+      walk(this)
+      sb.toString
+    }
+  }
+
+  private val Void = Set("area", "base", "br", "col", "embed", "hr", "img",
+    "input", "link", "meta", "source", "track", "wbr")
+
+  private def decodeEntities(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&#39;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
+
+  /** Parse an HTML page to a synthetic root node. Tolerant by design —
+    * never throws on malformed markup; unparseable constructs become text.
+    */
+  def parse(html: String): Node = {
+    val root = new Node("#root", Map.empty)
+    var stack = List(root)
+    def top = stack.head
+    var i = 0
+    val n = html.length
+
+    def emitText(from: Int, until: Int): Unit =
+      if (until > from) top.children += Left(decodeEntities(html.substring(from, until)))
+
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { emitText(i, n); i = n }
+      else {
+        emitText(i, lt)
+        if (html.startsWith("<!--", lt)) {
+          val end = html.indexOf("-->", lt + 4)
+          i = if (end < 0) n else end + 3
+        } else if (lt + 1 < n && (html(lt + 1) == '!' || html(lt + 1) == '?')) {
+          val end = html.indexOf('>', lt) // doctype / processing instruction
+          i = if (end < 0) n else end + 1
+        } else {
+          val end = html.indexOf('>', lt)
+          if (end < 0) { emitText(lt, n); i = n }
+          else {
+            val inner = html.substring(lt + 1, end).trim
+            if (inner.startsWith("/")) {
+              val name = inner.drop(1).trim.toLowerCase
+              // recover from unclosed children: pop to the matching open tag
+              if (stack.exists(_.tag == name))
+                while (stack.head.tag != name) stack = stack.tail
+              if (stack.head.tag == name && stack.tail.nonEmpty) stack = stack.tail
+              i = end + 1
+            } else {
+              val selfClosed = inner.endsWith("/")
+              val body = if (selfClosed) inner.dropRight(1).trim else inner
+              val nameEnd = body.indexWhere(c => c.isWhitespace)
+              val name = (if (nameEnd < 0) body else body.take(nameEnd)).toLowerCase
+              val attrs = parseAttrs(if (nameEnd < 0) "" else body.drop(nameEnd))
+              val node = new Node(name, attrs)
+              top.children += Right(node)
+              i = end + 1
+              if (name == "script" || name == "style") {
+                // raw-text elements: their body is NEVER markup
+                val close = html.toLowerCase.indexOf(s"</$name", i)
+                val stop = if (close < 0) n else close
+                if (stop > i) node.children += Left(html.substring(i, stop))
+                val closeEnd = html.indexOf('>', stop)
+                i = if (close < 0) n else (if (closeEnd < 0) n else closeEnd + 1)
+              } else if (!selfClosed && !Void(name)) {
+                stack = node :: stack
+              }
+            }
+          }
+        }
+      }
+    }
+    root
+  }
+
+  private def parseAttrs(s: String): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && s(i).isWhitespace) i += 1
+      if (i < n) {
+        val nameStart = i
+        while (i < n && !s(i).isWhitespace && s(i) != '=') i += 1
+        val name = s.substring(nameStart, i).toLowerCase
+        while (i < n && s(i).isWhitespace) i += 1
+        if (i < n && s(i) == '=') {
+          i += 1
+          while (i < n && s(i).isWhitespace) i += 1
+          if (i < n && (s(i) == '"' || s(i) == '\'')) {
+            val q = s(i); i += 1
+            val vStart = i
+            while (i < n && s(i) != q) i += 1
+            out += name -> decodeEntities(s.substring(vStart, i))
+            if (i < n) i += 1
+          } else {
+            val vStart = i
+            while (i < n && !s(i).isWhitespace) i += 1
+            out += name -> decodeEntities(s.substring(vStart, i))
+          }
+        } else if (name.nonEmpty) out += name -> ""
+      }
+    }
+    out.result()
+  }
+}
+
+/** The reference's Trustpilot card extraction as a REAL DOM walk
+  * (`scrapers/trustpilot_scraper.py:50-91`): find the card wrappers by
+  * their class pair, then per card pull author (consumer-details div →
+  * heading span), the star-rating img's alt string, the h2 title, the
+  * body p and the date p → span. Emits the RAW string fields — exactly
+  * the shape the pre-extracted JSON fixtures carry — so
+  * `Normalize.trustpilot` (P4 alt-parse, P5 date-parse) applies unchanged
+  * downstream; absent elements surface as nulls and ride the normalizer's
+  * null contract (F3-F9).
+  */
+object TrustpilotHtml {
+
+  final case class Card(
+      author_name: String, rating_alt: String, review_title: String,
+      review_body: String, review_date_str: String)
+
+  def extractCards(html: String): Seq[Card] = {
+    val doc = HtmlDoc.parse(html)
+    doc.findAll("div", Set("styles_cardWrapper__g8amG", "styles_show__Z8n7u"))
+      .map { card =>
+        val author = card.find("div", Set("styles_consumerDetailsWrapper__4eZod"))
+          .flatMap(_.find("span", Set("typography_heading-xs__osRhC")))
+          .map(_.textStripped)
+        val ratingAlt = card.find("div", Set("star-rating_starRating__sdbkn"))
+          .flatMap(_.find("img")).flatMap(_.attr("alt"))
+        val title = card.find("h2", Set("typography_heading-xs__osRhC"))
+          .map(_.textStripped)
+        val body = card.find("p", Set("typography_body-l__v5JLj"))
+          .map(_.textStripped)
+        val date = card.find("p", Set("typography_body-m__k2UI7"))
+          .flatMap(_.find("span", Set("typography_body-m__k2UI7")))
+          .map(_.textStripped)
+        Card(author.orNull, ratingAlt.orNull, title.orNull, body.orNull,
+          date.orNull)
+      }
+  }
+}
