@@ -101,17 +101,22 @@ object AnnLake {
     new java.util.concurrent.ConcurrentHashMap[String, (Sinks, Long)]
 
   /** Union fresh postings into the touched cells: read ONLY the
-    * manifest-pruned old rows, concat member arrays (slice and batch ids
-    * are disjoint), and MERGE back — O(touched cells), never O(table).
+    * manifest-pruned old rows, set-union the posting arrays, and MERGE
+    * back — O(touched cells), never O(table). `array_distinct` makes the
+    * append REPLAY-IDEMPOTENT (the EventsStream MERGE-apply standard): a
+    * micro-batch re-delivered after a failure rewrites the touched cells
+    * to identical contents instead of doubling their members —
+    * spec-pinned in AnnLakeSpec.
     */
-  private def appendPostings(s: SparkSession, sink: String, fresh: DataFrame,
-      payload: String): Unit = {
+  private[analytics] def appendPostings(s: SparkSession, sink: String,
+      fresh: DataFrame, payload: String): Unit = {
     val old = MergeSink.readOverlapping(s, sink, fresh.select("cell"), Seq("cell"))
       .select(col("cell"), col(payload).as("__old"))
     val updated = fresh.join(old, Seq("cell"), "left")
       .select(col("cell"),
         when(col("__old").isNull, col(payload))
-          .otherwise(sort_array(concat(col("__old"), col(payload)))).as(payload))
+          .otherwise(sort_array(array_distinct(concat(col("__old"), col(payload)))))
+          .as(payload))
     MergeSink.merge(s, sink, updated, Seq("cell"), Seq(col("cell")),
       targetFileRows = PostingFileRows)
     ()

@@ -90,6 +90,27 @@ class AnnLakeSpec extends AnyFunSuite {
     assert(codeIds.count() == n && codeIds.distinct().count() == n)
   }
 
+  test("replayed batch append is a NO-OP: postings stay set-exact (replay idempotence)") {
+    // the EventsStream standard applied to the index: a micro-batch
+    // re-delivered after a failure must rewrite the touched cells to
+    // IDENTICAL contents, never double their members
+    val (sinks, _) = AnnLake.ensureAnnIncrLake(spark, sf)
+    val before = MergeSink.read(spark, sinks.cells)
+      .select(col("cell"), col("members")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val lakeCarr = MergeSink.read(spark, sinks.centroids)
+    val batch = AnnQueries.normalized(spark, sf)
+      .filter(col("vec_id") % 5 === 0).select("vec_id", "en")
+    val batchCells = AnnQueries.assignCells(batch, lakeCarr)
+    val fresh = batchCells.groupBy("cell")
+      .agg(sort_array(collect_list(col("vec_id"))).as("members"))
+    AnnLake.appendPostings(spark, sinks.cells, fresh, "members")
+    val after = MergeSink.read(spark, sinks.cells)
+      .select(col("cell"), col("members")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(after == before, "replaying the batch append changed the postings")
+  }
+
   test("the incremental probe finds batch vectors as neighbors (the merge is live, not vacuous)") {
     val out = rows("ann_ivfpq_incr")
     assert(out.nonEmpty)
