@@ -128,7 +128,21 @@ object AnnLake {
     */
   private[graft] def ensureAnnIncrLake(s: SparkSession, dir: String): (Sinks, Long) =
     incrSinks.computeIfAbsent(dir, { _ =>
-      val sk = sinksUnder(Staging.freshBase("graft_ann_incr", dir).getPath)
+      val (sk, k) = buildSliceIndex(s, dir, "graft_ann_incr")
+      // the DAILY BATCH path: assign to EXISTING cells, encode with
+      // EXISTING codebooks (both read back from the LAKE — the round trip
+      // is the point), append postings to touched cells only
+      appendBatch(s, sk, normalized(s, dir).filter(col("vec_id") % 5 === 0))
+      (sk, k)
+    })
+
+  /** Train + persist the index over the corpus SLICE only (no batch merge)
+    * — the build step `ensureAnnIncrLake` and the streaming-maintenance
+    * spec share. NOT memoized; callers own the staging prefix.
+    */
+  private[graft] def buildSliceIndex(s: SparkSession, dir: String,
+      prefix: String): (Sinks, Long) = {
+      val sk = sinksUnder(Staging.freshBase(prefix, dir).getPath)
       val v = normalized(s, dir)
       val slice = v.filter(col("vec_id") % 5 =!= 0)
       val vnSlice = slice.select("vec_id", "en")
@@ -156,20 +170,65 @@ object AnnLake {
       val sliceCodes = encodePq(subvSlice, pqCarr)
       MergeSink.merge(s, sk.codes, codePostings(sliceCodes, sliceCells),
         Seq("cell"), Seq(col("cell")), targetFileRows = PostingFileRows)
-
-      // --- the DAILY BATCH path: assign to EXISTING cells, encode with
-      // EXISTING codebooks (both read back from the LAKE — the round trip
-      // is the point), append postings to touched cells only
-      val batch = v.filter(col("vec_id") % 5 === 0)
-      val lakeCarr = MergeSink.read(s, sk.centroids)
-      val batchCells = assignCells(batch.select("vec_id", "en"), lakeCarr)
-      appendPostings(s, sk.cells, cellPostings(batchCells), "members")
-      val lakeCodebook = MergeSink.read(s, sk.codebook)
-      val batchCodes = encodePq(
-        subvectors(batch.select(col("vec_id"), col("en").as("e"))), lakeCodebook)
-      appendPostings(s, sk.codes, codePostings(batchCodes, batchCells), "codes")
       (sk, k)
-    })
+  }
+
+  /** The ONE maintenance step every arrival path shares (daily batch OR a
+    * streaming micro-batch): assign the normalized batch to the EXISTING
+    * lake centroids, encode with the EXISTING lake codebooks — no retrain,
+    * no corpus re-encode — and set-union its postings into the touched
+    * cells (replay-idempotent, see appendPostings).
+    */
+  private[graft] def appendBatch(s: SparkSession, sk: Sinks,
+      vnBatch: DataFrame): Unit = {
+    val lakeCarr = MergeSink.read(s, sk.centroids)
+    val batchCells = assignCells(vnBatch.select("vec_id", "en"), lakeCarr)
+    appendPostings(s, sk.cells, cellPostings(batchCells), "members")
+    val lakeCodebook = MergeSink.read(s, sk.codebook)
+    val batchCodes = encodePq(
+      subvectors(vnBatch.select(col("vec_id"), col("en").as("e"))), lakeCodebook)
+    appendPostings(s, sk.codes, codePostings(batchCodes, batchCells), "codes")
+  }
+
+  /** The `normalized` projection applied to a RAW embeddings frame (a
+    * transient batch — no PlanCache): (vec_id, e, nrm, en).
+    */
+  private def normalizeRaw(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"),
+        graft.functions.Vec.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", graft.functions.Vec.dot(col("e"), col("e")))
+      .withColumn("en", transform(col("e"), x => x / sqrt(col("nrm"))))
+
+  /** STREAM-MAINTAIN an existing lake index (the E49 inverted-index
+    * posture applied to ANN): `readStream` over an embeddings parquet
+    * directory → AvailableNow micro-batches (one file per trigger, so a
+    * backlog drains in bounded steps) → `foreachBatch` running the same
+    * appendBatch step the daily path uses. Exactly-once EFFECT comes from
+    * the append's set-union semantics, not checkpoint bookkeeping alone —
+    * a replayed micro-batch rewrites touched cells to identical contents
+    * (the EventsStream posture).
+    */
+  def streamMaintain(s: SparkSession, sinks: Sinks, srcDir: String,
+      checkpoint: String): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) appendBatch(s, sinks, normalizeRaw(batch))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    ()
+  }
 
   // ---- lake probes --------------------------------------------------------
 
