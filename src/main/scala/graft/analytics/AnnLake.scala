@@ -39,6 +39,19 @@ import graft.ingest.MergeSink
   * Freshness: sinks are memoized per (process, dir) like every ensure*
   * sibling; at lake scale the staleness signal is the table's commit
   * version (MergeSink.versions), which the manifest carries already.
+  *
+  * Skew honesty: posting rows are occupancy-bounded ONLY because the
+  * planner grows the cell count with the corpus (ivfCellsFor holds
+  * occupancy ≈ SemTarget on SPREAD data). A duplicate-heavy embedding
+  * corpus concentrates mass in few cells and fattens those posting rows —
+  * the standard mitigation is upstream semantic dedup (dd_semdedup /
+  * dd_embed_cosine, both first-class here) before indexing, which is also
+  * what the SemDeDup paper's pipeline does. If a hot cell nonetheless
+  * outgrows the bounded-row assumption, the fix is a SALTED posting key
+  * ((cell, salt) sub-postings — the E45 salting pattern; probes read all
+  * salts of a cell, still manifest-pruned); not wired because no tested
+  * scale approaches the bound, but the failure mode is a fat aggregation
+  * row, so it must be said here rather than discovered at 100 TB.
   */
 object AnnLake {
 
