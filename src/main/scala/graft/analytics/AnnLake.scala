@@ -47,11 +47,14 @@ import graft.ingest.MergeSink
   * the standard mitigation is upstream semantic dedup (dd_semdedup /
   * dd_embed_cosine, both first-class here) before indexing, which is also
   * what the SemDeDup paper's pipeline does. If a hot cell nonetheless
-  * outgrows the bounded-row assumption, the fix is a SALTED posting key
-  * ((cell, salt) sub-postings — the E45 salting pattern; probes read all
-  * salts of a cell, still manifest-pruned); not wired because no tested
-  * scale approaches the bound, but the failure mode is a fat aggregation
-  * row, so it must be said here rather than discovered at 100 TB.
+  * outgrows the bounded-row assumption, the SALTED posting key takes over
+  * (WIRED, not prose — the r9→r10 lesson): posting rows key on
+  * (cell, salt) with per-cell salt counts fixed at train time on the
+  * centroid row (ceil(occupancy / DefaultSaltTarget)), members land by
+  * pmod(hash(vec_id), salts), and probes fan each wanted cell out to its
+  * trained salts — still manifest-pruned, no driver collects. At every
+  * planner-shaped occupancy salts = 1 (layout unchanged); the pathological
+  * path is spec-proven with a small saltTarget override (AnnLakeSpec).
   */
 object AnnLake {
 
@@ -76,14 +79,56 @@ object AnnLake {
   // subset (spec-asserted); production sizes by bytes instead
   private val PostingFileRows = 2L
 
-  private def cellPostings(cells: DataFrame): DataFrame =
-    cells.groupBy("cell")
+  /** Members per SALTED posting row before a hot cell splits. A posting
+    * row is a single aggregation buffer and a single parquet row — it must
+    * stay bounded even when the PLANNER'S occupancy law fails (a
+    * duplicate-heavy embedding corpus concentrates mass in few cells).
+    * 4096 is far above any planner-shaped occupancy (≈ SemTarget = 64), so
+    * every tested scale runs salts = 1 per cell (bit-identical layout);
+    * the pathological path is spec-proven with a small override
+    * (AnnLakeSpec) — wired, not prose, per the r9→r10 lesson.
+    */
+  private[analytics] val DefaultSaltTarget = 1 << 12
+
+  /** Per-cell salt counts from a build assignment — ceil(occupancy /
+    * saltTarget), computed DISTRIBUTED (|cells| grows with the corpus;
+    * nothing here reaches the driver).
+    */
+  private def saltsOf(cells: DataFrame, saltTarget: Int): DataFrame =
+    cells.groupBy("cell").agg(count(lit(1)).as("__cnt"))
+      .select(col("cell"),
+        greatest(lit(1),
+          floor((col("__cnt") + lit(saltTarget - 1)) / lit(saltTarget)))
+          .cast("int").as("salts"))
+
+  /** The deterministic member→salt assignment, shared by build, daily
+    * append and streaming append (same expression everywhere or probes
+    * would miss members).
+    */
+  private def saltCol = pmod(hash(col("vec_id")), col("salts"))
+
+  private def cellPostings(cells: DataFrame, salts: DataFrame): DataFrame =
+    cells.join(salts, Seq("cell"))
+      .withColumn("salt", saltCol)
+      .groupBy("cell", "salt")
       .agg(sort_array(collect_list(col("vec_id"))).as("members"))
 
-  private def codePostings(codes: DataFrame, cells: DataFrame): DataFrame =
-    codes.join(cells, Seq("vec_id"))
-      .groupBy("cell")
+  private def codePostings(codes: DataFrame, cells: DataFrame,
+      salts: DataFrame): DataFrame =
+    codes.join(cells, Seq("vec_id")).join(salts, Seq("cell"))
+      .withColumn("salt", saltCol)
+      .groupBy("cell", "salt")
       .agg(sort_array(collect_list(codeStruct)).as("codes"))
+
+  /** The (cell, salt) probe-key frame for a set of target cells: each cell
+    * fans out to its trained salt count (read from the centroid table — no
+    * driver collect, no guessing).
+    */
+  private[analytics] def saltedKeys(cellsWanted: DataFrame, centroids: DataFrame): DataFrame =
+    cellsWanted.select("cell").distinct()
+      .join(centroids.select(col("cell"), col("salts")), Seq("cell"))
+      .select(col("cell"),
+        explode(sequence(lit(0), col("salts") - 1)).as("salt"))
 
   // ---- FULL-corpus lake index -------------------------------------------
 
@@ -91,22 +136,37 @@ object AnnLake {
 
   private[graft] def ensureAnnLake(s: SparkSession, dir: String): Sinks =
     fullSinks.computeIfAbsent(dir, { _ =>
-      val sk = sinksUnder(Staging.freshBase("graft_ann", dir).getPath)
-      val k = ivfCellsFor(Tables.embeddings(s, dir).count())
-      // the SAME cached training passes the in-plan queries run — the lake
-      // write is a persistence step, not a second training recipe
-      val carr = ivfCarr(s, dir, k)
-      MergeSink.merge(s, sk.centroids, carr, Seq("cell"), Seq(col("cell")),
-        targetFileRows = 64)
-      val (cells, _) = ivfParts(s, dir)
-      MergeSink.merge(s, sk.cells, cellPostings(cells), Seq("cell"),
-        Seq(col("cell")), targetFileRows = PostingFileRows)
-      MergeSink.merge(s, sk.codebook, pqCodebook(s, dir), Seq("m", "j"),
-        Seq(col("m"), col("j")), targetFileRows = 256)
-      MergeSink.merge(s, sk.codes, codePostings(pqCodeTable(s, dir), cells),
-        Seq("cell"), Seq(col("cell")), targetFileRows = PostingFileRows)
-      sk
+      buildFullIndex(s, dir, "graft_ann", DefaultSaltTarget)
     })
+
+  /** Persist the FULL-corpus index (the same cached training passes the
+    * in-plan queries run — the lake write is a persistence step, not a
+    * second training recipe). NOT memoized; ensureAnnLake wraps it, the
+    * salted-pathology spec calls it with a small saltTarget.
+    */
+  private[analytics] def buildFullIndex(s: SparkSession, dir: String,
+      prefix: String, saltTarget: Int): Sinks = {
+    val sk = sinksUnder(Staging.freshBase(prefix, dir).getPath)
+    val k = ivfCellsFor(Tables.embeddings(s, dir).count())
+    val carr = ivfCarr(s, dir, k)
+    val (cells, _) = ivfParts(s, dir)
+    val salts = saltsOf(cells, saltTarget)
+    // centroid rows carry the cell's salt count: probes learn the fan-out
+    // from the table, not from a recount
+    MergeSink.merge(s, sk.centroids,
+      carr.join(salts, Seq("cell"), "left")
+        .select(col("cell"), col("ce"), coalesce(col("salts"), lit(1)).as("salts")),
+      Seq("cell"), Seq(col("cell")), targetFileRows = 64)
+    MergeSink.merge(s, sk.cells, cellPostings(cells, salts),
+      Seq("cell", "salt"), Seq(col("cell"), col("salt")),
+      targetFileRows = PostingFileRows)
+    MergeSink.merge(s, sk.codebook, pqCodebook(s, dir), Seq("m", "j"),
+      Seq(col("m"), col("j")), targetFileRows = 256)
+    MergeSink.merge(s, sk.codes, codePostings(pqCodeTable(s, dir), cells, salts),
+      Seq("cell", "salt"), Seq(col("cell"), col("salt")),
+      targetFileRows = PostingFileRows)
+    sk
+  }
 
   // ---- INCREMENTAL slice-trained index + daily-batch merge ----------------
 
@@ -123,15 +183,16 @@ object AnnLake {
     */
   private[analytics] def appendPostings(s: SparkSession, sink: String,
       fresh: DataFrame, payload: String): Unit = {
-    val old = MergeSink.readOverlapping(s, sink, fresh.select("cell"), Seq("cell"))
-      .select(col("cell"), col(payload).as("__old"))
-    val updated = fresh.join(old, Seq("cell"), "left")
-      .select(col("cell"),
+    val old = MergeSink.readOverlapping(s, sink,
+        fresh.select("cell", "salt"), Seq("cell", "salt"))
+      .select(col("cell"), col("salt"), col(payload).as("__old"))
+    val updated = fresh.join(old, Seq("cell", "salt"), "left")
+      .select(col("cell"), col("salt"),
         when(col("__old").isNull, col(payload))
           .otherwise(sort_array(array_distinct(concat(col("__old"), col(payload)))))
           .as(payload))
-    MergeSink.merge(s, sink, updated, Seq("cell"), Seq(col("cell")),
-      targetFileRows = PostingFileRows)
+    MergeSink.merge(s, sink, updated, Seq("cell", "salt"),
+      Seq(col("cell"), col("salt")), targetFileRows = PostingFileRows)
     ()
   }
 
@@ -154,7 +215,7 @@ object AnnLake {
     * spec share. NOT memoized; callers own the staging prefix.
     */
   private[graft] def buildSliceIndex(s: SparkSession, dir: String,
-      prefix: String): (Sinks, Long) = {
+      prefix: String, saltTarget: Int = DefaultSaltTarget): (Sinks, Long) = {
       val sk = sinksUnder(Staging.freshBase(prefix, dir).getPath)
       val v = normalized(s, dir)
       val slice = v.filter(col("vec_id") % 5 =!= 0)
@@ -166,11 +227,15 @@ object AnnLake {
       val seeds = vnSlice.orderBy("vec_id").limit(k.toInt)
         .select(col("vec_id").as("cell"), col("en").as("ce"))
       val carr = trainCellsFrom(vnSlice, seeds)
-      MergeSink.merge(s, sk.centroids, carr, Seq("cell"), Seq(col("cell")),
-        targetFileRows = 64)
       val sliceCells = assignCells(vnSlice, carr)
-      MergeSink.merge(s, sk.cells, cellPostings(sliceCells), Seq("cell"),
-        Seq(col("cell")), targetFileRows = PostingFileRows)
+      val salts = saltsOf(sliceCells, saltTarget)
+      MergeSink.merge(s, sk.centroids,
+        carr.join(salts, Seq("cell"), "left")
+          .select(col("cell"), col("ce"), coalesce(col("salts"), lit(1)).as("salts")),
+        Seq("cell"), Seq(col("cell")), targetFileRows = 64)
+      MergeSink.merge(s, sk.cells, cellPostings(sliceCells, salts),
+        Seq("cell", "salt"), Seq(col("cell"), col("salt")),
+        targetFileRows = PostingFileRows)
       val subvSlice = subvectors(slice.select(col("vec_id"), col("en").as("e")))
       val pqK = pqCodebookFor(slice.count())
       val sids = vnSlice.orderBy("vec_id").limit(pqK).select("vec_id")
@@ -181,8 +246,9 @@ object AnnLake {
       MergeSink.merge(s, sk.codebook, pqCarr, Seq("m", "j"),
         Seq(col("m"), col("j")), targetFileRows = 256)
       val sliceCodes = encodePq(subvSlice, pqCarr)
-      MergeSink.merge(s, sk.codes, codePostings(sliceCodes, sliceCells),
-        Seq("cell"), Seq(col("cell")), targetFileRows = PostingFileRows)
+      MergeSink.merge(s, sk.codes, codePostings(sliceCodes, sliceCells, salts),
+        Seq("cell", "salt"), Seq(col("cell"), col("salt")),
+        targetFileRows = PostingFileRows)
       (sk, k)
   }
 
@@ -194,13 +260,20 @@ object AnnLake {
     */
   private[graft] def appendBatch(s: SparkSession, sk: Sinks,
       vnBatch: DataFrame): Unit = {
-    val lakeCarr = MergeSink.read(s, sk.centroids)
+    val lakeCentroids = MergeSink.read(s, sk.centroids)
+    val lakeCarr = lakeCentroids.select("cell", "ce")
+    // salt counts are FIXED at train time (the centroid row) — arriving
+    // batches use the trained fan-out, so probes and appends agree; a
+    // corpus that outgrows its salting re-trains, like one that outgrows
+    // its cell count
+    val salts = lakeCentroids.select("cell", "salts")
     val batchCells = assignCells(vnBatch.select("vec_id", "en"), lakeCarr)
-    appendPostings(s, sk.cells, cellPostings(batchCells), "members")
+    appendPostings(s, sk.cells, cellPostings(batchCells, salts), "members")
     val lakeCodebook = MergeSink.read(s, sk.codebook)
     val batchCodes = encodePq(
       subvectors(vnBatch.select(col("vec_id"), col("en").as("e"))), lakeCodebook)
-    appendPostings(s, sk.codes, codePostings(batchCodes, batchCells), "codes")
+    appendPostings(s, sk.codes, codePostings(batchCodes, batchCells, salts),
+      "codes")
   }
 
   /** The `normalized` projection applied to a RAW embeddings frame (a
@@ -251,7 +324,8 @@ object AnnLake {
     val v = normalized(s, dir)
     val probes = v.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("probe_id"), col("en"))
-    probeCells(probes, MergeSink.read(s, sinks.centroids), nprobe)
+    probeCells(probes, MergeSink.read(s, sinks.centroids).select("cell", "ce"),
+      nprobe)
   }
 
   /** IVF search over the lake: pcells → manifest-pruned member postings →
@@ -260,13 +334,16 @@ object AnnLake {
     * exactly; parquet preserves doubles bit-for-bit).
     */
   private def lakeIvfSearch(s: SparkSession, dir: String, sinks: Sinks,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame = lakeIvfSearchForTest(s, dir, sinks, nprobe)
+
+  private[analytics] def lakeIvfSearchForTest(s: SparkSession, dir: String,
+      sinks: Sinks, nprobe: Int): DataFrame = {
     val v = normalized(s, dir)
     val pcells = lakePcells(s, dir, sinks, nprobe)
     val probes = v.filter(col("vec_id") < ProbeCount)
       .select(col("vec_id").as("probe_id"), col("e").as("pe"), col("nrm").as("pnrm"))
-    val members = MergeSink
-      .readOverlapping(s, sinks.cells, pcells.select("cell"), Seq("cell"))
+    val members = MergeSink.readOverlapping(s, sinks.cells,
+      saltedKeys(pcells, MergeSink.read(s, sinks.centroids)), Seq("cell", "salt"))
     val scored = members
       .join(broadcast(pcells), Seq("cell")) // exact residual over the pruned files
       .select(col("probe_id"), explode(col("members")).as("neighbor_id"))
@@ -290,7 +367,8 @@ object AnnLake {
     */
   private[analytics] def lakeCodeRows(s: SparkSession, dir: String, sinks: Sinks,
       pcells: DataFrame): DataFrame =
-    MergeSink.readOverlapping(s, sinks.codes, pcells.select("cell"), Seq("cell"))
+    MergeSink.readOverlapping(s, sinks.codes,
+        saltedKeys(pcells, MergeSink.read(s, sinks.centroids)), Seq("cell", "salt"))
       .join(broadcast(pcells.select(col("cell"), col("probe_id").as("cpid"))),
         Seq("cell"))
       .select(col("cpid") +: explode(col("codes")).as("c") +: Nil: _*)

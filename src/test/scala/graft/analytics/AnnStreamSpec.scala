@@ -16,10 +16,10 @@ class AnnStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.01"
 
-  private def postings(sink: String, payload: String): Map[Long, Seq[String]] =
+  private def postings(sink: String, payload: String): Map[(Long, Int), Seq[String]] =
     MergeSink.read(spark, sink)
-      .select(col("cell"), col(payload).cast("array<string>").as("p"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .select(col("cell"), col("salt"), col(payload).cast("array<string>").as("p"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[String](2)).toMap
 
   test("stream-maintained index equals the batch-built incremental index, table for table") {
     // the reference point: slice-built + one daily batch append
