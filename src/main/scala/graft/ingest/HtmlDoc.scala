@@ -52,6 +52,26 @@ object HtmlDoc {
     def find(tag: String, withClasses: Set[String] = Set.empty): Option[Node] =
       findAll(tag, withClasses).headOption
 
+    /** All descendant elements (document order) matching tag + an exact
+      * attribute value — the second BS4 filter shape the reference uses
+      * (`find_all("div", {"data-aqa-id": ...})`,
+      * `scrapers/feefo_scraper.py:30-71`).
+      */
+    def findAllByAttr(tag: String, name: String, value: String): Seq[Node] = {
+      val out = ArrayBuffer.empty[Node]
+      def walk(n: Node): Unit = n.children.foreach {
+        case Right(c) =>
+          if (c.tag == tag && c.attrs.get(name).contains(value)) out += c
+          walk(c)
+        case _ => ()
+      }
+      walk(this)
+      out.toSeq
+    }
+
+    def findByAttr(tag: String, name: String, value: String): Option[Node] =
+      findAllByAttr(tag, name, value).headOption
+
     /** BS4 `get_text(strip=True)`: every descendant text node stripped,
       * empties dropped, concatenated without a separator.
       */
@@ -203,5 +223,41 @@ object TrustpilotHtml {
         Card(author.orNull, ratingAlt.orNull, title.orNull, body.orNull,
           date.orNull)
       }
+  }
+}
+
+/** The reference's Feefo block extraction as a real DOM walk
+  * (`scrapers/feefo_scraper.py:30-71`): blocks match on the
+  * `data-aqa-id="feedback-container"` ATTRIBUTE (not classes — the second
+  * BS4 filter shape); per block the customer name, the raw purchase-date
+  * line (prefix kept — `Normalize.feefo`'s P6 prefix strip owns it), the
+  * SERVICE review (the first comment container in document order, the
+  * reference's own `b.find` semantics), the PRODUCT review (the comment
+  * nested under the product wrapper) and the location. Raw string fields —
+  * the pre-extracted JSON fixture shape — so the normalizer applies
+  * unchanged and absent elements ride the null contract.
+  */
+object FeefoHtml {
+
+  final case class Block(
+      customer_name: String, purchase_date_str: String,
+      service_review: String, product_review: String,
+      customer_location: String)
+
+  def extractBlocks(html: String): Seq[Block] = {
+    val doc = HtmlDoc.parse(html)
+    doc.findAllByAttr("div", "data-aqa-id", "feedback-container").map { b =>
+      def pull(aqa: String): Option[String] =
+        b.findByAttr("div", "data-aqa-id", aqa).map(_.textStripped)
+      val product = b.findByAttr("div", "data-aqa-id", "feedback-product-container")
+        .flatMap(_.findByAttr("div", "data-aqa-id", "customer-comment-container"))
+        .map(_.textStripped)
+      Block(
+        pull("customer-name").orNull,
+        pull("customer-purchased-date").orNull,
+        pull("customer-comment-container").orNull, // first in document order
+        product.orNull,
+        pull("customer-location").orNull)
+    }
   }
 }

@@ -83,6 +83,41 @@ class HtmlDocSpec extends AnyFunSuite {
       "the no-reviews page must extract zero cards (the page-walk stop signal)")
   }
 
+  // ---- the Feefo block walk (attribute filters) vs its JSON fixture --------
+
+  test("the Feefo DOM walk yields exactly the pre-extracted fixture fields") {
+    val html = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/feefo_html/acme-ltd.p1.html").toURI)), "UTF-8")
+    val blocks = FeefoHtml.extractBlocks(html)
+    assert(blocks.length == 2)
+    val dee = blocks.head
+    assert(dee.customer_name == "Dee" && dee.customer_location == "UK")
+    assert(dee.purchase_date_str == "Date of purchase: 15/03/2025")
+    assert(dee.service_review == "fast", // FIRST comment in document order
+      s"service review picked '${dee.service_review}' — must not be the product comment")
+    assert(dee.product_review == "solid") // the comment nested under the wrapper
+    val eli = blocks(1)
+    assert(eli.customer_name == "Eli" && eli.service_review == "ok")
+    assert(eli.product_review == null && eli.customer_location == null)
+  }
+
+  test("Normalize.feefo is identical through the HTML walk and the JSON fixture") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val html = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/fixtures/feefo_html/acme-ltd.p1.html").toURI)), "UTF-8")
+    val viaHtml = FeefoHtml.extractBlocks(html).toDF()
+    val viaJson = spark.read.json(
+      getClass.getResource("/fixtures/feefo/acme-ltd.json").getPath)
+    def normalize(raw: org.apache.spark.sql.DataFrame) =
+      Normalize.feefo(raw, lit("Acme Ltd"), lit("acme-ltd"),
+          lit(java.sql.Timestamp.valueOf("2025-06-01 00:00:00")))
+        .orderBy("customer_name").collect().toSeq
+    assert(normalize(viaHtml) == normalize(viaJson),
+      "the Feefo DOM walk and the pre-extracted fixture diverge after normalization")
+  }
+
   test("Normalize.trustpilot is identical through the HTML walk and the JSON fixture") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
