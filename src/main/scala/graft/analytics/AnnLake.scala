@@ -36,9 +36,14 @@ import graft.ingest.MergeSink
   *    pattern). `ann_ivfpq_incr` probes the merged index end-to-end with a
   *    full DuckDB oracle mirroring the slice-trained dataflow.
   *
-  * Freshness: sinks are memoized per (process, dir) like every ensure*
-  * sibling; at lake scale the staleness signal is the table's commit
-  * version (MergeSink.versions), which the manifest carries already.
+  * Freshness (r12 — wired, no longer prose): the ensure-memos are
+  * VERSION-KEYED (`VersionedMemo`): every access revalidates the four sink
+  * tables' last commit versions, and a maintenance commit landing after
+  * the memo warmed (a streaming drain, another session's daily batch) is
+  * DETECTED — the version-derived state (the trained cell count probes
+  * size nprobe from) re-derives against the live tables, no process
+  * restart. Spec-pinned in AnnLakeSpec (stale memo detected + refreshed;
+  * a warm reader's probes surface the new commit's vectors).
   *
   * Skew honesty: posting rows are occupancy-bounded ONLY because the
   * planner grows the cell count with the corpus (ivfCellsFor holds
@@ -132,12 +137,35 @@ object AnnLake {
 
   // ---- FULL-corpus lake index -------------------------------------------
 
-  private val fullSinks = new java.util.concurrent.ConcurrentHashMap[String, Sinks]
+  /** A memoized index: its four sink tables plus the version-DERIVED
+    * metadata — the TRAINED cell count. The probe fan-out (`nprobeFor`) is
+    * a property of the trained index, not of the live corpus count: a
+    * corpus that doubled since training must not silently widen nprobe
+    * without a retrain, and a maintenance commit must re-derive the count
+    * from the lake rather than serve the build-time snapshot.
+    */
+  final case class IndexHandle(sinks: Sinks, cells: Long)
 
-  private[graft] def ensureAnnLake(s: SparkSession, dir: String): Sinks =
-    fullSinks.computeIfAbsent(dir, { _ =>
-      buildFullIndex(s, dir, "graft_ann", DefaultSaltTarget)
-    })
+  private def sinkTables(sk: Sinks): Seq[String] =
+    Seq(sk.centroids, sk.cells, sk.codebook, sk.codes)
+
+  /** Version-derived state, read from the LAKE (the centroid table is
+    * |cells| rows — a bounded metadata read, not a corpus scan).
+    */
+  private def deriveHandle(s: SparkSession, sk: Sinks): IndexHandle =
+    IndexHandle(sk, MergeSink.read(s, sk.centroids).count())
+
+  private val fullIdx = new VersionedMemo[IndexHandle](
+    h => sinkTables(h.sinks), (s, h) => deriveHandle(s, h.sinks))
+
+  private[graft] def ensureAnnLake(s: SparkSession, dir: String): IndexHandle =
+    fullIdx.get(s, dir) {
+      deriveHandle(s, buildFullIndex(s, dir, "graft_ann", DefaultSaltTarget))
+    }
+
+  /** Spec observability: the commit versions the full-tier memo believes. */
+  private[analytics] def fullSeen(dir: String): Option[Map[String, Long]] =
+    fullIdx.seen(dir)
 
   /** Persist the FULL-corpus index (the same cached training passes the
     * in-plan queries run — the lake write is a persistence step, not a
@@ -170,8 +198,12 @@ object AnnLake {
 
   // ---- INCREMENTAL slice-trained index + daily-batch merge ----------------
 
-  private val incrSinks =
-    new java.util.concurrent.ConcurrentHashMap[String, (Sinks, Long)]
+  private val incrIdx = new VersionedMemo[IndexHandle](
+    h => sinkTables(h.sinks), (s, h) => deriveHandle(s, h.sinks))
+
+  /** Spec observability: the commit versions the incr-tier memo believes. */
+  private[analytics] def incrSeen(dir: String): Option[Map[String, Long]] =
+    incrIdx.seen(dir)
 
   /** Union fresh postings into the touched cells: read ONLY the
     * manifest-pruned old rows, set-union the posting arrays, and MERGE
@@ -182,33 +214,59 @@ object AnnLake {
     * spec-pinned in AnnLakeSpec.
     */
   private[analytics] def appendPostings(s: SparkSession, sink: String,
-      fresh: DataFrame, payload: String): Unit = {
-    val old = MergeSink.readOverlapping(s, sink,
-        fresh.select("cell", "salt"), Seq("cell", "salt"))
-      .select(col("cell"), col("salt"), col(payload).as("__old"))
-    val updated = fresh.join(old, Seq("cell", "salt"), "left")
-      .select(col("cell"), col("salt"),
-        when(col("__old").isNull, col(payload))
-          .otherwise(sort_array(array_distinct(concat(col("__old"), col(payload)))))
-          .as(payload))
-    MergeSink.merge(s, sink, updated, Seq("cell", "salt"),
-      Seq(col("cell"), col("salt")), targetFileRows = PostingFileRows)
-    ()
+      fresh0: DataFrame, payload: String, maxRetries: Int = 8,
+      afterRead: () => Unit = () => ()): Unit = {
+    // materialized once: every validate-retry reuses the batch postings,
+    // only the read-combine-merge re-executes (the addDocs shape)
+    val fresh = fresh0.localCheckpoint(true)
+    var tries = 0
+    while (tries < maxRetries) {
+      // Concurrency: this is a read-modify-write and MergeSink's CAS only
+      // serializes the WRITES — a racing appender (streamMaintain plus a
+      // daily appendBatch, or two maintainers) committing between our
+      // postings read and our commit would have its members silently
+      // dropped by our stale union. So the read version is pinned via
+      // merge's expectedVersion: any advance past it ABORTS before commit
+      // (ReadConflictException) and the whole read-union-merge retries
+      // against the new state — InvertedIndex.addDocs' OCC loop.
+      val readV = MergeSink.versions(sink).last
+      // test seam: parks this writer between its version read and its
+      // commit so a spec can land a racing append first (the deterministic
+      // lost-update reproduction). Production callers leave the default.
+      afterRead()
+      val old = MergeSink.readOverlapping(s, sink,
+          fresh.select("cell", "salt"), Seq("cell", "salt"))
+        .select(col("cell"), col("salt"), col(payload).as("__old"))
+      val updated = fresh.join(old, Seq("cell", "salt"), "left")
+        .select(col("cell"), col("salt"),
+          when(col("__old").isNull, col(payload))
+            .otherwise(sort_array(array_distinct(concat(col("__old"), col(payload)))))
+            .as(payload))
+      try {
+        MergeSink.merge(s, sink, updated, Seq("cell", "salt"),
+          Seq(col("cell"), col("salt")), targetFileRows = PostingFileRows,
+          expectedVersion = Some(readV))
+        return
+      } catch { case _: MergeSink.ReadConflictException => tries += 1 }
+    }
+    throw new IllegalStateException(
+      s"appendPostings lost $tries read-validate races at $sink")
   }
 
   /** Builds the slice-trained index, then runs the incremental batch path.
-    * Returns the sinks plus the trained cell count (the probe's nprobe
-    * law needs it without re-counting).
+    * Returns the handle: sinks plus the trained cell count (the probe's
+    * nprobe law needs it without re-counting — and re-derives from the
+    * lake when a later maintenance commit is detected).
     */
-  private[graft] def ensureAnnIncrLake(s: SparkSession, dir: String): (Sinks, Long) =
-    incrSinks.computeIfAbsent(dir, { _ =>
-      val (sk, k) = buildSliceIndex(s, dir, "graft_ann_incr")
+  private[graft] def ensureAnnIncrLake(s: SparkSession, dir: String): IndexHandle =
+    incrIdx.get(s, dir) {
+      val (sk, _) = buildSliceIndex(s, dir, "graft_ann_incr")
       // the DAILY BATCH path: assign to EXISTING cells, encode with
       // EXISTING codebooks (both read back from the LAKE — the round trip
       // is the point), append postings to touched cells only
       appendBatch(s, sk, normalized(s, dir).filter(col("vec_id") % 5 === 0))
-      (sk, k)
-    })
+      deriveHandle(s, sk)
+    }
 
   /** Train + persist the index over the corpus SLICE only (no batch merge)
     * — the build step `ensureAnnIncrLake` and the streaming-maintenance
@@ -296,11 +354,10 @@ object AnnLake {
     */
   def streamMaintain(s: SparkSession, sinks: Sinks, srcDir: String,
       checkpoint: String): Unit = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType)),
-      StructField("label", IntegerType)))
+    // schema DERIVED from the source files, not an inline literal: a
+    // user-supplied StructType that drifts from the parquet silently
+    // null-fills mismatched columns instead of failing loudly (r11 advice)
+    val schema = s.read.parquet(srcDir).schema
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(srcDir)
@@ -401,9 +458,10 @@ object AnnLake {
     */
   val ivfLake: QueryDef = QueryDef(
     "ann_ivf_lake", ivfTopK.oracle.get) { (s, dir) =>
-    val sinks = ensureAnnLake(s, dir)
-    val k = ivfCellsFor(Tables.embeddings(s, dir).count())
-    lakeIvfSearch(s, dir, sinks, nprobeFor(k))
+    // nprobe from the handle's TRAINED cell count (== the planner law's k
+    // at build, re-derived from the lake when maintenance commits land)
+    val h = ensureAnnLake(s, dir)
+    lakeIvfSearch(s, dir, h.sinks, nprobeFor(h.cells))
   }
 
   /** The full-corpus IVF+PQ probe from the lake — codes, codebooks and
@@ -412,9 +470,8 @@ object AnnLake {
     */
   val ivfpqLake: QueryDef = QueryDef(
     "ann_ivfpq_lake", ivfpqTopK.oracle.get) { (s, dir) =>
-    val sinks = ensureAnnLake(s, dir)
-    val k = ivfCellsFor(Tables.embeddings(s, dir).count())
-    lakeIvfPqSearch(s, dir, sinks, nprobeFor(k))
+    val h = ensureAnnLake(s, dir)
+    lakeIvfPqSearch(s, dir, h.sinks, nprobeFor(h.cells))
   }
 
   /** ORACLE statics for the incremental index, slice-derived: the corpus
@@ -528,8 +585,8 @@ object AnnLake {
        |    FROM scored) t
        |  WHERE rn <= $Refine),
        |$RefineSql""".stripMargin) { (s, dir) =>
-    val (sinks, k) = ensureAnnIncrLake(s, dir)
-    lakeIvfPqSearch(s, dir, sinks, nprobeFor(k))
+    val h = ensureAnnIncrLake(s, dir)
+    lakeIvfPqSearch(s, dir, h.sinks, nprobeFor(h.cells))
   }
 
   val defs: Seq[QueryDef] = Seq(ivfLake, ivfpqLake, ivfpqIncr)

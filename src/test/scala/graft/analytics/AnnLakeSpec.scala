@@ -38,7 +38,7 @@ class AnnLakeSpec extends AnyFunSuite {
   }
 
   test("cell and code posting tables prune: a narrow cell probe opens a strict file subset") {
-    val sinks = AnnLake.ensureAnnLake(spark, sf)
+    val sinks = AnnLake.ensureAnnLake(spark, sf).sinks
     for (sink <- Seq(sinks.cells, sinks.codes)) {
       val all = MergeSink.read(spark, sink)
       val total = all.inputFiles.length
@@ -55,7 +55,7 @@ class AnnLakeSpec extends AnyFunSuite {
     // wiring pin (the IncrLshLakeSpec:34 pattern): the declared query's ADC
     // frame must reach the code table through readOverlapping — a refactor
     // to a directory read changes the scan set and fails here
-    val sinks = AnnLake.ensureAnnLake(spark, sf)
+    val sinks = AnnLake.ensureAnnLake(spark, sf).sinks
     val k = AnnQueries.ivfCellsFor(Tables.embeddings(spark, sf).count())
     val pcells = AnnLake.lakePcells(spark, sf, sinks, AnnQueries.nprobeFor(k))
     val expected = MergeSink
@@ -70,10 +70,16 @@ class AnnLakeSpec extends AnyFunSuite {
   }
 
   test("incremental index: batch merged into EXISTING cells, one posting per vector, no retrain") {
-    val (sinks, k) = AnnLake.ensureAnnIncrLake(spark, sf)
-    // the centroid table is slice-trained: exactly k cells, never touched
-    // by the batch merge (versions stay at the build commit)
+    val h = AnnLake.ensureAnnIncrLake(spark, sf)
+    val sinks = h.sinks
+    // the centroid table is slice-trained: exactly the planner's k cells
+    // (computed here INDEPENDENTLY of the handle — h.cells derives from the
+    // centroid table, so asserting it against the table would be circular),
+    // never touched by the batch merge (versions stay at the build commit)
+    val k = AnnQueries.ivfCellsFor(
+      Tables.embeddings(spark, sf).filter(col("vec_id") % 5 =!= 0).count())
     assert(MergeSink.read(spark, sinks.centroids).count() == k)
+    assert(h.cells == k, "the handle's trained-cell count diverges from the lake")
     assert(MergeSink.versions(sinks.centroids).size == 1,
       "the batch path must NOT retrain/rewrite centroids")
     assert(MergeSink.versions(sinks.codebook).size == 1,
@@ -97,7 +103,7 @@ class AnnLakeSpec extends AnyFunSuite {
     // the EventsStream standard applied to the index: a micro-batch
     // re-delivered after a failure must rewrite the touched cells to
     // IDENTICAL contents, never double their members
-    val (sinks, _) = AnnLake.ensureAnnIncrLake(spark, sf)
+    val sinks = AnnLake.ensureAnnIncrLake(spark, sf).sinks
     def snapshot() = MergeSink.read(spark, sinks.cells)
       .select(col("cell"), col("salt"), col("members")).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Long](2)).toMap
@@ -135,5 +141,92 @@ class AnnLakeSpec extends AnyFunSuite {
     val batchNeighbors = out.filter(_._2 % 5 == 0)
     assert(batchNeighbors.nonEmpty,
       "no batch vector surfaced as a neighbor — the append path is untested by this corpus")
+  }
+
+  test("version-keyed memo: a maintenance commit after warm-up is detected and re-pinned (r12)") {
+    // the r11 gap: ensure* memoized per (process, dir) alone, so a commit
+    // landing AFTER the memo warmed was invisible until process restart.
+    // The memo now revalidates the sink tables' commit versions on every
+    // access — prove detect-and-refresh on the shared incr index with a
+    // REPLAY append (content no-op by replay idempotence; version advances)
+    val h = AnnLake.ensureAnnIncrLake(spark, sf)
+    val seen0 = AnnLake.incrSeen(sf).get
+    assert(seen0(h.sinks.cells) == MergeSink.versions(h.sinks.cells).last,
+      "warm memo must believe the current commit versions")
+    AnnLake.appendBatch(spark, h.sinks,
+      AnnQueries.normalized(spark, sf).filter(col("vec_id") % 5 === 0))
+    assert(MergeSink.versions(h.sinks.cells).last > seen0(h.sinks.cells),
+      "the maintenance append must land a new commit")
+    // stale until the next ensure touches it...
+    assert(AnnLake.incrSeen(sf).get == seen0)
+    // ...which must DETECT the advance, re-derive against the lake, re-pin
+    val h2 = AnnLake.ensureAnnIncrLake(spark, sf)
+    val seen1 = AnnLake.incrSeen(sf).get
+    assert(seen1 != seen0, "stale memo went undetected")
+    assert(seen1(h.sinks.cells) == MergeSink.versions(h.sinks.cells).last)
+    assert(seen1(h.sinks.codes) == MergeSink.versions(h.sinks.codes).last)
+    assert(h2.sinks == h.sinks)
+    assert(h2.cells == h.cells,
+      "a replayed (content-identical) commit must re-derive the same trained-cell count")
+  }
+
+  test("a second maintenance commit is OBSERVED by an already-warm reader, no restart (r12)") {
+    // end-to-end freshness: a reader that already probed a slice-only
+    // index must surface the daily batch's vectors as neighbors after the
+    // maintenance commit lands in the SAME process
+    val (sk, k) = AnnLake.buildSliceIndex(spark, sf, "graft_ann_warm")
+    val np = AnnQueries.nprobeFor(k)
+    def neighborIds(): Set[Long] =
+      AnnLake.lakeIvfSearchForTest(spark, sf, sk, np)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val before = neighborIds()
+    assert(before.nonEmpty && !before.exists(_ % 5 == 0),
+      "slice-only index served batch vectors before the maintenance commit")
+    AnnLake.appendBatch(spark, sk,
+      AnnQueries.normalized(spark, sf).filter(col("vec_id") % 5 === 0))
+    val after = neighborIds()
+    assert(after.exists(_ % 5 == 0),
+      "the warm reader did not observe the maintenance commit's vectors")
+  }
+
+  test("appendPostings OCC: a commit inside the read-merge window aborts, retries, loses nothing (r12)") {
+    // DETERMINISTIC lost-update reproduction (the InvertedIndexSpec shape):
+    // writer A parks between its version read and its merge, writer B lands
+    // an append on the SAME (cell, salt), A resumes → its pinned-version
+    // merge must abort (ReadConflict) and retry — final postings carry BOTH
+    // writers' members. Without the pin, A's stale union drops B's member.
+    import spark.implicits._
+    val (sk, _) = AnnLake.buildSliceIndex(spark, sf, "graft_ann_occ")
+    val row0 = MergeSink.read(spark, sk.cells)
+      .select("cell", "salt", "members").head()
+    val (c, salt) = (row0.getLong(0), row0.getInt(1))
+    val base = row0.getSeq[Long](2).toSet
+    def freshOf(id: Long) = Seq((c, salt, Seq(id))).toDF("cell", "salt", "members")
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val readDone = new java.util.concurrent.CountDownLatch(1)
+    val resume = new java.util.concurrent.CountDownLatch(1)
+    @volatile var slowErr: Option[Throwable] = None
+    val slow = new Thread(() => {
+      try {
+        AnnLake.appendPostings(spark, sk.cells, freshOf(900001L), "members",
+          afterRead = () => {
+            // park only the FIRST attempt; the retry runs through
+            if (reads.incrementAndGet() == 1) { readDone.countDown(); resume.await() }
+          })
+      } catch { case t: Throwable => slowErr = Some(t) }
+    })
+    slow.start()
+    readDone.await()
+    AnnLake.appendPostings(spark, sk.cells, freshOf(900002L), "members")
+    resume.countDown()
+    slow.join(120000)
+    assert(!slow.isAlive, "slow appender did not finish")
+    assert(slowErr.isEmpty, s"slow appender failed: $slowErr")
+    assert(reads.get() == 2, "the pinned-version merge must abort exactly once and retry")
+    val finalMembers = MergeSink.read(spark, sk.cells)
+      .filter(col("cell") === c && col("salt") === salt)
+      .head().getSeq[Long](2).toSet
+    assert(finalMembers == base + 900001L + 900002L,
+      s"a racing append's members were lost: $finalMembers")
   }
 }

@@ -23,7 +23,7 @@ class AnnStreamSpec extends AnyFunSuite {
 
   test("stream-maintained index equals the batch-built incremental index, table for table") {
     // the reference point: slice-built + one daily batch append
-    val (batchSinks, _) = AnnLake.ensureAnnIncrLake(spark, sf)
+    val batchSinks = AnnLake.ensureAnnIncrLake(spark, sf).sinks
     // a fresh slice-only index for the streaming path
     val (sinks, _) = AnnLake.buildSliceIndex(spark, sf, "graft_ann_stream")
     val buildVersions = MergeSink.versions(sinks.cells).size
