@@ -929,10 +929,10 @@ object CurateQueries {
     * (ensureBandSink's contract): DISTINCT md5(text) of the corpus docs,
     * keyed by the fingerprint — the dedup index a daily ingest probes.
     */
-  private val fpSinks = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val fpSinks = VersionedMemo.paths[String](Seq(_))
   private[graft] def ensureFpSink(s: org.apache.spark.sql.SparkSession,
                                   dir: String): String =
-    fpSinks.computeIfAbsent(dir, { _ =>
+    fpSinks.get(s, dir) {
       val sink = s"${Staging.freshBase("graft_fps", dir).getPath}/sink"
       val corpusFp = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
         .select(md5(col("text")).as("fp")).distinct()
@@ -941,7 +941,7 @@ object CurateQueries {
       MergeSink.merge(s, sink, corpusFp, Seq("fp"), Seq(col("fp")),
         targetFileRows = 64)
       sink
-    })
+    }
 
   /** pipe_incremental_corpus with every corpus-derived artifact read from
     * the LAKE (the r9 verdict's ask #4): the exact-dup check probes the

@@ -482,10 +482,10 @@ object DedupQueries {
     * key's digest. Construction, prestaged out of the measured probe.
     */
   private val labelSinks =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+    VersionedMemo.paths[(String, String)](v => Seq(v._1, v._2))
   private[graft] def ensureLabelSinks(s: org.apache.spark.sql.SparkSession,
                                       dir: String): (String, String) =
-    labelSinks.computeIfAbsent(dir, { _ =>
+    labelSinks.get(s, dir) {
       val base = Staging.freshBase("graft_labels", dir).getPath
       val byDoc = s"$base/by_doc"
       val byComp = s"$base/by_component"
@@ -502,7 +502,7 @@ object DedupQueries {
       MergeSink.merge(s, byComp, postings, Seq("component"), Seq(col("component")),
         targetFileRows = 2) // few components at test SF: 2 rows/file spans it
       (byDoc, byComp)
-    })
+    }
 
   /** dd_incr_components with the corpus cluster table read from the LAKE:
     * the precomputed labels live in MergeSink tables (doc-keyed for the
@@ -522,17 +522,17 @@ object DedupQueries {
     * corpus-wide shingle cache — the last in-plan corpus artifact of the
     * incremental tier (r10).
     */
-  private val shingleSinks = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val shingleSinks = VersionedMemo.paths[String](Seq(_))
   private[graft] def ensureShingleSink(s: org.apache.spark.sql.SparkSession,
                                        dir: String): String =
-    shingleSinks.computeIfAbsent(dir, { _ =>
+    shingleSinks.get(s, dir) {
       val sink = s"${Staging.freshBase("graft_shingles", dir).getPath}/sink"
       val corpus = shingleBase(s, dir).filter(col("doc_id") % 5 =!= 0)
         .filter(size(col("shingles")) > 0) // verifyJaccard's base contract
       MergeSink.merge(s, sink, corpus, Seq("doc_id"), Seq(col("doc_id")),
         targetFileRows = 64)
       sink
-    })
+    }
 
   /** Exact-Jaccard verification with the CORPUS side read from the LAKE:
     * batch shingles derive in-plan (O(batch) — the honest side to compute
@@ -844,10 +844,10 @@ object DedupQueries {
     * construction work, prestaged by Bench/TimeQuery so the measured query
     * is the batch probe, exactly as a daily job probes yesterday's index.
     */
-  private val bandSinks = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val bandSinks = VersionedMemo.paths[String](Seq(_))
   private[graft] def ensureBandSink(s: org.apache.spark.sql.SparkSession,
                                     dir: String): String =
-    bandSinks.computeIfAbsent(dir, { _ =>
+    bandSinks.get(s, dir) {
       val sink = s"${Staging.freshBase("graft_bands", dir).getPath}/sink"
       val corpus = bandTable(s, dir).filter(col("doc_id") % 5 =!= 0)
         .groupBy("band_key")
@@ -857,7 +857,7 @@ object DedupQueries {
       MergeSink.merge(s, sink, corpus, Seq("band_key"), Seq(col("band_key")),
         targetFileRows = 256)
       sink
-    })
+    }
 
   /** dd_incr_lsh with the corpus side read from the LAKE (the r8 verdict's
     * ask #5): the corpus band table is a PRECOMPUTED MergeSink posting
@@ -1003,11 +1003,11 @@ object DedupQueries {
     * safe across same-JVM invocations.
     */
   private val k12Sinks =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long)]()
+    VersionedMemo.paths[(String, Long, Long)](v => Seq(v._1))
 
   private[graft] def ensureIncrementalAggSink(
       s: org.apache.spark.sql.SparkSession, dir: String): (String, Long, Long) =
-    k12Sinks.computeIfAbsent(dir, { _ =>
+    k12Sinks.get(s, dir) {
       val sink = s"${Staging.freshBase("graft_k12", dir).getPath}/sink"
       val key = Seq("o_orderkey")
       val tb = Seq(col("o_orderkey"))
@@ -1024,7 +1024,7 @@ object DedupQueries {
           lit("N").as("o_orderstatus"), col("o_totalprice"))
       val v2 = MergeSink.merge(s, sink, upd.unionByName(ins), key, tb).version
       (sink, v1, v2)
-    })
+    }
 
   val incrementalAgg: QueryDef = QueryDef(
     "k12_incremental_agg",
@@ -1071,11 +1071,11 @@ object DedupQueries {
     * immutable for a JVM's lifetime, and nothing is reused across JVMs —
     * a stale on-disk sink can never leak into the correctness gate.
     */
-  private val k13Sinks = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val k13Sinks = VersionedMemo.paths[String](Seq(_))
 
   private[graft] def ensurePointLookupSink(s: org.apache.spark.sql.SparkSession,
                                            dir: String): String =
-    k13Sinks.computeIfAbsent(dir, { _ =>
+    k13Sinks.get(s, dir) {
       val sink = s"${Staging.freshBase("graft_k13", dir).getPath}/sink"
       val base = Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -1083,7 +1083,7 @@ object DedupQueries {
       MergeSink.merge(s, sink, base, Seq("o_orderkey"), Seq(col("o_orderkey")),
         targetFileRows = 2048)
       sink
-    })
+    }
 
   /** K13: manifest-pruned point lookup on the MergeSink — the engine-side
     * equivalent of the reference's primary-key index probe. The 5-key
@@ -1123,11 +1123,11 @@ object DedupQueries {
     * deletes are content-idempotent (a no-op on already-absent keys), so
     * the read-back — the oracle-checked output — is identical either way.
     */
-  private val k14Sinks = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val k14Sinks = VersionedMemo.paths[String](Seq(_))
 
   private[graft] def ensureDeleteBase(s: org.apache.spark.sql.SparkSession,
                                       dir: String): String =
-    k14Sinks.computeIfAbsent(dir, { _ =>
+    k14Sinks.get(s, dir) {
       val sink = s"${Staging.freshBase("graft_k14", dir).getPath}/sink"
       val base = Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -1136,7 +1136,7 @@ object DedupQueries {
       MergeSink.merge(s, sink, base, Seq("o_orderkey"), Seq(col("o_orderkey")),
         targetFileRows = 2048)
       sink
-    })
+    }
 
   val deleteRows: QueryDef = QueryDef(
     "k14_delete",
@@ -1428,17 +1428,17 @@ object DedupQueries {
     * (dd_exact_substr) stays string-exact — there the strings are in hand,
     * so its verify stage compares them directly.
     */
-  private val substrSinks = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val substrSinks = VersionedMemo.paths[String](Seq(_))
   private[graft] def ensureSubstrSink(s: org.apache.spark.sql.SparkSession,
                                       dir: String): String =
-    substrSinks.computeIfAbsent(dir, { _ =>
+    substrSinks.get(s, dir) {
       val sink = s"${Staging.freshBase("graft_substr", dir).getPath}/sink"
       val corp = substrGramsHashed(s, dir).filter(col("doc_id") % 5 =!= 0)
         .select(col("h"), col("fp")).distinct()
       MergeSink.merge(s, sink, corp, Seq("h", "fp"), Seq(col("h")),
         targetFileRows = 2048)
       sink
-    })
+    }
 
   /** Shared stride-1 L-token window stream (dd_exact_substr's gram shape). */
   private def substrGrams(s: org.apache.spark.sql.SparkSession,
@@ -1612,10 +1612,10 @@ object DedupQueries {
     * writes, prestaged by Bench/TimeQuery so the measured query is the
     * batch probe.
     */
-  private val spanSinks = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val spanSinks = VersionedMemo.paths[String](Seq(_))
   private[graft] def ensureSpanSink(s: org.apache.spark.sql.SparkSession,
                                     dir: String): String =
-    spanSinks.computeIfAbsent(dir, { _ =>
+    spanSinks.get(s, dir) {
       val sink = s"${Staging.freshBase("graft_spans", dir).getPath}/sink"
       val corp = spanTable(s, dir)
         .filter(col("doc_id") % 5 =!= 0 && col("nw") === SpanW)
@@ -1625,7 +1625,7 @@ object DedupQueries {
       MergeSink.merge(s, sink, corp, Seq("s"), Seq(col("s")),
         targetFileRows = 256)
       sink
-    })
+    }
 
   /** dd_incr_span with the corpus span set read from the LAKE (the r9
     * verdict's ask #4, the dd_incr_lsh_lake pattern): the corpus
