@@ -334,6 +334,70 @@ object AnnLake {
       "codes")
   }
 
+  /** DELETE vectors from the lake index postings (r11 verdict ask #5):
+    * vectors dropped upstream (dedup / curation) must leave the index, or
+    * probes keep returning curated-away docs forever. The drop batch
+    * carries (vec_id, en) — the pipeline still holds embeddings at drop
+    * time — and each id lands on exactly ONE posting row per table:
+    * assignment to the FIXED trained centroids plus the deterministic
+    * member→salt placement reconstruct the row key, so the rewrite touches
+    * O(drop-batch cells) manifest-pruned files, never the table. Arrays
+    * prune in place (a row whose members empty out stays as an empty-array
+    * row — probes explode it to nothing); re-deleting the same ids is a
+    * content no-op (k14's idempotence standard); and the commit rides the
+    * same expectedVersion OCC loop as appendPostings, so a racing appender
+    * can't have its members silently dropped by a stale rewrite.
+    */
+  private[graft] def deleteVectors(s: SparkSession, sk: Sinks,
+      vnDrop: DataFrame): Unit = {
+    val lakeCentroids = MergeSink.read(s, sk.centroids)
+    val dropCells = assignCells(vnDrop.select("vec_id", "en"),
+      lakeCentroids.select("cell", "ce"))
+    val keyed = dropCells
+      .join(lakeCentroids.select("cell", "salts"), Seq("cell"))
+      .withColumn("salt", saltCol)
+      .groupBy("cell", "salt")
+      .agg(collect_set(col("vec_id")).as("__drop"))
+      .localCheckpoint(true) // reused by both tables and every OCC retry
+    // members: sorted distinct longs — array_except preserves the order of
+    // its first argument, so the sorted contract survives the prune
+    prunePostings(s, sk.cells, keyed, "members",
+      (members, drop) => array_except(members, drop))
+    // codes: sorted structs led by vec_id — filter preserves order too
+    prunePostings(s, sk.codes, keyed, "codes",
+      (codes, drop) => filter(codes,
+        c => !array_contains(drop, c.getField("vec_id"))))
+  }
+
+  /** Read-prune-merge of the touched posting rows only, OCC-pinned (the
+    * appendPostings loop with a prune instead of a union).
+    */
+  private def prunePostings(s: SparkSession, sink: String, keyed: DataFrame,
+      payload: String,
+      prune: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column,
+      maxRetries: Int = 8): Unit = {
+    var tries = 0
+    while (tries < maxRetries) {
+      val readV = MergeSink.versions(sink).last
+      val old = MergeSink.readOverlapping(s, sink,
+        keyed.select("cell", "salt"), Seq("cell", "salt"))
+      // inner join: rewrite ONLY the keyed rows; same-file neighbors
+      // survive through merge's copy-on-write untouched
+      val updated = old.join(keyed, Seq("cell", "salt"))
+        .select(col("cell"), col("salt"),
+          prune(col(payload), col("__drop")).as(payload))
+      try {
+        MergeSink.merge(s, sink, updated, Seq("cell", "salt"),
+          Seq(col("cell"), col("salt")), targetFileRows = PostingFileRows,
+          expectedVersion = Some(readV))
+        return
+      } catch { case _: MergeSink.ReadConflictException => tries += 1 }
+    }
+    throw new IllegalStateException(
+      s"deleteVectors lost $tries read-validate races at $sink")
+  }
+
   /** The `normalized` projection applied to a RAW embeddings frame (a
     * transient batch — no PlanCache): (vec_id, e, nrm, en).
     */

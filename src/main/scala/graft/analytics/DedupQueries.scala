@@ -1250,7 +1250,10 @@ object DedupQueries {
 
   // --- span-level exact dedup (C4 / RefinedWeb line dedup) ----------------
 
-  private val SpanW = 10          // words per span
+  // words per span — private[graft] so measurement tooling (ShuffleBytes'
+  // string-form baseline) references THE width instead of duplicating the
+  // literal and silently measuring a different workload (r11 advice)
+  private[graft] val SpanW = 10
   // first-occurrence key = doc_id·shift + pos: requires pos < shift, i.e.
   // docs under 10M words (1e6 spans × 10). Long overflow needs
   // doc_id < ~9.2e12 on top — both far beyond this corpus generation; a

@@ -36,6 +36,16 @@ object HtmlDoc {
     /** All descendant elements (document order) matching tag + a CLASS
       * SUBSET (the element carries every class in `withClasses` — the
       * intent of the reference's space-joined class filters).
+      *
+      * DELIBERATE divergence from BS4's literal semantics: BS4's dict
+      * filter with a space-joined STRING (`{"class": "a b"}`) matches the
+      * class attribute as an exact string, so an element with an extra or
+      * reordered class (`class="b a"`, `class="a b c"`) silently falls
+      * out of the reference's extraction. Subset matching is the robust
+      * reading on real pages; on the committed fixtures the two walks
+      * select identical card sets (the bridging equalities in
+      * HtmlDocSpec), and the extra-classes fixture there pins the
+      * intended subset behavior where the semantics differ.
       */
     def findAll(tag: String, withClasses: Set[String] = Set.empty): Seq[Node] = {
       val out = ArrayBuffer.empty[Node]

@@ -51,7 +51,7 @@ object ShuffleBytes {
     */
   private def stringForm(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val SpanW = 10 // DedupQueries.SpanW (private) — the shared window width
+    val SpanW = graft.analytics.DedupQueries.SpanW // THE shared window width
     val toks = split(col("text"), " ")
     def grams = graft.Tables.documents(s, dir)
       .select(col("doc_id"), toks.as("toks"))

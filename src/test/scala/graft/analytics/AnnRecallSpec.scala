@@ -191,4 +191,28 @@ class AnnRecallSpec extends AnyFunSuite {
     info(f"ann_knn_join corpus-wide recall@3 = $r%.2f")
     assert(r >= 0.55, f"corpus-wide kNN recall below the operating point: $r%.2f")
   }
+
+  test("INCREMENTAL index recall@5 sits within 0.1 of the full-trained lake tier (both corpora)") {
+    // r11 verdict ask #3: ann_ivfpq_incr had oracle EQUALITY only — the
+    // oracle mirrors the same slice recipe, so a QUALITY regression from
+    // training on 80% of the corpus (slice-trained centroids/codebooks,
+    // batch merely assigned+encoded) could never surface there. Measure
+    // the merged index's recall against the exact baseline on BOTH corpus
+    // shapes and pin it to the full-trained operating point.
+    val isoFull = recallAt("ann_ivfpq_lake", 5)
+    val isoIncr = recallAt("ann_ivfpq_incr", 5)
+    val mogFull = mogRecallAt("ann_ivfpq_lake")
+    val mogIncr = mogRecallAt("ann_ivfpq_incr")
+    info(f"ivfpq recall@5 full-trained vs slice-trained: " +
+      f"isotropic $isoFull%.2f vs $isoIncr%.2f, clustered $mogFull%.2f vs $mogIncr%.2f")
+    assert(isoIncr >= isoFull - 0.1,
+      f"slice training degrades isotropic recall: $isoIncr%.2f vs full $isoFull%.2f")
+    assert(mogIncr >= mogFull - 0.1,
+      f"slice training degrades clustered recall: $mogIncr%.2f vs full $mogFull%.2f")
+    // absolute collapse floors at measured-minus-margin (r12 measured:
+    // isotropic 0.84 vs full 0.88, clustered 0.88 vs full 0.96 — the
+    // slice-trained operating point costs ≤ 0.08 recall on either shape)
+    assert(isoIncr >= 0.7, f"incremental index recall collapsed: $isoIncr%.2f")
+    assert(mogIncr >= 0.75, f"incremental index collapsed on clustered data: $mogIncr%.2f")
+  }
 }

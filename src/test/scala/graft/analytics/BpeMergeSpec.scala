@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
-/** BPE vocabulary induction (tx_bpe_merge): the three unrolled merge
-  * rounds on a hand-computed corpus. The corpus is built so that BOTH
+/** BPE vocabulary induction (tx_bpe_merge): the N-round trainer on a
+  * hand-computed corpus (r12: BpeRounds = 10, with early stop when the
+  * pair table exhausts — this corpus merges fully in 4 rounds, so the
+  * run also pins the exhaustion path). The corpus is built so that BOTH
   * symbol-encoding failure modes change a visible winner:
   *
   *  - boundary safety: after round 1 merges (a,b)→ab, the word "aba" is
@@ -25,6 +27,10 @@ import graft.TestSpark
   *   round 2 pairs: (b,a) = 6, (ab,a) = 5, (ab,ab) = 3
   *     → merge "b a" (6); ba→[ba]
   *   round 3 pairs: (ab,a) = 5, (ab,ab) = 3 → merge "ab a" (5)
+  *   round 4 pairs: (ab,ab) = 3 → merge "ab ab" (3); abab→[abab]
+  *   round 5: every word is a single symbol — pair table EMPTY, the
+  *     trainer stops (and the oracle's remaining LEFT-JOIN rounds are
+  *     identity rewrites contributing no winner rows)
   */
 class BpeMergeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -41,14 +47,16 @@ class BpeMergeSpec extends AnyFunSuite {
     d.getAbsolutePath
   }
 
-  test("three merge rounds match the hand computation (boundary + overlap safe)") {
+  test("merge rounds match the hand computation and stop at pair exhaustion (boundary + overlap safe)") {
     val rows = TextQueries.bpeMerge.fn(spark, dir)
       .orderBy("merge_rank")
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(rows.toSeq == Seq(
       (1, "a b", "ab", 21L),
       (2, "b a", "ba", 6L),
-      (3, "ab a", "aba", 5L)))
+      (3, "ab a", "aba", 5L),
+      (4, "ab ab", "abab", 3L)),
+      "boundary/overlap winners drifted, or exhaustion emitted phantom rounds")
   }
 
   test("merge result is invariant under input repartitioning") {
@@ -57,13 +65,13 @@ class BpeMergeSpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("tokenize applies the learned merges: ab/ba/aba → 1 token, abab → 2") {
-    // after the three merges above: ab=[ab], ba=[ba], aba=[aba], abab=[ab,ab]
-    // → n_tokens = 10 + 6 + 5 + 2·3 = 27 over 24 words
+  test("tokenize applies the learned merges: every word reaches 1 token after round 4") {
+    // after the four merges above every word is a single symbol
+    // (abab = [ab,ab] → [abab] in round 4) → n_tokens = 24 over 24 words
     val rows = TextQueries.bpeTokenize.fn(spark, dir).collect()
     assert(rows.length == 1)
     val r = rows.head
-    assert(r.getLong(1) == 24L && r.getLong(2) == 27L)
-    assert(r.getDouble(3) == 27.0 / 24.0)
+    assert(r.getLong(1) == 24L && r.getLong(2) == 24L)
+    assert(r.getDouble(3) == 1.0)
   }
 }

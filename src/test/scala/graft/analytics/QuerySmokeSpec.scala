@@ -90,37 +90,47 @@ class QuerySmokeSpec extends AnyFunSuite {
   /** Queries whose unpartitioned windows legitimately sit over a GROUPED
     * aggregate — each grouping is low-cardinality BY CONTRACT, not merely
     * "an aggregate" (the r10 verdict's finding: `groupBy(doc_id)` is
-    * corpus-sized and must NOT slip under the guard). Every entry carries
-    * its justification; an unlisted grouped aggregate fails the guard.
+    * corpus-sized and must NOT slip under the guard). Since r12 the
+    * whitelist is (query, grouping-key)-GRANULAR: each entry names the
+    * declared low-cardinality dimension columns, and an aggregate passes
+    * only if its grouping expressions reference NOTHING ELSE — a later
+    * corpus-sized groupBy(doc_id) added under a global window inside a
+    * whitelisted query fails by name (the r11 verdict's remaining hole).
+    * Both the source column and its declared alias are listed where the
+    * grouping aliases in place.
     */
-  private val groupedAggWindowOk: Map[String, String] = Map(
-    "cu_mixture_weights" ->
-      "groupBy(source): |domains| rows by the mixture-design contract (a mixture over millions of domains is not designable — group first)",
-    "tpch_q15_top_supplier" ->
+  private val groupedAggWindowOk: Map[String, (Set[String], String)] = Map(
+    "cu_mixture_weights" -> (Set("source"),
+      "groupBy(source): |domains| rows by the mixture-design contract (a mixture over millions of domains is not designable — group first)"),
+    "tpch_q15_top_supplier" -> (Set("l_suppkey", "supplier_no"),
       ("groupBy(supplier): the window input is the fact table ALREADY " +
         "aggregated onto the supplier dimension (orders of magnitude below " +
         "corpus size); Q15's global max over that frame is the query's " +
         "stated semantics, and the GlobalScalarToWindow single-pass beat " +
-        "the scalar-subquery double scan (measured, see the rule's doc)"),
-    "tpch_q11_important_stock" ->
+        "the scalar-subquery double scan (measured, see the rule's doc)")),
+    "tpch_q11_important_stock" -> (Set("l_partkey", "ps_partkey"),
       ("groupBy(ps_partkey): the frame is lineitem aggregated onto the " +
         "part dimension before the window; Q11's global value-sum " +
         "threshold over that aggregate is the query's stated semantics " +
-        "(same GlobalScalarToWindow single-pass argument as Q15)")
+        "(same GlobalScalarToWindow single-pass argument as Q15)"))
   )
 
   /** TRUE iff every path below an unpartitioned window reaches a frame
     * provably small: a SCALAR aggregate (empty grouping → 1 row), a
-    * whitelisted low-cardinality grouped aggregate, a Limit, or a
-    * local/1-row relation. Shared by the guard walk and the planted-probe
-    * mutation test so the predicate under test is the predicate in force.
+    * whitelisted grouped aggregate whose grouping references ONLY the
+    * declared dimension columns, a Limit, or a local/1-row relation.
+    * Shared by the guard walk and the planted-probe mutation tests so the
+    * predicate under test is the predicate in force.
     */
   private def boundedBelow(queryName: String,
       p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     p match {
       case a: Aggregate =>
-        a.groupingExpressions.isEmpty || groupedAggWindowOk.contains(queryName)
+        a.groupingExpressions.isEmpty ||
+          groupedAggWindowOk.get(queryName).exists { case (dims, _) =>
+            a.groupingExpressions.forall(_.references.forall(att => dims(att.name)))
+          }
       case _: GlobalLimit => true
       case _: LocalRelation | _: OneRowRelation => true
       case l if l.children.isEmpty => false
@@ -165,6 +175,15 @@ class QuerySmokeSpec extends AnyFunSuite {
     planted.foreach { w =>
       assert(!boundedBelow("planted_per_doc_probe", w.child),
         "guard accepted a per-doc aggregate under a global window")
+      // r12: the whitelist is (query, grouping-key)-granular — the SAME bad
+      // shape planted under every WHITELISTED query name must still fail,
+      // because groupBy(doc_id) references none of the declared dimension
+      // columns (the r11 verdict: name-granular whitelisting would wave it
+      // through)
+      groupedAggWindowOk.keys.foreach { listed =>
+        assert(!boundedBelow(listed, w.child),
+          s"guard accepted a per-doc aggregate smuggled into whitelisted query $listed")
+      }
     }
   }
 

@@ -28,6 +28,25 @@ class HtmlDocSpec extends AnyFunSuite {
     assert(doc.findAll("p", Set("z")).isEmpty)
   }
 
+  test("extra/reordered classes still match: subset semantics pinned where BS4 exact-string differs (r12)") {
+    // BS4's dict filter with a space-joined STRING matches the class
+    // attribute as an exact string — `class="b a"` or `class="a b extra"`
+    // would silently fall out of the reference's extraction. Subset
+    // matching is the deliberate, documented divergence (HtmlDoc.findAll
+    // scaladoc): real pages append/reorder classes freely; pin the intent
+    val doc = HtmlDoc.parse(
+      """<ul>
+        |<li class="a b">plain</li>
+        |<li class="b a">reordered</li>
+        |<li class="a b promoted">extra</li>
+        |<li class="a">short</li>
+        |</ul>""".stripMargin)
+    assert(doc.findAll("li", Set("a", "b")).map(_.textStripped)
+      == Seq("plain", "reordered", "extra"),
+      "subset matching must survive class reordering and additions")
+    assert(doc.findAll("li", Set("a")).length == 4)
+  }
+
   test("get_text(strip=True) semantics: stripped fragments concatenated") {
     val doc = HtmlDoc.parse("<p>  Sup<strong>erb</strong>\n  !  </p>")
     assert(doc.find("p").get.textStripped == "Superb!")
