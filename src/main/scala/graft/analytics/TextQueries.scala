@@ -652,8 +652,9 @@ object TextQueries {
     * winner union (merge_rank, pair, cnt) and the final rep table; both
     * memo-and-persisted per (session, dir) by the callers.
     */
-  private def bpeTrain(s: org.apache.spark.sql.SparkSession,
-                       dir: String): (DataFrame, DataFrame) = {
+  private[graft] def bpeTrain(s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      onRound: (Int, Double) => Unit = (_, _) => ()): (DataFrame, DataFrame) = {
     val vocab = vocabBase(s, dir)
     var v = vocab.withColumn("rep",
       concat(lit(BpeSS), array_join(filter(split(col("word"), ""), x => length(x) > 0), BpeSS), lit(BpeSS)))
@@ -662,12 +663,17 @@ object TextQueries {
     var r = 1
     var exhausted = false
     while (r <= BpeRounds && !exhausted) {
+      val t0 = System.nanoTime()
       val w = bpeWinner(v).localCheckpoint(true)
       if (w.isEmpty) exhausted = true
       else {
         val wr = w.select(lit(r).as("merge_rank"), col("pair"), col("cnt"))
         winners = Some(winners.fold(wr)(_.unionAll(wr)))
         v = bpeApply(v, w).localCheckpoint(true)
+        // measurement seam (the SpanW lesson: profile THE loop, not a
+        // copy) — BpeProfile prints the per-round walls the flat-cost
+        // claim is pinned with
+        onRound(r, (System.nanoTime() - t0) / 1e9)
         r += 1
       }
     }
