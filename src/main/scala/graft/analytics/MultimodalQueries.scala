@@ -258,6 +258,40 @@ object MultimodalQueries {
     Multimodal.imageHash(media).toDF()
   }
 
+  /** Image stats through the LOSSY container (r11 stretch ask #8): the
+    * fixtures are real baseline-sequential JFIF JPEGs (marker walk, DHT
+    * Huffman tables carried in-file, DC prediction, zigzag, byte
+    * stuffing, double-precision IDCT). Lossy codecs normally defeat seed
+    * oracles; the fixtures are 8×8-BLOCK-FLAT (jpegMedia) so every block
+    * decodes BIT-EXACT (its single DC coefficient is an exact integer
+    * through the all-ones quant table) and the oracle recomputes the
+    * stats from the block seed: n_px = 64·bw·bh, sum = 64·Σblocks,
+    * min/max over the block bytes. A Huffman, zigzag, DC-prediction or
+    * IDCT slip hash-mismatches.
+    */
+  val jpegStats: QueryDef = QueryDef(
+    "mm_jpeg_stats",
+    s"""WITH src AS (
+       |  SELECT doc_id, md5(text) || md5(text || 'a') || md5(text || 'b') AS hx,
+       |         doc_id // 3 AS m
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |dims AS (
+       |  SELECT doc_id, hx, 1 + CAST(m % 3 AS INTEGER) AS bw,
+       |         1 + CAST(m % 2 AS INTEGER) AS bh
+       |  FROM src),
+       |bx AS (
+       |  SELECT doc_id, bw, bh, [${byteAt("i")} for i in range(0, bw*bh)] AS bt
+       |  FROM dims)
+       |SELECT doc_id AS media_id, CAST(bw*8 AS INTEGER) AS width,
+       |  CAST(bh*8 AS INTEGER) AS height, CAST(bw*bh*64 AS INTEGER) AS n_px,
+       |  CAST(list_sum(bt)*64 AS BIGINT) AS sum_px,
+       |  CAST(list_min(bt) AS INTEGER) AS min_px,
+       |  CAST(list_max(bt) AS INTEGER) AS max_px
+       |FROM bx""".stripMargin) { (s, dir) =>
+    val media = Multimodal.jpegMedia(s, Tables.documents(s, dir))
+    Multimodal.imageStats(media).toDF()
+  }
+
   val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash,
-    imageStats, resizeGrid, mediaDedup, pngStats, pngHash)
+    imageStats, resizeGrid, mediaDedup, pngStats, pngHash, jpegStats)
 }

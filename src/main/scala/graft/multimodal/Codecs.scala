@@ -599,5 +599,367 @@ object Codecs {
   def decodeImage(bytes: Array[Byte]): GrayImage =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 8 && bytes(0) == PngSig(0) && bytes(1) == 'P') decodePng(bytes)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      decodeJpeg(bytes)
     else throw new IllegalArgumentException("unrecognized image container magic")
+
+  // ---- JPEG (baseline sequential, grayscale, ITU-T T.81) ----------------
+
+  /** The zigzag coefficient order of T.81 Figure 5 — GENERATED (diagonal
+    * walk, alternating direction) rather than transcribed; JpegSpec pins
+    * spot values against the published table. `ZigZag(k)` = the block
+    * index (row·8+col) of the k-th coefficient in scan order.
+    */
+  private[multimodal] val ZigZag: Array[Int] = {
+    val order = new Array[Int](64)
+    var i = 0
+    for (s <- 0 to 14) {
+      // odd diagonals walk down-left from (0,s), even walk up-right to (0,s)
+      val cells = (0 to s).map(k => if (s % 2 == 1) (k, s - k) else (s - k, k))
+      for ((r, c) <- cells if r < 8 && c < 8) { order(i) = r * 8 + c; i += 1 }
+    }
+    order
+  }
+
+  /** All-ones quantization table: stores the rounded DCT coefficients
+    * verbatim, so a FLAT block (the seeded fixtures' shape) round-trips
+    * BIT-EXACT — its only nonzero coefficient F(0,0) = 8·(mean−128) is an
+    * exact integer, and the single-coefficient IDCT is F/8 in doubles.
+    * Arbitrary content round-trips within the coefficient-rounding bound
+    * (JpegSpec measures it). Compression is not the point of q=1; the
+    * entropy pipeline (Huffman, zigzag, DC prediction, byte stuffing) is.
+    */
+  private val JQuant: Array[Int] = Array.fill(64)(1)
+
+  /** Custom canonical Huffman tables, EMITTED in DHT (the decoder builds
+    * whatever the file declares, so no dependence on transcribing Annex
+    * K's 162-entry table): DC = the 12 categories at 4 bits each; AC = EOB
+    * + ZRL + every (run 0–15, size 1–10) pair at 9 bits each (162 codes of
+    * 512 — canonical, never the all-ones code). Deliberately simple, not
+    * minimal: the file carries the tables, any decoder reconstructs them.
+    */
+  private val JDcSyms: Array[Int] = (0 to 11).toArray
+  private val JAcSyms: Array[Int] =
+    Array(0x00, 0xf0) ++ (for (run <- 0 to 15; size <- 1 to 10) yield (run << 4) | size)
+
+  /** Canonical code assignment (T.81 Annex C): symbols in huffval order
+    * get consecutive codes within ascending code length. Returns
+    * symbol → (code, length).
+    */
+  private def canonical(bits: Array[Int], huffval: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var n = bits(len - 1)
+      while (n > 0) {
+        out += huffval(k) -> (code, len)
+        code += 1; k += 1; n -= 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  private def jBits(syms: Array[Int], len: Int): Array[Int] = {
+    val b = new Array[Int](16); b(len - 1) = syms.length; b
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def write(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >>> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nbits > 0) { // pad with 1s (T.81 F.1.2.3)
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(acc & 0xff)
+      if ((acc & 0xff) == 0xff) out.write(0x00)
+      acc = 0; nbits = 0
+    }
+  }
+
+  private def jCos(a: Int, b: Int): Double =
+    math.cos((2 * a + 1) * b * math.Pi / 16)
+
+  private def jC(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+
+  /** Size category of a DC difference / AC value (bits needed). */
+  private def jCat(v: Int): Int = {
+    var a = math.abs(v); var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Encode gray pixels as a real baseline-sequential JFIF JPEG: SOI,
+    * APP0, DQT (all-ones), SOF0 (1 component, no subsampling), DHT ×2
+    * (the canonical tables above, carried in the file), SOS, the
+    * entropy-coded segment (DC prediction, zigzag run-length AC, byte
+    * stuffing, 1-padded flush), EOI. Dimensions need not be multiples of
+    * 8 — partial blocks pad by edge replication (so a flat block stays
+    * flat and the fixtures stay bit-exact).
+    */
+  def encodeJpeg(img: GrayImage): Array[Byte] = {
+    val w = img.width; val h = img.height
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      payload.foreach(v => out.write(v & 0xff))
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, 0 +: ZigZag.indices.map(k => JQuant(ZigZag(k))).toArray) // DQT, Pq=0 Tq=0
+    seg(0xc0, Array(8, (h >>> 8) & 0xff, h & 0xff, (w >>> 8) & 0xff, w & 0xff,
+      1, 1, 0x11, 0)) // SOF0: 1 component, 1x1 sampling, quant table 0
+    seg(0xc4, (0x00 +: (jBits(JDcSyms, 4) ++ JDcSyms)).toArray) // DHT DC class 0 id 0
+    seg(0xc4, (0x10 +: (jBits(JAcSyms, 9) ++ JAcSyms)).toArray) // DHT AC class 1 id 0
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS: component 1, DC 0 / AC 0
+    val dcCodes = canonical(jBits(JDcSyms, 4), JDcSyms)
+    val acCodes = canonical(jBits(JAcSyms, 9), JAcSyms)
+    val bw = new BitWriter(out)
+    def emit(codes: Map[Int, (Int, Int)], sym: Int): Unit = {
+      val (c, l) = codes(sym); bw.write(c, l)
+    }
+    def emitValue(v: Int, s: Int): Unit =
+      if (s > 0) bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
+    var prevDc = 0
+    val coef = new Array[Int](64)
+    var br = 0
+    while (br < (h + 7) / 8) {
+      var bc = 0
+      while (bc < (w + 7) / 8) {
+        // forward DCT of the (edge-replicated) block, quantized by 1
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var sum = 0.0
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val py = math.min(br * 8 + y, h - 1)
+                val px = math.min(bc * 8 + x, w - 1)
+                sum += (img.pixels(py * w + px) - 128) * jCos(x, v) * jCos(y, u)
+                x += 1
+              }
+              y += 1
+            }
+            val q = math.round(0.25 * jC(u) * jC(v) * sum).toInt
+            // baseline caps AC size categories at 10 (T.81 table limits);
+            // with q=1 an adversarial block can exceed ±1023 — clamp (a
+            // legal lossy choice; the flat fixtures' ACs are all zero)
+            coef(u * 8 + v) =
+              if (u == 0 && v == 0) q else math.max(-1023, math.min(1023, q))
+            v += 1
+          }
+          u += 1
+        }
+        val dc = coef(0)
+        val diff = dc - prevDc
+        prevDc = dc
+        val s = jCat(diff)
+        emit(dcCodes, s); emitValue(diff, s)
+        var k = 1
+        var run = 0
+        while (k < 64) {
+          val ac = coef(ZigZag(k))
+          if (ac == 0) run += 1
+          else {
+            while (run >= 16) { emit(acCodes, 0xf0); run -= 16 } // ZRL
+            val sz = jCat(ac)
+            emit(acCodes, (run << 4) | sz); emitValue(ac, sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) emit(acCodes, 0x00) // EOB
+        bc += 1
+      }
+      br += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Decode a baseline-sequential grayscale JFIF JPEG produced by any
+    * conforming encoder of this shape: marker walk (APP/COM skipped, DQT/
+    * DHT/SOF0/SOS honored, SOF2 progressive rejected), Huffman tables
+    * rebuilt canonically from DHT, entropy-coded segment read with byte
+    * unstuffing, DC prediction, dezigzag, dequantization, double-precision
+    * IDCT, level shift + clamp, crop to the SOF dimensions.
+    */
+  def decodeJpeg(bytes: Array[Byte]): GrayImage = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "not a JPEG: missing SOI")
+    var pos = 2
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16be(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    var quant: Array[Int] = null
+    // (class, id) → decode tables: maxcode/mincode/valptr per length
+    var huff = Map.empty[(Int, Int), (Array[Int], Array[Int], Array[Int], Array[Int])]
+    var w = -1; var h = -1
+    var dcSel = -1; var acSel = -1; var qSel = -1
+    var sosAt = -1
+    while (sosAt < 0) {
+      require(pos + 4 <= bytes.length, "truncated JPEG before SOS")
+      require(u8(pos) == 0xff, f"expected marker at $pos%d")
+      val m = u8(pos + 1)
+      val len = u16be(pos + 2)
+      val body = pos + 4
+      m match {
+        case 0xdb =>
+          require(u8(body) == 0x00, "only 8-bit quant table 0 supported")
+          quant = new Array[Int](64)
+          for (k <- 0 until 64) quant(ZigZag(k)) = u8(body + 1 + k)
+        case 0xc4 =>
+          var p = body
+          while (p < pos + 2 + len) {
+            val tc = u8(p) >> 4; val th = u8(p) & 0x0f
+            val bits = (1 to 16).map(i => u8(p + i)).toArray
+            val total = bits.sum
+            val vals = (0 until total).map(i => u8(p + 17 + i)).toArray
+            // canonical decode arrays (T.81 F.2.2.3)
+            val mincode = new Array[Int](17); val maxcode = new Array[Int](17)
+            val valptr = new Array[Int](17)
+            var code = 0; var k = 0
+            for (l <- 1 to 16) {
+              valptr(l) = k; mincode(l) = code
+              code += bits(l - 1); k += bits(l - 1)
+              maxcode(l) = code - 1
+              if (bits(l - 1) == 0) maxcode(l) = -1
+              code <<= 1
+            }
+            huff += (tc, th) -> (mincode, maxcode, valptr, vals)
+            p += 17 + total
+          }
+        case 0xc0 =>
+          require(u8(body) == 8, "only 8-bit precision supported")
+          h = u16be(body + 1); w = u16be(body + 3)
+          require(u8(body + 5) == 1, "only single-component (grayscale) supported")
+          require(u8(body + 7) == 0x11, "subsampling unsupported for grayscale")
+          qSel = u8(body + 8)
+        case 0xc2 => throw new IllegalArgumentException("progressive JPEG unsupported")
+        case 0xda =>
+          require(u8(body) == 1, "one scan component expected")
+          dcSel = u8(body + 2) >> 4; acSel = u8(body + 2) & 0x0f
+          sosAt = pos + 2 + len
+        case _ => () // APPn / COM / others: skip
+      }
+      pos += 2 + len
+    }
+    require(w > 0 && h > 0 && quant != null && qSel == 0, "incomplete JPEG headers")
+    val (dcMin, dcMax, dcPtr, dcVals) = huff((0, dcSel))
+    val (acMin, acMax, acPtr, acVals) = huff((1, acSel))
+    // entropy-coded bit reader with unstuffing; stops at any marker
+    var bp = sosAt
+    var acc = 0; var nbits = 0
+    def nextBit(): Int = {
+      if (nbits == 0) {
+        require(bp < bytes.length, "truncated entropy segment")
+        var b = u8(bp); bp += 1
+        if (b == 0xff) {
+          require(bp < bytes.length, "truncated stuffing")
+          val nx = u8(bp)
+          // 0xFF in entropy data must be stuffed; a marker here means the
+          // reader ran past the scan (restart intervals are unsupported)
+          require(nx == 0x00, f"marker 0xff$nx%02x inside entropy segment")
+          bp += 1
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >>> nbits) & 1
+    }
+    def decodeSym(mincode: Array[Int], maxcode: Array[Int], valptr: Array[Int],
+        vals: Array[Int]): Int = {
+      var code = nextBit()
+      var l = 1
+      while (l <= 16 && (maxcode(l) < 0 || code > maxcode(l))) {
+        code = (code << 1) | nextBit(); l += 1
+      }
+      require(l <= 16, "invalid Huffman code")
+      vals(valptr(l) + code - mincode(l))
+    }
+    def receive(s: Int): Int =
+      if (s == 0) 0
+      else {
+        var v = 0
+        for (_ <- 0 until s) v = (v << 1) | nextBit()
+        if (v < (1 << (s - 1))) v - (1 << s) + 1 else v // extend (F.2.2.1)
+      }
+    val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+    val px = new Array[Int](w * h)
+    val coef = new Array[Int](64)
+    var prevDc = 0
+    var br = 0
+    while (br < bh8) {
+      var bc = 0
+      while (bc < bw8) {
+        java.util.Arrays.fill(coef, 0)
+        val s = decodeSym(dcMin, dcMax, dcPtr, dcVals)
+        prevDc += receive(s)
+        coef(0) = prevDc * quant(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = decodeSym(acMin, acMax, acPtr, acVals)
+          val run = rs >> 4; val sz = rs & 0x0f
+          if (sz == 0) {
+            if (run == 15) k += 16 // ZRL
+            else eob = true        // EOB
+          } else {
+            k += run
+            require(k < 64, "AC run past block end")
+            coef(ZigZag(k)) = receive(sz) * quant(ZigZag(k))
+            k += 1
+          }
+        }
+        // IDCT (double, direct) + level shift + clamp, cropped to w×h
+        var y = 0
+        while (y < 8) {
+          val py = br * 8 + y
+          var x = 0
+          while (x < 8) {
+            val pxc = bc * 8 + x
+            if (py < h && pxc < w) {
+              var sum = 0.0
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                while (v < 8) {
+                  val f = coef(u * 8 + v)
+                  if (f != 0) sum += jC(u) * jC(v) * f * jCos(x, v) * jCos(y, u)
+                  v += 1
+                }
+                u += 1
+              }
+              val g = math.round(0.25 * sum).toInt + 128
+              px(py * w + pxc) = math.max(0, math.min(255, g))
+            }
+            x += 1
+          }
+          y += 1
+        }
+        bc += 1
+      }
+      br += 1
+    }
+    GrayImage(w, h, px)
+  }
 }

@@ -356,6 +356,33 @@ object Multimodal {
       })
   }
 
+  /** Build REAL baseline JPEGs from the image-kind documents — the LOSSY
+    * container, so the seeds are 8×8-BLOCK-FLAT images (w = 8·(1 + m%3),
+    * h = 8·(1 + m%2); block (i,j) is uniformly chain byte i·bw + j): a
+    * flat block's only nonzero DCT coefficient is the exact integer
+    * F(0,0) = 8·(value−128), which the all-ones quant table stores
+    * verbatim and the IDCT returns bit-exact — so the decode is EXACT and
+    * oracle-checkable even through a lossy codec, while still driving the
+    * whole entropy pipeline (DC prediction across blocks, Huffman, byte
+    * stuffing). Arbitrary-content fidelity is spec-tier (JpegSpec's
+    * roundtrip error bound).
+    */
+  def jpegMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val m = docId / 3
+        val bw = 1 + (m % 3).toInt
+        val bh = 1 + (m % 2).toInt
+        val blocks = md5Chain(text, bw * bh)
+        val w = bw * 8; val h = bh * 8
+        val px = Array.tabulate(w * h)(i => blocks((i / w / 8) * bw + (i % w / 8)))
+        MediaRecord(docId, "image", Codecs.encodeJpeg(Codecs.GrayImage(w, h, px)))
+      })
+  }
+
   /** Build REAL uncompressed AVI files from the video-kind documents
     * (doc_id ≡ 2 mod 3): w ∈ {3,5} (strides 12/16 — both row-padding
     * cases), h ∈ {2,3}, 3–5 frames (m = doc_id/3 varies all three), gray

@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Baseline-sequential JPEG (r11 stretch ask #8): the generated zigzag
+  * must BE the published T.81 scan, block-flat content must round-trip
+  * bit-exact (the oracle fixtures' contract), arbitrary content within
+  * the coefficient-rounding bound, and malformed input must fail loudly.
+  */
+class JpegSpec extends AnyFunSuite {
+
+  private def gray(w: Int, h: Int)(f: (Int, Int) => Int) =
+    Codecs.GrayImage(w, h, Array.tabulate(w * h)(i => f(i / w, i % w)))
+
+  private def rt(img: Codecs.GrayImage): Codecs.GrayImage =
+    Codecs.decodeJpeg(Codecs.encodeJpeg(img))
+
+  test("generated zigzag order matches the published T.81 scan (spot pins)") {
+    val z = Codecs.ZigZag
+    // first ten entries and the tail of the published table (row*8+col)
+    assert(z.take(10).toSeq == Seq(0, 1, 8, 16, 9, 2, 3, 10, 17, 24))
+    assert(z(63) == 63 && z(62) == 62 && z(61) == 55)
+    assert(z.toSet == (0 until 64).toSet, "zigzag must be a permutation")
+  }
+
+  test("block-flat images round-trip BIT-EXACT through the lossy container") {
+    // six blocks with distinct values including both extremes — the DC
+    // prediction chain carries nonzero diffs across every block
+    val vals = Array(0, 255, 128, 7, 200, 63)
+    val img = gray(24, 16)((r, c) => vals((r / 8) * 3 + (c / 8)))
+    val out = rt(img)
+    assert(out.width == 24 && out.height == 16)
+    assert(out.pixels.toSeq == img.pixels.toSeq,
+      "flat blocks must decode bit-exact (exact integer DC through q=1)")
+  }
+
+  test("arbitrary content round-trips within the coefficient-rounding bound") {
+    // deterministic pseudo-random pixels; with all-ones quant the only
+    // loss is coefficient rounding (|err per coef| <= 0.5) — the measured
+    // worst pixel error on this content is <= 2; pin a conservative 4
+    val img = gray(16, 16)((r, c) => (r * 31 + c * 17 + (r * c * 13) % 97) % 256)
+    val out = rt(img)
+    val worst = img.pixels.zip(out.pixels).map { case (a, b) => math.abs(a - b) }.max
+    assert(worst <= 4, s"roundtrip error $worst exceeds the rounding bound")
+  }
+
+  test("non-multiple-of-8 dims: edge-replicated padding, exact crop") {
+    val flat = gray(10, 6)((_, _) => 99)
+    val f = rt(flat)
+    assert(f.width == 10 && f.height == 6 && f.pixels.forall(_ == 99))
+    val img = gray(13, 9)((r, c) => (r * 29 + c * 41) % 256)
+    val out = rt(img)
+    assert(out.width == 13 && out.height == 9)
+    val worst = img.pixels.zip(out.pixels).map { case (a, b) => math.abs(a - b) }.max
+    assert(worst <= 4, s"cropped roundtrip error $worst")
+  }
+
+  test("entropy bytes are stuffed: some encoding contains 0xFF 0x00 and still decodes") {
+    // scan a handful of deterministic contents for a stuffed pair inside
+    // the entropy segment — proves the stuffing path runs, not just exists
+    val found = (0 until 8).exists { s =>
+      val img = gray(16, 16)((r, c) => (r * 37 + c * 11 + s * 53) % 256)
+      val bytes = Codecs.encodeJpeg(img)
+      Codecs.decodeJpeg(bytes) // must stay decodable
+      bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0x00)
+    }
+    assert(found, "no encoding produced a stuffed 0xFF — the stuffing path is untested")
+  }
+
+  test("malformed input fails loudly") {
+    intercept[IllegalArgumentException](Codecs.decodeJpeg(Array[Byte](1, 2, 3)))
+    val good = Codecs.encodeJpeg(gray(8, 8)((_, _) => 50))
+    intercept[Exception](Codecs.decodeJpeg(good.take(good.length / 2)))
+  }
+
+  test("decodeImage dispatches on the JPEG magic") {
+    val img = gray(8, 8)((r, c) => (r * 8 + c) / 8 * 32)
+    val viaDispatch = Codecs.decodeImage(Codecs.encodeJpeg(img))
+    assert(viaDispatch.width == 8 && viaDispatch.height == 8)
+  }
+}
