@@ -625,7 +625,7 @@ object TextQueries {
     * N-round loop — 10 — replacing the 3-round unroll; the oracle CTEs
     * generate programmatically over the same N).
     */
-  private[analytics] val BpeRounds = 10
+  private[graft] val BpeRounds = 10
 
   private def bpeOracleRound(r: Int): String = {
     val prev = if (r == 1) "v1" else s"v${r}"

@@ -170,40 +170,56 @@ class SqlCatalogSpec extends AnyFunSuite {
          |WHERE rank <= 10""".stripMargin)
   }
 
-  test("BPE train + apply written as SQL text matches tx_bpe_tokenize") {
-    // the 3 unrolled merge rounds, ported from the engine's own algorithm:
-    // boundary-safe replace over the char(31)-separated symbol encoding
+  test("BPE train + apply written as SQL matches tx_bpe_tokenize (iterative script)") {
+    // the 10 merge rounds as a SQL SCRIPT: each round is one SQL statement
+    // whose result MATERIALIZES (localCheckpoint — the CREATE TEMP TABLE AS
+    // of this harness) before the next references it. Materialization is
+    // load-bearing, not a convenience: temp VIEWS re-expand their text, and
+    // since both w_r and v_{r+1} reference v_r the inlined plan doubles per
+    // round — the 10-round pure-CTE form builds a 2^10-subtree plan (the
+    // engine loop checkpoints each round for exactly the same reason).
+    // Exhaustion rounds are LEFT-JOIN identity rewrites, mirroring bpeApply.
+    SqlCatalog.register(spark, sf)
     val SS = "char(31) || char(31)"
-    def round(r: Int): String = {
-      val prev = if (r == 1) "v1" else s"v$r"
-      s"""p$r AS (
-         |  SELECT element_at(s, i) || ' ' || element_at(s, i + 1) AS pair,
-         |         SUM(freq) AS cnt
-         |  FROM (SELECT freq, filter(split(rep, $SS), x -> x <> '') AS s FROM $prev)
-         |  LATERAL VIEW explode(sequence(1, size(s) - 1)) u AS i
-         |  WHERE size(s) >= 2
-         |  GROUP BY 1),
-         |w$r AS (SELECT pair FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-         |v${r + 1} AS (SELECT word, freq,
-         |  replace(rep, char(31) || replace(pair, ' ', $SS) || char(31),
-         |               char(31) || replace(pair, ' ', '') || char(31)) AS rep
-         |  FROM $prev, w$r)""".stripMargin
+    val n = graft.analytics.TextQueries.BpeRounds
+    def step(viewName: String, sqlText: String): Unit =
+      spark.sql(sqlText).localCheckpoint(true).createOrReplaceTempView(viewName)
+    try {
+      step("bpe_v1",
+        s"""SELECT word, COUNT(*) AS freq,
+           |  $SS || array_join(filter(split(word, ''), x -> length(x) > 0), $SS) || $SS AS rep
+           |FROM (SELECT explode(split(text, ' ')) AS word FROM documents)
+           |WHERE word <> '' GROUP BY word""".stripMargin)
+      for (r <- 1 to n) {
+        step(s"bpe_w$r",
+          s"""SELECT pair FROM (
+             |  SELECT element_at(s, i) || ' ' || element_at(s, i + 1) AS pair,
+             |         SUM(freq) AS cnt
+             |  FROM (SELECT freq, filter(split(rep, $SS), x -> x <> '') AS s FROM bpe_v$r)
+             |  LATERAL VIEW explode(sequence(1, size(s) - 1)) u AS i
+             |  WHERE size(s) >= 2
+             |  GROUP BY 1)
+             |ORDER BY cnt DESC, pair LIMIT 1""".stripMargin)
+        step(s"bpe_v${r + 1}",
+          s"""SELECT word, freq,
+             |  CASE WHEN pair IS NULL THEN rep
+             |       ELSE replace(rep, char(31) || replace(pair, ' ', $SS) || char(31),
+             |                    char(31) || replace(pair, ' ', '') || char(31)) END AS rep
+             |FROM bpe_v$r LEFT JOIN bpe_w$r ON true""".stripMargin)
+      }
+      parity("tx_bpe_tokenize",
+        s"""WITH vn AS (SELECT word,
+           |  size(filter(split(rep, $SS), x -> x <> '')) AS n_sym FROM bpe_v${n + 1}),
+           |wd AS (SELECT doc_id, explode(split(text, ' ')) AS word FROM documents),
+           |tok AS (SELECT doc_id, n_sym FROM wd JOIN vn USING (word) WHERE word <> '')
+           |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+           |  CAST(CAST(SUM(n_sym) AS DOUBLE) / COUNT(*) AS DOUBLE) AS tokens_per_word
+           |FROM tok GROUP BY doc_id""".stripMargin)
+    } finally {
+      for (r <- 1 to n + 1) {
+        spark.sql(s"DROP VIEW IF EXISTS bpe_v$r")
+        if (r <= n) spark.sql(s"DROP VIEW IF EXISTS bpe_w$r")
+      }
     }
-    parity("tx_bpe_tokenize",
-      s"""WITH words AS (SELECT explode(split(text, ' ')) AS word FROM documents),
-         |vocab AS (SELECT word, COUNT(*) AS freq FROM words WHERE word <> '' GROUP BY word),
-         |v1 AS (SELECT word, freq,
-         |  $SS || array_join(filter(split(word, ''), x -> length(x) > 0), $SS) || $SS AS rep
-         |  FROM vocab),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)},
-         |v4n AS (SELECT word,
-         |  size(filter(split(rep, $SS), x -> x <> '')) AS n_sym FROM v4),
-         |wd AS (SELECT doc_id, explode(split(text, ' ')) AS word FROM documents),
-         |tok AS (SELECT doc_id, n_sym FROM wd JOIN v4n USING (word) WHERE word <> '')
-         |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
-         |  CAST(CAST(SUM(n_sym) AS DOUBLE) / COUNT(*) AS DOUBLE) AS tokens_per_word
-         |FROM tok GROUP BY doc_id""".stripMargin)
   }
 }
