@@ -64,7 +64,8 @@ object SparkEntry {
     // contract: a daily job probes yesterday's index)
     "ann_ivf_lake" -> ((s, dir) => { AnnLake.ensureAnnLake(s, dir); () }),
     "ann_ivfpq_lake" -> ((s, dir) => { AnnLake.ensureAnnLake(s, dir); () }),
-    "ann_ivfpq_incr" -> ((s, dir) => { AnnLake.ensureAnnIncrLake(s, dir); () }))
+    "ann_ivfpq_incr" -> ((s, dir) => { AnnLake.ensureAnnIncrLake(s, dir); () }),
+    "ann_ivfpq_delete" -> ((s, dir) => { AnnLake.ensureAnnDeleteLake(s, dir); () }))
 
   /** Headline benchmark set — one-to-two representatives per tier, chosen
     * so the bench (a) covers every operator family, (b) finishes well

@@ -556,8 +556,14 @@ object AnnLake {
     * encoding/probing read everything — exactly what build-then-merge
     * produces, since both paths apply the same trained artifacts.
     */
-  val ivfpqIncr: QueryDef = QueryDef(
-    "ann_ivfpq_incr",
+  /** The slice-trained incremental-index oracle, parameterized by an extra
+    * predicate on the NEIGHBOR side of `scored` (empty for the plain
+    * incremental probe; the DELETE query excludes the dropped ids — a
+    * deleted vector exists only in the posting tables, so removing it from
+    * the oracle's candidate set is exactly what `deleteVectors` does to
+    * the lake).
+    */
+  private def incrOracleSql(scoredExtra: String): String =
     s"""WITH $VnCte,
        |vc AS MATERIALIZED (SELECT vec_id, en FROM vn WHERE vec_id % 5 <> 0),
        |iseed AS (SELECT vec_id AS cell, en AS ce FROM (
@@ -641,17 +647,54 @@ object AnnLake {
        |  JOIN cells cl ON cl.vec_id = cd.vec_id
        |  JOIN pcells pc ON pc.cell = cl.cell
        |$AdcJoinSql
-       |  WHERE cd.vec_id <> pc.probe_id AND a0.probe_id = pc.probe_id),
+       |  WHERE cd.vec_id <> pc.probe_id AND a0.probe_id = pc.probe_id$scoredExtra),
        |short AS MATERIALIZED (
        |  SELECT probe_id, neighbor_id FROM (
        |    SELECT probe_id, neighbor_id,
        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, neighbor_id) AS rn
        |    FROM scored) t
        |  WHERE rn <= $Refine),
-       |$RefineSql""".stripMargin) { (s, dir) =>
+       |$RefineSql""".stripMargin
+
+  val ivfpqIncr: QueryDef = QueryDef(
+    "ann_ivfpq_incr", incrOracleSql("")) { (s, dir) =>
     val h = ensureAnnIncrLake(s, dir)
     lakeIvfPqSearch(s, dir, h.sinks, nprobeFor(h.cells))
   }
 
-  val defs: Seq[QueryDef] = Seq(ivfLake, ivfpqLake, ivfpqIncr)
+  /** Every DelMod-th vector is dropped after the incremental build — the
+    * upstream-dedup shape the DELETE path exists for. 11 hits both slice
+    * and batch ids (and probe 0), so the drop exercises trained cells,
+    * appended postings and the probe set alike.
+    */
+  private val DelMod = 11
+
+  private val delIdx = new VersionedMemo[IndexHandle](
+    h => sinkTables(h.sinks), (s, h) => deriveHandle(s, h.sinks))
+
+  private[graft] def ensureAnnDeleteLake(s: SparkSession, dir: String): IndexHandle =
+    delIdx.get(s, dir) {
+      val (sk, _) = buildSliceIndex(s, dir, "graft_ann_delq")
+      appendBatch(s, sk, normalized(s, dir).filter(col("vec_id") % 5 === 0))
+      deleteVectors(s, sk,
+        normalized(s, dir).filter(col("vec_id") % DelMod === 0).select("vec_id", "en"))
+      deriveHandle(s, sk)
+    }
+
+  /** The DELETE path oracle-checked end-to-end (r12 — elevates E125 from
+    * spec-tier): build the incremental index, MERGE the daily batch, then
+    * DELETE every DelMod-th vector from the postings and probe. The oracle
+    * is the incremental oracle with the dropped ids excluded from the
+    * candidate set — precisely the effect of removing them from the member
+    * and code posting arrays; probes, centroids and codebooks are
+    * untouched, exactly as in the live path.
+    */
+  val ivfpqDelete: QueryDef = QueryDef(
+    "ann_ivfpq_delete",
+    incrOracleSql(s" AND cd.vec_id % $DelMod <> 0")) { (s, dir) =>
+    val h = ensureAnnDeleteLake(s, dir)
+    lakeIvfPqSearch(s, dir, h.sinks, nprobeFor(h.cells))
+  }
+
+  val defs: Seq[QueryDef] = Seq(ivfLake, ivfpqLake, ivfpqIncr, ivfpqDelete)
 }

@@ -70,7 +70,8 @@ class QuerySmokeSpec extends AnyFunSuite {
       // the lake ANN probes embed the same |probes|×|cells| centroid
       // assignment broadcast as their whitelisted in-plan originals; the
       // data-sized side is the manifest-pruned posting read
-      "ann_ivf_lake", "ann_ivfpq_lake", "ann_ivfpq_incr")
+      "ann_ivf_lake", "ann_ivfpq_lake", "ann_ivfpq_incr",
+      "ann_ivfpq_delete") // same lake probe plan after the posting delete
   private val sideEffecting = Set(
     "ev_stream_exactly_once", "ev_stateful_state",
     "k1_sink_idempotence", "k4_null_key_sink",
