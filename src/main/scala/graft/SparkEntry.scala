@@ -65,7 +65,8 @@ object SparkEntry {
     "ann_ivf_lake" -> ((s, dir) => { AnnLake.ensureAnnLake(s, dir); () }),
     "ann_ivfpq_lake" -> ((s, dir) => { AnnLake.ensureAnnLake(s, dir); () }),
     "ann_ivfpq_incr" -> ((s, dir) => { AnnLake.ensureAnnIncrLake(s, dir); () }),
-    "ann_ivfpq_delete" -> ((s, dir) => { AnnLake.ensureAnnDeleteLake(s, dir); () }))
+    "ann_ivfpq_delete" -> ((s, dir) => { AnnLake.ensureAnnDeleteLake(s, dir); () }),
+    "tx_bpe_incr_lake" -> ((s, dir) => { TextQueries.ensureBpeLake(s, dir); () }))
 
   /** Headline benchmark set — one-to-two representatives per tier, chosen
     * so the bench (a) covers every operator family, (b) finishes well

@@ -830,8 +830,78 @@ object TextQueries {
           .as("tokens_per_word"))
   }
 
+  // --- lake-persisted tokenizer + incremental batch tokenization -----------
+
+  /** The trained tokenizer as LAKE TABLES (the r11 lesson applied to the
+    * last process-local trained artifact: the ANN index moved to MergeSink
+    * storage in r11; the BPE winner list and final word→rep table follow
+    * in r12): `winners` keyed by merge_rank (the merge recipe a tokenizer
+    * SERVICE ships), `reps` keyed by word with SMALL files so a batch
+    * probe's manifest pruning is a real subset. Version-keyed memo like
+    * every ensure* sibling.
+    */
+  private val bpeLake = VersionedMemo.paths[(String, String)](v => Seq(v._1, v._2))
+
+  private[graft] def ensureBpeLake(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): (String, String) =
+    bpeLake.get(s, dir) {
+      val base = Staging.freshBase("graft_bpe", dir).getPath
+      val winners = s"$base/winners"; val reps = s"$base/reps"
+      val (w, v) = bpeTrain(s, dir)
+      graft.ingest.MergeSink.merge(s, winners, w,
+        Seq("merge_rank"), Seq(col("merge_rank")), targetFileRows = 16)
+      graft.ingest.MergeSink.merge(s, reps, v.select("word", "rep"),
+        Seq("word"), Seq(col("word")), targetFileRows = 8)
+      (winners, reps)
+    }
+
+  /** INCREMENTAL batch tokenization against the PERSISTED tokenizer — the
+    * daily-ingest form of tx_bpe_tokenize (the dd_incr_* convention): the
+    * arriving batch (doc_id % 5 = 0, the standing split) tokenizes by
+    * probing the word-keyed rep LAKE table through `readOverlapping`, so
+    * the read is manifest-pruned to the files covering the BATCH'S
+    * vocabulary — no retrain, no corpus re-read, the trained artifact is
+    * storage another session/process reads as-is. On this synthetic corpus
+    * the batch shares the full vocabulary so the prune degenerates to most
+    * files (honest note); the narrow-probe spec pins the pruning with a
+    * 1-word probe, the standard lake pin. Oracle: the full tokenize
+    * dataflow restricted to the batch docs — persistence must be invisible.
+    */
+  val bpeIncrLake: QueryDef = QueryDef(
+    "tx_bpe_incr_lake",
+    s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |vocab AS (SELECT word, COUNT(*) AS freq FROM words WHERE word <> '' GROUP BY word),
+       |v1 AS MATERIALIZED (SELECT word, freq,
+       |  chr(31)||chr(31) || array_to_string(string_split(word, ''), chr(31)||chr(31)) || chr(31)||chr(31) AS rep
+       |  FROM vocab),
+       |${(1 to BpeRounds).map(bpeOracleRound).mkString(",\n")},
+       |wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       |       WHERE doc_id % 5 = 0),
+       |tok AS (
+       |  SELECT doc_id, len(list_filter(string_split(rep, chr(31)||chr(31)), x -> x <> '')) AS n_sym
+       |  FROM wd JOIN v${BpeRounds + 1} USING (word) WHERE word <> '')
+       |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(n_sym) AS BIGINT) AS n_tokens,
+       |  CAST(CAST(SUM(n_sym) AS DOUBLE) / COUNT(*) AS DOUBLE) AS tokens_per_word
+       |FROM tok GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val (_, repsSink) = ensureBpeLake(s, dir)
+    val batchWords = Tables.documents(s, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val reps = graft.ingest.MergeSink
+      .readOverlapping(s, repsSink, batchWords.select("word"), Seq("word"))
+      .select(col("word"),
+        size(filter(split(col("rep"), BpeSS), x => length(x) > 0)).as("n_sym"))
+    batchWords.join(reps, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sym").cast("long").as("n_tokens"),
+        (sum("n_sym").cast(DoubleType) / count(lit(1))).cast(DoubleType)
+          .as("tokens_per_word"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(qualityScore, langId, tokenCount, fingerprint, rollingHash, sentiment,
       corpusFilter, bm25Rank, editDist, repetition, ngramNovelty, familiarity,
-      bpeMerge, tfidfKeywords, bpeTokenize, rrfHybrid)
+      bpeMerge, tfidfKeywords, bpeTokenize, rrfHybrid, bpeIncrLake)
 }

@@ -59,6 +59,27 @@ class BpeMergeSpec extends AnyFunSuite {
       "boundary/overlap winners drifted, or exhaustion emitted phantom rounds")
   }
 
+  test("lake tokenizer: the incremental batch probe equals in-plan tokenize; narrow probes prune (r12)") {
+    val sf = "/root/testdata/sf0.01"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // persistence must be invisible: the manifest-pruned lake probe equals
+    // the in-plan tokenize restricted to the batch docs
+    val viaLake = rows(TextQueries.bpeIncrLake.fn(spark, sf))
+    val viaPlan = rows(TextQueries.bpeTokenize.fn(spark, sf)
+      .filter(col("doc_id") % 5 === 0))
+    assert(viaLake.nonEmpty && viaLake == viaPlan,
+      s"lake batch tokenization diverges (${viaLake.size} vs ${viaPlan.size})")
+    // the word-keyed rep table spans files and a narrow probe prunes
+    val (_, repsSink) = TextQueries.ensureBpeLake(spark, sf)
+    val all = graft.ingest.MergeSink.read(spark, repsSink)
+    assert(all.inputFiles.length > 2, "rep table must span several files")
+    val probed = graft.ingest.MergeSink.readOverlapping(spark, repsSink,
+      all.select("word").limit(1), Seq("word"))
+    assert(probed.inputFiles.nonEmpty && probed.inputFiles.length < all.inputFiles.length,
+      "narrow rep probe opened every file")
+  }
+
   test("merge result is invariant under input repartitioning") {
     val a = TextQueries.bpeMerge.fn(spark, dir).collect().toSet
     val b = TextQueries.bpeMerge.fn(spark, dir).collect().toSet
