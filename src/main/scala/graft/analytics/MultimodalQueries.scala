@@ -269,8 +269,11 @@ object MultimodalQueries {
     * min/max over the block bytes. A Huffman, zigzag, DC-prediction or
     * IDCT slip hash-mismatches.
     */
-  val jpegStats: QueryDef = QueryDef(
-    "mm_jpeg_stats",
+  /** Shared oracle prefix reconstructing the JPEG fixtures' BLOCK bytes
+    * from the generation seed (jpegMedia: bw = 1 + m%3 blocks wide,
+    * bh = 1 + m%2 high, block (i,j) uniformly chain byte i·bw + j).
+    */
+  private val jpegBlocksCte: String =
     s"""WITH src AS (
        |  SELECT doc_id, md5(text) || md5(text || 'a') || md5(text || 'b') AS hx,
        |         doc_id // 3 AS m
@@ -281,7 +284,11 @@ object MultimodalQueries {
        |  FROM src),
        |bx AS (
        |  SELECT doc_id, bw, bh, [${byteAt("i")} for i in range(0, bw*bh)] AS bt
-       |  FROM dims)
+       |  FROM dims)""".stripMargin
+
+  val jpegStats: QueryDef = QueryDef(
+    "mm_jpeg_stats",
+    s"""$jpegBlocksCte
        |SELECT doc_id AS media_id, CAST(bw*8 AS INTEGER) AS width,
        |  CAST(bh*8 AS INTEGER) AS height, CAST(bw*bh*64 AS INTEGER) AS n_px,
        |  CAST(list_sum(bt)*64 AS BIGINT) AS sum_px,
@@ -292,6 +299,35 @@ object MultimodalQueries {
     Multimodal.imageStats(media).toDF()
   }
 
+  /** Perceptual aHash through the LOSSY container — mm_avg_hash's
+    * fingerprint recovered from decoded JPEG pixels (the PNG-precedent
+    * container-independence proof for the dedup path). The oracle expands
+    * the block seed to the full pixel grid (pixel (r,c) = block byte
+    * (r/8)·bw + c/8 — exact because the flat blocks decode bit-exact),
+    * then mirrors aHashBits: the mean runs over ALL n pixels, the code
+    * over the first min(n, 64) bits.
+    */
+  val jpegHash: QueryDef = QueryDef(
+    "mm_jpeg_hash",
+    s"""$jpegBlocksCte,
+       |px AS (
+       |  SELECT doc_id,
+       |    [bt[((i // (bw*8)) // 8) * bw + ((i % (bw*8)) // 8) + 1]
+       |     for i in range(0, bw*8*bh*8)] AS pt
+       |  FROM bx),
+       |t AS (SELECT doc_id, pt, len(pt) AS n, list_sum(pt) AS total FROM px)
+       |SELECT doc_id AS media_id,
+       |  CAST(list_sum([CASE WHEN pt[i+1]*n > total THEN
+       |                   CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+       |                        ELSE CAST(CAST(1 AS BIGINT) << i AS HUGEINT) END
+       |                 ELSE CAST(0 AS HUGEINT) END
+       |                 for i in range(0, least(n, 64))]) AS BIGINT) AS code,
+       |  CAST(len(list_filter(range(0, least(n, 64)), i -> pt[i+1]*n > total)) AS INTEGER) AS n_set
+       |FROM t""".stripMargin) { (s, dir) =>
+    val media = Multimodal.jpegMedia(s, Tables.documents(s, dir))
+    Multimodal.imageHash(media).toDF()
+  }
+
   val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash,
-    imageStats, resizeGrid, mediaDedup, pngStats, pngHash, jpegStats)
+    imageStats, resizeGrid, mediaDedup, pngStats, pngHash, jpegStats, jpegHash)
 }

@@ -78,6 +78,16 @@ class BpeMergeSpec extends AnyFunSuite {
       all.select("word").limit(1), Seq("word"))
     assert(probed.inputFiles.nonEmpty && probed.inputFiles.length < all.inputFiles.length,
       "narrow rep probe opened every file")
+    // the winners table is the SHIPPED merge recipe, not a write-only
+    // artifact: it must round-trip to exactly tx_bpe_merge's output
+    val (winnersSink, _) = TextQueries.ensureBpeLake(spark, sf)
+    val viaWinnersLake = graft.ingest.MergeSink.read(spark, winnersSink)
+      .collect().map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("pair"),
+        r.getAs[Long]("cnt"))).toSet
+    val viaMerge = TextQueries.bpeMerge.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(3))).toSet
+    assert(viaWinnersLake.nonEmpty && viaWinnersLake == viaMerge,
+      "persisted winner recipe diverges from the live merge query")
   }
 
   test("merge result is invariant under input repartitioning") {
