@@ -709,9 +709,10 @@ object Codecs {
     * 8 — partial blocks pad by edge replication (so a flat block stays
     * flat and the fixtures stay bit-exact).
     */
-  def encodeJpeg(img: GrayImage): Array[Byte] = {
+  def encodeJpeg(img: GrayImage, restartInterval: Int = 0): Array[Byte] = {
     val w = img.width; val h = img.height
     require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff)
+    require(restartInterval >= 0 && restartInterval <= 0xffff)
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, payload: Array[Int]): Unit = {
@@ -727,6 +728,8 @@ object Codecs {
       1, 1, 0x11, 0)) // SOF0: 1 component, 1x1 sampling, quant table 0
     seg(0xc4, (0x00 +: (jBits(JDcSyms, 4) ++ JDcSyms)).toArray) // DHT DC class 0 id 0
     seg(0xc4, (0x10 +: (jBits(JAcSyms, 9) ++ JAcSyms)).toArray) // DHT AC class 1 id 0
+    if (restartInterval > 0) // DRI: RSTn every restartInterval MCUs
+      seg(0xdd, Array((restartInterval >>> 8) & 0xff, restartInterval & 0xff))
     seg(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS: component 1, DC 0 / AC 0
     val dcCodes = canonical(jBits(JDcSyms, 4), JDcSyms)
     val acCodes = canonical(jBits(JAcSyms, 9), JAcSyms)
@@ -738,10 +741,22 @@ object Codecs {
       if (s > 0) bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
     var prevDc = 0
     val coef = new Array[Int](64)
+    val totalMcus = ((h + 7) / 8) * ((w + 7) / 8)
+    var mcu = 0
+    var rst = 0
     var br = 0
     while (br < (h + 7) / 8) {
       var bc = 0
       while (bc < (w + 7) / 8) {
+        // a restart marker precedes every interval-th MCU (T.81 E.1.4):
+        // byte-align the entropy stream, emit RSTm (m cycling 0..7), and
+        // reset the DC predictor — the decoder resynchronizes on it
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          out.write(0xff); out.write(0xd0 | rst)
+          rst = (rst + 1) % 8
+          prevDc = 0
+        }
         // forward DCT of the (edge-replicated) block, quantized by 1
         var u = 0
         while (u < 8) {
@@ -788,10 +803,12 @@ object Codecs {
           k += 1
         }
         if (run > 0) emit(acCodes, 0x00) // EOB
+        mcu += 1
         bc += 1
       }
       br += 1
     }
+    require(mcu == totalMcus)
     bw.flush()
     marker(0xd9) // EOI
     out.toByteArray
@@ -815,6 +832,7 @@ object Codecs {
     var huff = Map.empty[(Int, Int), (Array[Int], Array[Int], Array[Int], Array[Int])]
     var w = -1; var h = -1
     var dcSel = -1; var acSel = -1; var qSel = -1
+    var restartInterval = 0
     var sosAt = -1
     while (sosAt < 0) {
       require(pos + 4 <= bytes.length, "truncated JPEG before SOS")
@@ -855,6 +873,7 @@ object Codecs {
           require(u8(body + 7) == 0x11, "subsampling unsupported for grayscale")
           qSel = u8(body + 8)
         case 0xc2 => throw new IllegalArgumentException("progressive JPEG unsupported")
+        case 0xdd => restartInterval = u16be(body)
         case 0xda =>
           require(u8(body) == 1, "one scan component expected")
           dcSel = u8(body + 2) >> 4; acSel = u8(body + 2) & 0x0f
@@ -903,14 +922,31 @@ object Codecs {
         for (_ <- 0 until s) v = (v << 1) | nextBit()
         if (v < (1 << (s - 1))) v - (1 << s) + 1 else v // extend (F.2.2.1)
       }
+    // byte-align and consume the expected RSTm (T.81 E.1.4): remaining
+    // pad bits of the current byte drop, the marker must be the cycling
+    // index, and the DC predictor resets with it
+    def expectRestart(idx: Int): Unit = {
+      nbits = 0
+      require(bp + 1 < bytes.length, "truncated before restart marker")
+      require(u8(bp) == 0xff && u8(bp + 1) == (0xd0 | (idx % 8)),
+        f"expected RST${idx % 8}%d at offset $bp%d, saw 0x${u8(bp)}%02x${u8(bp + 1)}%02x")
+      bp += 2
+    }
     val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
     val px = new Array[Int](w * h)
     val coef = new Array[Int](64)
     var prevDc = 0
+    var mcu = 0
+    var rst = 0
     var br = 0
     while (br < bh8) {
       var bc = 0
       while (bc < bw8) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          expectRestart(rst)
+          rst = (rst + 1) % 8
+          prevDc = 0
+        }
         java.util.Arrays.fill(coef, 0)
         val s = decodeSym(dcMin, dcMax, dcPtr, dcVals)
         prevDc += receive(s)
@@ -956,6 +992,7 @@ object Codecs {
           }
           y += 1
         }
+        mcu += 1
         bc += 1
       }
       br += 1

@@ -67,6 +67,40 @@ class JpegSpec extends AnyFunSuite {
     assert(found, "no encoding produced a stuffed 0xFF — the stuffing path is untested")
   }
 
+  test("restart intervals: DRI + cycling RSTn round-trip, DC prediction resets per segment") {
+    // 6 MCUs at interval 2 → RST0 after MCU 2, RST1 after MCU 4 (never
+    // after the last); distinct block values make each segment's DC
+    // prediction reset observable (a decoder that fails to reset prevDc
+    // mis-decodes every block after the first marker)
+    val vals = Array(0, 255, 128, 7, 200, 63)
+    val img = gray(24, 16)((r, c) => vals((r / 8) * 3 + (c / 8)))
+    val bytes = Codecs.encodeJpeg(img, restartInterval = 2)
+    def count(m: Int) = bytes.sliding(2).count(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(count(0xdd) >= 1, "DRI segment missing")
+    assert(count(0xd0) == 1 && count(0xd1) == 1 && count(0xd2) == 0,
+      "RST markers must cycle and never trail the last MCU")
+    val out = Codecs.decodeJpeg(bytes)
+    assert(out.pixels.toSeq == img.pixels.toSeq,
+      "restart-segmented flat blocks must stay bit-exact")
+    // arbitrary content at interval 1 (a marker before every MCU but the first)
+    val img2 = gray(16, 16)((r, c) => (r * 31 + c * 17 + (r * c * 13) % 97) % 256)
+    val out2 = Codecs.decodeJpeg(Codecs.encodeJpeg(img2, restartInterval = 1))
+    val worst = img2.pixels.zip(out2.pixels).map { case (a, b) => math.abs(a - b) }.max
+    assert(worst <= 4, s"restart roundtrip error $worst")
+  }
+
+  test("a wrong restart index fails loudly (resynchronization is checked, not skipped)") {
+    val img = gray(24, 8)((_, c) => c * 10)
+    val bytes = Codecs.encodeJpeg(img, restartInterval = 1)
+    // corrupt the FIRST restart marker's index (RST0 -> RST5)
+    val i = bytes.sliding(2).indexWhere(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd0)
+    assert(i > 0, "no RST0 found to corrupt")
+    val bad = bytes.clone(); bad(i + 1) = 0xd5.toByte
+    intercept[IllegalArgumentException](Codecs.decodeJpeg(bad))
+  }
+
   test("malformed input fails loudly") {
     intercept[IllegalArgumentException](Codecs.decodeJpeg(Array[Byte](1, 2, 3)))
     val good = Codecs.encodeJpeg(gray(8, 8)((_, _) => 50))
