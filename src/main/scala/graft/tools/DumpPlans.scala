@@ -332,7 +332,24 @@ object DumpPlans {
       """Image stats through the COMPRESSED container: one documents scan,
         |PNG encode/decode inside mapPartitions (CRC-checked chunk walk,
         |multi-IDAT Inflater, all five scanline filters) — per-doc work,
-        |no shuffle until the implicit output collect.""".stripMargin)
+        |no shuffle until the implicit output collect.""".stripMargin,
+    "ann_ivfpq_delete" ->
+      """The probe AFTER the posting DELETE (r12): the plan is
+        |ann_ivfpq_incr's — manifest-pruned salted posting reads, broadcast
+        |read-back codebook, cell-bounded shortlist, exact refine — because
+        |the delete happened to STORAGE (array_except / lambda-filter over
+        |the touched files only, OCC-pinned commit), not to the query. A
+        |dropped vector is simply absent from the posting arrays the
+        |FileScan returns; nothing in-plan filters it.""".stripMargin,
+    "tx_bpe_incr_lake" ->
+      """Incremental batch tokenization against the PERSISTED tokenizer:
+        |the batch docs scan prunes on doc_id % 5 (one pruned documents
+        |pass), the word→rep side is a FileScan of the manifest-pruned
+        |subset of the rep lake table (readOverlapping on the batch's word
+        |digests), joined word-sharded and rolled up per doc. NO training
+        |in-plan: the 10 merge rounds ran once at build and live in
+        |storage — at 100 TB a daily tokenize reads O(batch ∪ its
+        |vocabulary files), never the corpus.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
