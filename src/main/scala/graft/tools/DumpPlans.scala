@@ -122,17 +122,16 @@ object DumpPlans {
         |(doc-sized state). PlanContractSpec pins the two-scan + partial-agg
         |shape.""".stripMargin,
     "tx_bpe_merge" ->
-      """BPE vocabulary induction (E71). The corpus-sized pass is the vocab
-        |construction, materialized ONCE through the per-(session, dir) persisted
-        |word table — every FileScan in this dump sits INSIDE an
-        |InMemoryTableScan's cache-materialization subtree (the unrolled-round
-        |formulation without the cache re-derived v1 along every branch: 7 full
-        |corpus scans measured, growing 2^rounds−1). The three rounds are
-        |vocab-sized: pair Generate → partial-aggregated HashAggregate on the
-        |pair key → the 1-row winner TakeOrderedAndProject broadcast back via
-        |BroadcastNestedLoopJoin (1-row × vocab, the bm25/familiarity stats-row
-        |shape) → the boundary-safe replace projection. Dump trimmed to the
-        |first round's structure — rounds 2/3 repeat it over the cached table.""".stripMargin,
+      """BPE vocabulary induction (E71, r12: 10 trained rounds). The declared
+        |query is a READ: an InMemoryTableScan over the persisted winner
+        |union, whose branches are localCheckpointed RDD scans — one 1-row
+        |checkpoint per training round (the dd_components iteration pattern;
+        |per-round cost measured flat in BASELINE r12). ZERO documents
+        |FileScans appear anywhere in this plan (PlanContractSpec pins it):
+        |training — the single corpus word-count pass plus vocab-sized pair
+        |counts, winner broadcasts and rewrites — ran ONCE behind the
+        |per-(session, dir) cache; at the lake the same artifacts persist as
+        |MergeSink tables (tx_bpe_incr_lake's probe side).""".stripMargin,
     "ev_funnel" ->
       """Ordered conversion funnel (E78). The contract this plan proves: ONE
         |events scan feeding ONE exchange on user_id; the per-type timestamp
