@@ -859,6 +859,63 @@ object DedupQueries {
       sink
     }
 
+  /** DELETE documents from the incremental-dedup LAKE tables (r12 — the
+    * AnnLake.deleteVectors logic applied to this tier: a doc dropped by
+    * upstream curation must leave the index, or every later daily probe
+    * keeps matching a curated-away doc):
+    *
+    *  - BAND POSTINGS (band_key → doc_ids): the dropped docs' band keys
+    *    recompute through the same `bandTable` dataflow that inserted
+    *    them, the touched posting rows read manifest-pruned
+    *    (`readOverlapping`) and the arrays `array_except` in place —
+    *    O(dropped docs' bands) files, never the table; the commit pins
+    *    `expectedVersion` and retries on conflict (the appendPostings OCC
+    *    loop), and a row whose members empty out stays as an empty-array
+    *    row probes explode to nothing.
+    *  - the doc-keyed SHINGLE table: a plain MergeSink row DELETE (k14's
+    *    copy-on-write, file-skipping machinery).
+    *
+    * Deliberately NOT covered: the window-SET tables (`ensureSpanSink`,
+    * `ensureSubstrSink`). They store the corpus DISTINCT window set, and a
+    * window the dropped doc SHARED with a surviving doc must survive — so
+    * "delete the doc's windows" is semantically WRONG there, not merely
+    * unimplemented; doc deletion needs per-window refcounts (a
+    * (key, count) posting maintained by the same read-modify-write), to be
+    * wired when an operator needs it. Re-deleting the same ids is a
+    * content no-op throughout.
+    */
+  private[graft] def deleteDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String, dropIds: DataFrame): Unit = {
+    val bandSink = ensureBandSink(s, dir)
+    val shingleSink = ensureShingleSink(s, dir)
+    val drop = dropIds.select(col("doc_id")).distinct().localCheckpoint(true)
+    val keyed = bandTable(s, dir).join(drop, Seq("doc_id"))
+      .groupBy("band_key").agg(collect_set(col("doc_id")).as("__drop"))
+      .localCheckpoint(true) // reused by every OCC retry
+    var tries = 0
+    var committed = false
+    while (!committed && tries < 8) {
+      val readV = MergeSink.versions(bandSink).last
+      val old = MergeSink.readOverlapping(s, bandSink,
+        keyed.select("band_key"), Seq("band_key"))
+      // inner join: rewrite ONLY the keyed rows; same-file neighbors
+      // survive through merge's copy-on-write untouched
+      val updated = old.join(keyed, Seq("band_key"))
+        .select(col("band_key"),
+          array_except(col("doc_ids"), col("__drop")).as("doc_ids"))
+      try {
+        MergeSink.merge(s, bandSink, updated, Seq("band_key"),
+          Seq(col("band_key")), targetFileRows = 256,
+          expectedVersion = Some(readV))
+        committed = true
+      } catch { case _: MergeSink.ReadConflictException => tries += 1 }
+    }
+    if (!committed) throw new IllegalStateException(
+      s"deleteDocs lost $tries read-validate races at $bandSink")
+    MergeSink.delete(s, shingleSink, drop, Seq("doc_id"), targetFileRows = 64)
+    ()
+  }
+
   /** dd_incr_lsh with the corpus side read from the LAKE (the r8 verdict's
     * ask #5): the corpus band table is a PRECOMPUTED MergeSink posting
     * table (band_key → sorted doc_ids, the InvertedIndex pattern),
