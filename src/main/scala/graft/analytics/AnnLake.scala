@@ -219,17 +219,15 @@ object AnnLake {
     // materialized once: every validate-retry reuses the batch postings,
     // only the read-combine-merge re-executes (the addDocs shape)
     val fresh = fresh0.localCheckpoint(true)
-    var tries = 0
-    while (tries < maxRetries) {
-      // Concurrency: this is a read-modify-write and MergeSink's CAS only
-      // serializes the WRITES — a racing appender (streamMaintain plus a
-      // daily appendBatch, or two maintainers) committing between our
-      // postings read and our commit would have its members silently
-      // dropped by our stale union. So the read version is pinned via
-      // merge's expectedVersion: any advance past it ABORTS before commit
-      // (ReadConflictException) and the whole read-union-merge retries
-      // against the new state — InvertedIndex.addDocs' OCC loop.
-      val readV = MergeSink.versions(sink).last
+    // Concurrency: this is a read-modify-write and MergeSink's CAS only
+    // serializes the WRITES — a racing appender (streamMaintain plus a
+    // daily appendBatch, or two maintainers) committing between our
+    // postings read and our commit would have its members silently
+    // dropped by our stale union. So the read version is pinned via
+    // merge's expectedVersion inside the shared occRetry loop: any
+    // advance past it ABORTS before commit (ReadConflictException) and
+    // the whole read-union-merge retries against the new state.
+    MergeSink.occRetry(sink, "appendPostings", maxRetries) { readV =>
       // test seam: parks this writer between its version read and its
       // commit so a spec can land a racing append first (the deterministic
       // lost-update reproduction). Production callers leave the default.
@@ -242,15 +240,11 @@ object AnnLake {
           when(col("__old").isNull, col(payload))
             .otherwise(sort_array(array_distinct(concat(col("__old"), col(payload)))))
             .as(payload))
-      try {
-        MergeSink.merge(s, sink, updated, Seq("cell", "salt"),
-          Seq(col("cell"), col("salt")), targetFileRows = PostingFileRows,
-          expectedVersion = Some(readV))
-        return
-      } catch { case _: MergeSink.ReadConflictException => tries += 1 }
+      MergeSink.merge(s, sink, updated, Seq("cell", "salt"),
+        Seq(col("cell"), col("salt")), targetFileRows = PostingFileRows,
+        expectedVersion = Some(readV))
     }
-    throw new IllegalStateException(
-      s"appendPostings lost $tries read-validate races at $sink")
+    ()
   }
 
   /** Builds the slice-trained index, then runs the incremental batch path.
@@ -377,9 +371,7 @@ object AnnLake {
       prune: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
         org.apache.spark.sql.Column,
       maxRetries: Int = 8): Unit = {
-    var tries = 0
-    while (tries < maxRetries) {
-      val readV = MergeSink.versions(sink).last
+    MergeSink.occRetry(sink, "deleteVectors", maxRetries) { readV =>
       val old = MergeSink.readOverlapping(s, sink,
         keyed.select("cell", "salt"), Seq("cell", "salt"))
       // inner join: rewrite ONLY the keyed rows; same-file neighbors
@@ -387,15 +379,11 @@ object AnnLake {
       val updated = old.join(keyed, Seq("cell", "salt"))
         .select(col("cell"), col("salt"),
           prune(col(payload), col("__drop")).as(payload))
-      try {
-        MergeSink.merge(s, sink, updated, Seq("cell", "salt"),
-          Seq(col("cell"), col("salt")), targetFileRows = PostingFileRows,
-          expectedVersion = Some(readV))
-        return
-      } catch { case _: MergeSink.ReadConflictException => tries += 1 }
+      MergeSink.merge(s, sink, updated, Seq("cell", "salt"),
+        Seq(col("cell"), col("salt")), targetFileRows = PostingFileRows,
+        expectedVersion = Some(readV))
     }
-    throw new IllegalStateException(
-      s"deleteVectors lost $tries read-validate races at $sink")
+    ()
   }
 
   /** The `normalized` projection applied to a RAW embeddings frame (a

@@ -892,10 +892,7 @@ object DedupQueries {
     val keyed = bandTable(s, dir).join(drop, Seq("doc_id"))
       .groupBy("band_key").agg(collect_set(col("doc_id")).as("__drop"))
       .localCheckpoint(true) // reused by every OCC retry
-    var tries = 0
-    var committed = false
-    while (!committed && tries < 8) {
-      val readV = MergeSink.versions(bandSink).last
+    MergeSink.occRetry(bandSink, "deleteDocs") { readV =>
       val old = MergeSink.readOverlapping(s, bandSink,
         keyed.select("band_key"), Seq("band_key"))
       // inner join: rewrite ONLY the keyed rows; same-file neighbors
@@ -903,15 +900,10 @@ object DedupQueries {
       val updated = old.join(keyed, Seq("band_key"))
         .select(col("band_key"),
           array_except(col("doc_ids"), col("__drop")).as("doc_ids"))
-      try {
-        MergeSink.merge(s, bandSink, updated, Seq("band_key"),
-          Seq(col("band_key")), targetFileRows = 256,
-          expectedVersion = Some(readV))
-        committed = true
-      } catch { case _: MergeSink.ReadConflictException => tries += 1 }
+      MergeSink.merge(s, bandSink, updated, Seq("band_key"),
+        Seq(col("band_key")), targetFileRows = 256,
+        expectedVersion = Some(readV))
     }
-    if (!committed) throw new IllegalStateException(
-      s"deleteDocs lost $tries read-validate races at $bandSink")
     MergeSink.delete(s, shingleSink, drop, Seq("doc_id"), targetFileRows = 64)
     ()
   }

@@ -39,15 +39,25 @@ private[analytics] final class VersionedMemo[V](
     * sound for a cache.
     */
   def get(s: SparkSession, dir: String)(build: => V): V = {
+    // PIN-BEFORE-DERIVE (r12 advice): the versions pinned as "seen" are
+    // always read BEFORE the derive they vouch for, so a commit landing
+    // DURING a derive is detected — and re-derived — on the next access:
+    // one conservative extra refresh, never a missed one. (Pinning AFTER
+    // the derive raced: a commit between the derive's internal reads and
+    // the pin was recorded as seen with its state never derived.) The
+    // first build cannot pre-read (the sink tables don't exist until
+    // `build` runs), so it pre-reads after building and pays one
+    // immediate refresh to put the derived state under the discipline.
     val (value, seen) = memo.computeIfAbsent(dir, _ => {
-      val v = build
-      (v, versionsOf(v))
+      val built = build
+      val pre = versionsOf(built)
+      (refresh(s, built), pre)
     })
     val cur = versionsOf(value)
     if (cur == seen) value
     else {
       val fresh = refresh(s, value)
-      memo.put(dir, (fresh, versionsOf(fresh)))
+      memo.put(dir, (fresh, cur))
       fresh
     }
   }

@@ -208,6 +208,28 @@ object MergeSink {
     tmp.delete(); ()
   }
 
+  /** The OCC read-modify-write loop every posting maintainer shares (one
+    * implementation instead of three drifting copies — r12 verdict ask #5):
+    * `body` receives the sink's CURRENT committed version, re-reads
+    * whatever state it derives from, and commits with
+    * `expectedVersion = Some(readV)`; a [[ReadConflictException]] (the
+    * table advanced past the pinned read) retries the whole
+    * read-derive-commit against the new state. A lost commit CAS under a
+    * pinned read surfaces as a read conflict too ([[merge]] converts it),
+    * so the one catch covers both failure shapes.
+    */
+  def occRetry[T](sink: String, what: String, maxRetries: Int = 8)(
+      body: Long => T): T = {
+    var tries = 0
+    while (tries < maxRetries) {
+      val readV = versions(sink).lastOption.getOrElse(0L)
+      try return body(readV)
+      catch { case _: ReadConflictException => tries += 1 }
+    }
+    throw new IllegalStateException(
+      s"$what lost $tries read-validate races at $sink")
+  }
+
   /** MERGE `batch` into the sink on `key`: matched sink rows are REPLACED
     * by the batch row (last-writer-wins), unmatched batch rows are
     * inserted, and only the data files whose key-hash range overlaps the
