@@ -62,9 +62,7 @@ object InvertedIndex {
     // materialized once: every validate-retry reuses the batch postings,
     // only the read-combine-merge re-executes
     val fresh = postingsOf(docs).localCheckpoint(true)
-    var tries = 0
-    while (tries < maxRetries) {
-      val readV = MergeSink.versions(path).last
+    MergeSink.occRetry(path, "addDocs", maxRetries) { readV =>
       // test seam: lets a spec park this writer between its version read
       // and its commit so a racing addDocs can land first — the
       // deterministic reproduction of the lost-update window the OCC
@@ -83,14 +81,10 @@ object InvertedIndex {
           // merge's schema-compatibility check rightly rejects the drift
           sort_array(array_distinct(concat(
             coalesce(col("old"), typedLit(Array.empty[Long])), col("postings")))).as("postings"))
-      try {
-        MergeSink.merge(spark, path, combined, Seq("term"), Seq(col("term")),
-          targetFileRows, expectedVersion = Some(readV))
-        return
-      } catch { case _: MergeSink.ReadConflictException => tries += 1 }
+      MergeSink.merge(spark, path, combined, Seq("term"), Seq(col("term")),
+        targetFileRows, expectedVersion = Some(readV))
     }
-    throw new IllegalStateException(
-      s"addDocs lost $tries read-validate races at $path")
+    ()
   }
 
   /** Posting list of one term: O(1) files via the manifest. */

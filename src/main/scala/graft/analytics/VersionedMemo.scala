@@ -29,8 +29,10 @@ private[analytics] final class VersionedMemo[V](
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[String, (V, Map[String, Long])]
 
+  // O(1) files per table (the _last pointer), not an O(commits) LIST —
+  // this runs on EVERY memoized access (r12 verdict ask #3)
   private def versionsOf(v: V): Map[String, Long] =
-    tables(v).map(p => p -> MergeSink.versions(p).lastOption.getOrElse(0L)).toMap
+    tables(v).map(p => p -> MergeSink.currentVersion(p).getOrElse(0L)).toMap
 
   /** Memoized value for `dir`: built on first access, REVALIDATED against
     * the sink tables' current commit versions on every later one. A

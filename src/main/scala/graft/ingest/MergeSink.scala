@@ -87,6 +87,9 @@ object MergeSink {
       s"table advanced to v$actual since pinned read v$expected; re-read required")
 
   private def manifestDir(path: String) = new java.io.File(path, "_manifest")
+  private def manifestFile(path: String, v: Long) =
+    new java.io.File(manifestDir(path), f"v$v%06d.tsv")
+  private def lastPointer(path: String) = new java.io.File(manifestDir(path), "_last")
   // attempt-unique dir: two RACING writers both target version v, and a
   // shared per-version dir would let them clobber each other's parquet
   // mid-write before either commit wins the CAS
@@ -95,10 +98,52 @@ object MergeSink {
   private def versionOf(name: String): Option[Long] =
     if (name.matches("v\\d{6}\\.tsv")) Some(name.slice(1, 7).toLong) else None
 
-  /** Committed versions, ascending (empty → uninitialized sink). */
+  /** Committed versions, ascending (empty → uninitialized sink) — the FULL
+    * directory listing, O(commits). The maintenance verbs that genuinely
+    * need every version (vacuum, time travel validation, fileDiff,
+    * property scans) pay it; the hot "what is the latest version" readers
+    * go through [[currentVersion]] instead.
+    */
   def versions(path: String): Seq[Long] =
     Option(manifestDir(path).listFiles()).toSeq.flatten
       .flatMap(f => versionOf(f.getName)).sorted
+
+  /** Latest committed version WITHOUT listing the manifest dir (r12
+    * verdict ask #3): every commit writes a `_manifest/_last` high-water
+    * pointer (Delta's `_last_checkpoint` analog) right after winning its
+    * CAS, so the hot readers — memo revalidation, OCC read pinning, every
+    * read's "latest" resolution — cost ONE small-file read plus a bounded
+    * forward existence probe, not an O(commits) LIST that grows without
+    * bound between vacuums (on an object store: one GET vs a paged LIST
+    * per access). The pointer is a HINT, never the truth: it can LAG (a
+    * slow winner's pointer write landing after a newer one's, a crash
+    * between CAS and pointer write) or be torn/missing entirely, so the
+    * reader probes forward from the hinted version to the first missing
+    * manifest and falls back to the full listing whenever the pointer is
+    * absent, unparsable, or names a vacuumed manifest. Correctness never
+    * depends on the pointer — only the LIST is avoided (spec-pinned:
+    * MergeSinkSpec's torn/missing/lagging pointer cases).
+    */
+  def currentVersion(path: String): Option[Long] = {
+    val hinted: Option[Long] =
+      try {
+        val f = lastPointer(path)
+        if (!f.isFile) None
+        else {
+          val v = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLong
+          // a vacuumed-away hint is useless: fall back to the listing
+          if (manifestFile(path, v).isFile) Some(v) else None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    hinted match {
+      case Some(v0) =>
+        var v = v0
+        while (manifestFile(path, v + 1).isFile) v += 1
+        Some(v)
+      case None => versions(path).lastOption
+    }
+  }
 
   private final case class Manifest(schema: org.apache.spark.sql.types.StructType,
                                     files: Seq[FileStat],
@@ -150,10 +195,13 @@ object MergeSink {
     * column existed read back as nulls.
     */
   def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
-    val vs = versions(path)
-    require(vs.nonEmpty, s"MergeSink.read on uninitialized sink: $path")
-    val v = version.getOrElse(vs.last)
-    require(vs.contains(v), s"version $v not in $vs")
+    // latest resolves through the O(1) pointer; an EXPLICIT time-travel
+    // version validates by direct manifest existence (no listing either)
+    val v = version.getOrElse {
+      currentVersion(path).getOrElse(
+        throw new IllegalArgumentException(s"MergeSink.read on uninitialized sink: $path"))
+    }
+    require(manifestFile(path, v).isFile, s"version $v not committed at $path")
     val m = readManifest(path, v)
     spark.read.schema(m.schema).parquet(m.files.map(f => s"$path/${f.path}"): _*)
   }
@@ -205,7 +253,21 @@ object MergeSink {
         tmp.delete()
         throw new CommitConflictException(v)
     }
-    tmp.delete(); ()
+    tmp.delete()
+    // High-water pointer for currentVersion, written ONLY by the CAS
+    // winner, atomically replaced (tmp + rename) so a reader never sees a
+    // torn file. Best-effort by design: a crash here, or a slow winner's
+    // pointer landing after a newer commit's, only makes the pointer LAG —
+    // the reader's forward probe (or listing fallback) heals it, and the
+    // next commit rewrites it.
+    try {
+      val ptmp = new java.io.File(manifestDir(path), s".tmp-last-${System.nanoTime()}")
+      java.nio.file.Files.write(ptmp.toPath, v.toString.getBytes("UTF-8"))
+      java.nio.file.Files.move(ptmp.toPath, lastPointer(path).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case scala.util.control.NonFatal(_) => () }
+    ()
   }
 
   /** The OCC read-modify-write loop every posting maintainer shares (one
@@ -222,7 +284,7 @@ object MergeSink {
       body: Long => T): T = {
     var tries = 0
     while (tries < maxRetries) {
-      val readV = versions(sink).lastOption.getOrElse(0L)
+      val readV = currentVersion(sink).getOrElse(0L)
       try return body(readV)
       catch { case _: ReadConflictException => tries += 1 }
     }
@@ -284,7 +346,7 @@ object MergeSink {
       // batch is self-contained leave expectedVersion empty and keep the
       // silent-retry behavior.
       expectedVersion.foreach { e =>
-        val cur = versions(path).lastOption.getOrElse(0L)
+        val cur = currentVersion(path).getOrElse(0L)
         if (cur != e) throw new ReadConflictException(e, cur)
       }
       try return mergeAttempt(spark, path, deduped, batch.schema, key,
@@ -316,8 +378,8 @@ object MergeSink {
       targetFileRows: Long,
       trackDir: java.io.File => Unit,
       properties: Map[String, String] = Map.empty): MergeResult = {
-    val vs = versions(path)
-    val v = vs.lastOption.getOrElse(0L) + 1
+    val cur0 = currentVersion(path)
+    val v = cur0.getOrElse(0L) + 1
 
     def writeData(df: DataFrame, n: Long): java.io.File = {
       val dir = dataDir(path, v)
@@ -333,7 +395,7 @@ object MergeSink {
       dir
     }
 
-    if (vs.isEmpty) {
+    if (cur0.isEmpty) {
       // First commit: everything is an insert. A 0-row batch still writes
       // one empty schema-bearing file so later reads see the schema.
       val n = deduped.count()
@@ -451,7 +513,7 @@ object MergeSink {
     while (tries < 8) {
       attemptDir = None
       expectedVersion.foreach { e =>
-        val cur = versions(path).lastOption.getOrElse(0L)
+        val cur = currentVersion(path).getOrElse(0L)
         if (cur != e) throw new ReadConflictException(e, cur)
       }
       try return deleteAttempt(spark, path, keyRows, key, targetFileRows,
@@ -473,9 +535,9 @@ object MergeSink {
       key: Seq[String],
       targetFileRows: Long,
       trackDir: java.io.File => Unit): MergeResult = {
-    val vs = versions(path)
-    require(vs.nonEmpty, s"MergeSink.delete on uninitialized sink: $path")
-    val v = vs.last + 1
+    val cur = currentVersion(path)
+    require(cur.nonEmpty, s"MergeSink.delete on uninitialized sink: $path")
+    val v = cur.get + 1
     val current = readManifest(path, v - 1)
     val batchBuckets = keyRows
       .select(shiftright(keyDigest(key), 48).as("b"))
@@ -544,9 +606,9 @@ object MergeSink {
       key: Seq[String],
       targetFileRows: Long,
       trackDir: java.io.File => Unit): MergeResult = {
-    val vs = versions(path)
-    require(vs.nonEmpty, s"MergeSink.compact on uninitialized sink: $path")
-    val v = vs.last + 1
+    val cur = currentVersion(path)
+    require(cur.nonEmpty, s"MergeSink.compact on uninitialized sink: $path")
+    val v = cur.get + 1
     val current = readManifest(path, v - 1)
     val (small, kept) = current.files.partition(f => f.rows > 0 && f.rows < targetFileRows / 2)
     if (small.size < 2) // nothing to gain from rewriting 0 or 1 file
@@ -576,9 +638,9 @@ object MergeSink {
     */
   def readOverlapping(spark: SparkSession, path: String, keys: DataFrame,
       key: Seq[String]): DataFrame = {
-    val vs = versions(path)
-    require(vs.nonEmpty, s"MergeSink.readOverlapping on uninitialized sink: $path")
-    val m = readManifest(path, vs.last)
+    val cur = currentVersion(path)
+    require(cur.nonEmpty, s"MergeSink.readOverlapping on uninitialized sink: $path")
+    val m = readManifest(path, cur.get)
     val batchBuckets = keys
       .select(shiftright(keyDigest(key), 48).as("b"))
       .distinct().collect().map(_.getLong(0)).sorted
@@ -614,9 +676,9 @@ object MergeSink {
   def pointReadKeys(spark: SparkSession, path: String, key: Seq[String],
                     tuples: Seq[Seq[Any]], version: Option[Long] = None): DataFrame = {
     require(tuples.nonEmpty, "pointReadKeys needs at least one key tuple")
-    val vs = versions(path)
-    require(vs.nonEmpty, s"MergeSink.pointRead on uninitialized sink: $path")
-    val v = version.getOrElse(vs.last)
+    val cur = currentVersion(path)
+    require(cur.nonEmpty, s"MergeSink.pointRead on uninitialized sink: $path")
+    val v = version.getOrElse(cur.get)
     val m = readManifest(path, v)
     val keyTypes = key.map(k => m.schema(k).dataType)
     tuples.foreach(t => require(t.size == key.size, "key/values arity mismatch"))
@@ -743,12 +805,13 @@ object MergeSink {
           rmRf(dir)
         }
       }
-    // .tmp-v* manifest temp files: a crash between writing the temp and
-    // createLink/delete leaves them forever (versionOf ignores them, so no
-    // reader breaks — but nothing else ever reclaims them). Same age gate
-    // as data orphans: a young temp may belong to an in-flight commit.
+    // .tmp-* manifest temp files (manifest bodies AND pointer temps): a
+    // crash between writing the temp and createLink/move/delete leaves
+    // them forever (versionOf ignores them, so no reader breaks — but
+    // nothing else ever reclaims them). Same age gate as data orphans: a
+    // young temp may belong to an in-flight commit.
     Option(manifestDir(path).listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.startsWith(".tmp-v") && f.lastModified() < cutoff)
+      .filter(f => f.isFile && f.getName.startsWith(".tmp-") && f.lastModified() < cutoff)
       .foreach { f => if (f.delete()) deleted += 1 }
     deleted
   }

@@ -710,7 +710,7 @@ object EventsStream {
       .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
         col("event_type")))).as("arr"))
     val open =
-      if (MergeSink.versions(sinkPath).nonEmpty)
+      if (MergeSink.currentVersion(sinkPath).nonEmpty)
         MergeSink.read(s, sinkPath).filter(col("is_current"))
           .select(col("user_id"), col("state").as("open_state"),
             col("effective_from").as("open_from"),

@@ -355,4 +355,36 @@ class MergeSinkSpec extends AnyFunSuite {
       .select("extra").collect().map(r => Option(r.get(0)))
     assert(rm.toSeq == Seq(None))
   }
+
+  test("high-water pointer: O(1) latest-version reads survive torn, lagging and missing pointers") {
+    val path = tmp()
+    val ptr = new java.io.File(path, "_manifest/_last")
+    MergeSink.merge(spark, path, Seq((1L, "a")).toDF("id", "payload"),
+      Seq("id"), Seq(col("id")))
+    MergeSink.merge(spark, path, Seq((2L, "b")).toDF("id", "payload"),
+      Seq("id"), Seq(col("id")))
+    MergeSink.merge(spark, path, Seq((3L, "c")).toDF("id", "payload"),
+      Seq("id"), Seq(col("id")))
+    // the happy path: every commit rewrote the pointer; it IS the latest
+    assert(ptr.isFile)
+    assert(new String(java.nio.file.Files.readAllBytes(ptr.toPath), "UTF-8").trim == "3")
+    assert(MergeSink.currentVersion(path).contains(3L))
+    // LAGGING pointer (a slow CAS winner's write landing after a newer
+    // commit's): the forward existence probe heals it without a listing
+    java.nio.file.Files.write(ptr.toPath, "1".getBytes("UTF-8"))
+    assert(MergeSink.currentVersion(path).contains(3L))
+    assert(content(path) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // TORN pointer (crash mid-write): unparsable → listing fallback
+    java.nio.file.Files.write(ptr.toPath, "13xyz".getBytes("UTF-8"))
+    assert(MergeSink.currentVersion(path).contains(3L))
+    // MISSING pointer (pre-pointer table, or swept): listing fallback, and
+    // the next commit restores it
+    assert(ptr.delete())
+    assert(MergeSink.currentVersion(path).contains(3L))
+    val r = MergeSink.merge(spark, path, Seq((4L, "d")).toDF("id", "payload"),
+      Seq("id"), Seq(col("id")))
+    assert(r.version == 4 && ptr.isFile && MergeSink.currentVersion(path).contains(4L))
+    // uninitialized sink: no pointer, no versions, None
+    assert(MergeSink.currentVersion(tmp()).isEmpty)
+  }
 }
