@@ -859,36 +859,143 @@ object DedupQueries {
       sink
     }
 
-  /** DELETE documents from the incremental-dedup LAKE tables (r12 — the
-    * AnnLake.deleteVectors logic applied to this tier: a doc dropped by
-    * upstream curation must leave the index, or every later daily probe
-    * keeps matching a curated-away doc):
+  /** Process-local memo of the deletion TOMBSTONE table: one row per
+    * doc_id `deleteDocs` has fully processed. Two jobs: (1) it makes the
+    * whole delete API replay-idempotent BY CONSTRUCTION — a re-delivered
+    * drop batch filters to nothing before any table is touched, which is
+    * what protects the (inherently non-idempotent) refcount decrements;
+    * (2) it is the intent log a production purge audits against. Written
+    * LAST, after every maintained table committed, so a crash mid-delete
+    * re-processes on retry (the per-sink [[DelBatchProp]] markers keep the
+    * re-process from double-decrementing — see decrementWindows).
+    */
+  private val tombSinks = VersionedMemo.paths[String](Seq(_))
+  private[graft] def ensureTombSink(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): String =
+    tombSinks.get(s, dir) {
+      val sink = s"${Staging.freshBase("graft_dd_tomb", dir).getPath}/sink"
+      MergeSink.merge(s, sink,
+        s.range(0).select(col("id").as("doc_id")),
+        Seq("doc_id"), Seq(col("doc_id")), targetFileRows = 4096)
+      sink
+    }
+
+  /** Commit property marking a delete batch as APPLIED to one sink —
+    * properties commit atomically with their version (the MergeSink
+    * exactly-once-marker contract), so "did this sink already absorb this
+    * batch's decrement" is answerable without trusting the caller.
+    */
+  private val DelBatchProp = "graft.dd.delbatch"
+
+  /** Decrement per-window refcounts on a window-SET table and prune the
+    * rows that hit zero (r12 verdict ask #1). Two commits, fail-closed in
+    * between:
+    *  1. the DECREMENT merge — manifest-pruned read of the touched rows,
+    *     cnt := max(cnt - per-doc contribution, 0), OCC-pinned, committed
+    *     WITH the batch marker property. Non-idempotent by nature, so the
+    *     marker gates it: a crash-retry that already applied this batch
+    *     here skips straight to the prune.
+    *  2. the ZERO-ROW prune — a copy-on-write row DELETE of cnt = 0 rows,
+    *     recomputed from current state (idempotent, so it runs
+    *     unconditionally). A crash between the commits costs storage, not
+    *     correctness: both lake probes filter cnt > 0.
+    */
+  private def decrementWindows(s: org.apache.spark.sql.SparkSession,
+      sink: String, keyCols: Seq[String], dec: DataFrame, marker: String,
+      targetFileRows: Long): Unit = {
+    val decC = dec.localCheckpoint(true) // reused across both commits + retries
+    if (!MergeSink.lastProperty(sink, DelBatchProp).contains(marker)) {
+      MergeSink.occRetry(sink, "deleteDocs/windows") { readV =>
+        val old = MergeSink.readOverlapping(s, sink,
+          decC.select(keyCols.map(col): _*), keyCols)
+        // inner join: rewrite ONLY the touched rows; same-file neighbors
+        // survive through merge's copy-on-write untouched
+        val updated = old.join(decC, keyCols)
+          .select(keyCols.map(col) :+
+            greatest(col("cnt") - col("__dec"), lit(0L)).as("cnt"): _*)
+        MergeSink.merge(s, sink, updated, keyCols, keyCols.map(col),
+          targetFileRows = targetFileRows, expectedVersion = Some(readV),
+          properties = Map(DelBatchProp -> marker))
+      }
+    }
+    MergeSink.occRetry(sink, "deleteDocs/zeros") { readV =>
+      val zeros = MergeSink.readOverlapping(s, sink,
+          decC.select(keyCols.map(col): _*), keyCols)
+        .filter(col("cnt") <= 0L).select(keyCols.map(col): _*)
+      MergeSink.delete(s, sink, zeros, keyCols,
+        targetFileRows = targetFileRows, expectedVersion = Some(readV))
+    }
+    ()
+  }
+
+  /** DELETE documents from the incremental-dedup LAKE tables (r12, window
+    * tiers + tombstones r13 — AnnLake.deleteVectors' logic applied to this
+    * spine: a doc dropped by upstream curation must leave EVERY index
+    * tier, or daily probes keep matching a curated-away doc forever):
     *
+    *  - TOMBSTONES first as a FILTER, last as a WRITE: the incoming batch
+    *    drops ids already tombstoned (re-delete = content no-op before any
+    *    table is touched), and the surviving ids are tombstoned only after
+    *    every maintained table committed — so an interrupted delete is
+    *    COMPLETED by re-running it, with the per-sink batch markers
+    *    preventing refcount double-decrements on the re-run.
     *  - BAND POSTINGS (band_key → doc_ids): the dropped docs' band keys
     *    recompute through the same `bandTable` dataflow that inserted
     *    them, the touched posting rows read manifest-pruned
     *    (`readOverlapping`) and the arrays `array_except` in place —
-    *    O(dropped docs' bands) files, never the table; the commit pins
-    *    `expectedVersion` and retries on conflict (the appendPostings OCC
-    *    loop), and a row whose members empty out stays as an empty-array
-    *    row probes explode to nothing.
+    *    O(dropped docs' bands) files, never the table; OCC-pinned; a row
+    *    whose members empty out stays as an empty-array row probes explode
+    *    to nothing. Idempotent by nature (no marker needed).
     *  - the doc-keyed SHINGLE table: a plain MergeSink row DELETE (k14's
-    *    copy-on-write, file-skipping machinery).
+    *    copy-on-write, file-skipping machinery). Idempotent.
+    *  - the window-SET tables (`ensureSpanSink`, `ensureSubstrSink`) via
+    *    per-window REFCOUNTS (decrementWindows): a window SHARED with a
+    *    surviving doc survives with its count decremented; a window whose
+    *    last contributing doc left hits zero and is pruned — the semantics
+    *    the r12 boundary note prescribed, now wired. Only corpus-side
+    *    (doc_id % 5 ≠ 0) docs decrement, mirroring what the sink builds
+    *    counted.
     *
-    * Deliberately NOT covered: the window-SET tables (`ensureSpanSink`,
-    * `ensureSubstrSink`). They store the corpus DISTINCT window set, and a
-    * window the dropped doc SHARED with a surviving doc must survive — so
-    * "delete the doc's windows" is semantically WRONG there, not merely
-    * unimplemented; doc deletion needs per-window refcounts (a
-    * (key, count) posting maintained by the same read-modify-write), to be
-    * wired when an operator needs it. Re-deleting the same ids is a
-    * content no-op throughout.
+    * Cost: O(dropped docs' windows/bands) touched files per table, never
+    * a table scan. Concurrent delete batches serialize through the OCC
+    * loops; the batch markers assume one logical purge runs at a time
+    * (production would queue purges — the audit trail is the tombstone
+    * table).
     */
   private[graft] def deleteDocs(s: org.apache.spark.sql.SparkSession,
       dir: String, dropIds: DataFrame): Unit = {
+    val tombSink = ensureTombSink(s, dir)
     val bandSink = ensureBandSink(s, dir)
     val shingleSink = ensureShingleSink(s, dir)
-    val drop = dropIds.select(col("doc_id")).distinct().localCheckpoint(true)
+    val spanSink = ensureSpanSink(s, dir)
+    val substrSink = ensureSubstrSink(s, dir)
+    val drop0 = dropIds.select(col("doc_id")).distinct()
+    // already-tombstoned ids fall out BEFORE any maintenance: re-delete is
+    // a no-op by construction (the refcount tiers depend on this)
+    val dead = MergeSink.readOverlapping(s, tombSink, drop0, Seq("doc_id"))
+      .select("doc_id")
+    val drop = drop0.join(dead, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    if (drop.isEmpty) return
+    // content-derived batch id (order/partition independent): the per-sink
+    // applied-marker for the non-idempotent refcount decrements
+    val idRow = drop.agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id))"))
+      .collect()(0)
+    val marker = s"${idRow.getLong(0)}x${java.lang.Long.toHexString(idRow.getLong(1))}"
+
+    // window-SET tiers: per-doc-distinct contributions of the dropped docs
+    val spanDec = spanTable(s, dir)
+      .filter(col("doc_id") % 5 =!= 0 && col("nw") === SpanW)
+      .join(drop, Seq("doc_id"))
+      .groupBy("s").agg(countDistinct(col("doc_id")).as("__dec"))
+    decrementWindows(s, spanSink, Seq("s"), spanDec, marker, targetFileRows = 256)
+    val substrDec = substrGramsHashed(s, dir)
+      .filter(col("doc_id") % 5 =!= 0)
+      .join(drop, Seq("doc_id"))
+      .groupBy("h", "fp").agg(countDistinct(col("doc_id")).as("__dec"))
+    decrementWindows(s, substrSink, Seq("h", "fp"), substrDec, marker,
+      targetFileRows = 2048)
+
+    // band postings: array_except in place (idempotent)
     val keyed = bandTable(s, dir).join(drop, Seq("doc_id"))
       .groupBy("band_key").agg(collect_set(col("doc_id")).as("__drop"))
       .localCheckpoint(true) // reused by every OCC retry
@@ -905,6 +1012,9 @@ object DedupQueries {
         expectedVersion = Some(readV))
     }
     MergeSink.delete(s, shingleSink, drop, Seq("doc_id"), targetFileRows = 64)
+    // tombstones LAST: only fully-processed ids are recorded
+    MergeSink.merge(s, tombSink, drop, Seq("doc_id"), Seq(col("doc_id")),
+      targetFileRows = 4096)
     ()
   }
 
@@ -1485,8 +1595,16 @@ object DedupQueries {
                                       dir: String): String =
     substrSinks.get(s, dir) {
       val sink = s"${Staging.freshBase("graft_substr", dir).getPath}/sink"
+      // (h, fp) plus the per-window REFCOUNT (r12 verdict ask #1): cnt =
+      // how many distinct corpus docs contain the window. The probe's
+      // membership semantics are unchanged (every stored window has
+      // cnt ≥ 1); the refcount exists so document DELETION can decrement
+      // per-doc contributions and prune exactly the windows whose LAST
+      // contributing doc left — a window shared with a surviving doc
+      // survives, which is why "delete the doc's windows" was semantically
+      // wrong here before refcounts.
       val corp = substrGramsHashed(s, dir).filter(col("doc_id") % 5 =!= 0)
-        .select(col("h"), col("fp")).distinct()
+        .groupBy("h", "fp").agg(countDistinct(col("doc_id")).as("cnt"))
       MergeSink.merge(s, sink, corp, Seq("h", "fp"), Seq(col("h")),
         targetFileRows = 2048)
       sink
@@ -1554,9 +1672,14 @@ object DedupQueries {
     val sink = ensureSubstrSink(s, dir)
     def batch = substrGramsHashed(s, dir).filter(col("doc_id") % 5 === 0)
     // corpus probe: manifest-pruned files only (longs prune tighter than
-    // strings); the (h, fp) equi-join is the residual + verify
+    // strings); the (h, fp) equi-join is the residual + verify. cnt > 0 is
+    // the delete-path residual: a window whose refcount a deleteDocs
+    // decrement zeroed is dead the instant that commit lands, even if the
+    // physical zero-row prune behind it hasn't committed yet (fail-closed
+    // across the two-commit window).
     val corp = MergeSink.readOverlapping(s, sink, batch.select("h", "fp"),
         Seq("h", "fp"))
+      .filter(col("cnt") > 0)
       .select(col("h"), col("fp"), lit(1L).as("in_corp"))
     // batch-internal duplicated windows: dd_exact_substr's two-phase shape
     // in miniature — the batch-sized exchange groups on the 8-byte hash
@@ -1669,9 +1792,12 @@ object DedupQueries {
                                     dir: String): String =
     spanSinks.get(s, dir) {
       val sink = s"${Staging.freshBase("graft_spans", dir).getPath}/sink"
+      // span text plus the per-window REFCOUNT (see ensureSubstrSink): the
+      // DISTINCT window-set semantics stand (one row per span, cnt ≥ 1);
+      // deleteDocs decrements contributions and prunes zero-count rows.
       val corp = spanTable(s, dir)
         .filter(col("doc_id") % 5 =!= 0 && col("nw") === SpanW)
-        .select(col("s")).distinct()
+        .groupBy("s").agg(countDistinct(col("doc_id")).as("cnt"))
       // small target so the table spans several range-clustered files and
       // the batch probe's file pruning is a REAL subset (spec-asserted)
       MergeSink.merge(s, sink, corp, Seq("s"), Seq(col("s")),
@@ -1695,8 +1821,11 @@ object DedupQueries {
     val sink = ensureSpanSink(s, dir)
     val batch = spanTable(s, dir).filter(col("doc_id") % 5 === 0)
     // manifest-pruned corpus read; pruned files hold other spans too, so
-    // the existence join below is the residual filter
+    // the existence join below is the residual filter. cnt > 0 makes a
+    // refcount-zeroed window dead before its physical prune commits
+    // (incrSubstrLake's fail-closed residual).
     val corp = MergeSink.readOverlapping(s, sink, batch.select("s"), Seq("s"))
+      .filter(col("cnt") > 0).select(col("s"))
     val key = col("doc_id") * lit(SpanKeyShift) + col("pos")
     val firsts = batch.filter(col("nw") === SpanW)
       .groupBy("s").agg(min(key).as("first_key"))

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.TestSpark
+import graft.{SparkEntry, TestSpark}
 import graft.ingest.MergeSink
 
 /** DELETE for the incremental-dedup lake tables (r12 — AnnLake's delete
@@ -71,5 +71,94 @@ class DedupLakeDeleteSpec extends AnyFunSuite {
     val snap1 = snapshot()
     DedupQueries.deleteDocs(spark, dir, victims.toSeq.toDF("doc_id"))
     assert(snapshot() == snap1, "re-delete changed band posting contents")
+  }
+
+  /** PLANTED corpus for the window-SET tiers (r12 verdict ask #1): two
+    * corpus docs sharing one full-width span, each with a unique one, and
+    * two batch docs probing exactly those windows — so "a shared window
+    * SURVIVES its co-owner's deletion, a unique window leaves the probes"
+    * is asserted on windows whose ownership is known by construction, not
+    * found by luck in synthetic text.
+    */
+  private val sh = (1 to 10).map(i => f"sh$i%02d").mkString(" ")   // shared block
+  private val ua = (1 to 10).map(i => f"ua$i%02d").mkString(" ")   // unique to A
+  private val ub = (1 to 10).map(i => f"ub$i%02d").mkString(" ")   // unique to B
+  private val fl1 = (1 to 10).map(i => f"fl$i%02d").mkString(" ")
+  private val fl2 = (11 to 20).map(i => f"fl$i%02d").mkString(" ")
+
+  private lazy val planted: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_dldw").toFile
+    d.deleteOnExit()
+    Seq(
+      (1L, s"$sh $ua"),   // corpus doc A: [sh][ua] spans
+      (2L, s"$sh $ub"),   // corpus doc B: [sh][ub] spans
+      (5L, s"$ua $fl1"),  // batch doc probing A's unique window
+      (10L, s"$sh $fl2")  // batch doc probing the shared window
+    ).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${d.getAbsolutePath}/documents.parquet")
+    d.getAbsolutePath
+  }
+
+  private def spanRows(sink: String): Map[String, Long] =
+    MergeSink.read(spark, sink).select(col("s"), col("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def keptPerDoc(): Map[Long, Long] =
+    SparkEntry.queries("dd_incr_span_lake")(spark, planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_kept")).toMap
+
+  private def dupPerDoc(): Map[Long, Long] =
+    SparkEntry.queries("dd_incr_substr_lake")(spark, planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup")).toMap
+
+  test("window refcounts: shared windows survive a co-owner's delete, unique windows leave the probes, re-delete/crash-retry no-ops") {
+    import spark.implicits._
+    val spanSink = DedupQueries.ensureSpanSink(spark, planted)
+    val substrSink = DedupQueries.ensureSubstrSink(spark, planted)
+    // construction: the shared span is co-owned, the unique spans aren't
+    assert(spanRows(spanSink) == Map(sh -> 2L, ua -> 1L, ub -> 1L))
+    // probes BEFORE: both batch docs carry one corpus-duplicated span
+    assert(keptPerDoc() == Map(5L -> 1L, 10L -> 1L)) // dup span excluded from kept
+    assert(dupPerDoc() == Map(5L -> 1L, 10L -> 1L))  // the block window matches
+
+    DedupQueries.deleteDocs(spark, planted, Seq(1L).toDF("doc_id"))
+
+    // A's unique span LEFT the table (refcount hit zero, row pruned);
+    // the shared span SURVIVED with its count decremented
+    assert(spanRows(spanSink) == Map(sh -> 1L, ub -> 1L))
+    // probes AFTER: doc 5's ua-span is no longer a corpus dup (kept rises),
+    // doc 10's shared span still is (B survives)
+    assert(keptPerDoc() == Map(5L -> 2L, 10L -> 1L))
+    assert(dupPerDoc() == Map(5L -> 0L, 10L -> 1L))
+    val substrSnap1 = MergeSink.read(spark, substrSink)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // re-delete: tombstone-filtered to nothing BEFORE any table is touched
+    DedupQueries.deleteDocs(spark, planted, Seq(1L).toDF("doc_id"))
+    assert(spanRows(spanSink) == Map(sh -> 1L, ub -> 1L),
+      "re-delete double-decremented the shared window")
+
+    // crash-retry: an interrupted delete (tombstone write lost) re-runs the
+    // SAME batch; the per-sink applied-marker must skip the decrement —
+    // a double decrement here would zero (and prune) the shared window
+    MergeSink.delete(spark, DedupQueries.ensureTombSink(spark, planted),
+      Seq(1L).toDF("doc_id"), Seq("doc_id"))
+    DedupQueries.deleteDocs(spark, planted, Seq(1L).toDF("doc_id"))
+    assert(spanRows(spanSink) == Map(sh -> 1L, ub -> 1L),
+      "crash-retry replayed the refcount decrement")
+    assert(MergeSink.read(spark, substrSink)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      == substrSnap1, "crash-retry changed the substr window table")
+
+    // deleting the LAST co-owner prunes the shared window; probes flip
+    DedupQueries.deleteDocs(spark, planted, Seq(2L).toDF("doc_id"))
+    assert(spanRows(spanSink) == Map.empty[String, Long])
+    assert(keptPerDoc() == Map(5L -> 2L, 10L -> 2L))
+    assert(dupPerDoc() == Map(5L -> 0L, 10L -> 0L))
+    // the audit trail: both docs tombstoned exactly once
+    assert(MergeSink.read(spark, DedupQueries.ensureTombSink(spark, planted))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 }

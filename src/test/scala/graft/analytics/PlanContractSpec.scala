@@ -367,11 +367,13 @@ class PlanContractSpec extends AnyFunSuite {
   test("dd_incr_substr_lake: the corpus probe joins on the two 64-bit keys, table stores no strings") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     import org.apache.spark.sql.types.LongType
-    // the lake window table is (h, fp) ONLY — the W×-smaller state the
-    // 100-TB design demands; a string column reappearing here fails
+    // the lake window table is (h, fp, refcount) ONLY — fixed-width longs,
+    // the W×-smaller state the 100-TB design demands; a string column
+    // reappearing here fails (cnt is the r13 per-window refcount that
+    // makes document DELETION reach this tier)
     val sink = DedupQueries.ensureSubstrSink(spark, sf)
     val schema = graft.ingest.MergeSink.read(spark, sink).schema
-    assert(schema.fieldNames.toSet == Set("h", "fp"),
+    assert(schema.fieldNames.toSet == Set("h", "fp", "cnt"),
       s"window table regressed to string storage: ${schema.simpleString}")
     assert(schema.fields.forall(_.dataType == LongType))
     // and the probe's corpus join references only LongType keys
