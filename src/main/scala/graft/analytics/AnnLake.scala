@@ -150,10 +150,15 @@ object AnnLake {
     Seq(sk.centroids, sk.cells, sk.codebook, sk.codes)
 
   /** Version-derived state, read from the LAKE (the centroid table is
-    * |cells| rows — a bounded metadata read, not a corpus scan).
+    * |cells| rows — a bounded metadata read, not a corpus scan). Also the
+    * "next ensure" hook of the delete protocol: any intent rows a crashed
+    * deleteVectors left behind are completed before the handle is served
+    * (one O(1) pointer read when there are none).
     */
-  private def deriveHandle(s: SparkSession, sk: Sinks): IndexHandle =
+  private def deriveHandle(s: SparkSession, sk: Sinks): IndexHandle = {
+    completeIntents(s, sk)
     IndexHandle(sk, MergeSink.read(s, sk.centroids).count())
+  }
 
   private val fullIdx = new VersionedMemo[IndexHandle](
     h => sinkTables(h.sinks), (s, h) => deriveHandle(s, h.sinks))
@@ -343,7 +348,11 @@ object AnnLake {
     * can't have its members silently dropped by a stale rewrite.
     */
   private[graft] def deleteVectors(s: SparkSession, sk: Sinks,
-      vnDrop: DataFrame): Unit = {
+      vnDrop: DataFrame,
+      afterIntent: () => Unit = () => ()): Unit = {
+    // complete any INTERRUPTED delete first: its intent rows are the
+    // completion obligation, and the prunes are content-idempotent
+    completeIntents(s, sk)
     val lakeCentroids = MergeSink.read(s, sk.centroids)
     val dropCells = assignCells(vnDrop.select("vec_id", "en"),
       lakeCentroids.select("cell", "ce"))
@@ -353,6 +362,34 @@ object AnnLake {
       .groupBy("cell", "salt")
       .agg(collect_set(col("vec_id")).as("__drop"))
       .localCheckpoint(true) // reused by both tables and every OCC retry
+    // INTENT record FIRST (r12 advice): the two posting tables serve
+    // DIFFERENT probe tiers (members → IVF, codes → IVF+PQ), so no
+    // ordering of the two independent prune commits fails closed for both
+    // — a crash between them would otherwise leave a half-deleted vector
+    // with no record that the second prune is owed. The keyed drop rows
+    // commit to a sibling intent table before either prune; the next
+    // deleteVectors/ensure on this index re-applies them (idempotently)
+    // and only then clears the intent.
+    val intents = intentSink(sk)
+    MergeSink.merge(s, intents,
+      keyed.select(col("cell"), col("salt"), col("__drop").as("drop_ids")),
+      Seq("cell", "salt"), Seq(col("cell"), col("salt")),
+      targetFileRows = PostingFileRows)
+    afterIntent() // test seam: the spec kills the delete here
+    applyPrunes(s, sk, keyed)
+    // intent CLEARED last — only after both prunes committed
+    MergeSink.delete(s, intents, keyed.select("cell", "salt"),
+      Seq("cell", "salt"), targetFileRows = PostingFileRows)
+    ()
+  }
+
+  /** The delete protocol's intent table — a sibling of the four index
+    * tables under the same base dir.
+    */
+  private def intentSink(sk: Sinks): String =
+    s"${new java.io.File(sk.cells).getParent}/delete_intents"
+
+  private def applyPrunes(s: SparkSession, sk: Sinks, keyed: DataFrame): Unit = {
     // members: sorted distinct longs — array_except preserves the order of
     // its first argument, so the sorted contract survives the prune
     prunePostings(s, sk.cells, keyed, "members",
@@ -361,6 +398,23 @@ object AnnLake {
     prunePostings(s, sk.codes, keyed, "codes",
       (codes, drop) => filter(codes,
         c => !array_contains(drop, c.getField("vec_id"))))
+  }
+
+  /** Complete (re-apply and clear) any pending delete intents — wired into
+    * deriveHandle so every ensure/refresh finishes interrupted deletes.
+    * O(1) pointer read when the intent table is absent or empty.
+    */
+  private[analytics] def completeIntents(s: SparkSession, sk: Sinks): Unit = {
+    val intents = intentSink(sk)
+    if (MergeSink.currentVersion(intents).isEmpty) return
+    val pend = MergeSink.read(s, intents)
+      .select(col("cell"), col("salt"), col("drop_ids").as("__drop"))
+      .localCheckpoint(true)
+    if (pend.isEmpty) return
+    applyPrunes(s, sk, pend)
+    MergeSink.delete(s, intents, pend.select("cell", "salt"),
+      Seq("cell", "salt"), targetFileRows = PostingFileRows)
+    ()
   }
 
   /** Read-prune-merge of the touched posting rows only, OCC-pinned (the
@@ -655,7 +709,7 @@ object AnnLake {
     * and batch ids (and probe 0), so the drop exercises trained cells,
     * appended postings and the probe set alike.
     */
-  private val DelMod = 11
+  private[analytics] val DelMod = 11
 
   private val delIdx = new VersionedMemo[IndexHandle](
     h => sinkTables(h.sinks), (s, h) => deriveHandle(s, h.sinks))

@@ -243,6 +243,47 @@ class AnnLakeSpec extends AnyFunSuite {
     assert(snapshot() == snap1, "re-delete changed posting contents")
   }
 
+  test("delete INTENT: an interrupted delete is completed by the next ensure, never left half-applied (r13)") {
+    // r12 advice: the two posting tables serve DIFFERENT probe tiers, so a
+    // crash between the two prune commits left a half-deleted vector with
+    // no record the second prune was owed. The intent record closes it:
+    // kill the delete right after its intent commit, assert NOTHING was
+    // pruned yet, then run the completion path (what deriveHandle executes
+    // on every ensure) and assert both tables pruned and the intent gone.
+    val (sk, k) = AnnLake.buildSliceIndex(spark, sf, "graft_ann_intent")
+    AnnLake.appendBatch(spark, sk,
+      AnnQueries.normalized(spark, sf).filter(col("vec_id") % 5 === 0))
+    val np = AnnQueries.nprobeFor(k)
+    val victims = AnnLake.lakeIvfSearchForTest(spark, sf, sk, np)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      .filter(_ >= 5L).take(2).toSeq
+    assert(victims.size == 2, "corpus too small to pick victims")
+    val vnDrop = AnnQueries.normalized(spark, sf)
+      .filter(col("vec_id").isin(victims: _*)).select("vec_id", "en")
+    def memberIds() = MergeSink.read(spark, sk.cells)
+      .select(explode(col("members")).as("id")).collect().map(_.getLong(0)).toSet
+    def codeIds() = MergeSink.read(spark, sk.codes)
+      .select(explode(col("codes")).as("c")).select(col("c.vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val boom = intercept[RuntimeException] {
+      AnnLake.deleteVectors(spark, sk, vnDrop,
+        afterIntent = () => throw new RuntimeException("killed mid-delete"))
+    }
+    assert(boom.getMessage == "killed mid-delete")
+    // intent-first: the crash point precedes BOTH prunes — no half state
+    assert(victims.forall(v => memberIds().contains(v) && codeIds().contains(v)),
+      "prunes ran before the intent committed")
+    // the completion path (deriveHandle runs this on every ensure/refresh)
+    AnnLake.completeIntents(spark, sk)
+    assert(victims.forall(v => !memberIds().contains(v) && !codeIds().contains(v)),
+      "completion did not finish the interrupted delete")
+    // intent cleared; re-completion is a no-op
+    val v1 = (MergeSink.currentVersion(sk.cells), MergeSink.currentVersion(sk.codes))
+    AnnLake.completeIntents(spark, sk)
+    assert(v1 == (MergeSink.currentVersion(sk.cells), MergeSink.currentVersion(sk.codes)),
+      "re-completion committed on an empty intent table")
+  }
+
   test("appendPostings OCC: a commit inside the read-merge window aborts, retries, loses nothing (r12)") {
     // DETERMINISTIC lost-update reproduction (the InvertedIndexSpec shape):
     // writer A parks between its version read and its merge, writer B lands
