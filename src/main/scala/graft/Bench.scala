@@ -101,8 +101,47 @@ object Bench {
     // the headline total keeps 100 ms resolution (one value, 4-5 chars)
     println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$qs$failedJson$suspectJson,"sf":"$sf"}""")
     Console.out.flush()
+
+    // ---- FULL-coverage artifact (r12 verdict ask #4): the 2000-char
+    // stdout tail caps the LINE at ~80 entries, so ~98 declared queries
+    // were never wall-measured by any driver gate. After the line is
+    // safely flushed, the remaining budget sweeps EVERY other declared
+    // query and writes BENCH_FULL.json (full names, no aliases — a file
+    // has no char budget) into the repo root, REWRITTEN atomically after
+    // each query so a host kill leaves a complete snapshot. No sf0.001
+    // warmup pass for the extended set: the JVM is warm after the
+    // headline run, and the numbers are labeled shared-JVM first-run
+    // (fresh-JVM TimeQuery rows stay the adjudication arbiter). Queries
+    // the budget can't reach land in "skipped" — no silent caps.
+    val extendedNames = SparkEntry.allDefs.map(_.name).filterNot(names.toSet)
+    val extResults = scala.collection.mutable.LinkedHashMap[String, Either[String, Double]]()
+    def writeFull(skipped: Seq[String]): Unit = {
+      val all = results ++ extResults.toSeq
+      val fqs = all.collect { case (n, Right(sec)) => s""""$n":${f"$sec%.2f"}""" }
+        .mkString("{", ",", "}")
+      val ffl = all.collect { case (n, Left(_)) => s""""$n"""" }.mkString("[", ",", "]")
+      val fsk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val body =
+        s"""{"sf":"$sf","headline_total":${f"$total%.1f"},"headline_n":${names.size},"queries":$fqs,"failed":$ffl,"skipped":$fsk}"""
+      val tmpF = new java.io.File("BENCH_FULL.json.tmp")
+      java.nio.file.Files.write(tmpF.toPath, (body + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmpF.toPath, new java.io.File("BENCH_FULL.json").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    var remaining = extendedNames
+    writeFull(remaining) // headline-only snapshot lands first
+    while (remaining.nonEmpty && System.nanoTime() < deadline) {
+      val n = remaining.head; remaining = remaining.tail
+      extResults(n) = materialize(n, sfDir).left.map(e => s"$n: $e")
+      extResults(n).left.foreach(e => System.err.println(s"[bench-full] FAILED $e"))
+      writeFull(remaining)
+    }
+
     val stopper = new Thread(() => spark.stop(), "bench-stop")
     stopper.setDaemon(true); stopper.start(); stopper.join(20000L)
+    // exit code stays the HEADLINE contract (the parsed line); extended
+    // failures are gate-visible in the artifact's "failed" list
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -63,7 +63,7 @@ object BenchEnvelopes {
     "dd_containment" -> 0.3,
     "dd_entity_match" -> 2.4,        // r9 post-fix isolated row
     "dd_semdedup" -> 1.1,
-    "dd_incr_components" -> 5.4,
+    "dd_incr_components" -> 7.6, // r13 re-pin: fresh-JVM isolation row (9.34/7.67/7.57), BASELINE.md — checkpoint-IO class, plan untouched
     "ann_lsh_topk" -> 0.6,
     "ann_ivf_topk" -> 0.7,           // r9 operating point, index prestaged
     "ann_pq_topk" -> 2.1,            // r9 operating point, index prestaged

@@ -816,7 +816,10 @@ object Codecs {
 
   /** Decode a baseline-sequential grayscale JFIF JPEG produced by any
     * conforming encoder of this shape: marker walk (APP/COM skipped, DQT/
-    * DHT/SOF0/SOS honored, SOF2 progressive rejected), Huffman tables
+    * DHT/SOF0/SOS honored, SOF2 progressive rejected, 0xFF fill bytes
+    * before a marker skipped per T.81 B.1.1.2, length-less standalone
+    * markers — TEM, stray RSTn/EOI in headers — rejected with a named
+    * error instead of being misparsed as length fields), Huffman tables
     * rebuilt canonically from DHT, entropy-coded segment read with byte
     * unstuffing, DC prediction, dezigzag, dequantization, double-precision
     * IDCT, level shift + clamp, crop to the SOF dimensions.
@@ -835,10 +838,24 @@ object Codecs {
     var restartInterval = 0
     var sosAt = -1
     while (sosAt < 0) {
-      require(pos + 4 <= bytes.length, "truncated JPEG before SOS")
+      require(pos + 2 <= bytes.length, "truncated JPEG before SOS")
       require(u8(pos) == 0xff, f"expected marker at $pos%d")
+      // repeated 0xFF bytes are legal FILL before any marker (T.81
+      // B.1.1.2): skip them so a fill byte is never read as a marker id
+      // (and the id never as a length). r12 advice: previously a conforming
+      // fill-padded stream walked the parser into garbage offsets.
+      while (pos + 2 < bytes.length && u8(pos + 1) == 0xff) pos += 1
       val m = u8(pos + 1)
+      // length-less markers are standalone by definition — TEM (0x01) and
+      // RSTn (0xD0–D7) carry no length field, and neither belongs in the
+      // header section of a baseline scan; reading their next two bytes as
+      // a length would walk off into garbage. Fail with a named error.
+      require(m != 0x01 && (m < 0xd0 || m > 0xd7),
+        f"standalone marker 0xff$m%02x in headers (no length field)")
+      require(m != 0xd9, "EOI before SOS: stream carries no scan")
+      require(pos + 4 <= bytes.length, "truncated JPEG before SOS")
       val len = u16be(pos + 2)
+      require(len >= 2, f"marker 0xff$m%02x carries invalid length $len")
       val body = pos + 4
       m match {
         case 0xdb =>

@@ -112,4 +112,29 @@ class JpegSpec extends AnyFunSuite {
     val viaDispatch = Codecs.decodeImage(Codecs.encodeJpeg(img))
     assert(viaDispatch.width == 8 && viaDispatch.height == 8)
   }
+
+  test("0xFF fill bytes before a header marker are skipped, not read as lengths (r12 advice)") {
+    // T.81 B.1.1.2: any marker may be preceded by fill 0xFF bytes. Inject
+    // fill between SOI and the first marker segment: the stream stays
+    // conforming and must still decode to the same image.
+    val img = gray(8, 8)((r, c) => ((r / 2) * 2 + (c / 4)) * 20)
+    val bytes = Codecs.encodeJpeg(img)
+    val padded = bytes.take(2) ++ Array.fill(3)(0xff.toByte) ++ bytes.drop(2)
+    val out = Codecs.decodeJpeg(padded)
+    assert(out.pixels.toSeq == Codecs.decodeJpeg(bytes).pixels.toSeq)
+  }
+
+  test("length-less standalone markers in headers fail with a NAMED error, not a garbage walk") {
+    val bytes = Codecs.encodeJpeg(gray(8, 8)((_, _) => 77))
+    def inject(m: Int): Array[Byte] =
+      bytes.take(2) ++ Array(0xff.toByte, m.toByte) ++ bytes.drop(2)
+    // TEM (0x01) and a stray RST0 (0xD0) carry no length field
+    for (m <- Seq(0x01, 0xd0)) {
+      val e = intercept[IllegalArgumentException](Codecs.decodeJpeg(inject(m)))
+      assert(e.getMessage.contains("standalone marker"), s"0x$m%02x: ${e.getMessage}")
+    }
+    // a stray EOI before any scan names the real problem too
+    val e2 = intercept[IllegalArgumentException](Codecs.decodeJpeg(inject(0xd9)))
+    assert(e2.getMessage.contains("EOI before SOS"))
+  }
 }
