@@ -328,6 +328,53 @@ object MultimodalQueries {
     Multimodal.imageHash(media).toDF()
   }
 
+  /** Per-plane stats through the COLOR 4:2:0 container (r13 stretch,
+    * E134): the fixtures are real interleaved YCbCr JPEGs with
+    * 8×8-block-flat planes (jpegColorMedia), so each plane decodes
+    * BIT-EXACT (every block's DC is an exact integer through the all-ones
+    * quant tables — the E127 argument applied per component) and the
+    * oracle recomputes each plane's stats straight from the md5-chain
+    * block seed: luma = 4·mw·mh blocks of 64 px, each chroma plane =
+    * mw·mh blocks of 64 px at the stored quarter resolution. A sampling-
+    * factor, MCU-interleave, per-component-DC-prediction or chroma-quant
+    * slip hash-mismatches.
+    */
+  private val jpegColorBlocksCte: String =
+    s"""WITH src AS (
+       |  SELECT doc_id, md5(text) || md5(text || 'a') || md5(text || 'b') AS hx,
+       |         doc_id // 3 AS m
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |dims AS (
+       |  SELECT doc_id, hx, 1 + CAST(m % 2 AS INTEGER) AS mw,
+       |         1 + CAST(m % 3 AS INTEGER) AS mh
+       |  FROM src),
+       |bx AS (
+       |  SELECT doc_id, mw, mh,
+       |    [${byteAt("i")} for i in range(0, 4*mw*mh)] AS yb,
+       |    [${byteAt("4*mw*mh + i")} for i in range(0, mw*mh)] AS cbb,
+       |    [${byteAt("5*mw*mh + i")} for i in range(0, mw*mh)] AS crb
+       |  FROM dims)""".stripMargin
+
+  val jpegColorStats: QueryDef = QueryDef(
+    "mm_jpeg_color_stats",
+    s"""$jpegColorBlocksCte
+       |SELECT doc_id AS media_id, CAST(mw*16 AS INTEGER) AS width,
+       |  CAST(mh*16 AS INTEGER) AS height,
+       |  CAST(list_sum(yb)*64 AS BIGINT) AS sum_y,
+       |  CAST(list_min(yb) AS INTEGER) AS min_y,
+       |  CAST(list_max(yb) AS INTEGER) AS max_y,
+       |  CAST(list_sum(cbb)*64 AS BIGINT) AS sum_cb,
+       |  CAST(list_min(cbb) AS INTEGER) AS min_cb,
+       |  CAST(list_max(cbb) AS INTEGER) AS max_cb,
+       |  CAST(list_sum(crb)*64 AS BIGINT) AS sum_cr,
+       |  CAST(list_min(crb) AS INTEGER) AS min_cr,
+       |  CAST(list_max(crb) AS INTEGER) AS max_cr
+       |FROM bx""".stripMargin) { (s, dir) =>
+    val media = Multimodal.jpegColorMedia(s, Tables.documents(s, dir))
+    Multimodal.imageColorStats(media).toDF()
+  }
+
   val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash,
-    imageStats, resizeGrid, mediaDedup, pngStats, pngHash, jpegStats, jpegHash)
+    imageStats, resizeGrid, mediaDedup, pngStats, pngHash, jpegStats, jpegHash,
+    jpegColorStats)
 }

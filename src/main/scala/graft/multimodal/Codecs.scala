@@ -701,6 +701,87 @@ object Codecs {
     s
   }
 
+  /** 4:2:0 PLANAR YCbCr image (r13, E134): full-resolution luma, chroma
+    * at the stored quarter resolution (ceil-half dims). The codec works
+    * on PLANES — exactly what the container stores — so encode/decode
+    * add no resampling of their own; RGB conversion + chroma
+    * downsampling are the caller's EXPLICIT lossy step (rgbToYcc420),
+    * which is what keeps the block-flat plane fixtures bit-exact through
+    * the lossy container (the E127 argument, per plane).
+    */
+  final case class YccImage(width: Int, height: Int,
+      y: Array[Int], cb: Array[Int], cr: Array[Int]) {
+    def cw: Int = (width + 1) / 2
+    def ch: Int = (height + 1) / 2
+  }
+
+  /** Forward DCT of one 8×8 block sampled from `plane` (edge-replicated
+    * past pw×ph), quantized by the all-ones table, ACs clamped to the
+    * baseline ±1023 — ONE implementation shared by the grayscale and
+    * YCbCr encoders so the two cannot drift.
+    */
+  private def fdctQuantBlock(plane: Array[Int], pw: Int, ph: Int,
+      bx: Int, by: Int, coef: Array[Int]): Unit = {
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var sum = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val py = math.min(by * 8 + y, ph - 1)
+            val px = math.min(bx * 8 + x, pw - 1)
+            sum += (plane(py * pw + px) - 128) * jCos(x, v) * jCos(y, u)
+            x += 1
+          }
+          y += 1
+        }
+        val q = math.round(0.25 * jC(u) * jC(v) * sum).toInt
+        // baseline caps AC size categories at 10 (T.81 table limits);
+        // with q=1 an adversarial block can exceed ±1023 — clamp (a
+        // legal lossy choice; the flat fixtures' ACs are all zero)
+        coef(u * 8 + v) =
+          if (u == 0 && v == 0) q else math.max(-1023, math.min(1023, q))
+        v += 1
+      }
+      u += 1
+    }
+  }
+
+  /** Entropy-emit one quantized block (DC difference category + value,
+    * zigzag run-length AC with ZRL/EOB) — shared by both encoders.
+    * Returns the block's DC as the next prediction.
+    */
+  private def emitBlock(bw: BitWriter, dcCodes: Map[Int, (Int, Int)],
+      acCodes: Map[Int, (Int, Int)], coef: Array[Int], prevDc: Int): Int = {
+    def emit(codes: Map[Int, (Int, Int)], sym: Int): Unit = {
+      val (c, l) = codes(sym); bw.write(c, l)
+    }
+    def emitValue(v: Int, s: Int): Unit =
+      if (s > 0) bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
+    val dc = coef(0)
+    val diff = dc - prevDc
+    val s = jCat(diff)
+    emit(dcCodes, s); emitValue(diff, s)
+    var k = 1
+    var run = 0
+    while (k < 64) {
+      val ac = coef(ZigZag(k))
+      if (ac == 0) run += 1
+      else {
+        while (run >= 16) { emit(acCodes, 0xf0); run -= 16 } // ZRL
+        val sz = jCat(ac)
+        emit(acCodes, (run << 4) | sz); emitValue(ac, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) emit(acCodes, 0x00) // EOB
+    dc
+  }
+
   /** Encode gray pixels as a real baseline-sequential JFIF JPEG: SOI,
     * APP0, DQT (all-ones), SOF0 (1 component, no subsampling), DHT ×2
     * (the canonical tables above, carried in the file), SOS, the
@@ -734,11 +815,6 @@ object Codecs {
     val dcCodes = canonical(jBits(JDcSyms, 4), JDcSyms)
     val acCodes = canonical(jBits(JAcSyms, 9), JAcSyms)
     val bw = new BitWriter(out)
-    def emit(codes: Map[Int, (Int, Int)], sym: Int): Unit = {
-      val (c, l) = codes(sym); bw.write(c, l)
-    }
-    def emitValue(v: Int, s: Int): Unit =
-      if (s > 0) bw.write(if (v < 0) v + (1 << s) - 1 else v, s)
     var prevDc = 0
     val coef = new Array[Int](64)
     val totalMcus = ((h + 7) / 8) * ((w + 7) / 8)
@@ -757,58 +833,101 @@ object Codecs {
           rst = (rst + 1) % 8
           prevDc = 0
         }
-        // forward DCT of the (edge-replicated) block, quantized by 1
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            var sum = 0.0
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                val py = math.min(br * 8 + y, h - 1)
-                val px = math.min(bc * 8 + x, w - 1)
-                sum += (img.pixels(py * w + px) - 128) * jCos(x, v) * jCos(y, u)
-                x += 1
-              }
-              y += 1
-            }
-            val q = math.round(0.25 * jC(u) * jC(v) * sum).toInt
-            // baseline caps AC size categories at 10 (T.81 table limits);
-            // with q=1 an adversarial block can exceed ±1023 — clamp (a
-            // legal lossy choice; the flat fixtures' ACs are all zero)
-            coef(u * 8 + v) =
-              if (u == 0 && v == 0) q else math.max(-1023, math.min(1023, q))
-            v += 1
-          }
-          u += 1
-        }
-        val dc = coef(0)
-        val diff = dc - prevDc
-        prevDc = dc
-        val s = jCat(diff)
-        emit(dcCodes, s); emitValue(diff, s)
-        var k = 1
-        var run = 0
-        while (k < 64) {
-          val ac = coef(ZigZag(k))
-          if (ac == 0) run += 1
-          else {
-            while (run >= 16) { emit(acCodes, 0xf0); run -= 16 } // ZRL
-            val sz = jCat(ac)
-            emit(acCodes, (run << 4) | sz); emitValue(ac, sz)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) emit(acCodes, 0x00) // EOB
+        fdctQuantBlock(img.pixels, w, h, bc, br, coef)
+        prevDc = emitBlock(bw, dcCodes, acCodes, coef, prevDc)
         mcu += 1
         bc += 1
       }
       br += 1
     }
     require(mcu == totalMcus)
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode a 4:2:0 planar YCbCr image as an INTERLEAVED baseline JFIF
+    * JPEG (r13, E134 — color on the E127 scaffolding): SOF0 declares Y at
+    * 2×2 sampling against 1×1 chroma, the scan interleaves each MCU as
+    * 4 Y blocks (2×2) + Cb + Cr (T.81 A.2.3), every component keeps its
+    * OWN DC predictor, luma and chroma reference separate (both all-ones)
+    * quant tables, and restart intervals count MCUs and reset all three
+    * predictors. The chroma planes are consumed at their stored quarter
+    * resolution — no hidden resampling, so block-flat planes round-trip
+    * bit-exact exactly as in the grayscale case.
+    */
+  def encodeJpegYcc(img: YccImage, restartInterval: Int = 0): Array[Byte] = {
+    val w = img.width; val h = img.height
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff)
+    require(restartInterval >= 0 && restartInterval <= 0xffff)
+    val cw = img.cw; val ch = img.ch
+    require(img.y.length == w * h && img.cb.length == cw * ch &&
+      img.cr.length == cw * ch, "plane sizes must match 4:2:0 dims")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      payload.foreach(v => out.write(v & 0xff))
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // two quant tables (luma Tq=0, chroma Tq=1), both all-ones — separate
+    // slots because that is the production table layout; identical values
+    // because bit-exact fixtures are the point (E127)
+    seg(0xdb, 0 +: ZigZag.indices.map(k => JQuant(ZigZag(k))).toArray)
+    seg(0xdb, 1 +: ZigZag.indices.map(k => JQuant(ZigZag(k))).toArray)
+    seg(0xc0, Array(8, (h >>> 8) & 0xff, h & 0xff, (w >>> 8) & 0xff, w & 0xff,
+      3,
+      1, 0x22, 0, // Y:  2x2 sampling, quant table 0
+      2, 0x11, 1, // Cb: 1x1, quant table 1
+      3, 0x11, 1)) // Cr
+    seg(0xc4, (0x00 +: (jBits(JDcSyms, 4) ++ JDcSyms)).toArray) // DC class 0 id 0
+    seg(0xc4, (0x10 +: (jBits(JAcSyms, 9) ++ JAcSyms)).toArray) // AC class 1 id 0
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >>> 8) & 0xff, restartInterval & 0xff))
+    // all three components share the canonical table pair (legal: the
+    // scan header selects tables per component)
+    seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val dcCodes = canonical(jBits(JDcSyms, 4), JDcSyms)
+    val acCodes = canonical(jBits(JAcSyms, 9), JAcSyms)
+    val bw = new BitWriter(out)
+    val coef = new Array[Int](64)
+    val mcw = (w + 15) / 16; val mch = (h + 15) / 16
+    var dcY = 0; var dcCb = 0; var dcCr = 0
+    var mcu = 0
+    var rst = 0
+    var mr = 0
+    while (mr < mch) {
+      var mc = 0
+      while (mc < mcw) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          out.write(0xff); out.write(0xd0 | rst)
+          rst = (rst + 1) % 8
+          dcY = 0; dcCb = 0; dcCr = 0 // ALL predictors reset (E.1.4)
+        }
+        // MCU = 4 luma blocks row-major within the 2×2 tile, then Cb, Cr
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            fdctQuantBlock(img.y, w, h, mc * 2 + dx, mr * 2 + dy, coef)
+            dcY = emitBlock(bw, dcCodes, acCodes, coef, dcY)
+            dx += 1
+          }
+          dy += 1
+        }
+        fdctQuantBlock(img.cb, cw, ch, mc, mr, coef)
+        dcCb = emitBlock(bw, dcCodes, acCodes, coef, dcCb)
+        fdctQuantBlock(img.cr, cw, ch, mc, mr, coef)
+        dcCr = emitBlock(bw, dcCodes, acCodes, coef, dcCr)
+        mcu += 1
+        mc += 1
+      }
+      mr += 1
+    }
     bw.flush()
     marker(0xd9) // EOI
     out.toByteArray
@@ -824,17 +943,36 @@ object Codecs {
     * unstuffing, DC prediction, dezigzag, dequantization, double-precision
     * IDCT, level shift + clamp, crop to the SOF dimensions.
     */
-  def decodeJpeg(bytes: Array[Byte]): GrayImage = {
+  /** One SOF component: id, horizontal/vertical sampling, quant table. */
+  private final case class JComp(id: Int, hs: Int, vs: Int, tq: Int)
+
+  /** Everything the marker walk yields before the entropy segment. */
+  private final case class JHeaders(
+      quant: Map[Int, Array[Int]],
+      huff: Map[(Int, Int), (Array[Int], Array[Int], Array[Int], Array[Int])],
+      w: Int, h: Int, comps: Seq[JComp],
+      scan: Seq[(Int, Int, Int)], // (component id, dcSel, acSel) in scan order
+      restartInterval: Int, sosAt: Int)
+
+  /** The hardened marker walk, shared by the grayscale and YCbCr
+    * decoders: APP/COM skipped, DQT (multiple tables per segment) / DHT /
+    * SOF0 / DRI / SOS honored, SOF2 progressive rejected, 0xFF fill bytes
+    * before a marker skipped (T.81 B.1.1.2), length-less standalone
+    * markers (TEM, stray RSTn/EOI) rejected with named errors instead of
+    * being misparsed as length fields.
+    */
+  private def parseJpegHeaders(bytes: Array[Byte]): JHeaders = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
       "not a JPEG: missing SOI")
     var pos = 2
     def u8(i: Int): Int = bytes(i) & 0xff
     def u16be(i: Int): Int = (u8(i) << 8) | u8(i + 1)
-    var quant: Array[Int] = null
+    var quant = Map.empty[Int, Array[Int]]
     // (class, id) → decode tables: maxcode/mincode/valptr per length
     var huff = Map.empty[(Int, Int), (Array[Int], Array[Int], Array[Int], Array[Int])]
     var w = -1; var h = -1
-    var dcSel = -1; var acSel = -1; var qSel = -1
+    var comps = Seq.empty[JComp]
+    var scan = Seq.empty[(Int, Int, Int)]
     var restartInterval = 0
     var sosAt = -1
     while (sosAt < 0) {
@@ -859,9 +997,16 @@ object Codecs {
       val body = pos + 4
       m match {
         case 0xdb =>
-          require(u8(body) == 0x00, "only 8-bit quant table 0 supported")
-          quant = new Array[Int](64)
-          for (k <- 0 until 64) quant(ZigZag(k)) = u8(body + 1 + k)
+          // one or more tables per DQT segment (T.81 B.2.4.1)
+          var p = body
+          while (p < pos + 2 + len) {
+            require(u8(p) >> 4 == 0, "only 8-bit quant tables supported")
+            val tq = u8(p) & 0x0f
+            val t = new Array[Int](64)
+            for (k <- 0 until 64) t(ZigZag(k)) = u8(p + 1 + k)
+            quant += tq -> t
+            p += 65
+          }
         case 0xc4 =>
           var p = body
           while (p < pos + 2 + len) {
@@ -886,34 +1031,48 @@ object Codecs {
         case 0xc0 =>
           require(u8(body) == 8, "only 8-bit precision supported")
           h = u16be(body + 1); w = u16be(body + 3)
-          require(u8(body + 5) == 1, "only single-component (grayscale) supported")
-          require(u8(body + 7) == 0x11, "subsampling unsupported for grayscale")
-          qSel = u8(body + 8)
+          val n = u8(body + 5)
+          comps = (0 until n).map { i =>
+            val b = body + 6 + 3 * i
+            JComp(u8(b), u8(b + 1) >> 4, u8(b + 1) & 0x0f, u8(b + 2))
+          }
         case 0xc2 => throw new IllegalArgumentException("progressive JPEG unsupported")
         case 0xdd => restartInterval = u16be(body)
         case 0xda =>
-          require(u8(body) == 1, "one scan component expected")
-          dcSel = u8(body + 2) >> 4; acSel = u8(body + 2) & 0x0f
+          val n = u8(body)
+          scan = (0 until n).map { i =>
+            (u8(body + 1 + 2 * i), u8(body + 2 + 2 * i) >> 4, u8(body + 2 + 2 * i) & 0x0f)
+          }
           sosAt = pos + 2 + len
         case _ => () // APPn / COM / others: skip
       }
       pos += 2 + len
     }
-    require(w > 0 && h > 0 && quant != null && qSel == 0, "incomplete JPEG headers")
-    val (dcMin, dcMax, dcPtr, dcVals) = huff((0, dcSel))
-    val (acMin, acMax, acPtr, acVals) = huff((1, acSel))
-    // entropy-coded bit reader with unstuffing; stops at any marker
-    var bp = sosAt
-    var acc = 0; var nbits = 0
+    require(w > 0 && h > 0 && quant.nonEmpty && comps.nonEmpty,
+      "incomplete JPEG headers")
+    require(scan.map(_._1) == comps.map(_.id),
+      "scan component order must match SOF (non-interleaved scans unsupported)")
+    JHeaders(quant, huff, w, h, comps, scan, restartInterval, sosAt)
+  }
+
+  /** Entropy-segment bit reader with byte unstuffing and checked restart
+    * resynchronization — shared by both decoders.
+    */
+  private final class JBitReader(bytes: Array[Byte], start: Int) {
+    private var bp = start
+    private var acc = 0
+    private var nbits = 0
+    private def u8(i: Int): Int = bytes(i) & 0xff
     def nextBit(): Int = {
       if (nbits == 0) {
         require(bp < bytes.length, "truncated entropy segment")
-        var b = u8(bp); bp += 1
+        val b = u8(bp); bp += 1
         if (b == 0xff) {
           require(bp < bytes.length, "truncated stuffing")
           val nx = u8(bp)
-          // 0xFF in entropy data must be stuffed; a marker here means the
-          // reader ran past the scan (restart intervals are unsupported)
+          // 0xFF in entropy data must be stuffed; an unstuffed marker here
+          // means the reader ran past the scan (a restart the caller did
+          // not expect, or corrupt data)
           require(nx == 0x00, f"marker 0xff$nx%02x inside entropy segment")
           bp += 1
         }
@@ -922,8 +1081,8 @@ object Codecs {
       nbits -= 1
       (acc >>> nbits) & 1
     }
-    def decodeSym(mincode: Array[Int], maxcode: Array[Int], valptr: Array[Int],
-        vals: Array[Int]): Int = {
+    def decodeSym(t: (Array[Int], Array[Int], Array[Int], Array[Int])): Int = {
+      val (mincode, maxcode, valptr, vals) = t
       var code = nextBit()
       var l = 1
       while (l <= 16 && (maxcode(l) < 0 || code > maxcode(l))) {
@@ -941,7 +1100,7 @@ object Codecs {
       }
     // byte-align and consume the expected RSTm (T.81 E.1.4): remaining
     // pad bits of the current byte drop, the marker must be the cycling
-    // index, and the DC predictor resets with it
+    // index — the caller resets its DC predictors with it
     def expectRestart(idx: Int): Unit = {
       nbits = 0
       require(bp + 1 < bytes.length, "truncated before restart marker")
@@ -949,6 +1108,83 @@ object Codecs {
         f"expected RST${idx % 8}%d at offset $bp%d, saw 0x${u8(bp)}%02x${u8(bp + 1)}%02x")
       bp += 2
     }
+  }
+
+  /** Entropy-decode one block into `coef` (dequantized, dezigzagged);
+    * returns the block's DC prediction. Shared by both decoders.
+    */
+  private def readBlockInto(r: JBitReader,
+      dcT: (Array[Int], Array[Int], Array[Int], Array[Int]),
+      acT: (Array[Int], Array[Int], Array[Int], Array[Int]),
+      quant: Array[Int], prevDc: Int, coef: Array[Int]): Int = {
+    java.util.Arrays.fill(coef, 0)
+    val s = r.decodeSym(dcT)
+    val dc = prevDc + r.receive(s)
+    coef(0) = dc * quant(0)
+    var k = 1
+    var eob = false
+    while (k < 64 && !eob) {
+      val rs = r.decodeSym(acT)
+      val run = rs >> 4; val sz = rs & 0x0f
+      if (sz == 0) {
+        if (run == 15) k += 16 // ZRL
+        else eob = true        // EOB
+      } else {
+        k += run
+        require(k < 64, "AC run past block end")
+        coef(ZigZag(k)) = r.receive(sz) * quant(ZigZag(k))
+        k += 1
+      }
+    }
+    dc
+  }
+
+  /** IDCT (double, direct) + level shift + clamp of one block into
+    * `plane`, cropped to pw×ph. Shared by both decoders.
+    */
+  private def idctInto(coef: Array[Int], plane: Array[Int], pw: Int, ph: Int,
+      bx: Int, by: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      val py = by * 8 + y
+      var x = 0
+      while (x < 8) {
+        val pxc = bx * 8 + x
+        if (py < ph && pxc < pw) {
+          var sum = 0.0
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              val f = coef(u * 8 + v)
+              if (f != 0) sum += jC(u) * jC(v) * f * jCos(x, v) * jCos(y, u)
+              v += 1
+            }
+            u += 1
+          }
+          val g = math.round(0.25 * sum).toInt + 128
+          plane(py * pw + pxc) = math.max(0, math.min(255, g))
+        }
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  def decodeJpeg(bytes: Array[Byte]): GrayImage = {
+    val hd = parseJpegHeaders(bytes)
+    require(hd.comps.length == 1,
+      "grayscale expected — use decodeJpegYcc for 3-component streams")
+    require(hd.comps.head.hs == 1 && hd.comps.head.vs == 1,
+      "subsampling unsupported for grayscale")
+    val quant = hd.quant.getOrElse(hd.comps.head.tq,
+      throw new IllegalArgumentException("SOF references a missing quant table"))
+    val w = hd.w; val h = hd.h
+    val (_, dcSel, acSel) = hd.scan.head
+    val dcT = hd.huff((0, dcSel))
+    val acT = hd.huff((1, acSel))
+    val restartInterval = hd.restartInterval
+    val r = new JBitReader(bytes, hd.sosAt)
     val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
     val px = new Array[Int](w * h)
     val coef = new Array[Int](64)
@@ -960,60 +1196,145 @@ object Codecs {
       var bc = 0
       while (bc < bw8) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          expectRestart(rst)
+          r.expectRestart(rst)
           rst = (rst + 1) % 8
           prevDc = 0
         }
-        java.util.Arrays.fill(coef, 0)
-        val s = decodeSym(dcMin, dcMax, dcPtr, dcVals)
-        prevDc += receive(s)
-        coef(0) = prevDc * quant(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = decodeSym(acMin, acMax, acPtr, acVals)
-          val run = rs >> 4; val sz = rs & 0x0f
-          if (sz == 0) {
-            if (run == 15) k += 16 // ZRL
-            else eob = true        // EOB
-          } else {
-            k += run
-            require(k < 64, "AC run past block end")
-            coef(ZigZag(k)) = receive(sz) * quant(ZigZag(k))
-            k += 1
-          }
-        }
-        // IDCT (double, direct) + level shift + clamp, cropped to w×h
-        var y = 0
-        while (y < 8) {
-          val py = br * 8 + y
-          var x = 0
-          while (x < 8) {
-            val pxc = bc * 8 + x
-            if (py < h && pxc < w) {
-              var sum = 0.0
-              var u = 0
-              while (u < 8) {
-                var v = 0
-                while (v < 8) {
-                  val f = coef(u * 8 + v)
-                  if (f != 0) sum += jC(u) * jC(v) * f * jCos(x, v) * jCos(y, u)
-                  v += 1
-                }
-                u += 1
-              }
-              val g = math.round(0.25 * sum).toInt + 128
-              px(py * w + pxc) = math.max(0, math.min(255, g))
-            }
-            x += 1
-          }
-          y += 1
-        }
+        prevDc = readBlockInto(r, dcT, acT, quant, prevDc, coef)
+        idctInto(coef, px, w, h, bc, br)
         mcu += 1
         bc += 1
       }
       br += 1
     }
     GrayImage(w, h, px)
+  }
+
+  /** Decode an interleaved 4:2:0 baseline YCbCr JPEG back to its PLANES
+    * (r13, E134): SOF0 must declare exactly (2×2, 1×1, 1×1) sampling; the
+    * MCU loop mirrors encodeJpegYcc (4 Y blocks + Cb + Cr per MCU,
+    * per-component DC prediction and quant tables, restart markers reset
+    * all predictors). Chroma comes back at its stored quarter resolution
+    * — upsampling to pixels is yccToRgb's explicit job, so block-flat
+    * planes round-trip bit-exact.
+    */
+  def decodeJpegYcc(bytes: Array[Byte]): YccImage = {
+    val hd = parseJpegHeaders(bytes)
+    require(hd.comps.length == 3,
+      "3-component YCbCr expected — use decodeJpeg for grayscale")
+    val Seq(yc, cbc, crc) = hd.comps
+    require(yc.hs == 2 && yc.vs == 2 &&
+      cbc.hs == 1 && cbc.vs == 1 && crc.hs == 1 && crc.vs == 1,
+      "only 4:2:0 (luma 2x2 vs chroma 1x1) supported")
+    val w = hd.w; val h = hd.h
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    val qt = hd.comps.map(c => hd.quant.getOrElse(c.tq,
+      throw new IllegalArgumentException("SOF references a missing quant table")))
+    val dcT = hd.scan.map(sc => hd.huff((0, sc._2)))
+    val acT = hd.scan.map(sc => hd.huff((1, sc._3)))
+    val yP = new Array[Int](w * h)
+    val cbP = new Array[Int](cw * ch)
+    val crP = new Array[Int](cw * ch)
+    val r = new JBitReader(bytes, hd.sosAt)
+    val coef = new Array[Int](64)
+    val mcw = (w + 15) / 16; val mch = (h + 15) / 16
+    val prevDc = new Array[Int](3)
+    var mcu = 0
+    var rst = 0
+    var mr = 0
+    while (mr < mch) {
+      var mc = 0
+      while (mc < mcw) {
+        if (hd.restartInterval > 0 && mcu > 0 && mcu % hd.restartInterval == 0) {
+          r.expectRestart(rst)
+          rst = (rst + 1) % 8
+          prevDc(0) = 0; prevDc(1) = 0; prevDc(2) = 0
+        }
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            prevDc(0) = readBlockInto(r, dcT(0), acT(0), qt(0), prevDc(0), coef)
+            idctInto(coef, yP, w, h, mc * 2 + dx, mr * 2 + dy)
+            dx += 1
+          }
+          dy += 1
+        }
+        prevDc(1) = readBlockInto(r, dcT(1), acT(1), qt(1), prevDc(1), coef)
+        idctInto(coef, cbP, cw, ch, mc, mr)
+        prevDc(2) = readBlockInto(r, dcT(2), acT(2), qt(2), prevDc(2), coef)
+        idctInto(coef, crP, cw, ch, mc, mr)
+        mcu += 1
+        mc += 1
+      }
+      mr += 1
+    }
+    YccImage(w, h, yP, cbP, crP)
+  }
+
+  /** BT.601 full-range RGB → 4:2:0 planar YCbCr — the EXPLICIT lossy step
+    * in front of encodeJpegYcc (rounding + 2×2 box-filter chroma
+    * downsample; edge-replicated on odd dims). Kept out of the codec so
+    * the container round-trip itself stays exactly measurable.
+    */
+  def rgbToYcc420(width: Int, height: Int,
+      r: Array[Int], g: Array[Int], b: Array[Int]): YccImage = {
+    require(r.length == width * height && g.length == r.length && b.length == r.length)
+    def clamp(v: Long): Int = math.max(0L, math.min(255L, v)).toInt
+    val y = new Array[Int](width * height)
+    var i = 0
+    while (i < y.length) {
+      y(i) = clamp(math.round(0.299 * r(i) + 0.587 * g(i) + 0.114 * b(i)))
+      i += 1
+    }
+    val cw = (width + 1) / 2; val ch = (height + 1) / 2
+    val cb = new Array[Int](cw * ch)
+    val cr = new Array[Int](cw * ch)
+    var cy = 0
+    while (cy < ch) {
+      var cx = 0
+      while (cx < cw) {
+        // 2×2 box filter, edge-replicated on odd dims
+        var sr = 0.0; var sg = 0.0; var sb = 0.0
+        var k = 0
+        while (k < 4) {
+          val py = math.min(cy * 2 + k / 2, height - 1)
+          val px = math.min(cx * 2 + k % 2, width - 1)
+          sr += r(py * width + px); sg += g(py * width + px); sb += b(py * width + px)
+          k += 1
+        }
+        cb(cy * cw + cx) = clamp(math.round(128 - 0.168736 * sr / 4 - 0.331264 * sg / 4 + 0.5 * sb / 4))
+        cr(cy * cw + cx) = clamp(math.round(128 + 0.5 * sr / 4 - 0.418688 * sg / 4 - 0.081312 * sb / 4))
+        cx += 1
+      }
+      cy += 1
+    }
+    YccImage(width, height, y, cb, cr)
+  }
+
+  /** 4:2:0 planar YCbCr → RGB (nearest-neighbor chroma upsample, BT.601
+    * full-range inverse) — yccToRgb ∘ rgbToYcc420 is bounded-lossy, spec-
+    * measured; the codec round-trip in between is the bit-exact part.
+    */
+  def yccToRgb(img: YccImage): (Array[Int], Array[Int], Array[Int]) = {
+    val w = img.width; val h = img.height; val cw = img.cw
+    def clamp(v: Long): Int = math.max(0L, math.min(255L, v)).toInt
+    val r = new Array[Int](w * h); val g = new Array[Int](w * h); val b = new Array[Int](w * h)
+    var py = 0
+    while (py < h) {
+      var px = 0
+      while (px < w) {
+        val i = py * w + px
+        val y = img.y(i).toDouble
+        val cb = img.cb((py / 2) * cw + px / 2) - 128.0
+        val cr = img.cr((py / 2) * cw + px / 2) - 128.0
+        r(i) = clamp(math.round(y + 1.402 * cr))
+        g(i) = clamp(math.round(y - 0.344136 * cb - 0.714136 * cr))
+        b(i) = clamp(math.round(y + 1.772 * cb))
+        px += 1
+      }
+      py += 1
+    }
+    (r, g, b)
   }
 }

@@ -266,6 +266,36 @@ object Multimodal {
     })
   }
 
+  /** Per-PLANE stats of a decoded 4:2:0 color JPEG (r13, E134): luma at
+    * full resolution, chroma at its stored quarter resolution — exactly
+    * what the container carries, so every field is an exact integer.
+    */
+  final case class ColorStats(
+      media_id: Long, width: Int, height: Int,
+      sum_y: Long, min_y: Int, max_y: Int,
+      sum_cb: Long, min_cb: Int, max_cb: Int,
+      sum_cr: Long, min_cr: Int, max_cr: Int)
+
+  def imageColorStats(media: Dataset[MediaRecord]): Dataset[ColorStats] = {
+    import media.sparkSession.implicits._
+    def agg(p: Array[Int]): (Long, Int, Int) = {
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      var i = 0
+      while (i < p.length) {
+        val v = p(i); sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        i += 1
+      }
+      (sum, mn, mx)
+    }
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val img = Codecs.decodeJpegYcc(m.content)
+      val (sy, ny, xy) = agg(img.y)
+      val (sb, nb, xb) = agg(img.cb)
+      val (sr, nr, xr) = agg(img.cr)
+      ColorStats(m.media_id, img.width, img.height, sy, ny, xy, sb, nb, xb, sr, nr, xr)
+    })
+  }
+
   /** A resized image: target dims + the resampled gray pixels. */
   final case class Resized(media_id: Long, w: Int, h: Int, pixels: Array[Int])
 
@@ -380,6 +410,36 @@ object Multimodal {
         val w = bw * 8; val h = bh * 8
         val px = Array.tabulate(w * h)(i => blocks((i / w / 8) * bw + (i % w / 8)))
         MediaRecord(docId, "image", Codecs.encodeJpeg(Codecs.GrayImage(w, h, px)))
+      })
+  }
+
+  /** Build REAL interleaved 4:2:0 color JPEGs from the doc_id ≡ 1 mod 3
+    * documents (r13, E134): m = doc_id/3 gives mw = 1+m%2 MCUs wide and
+    * mh = 1+m%3 high (16·mw × 16·mh pixels); the md5 chain supplies
+    * 6·mw·mh block bytes — first the 4·mw·mh luma blocks row-major over
+    * the luma block grid, then mw·mh Cb blocks, then mw·mh Cr blocks.
+    * Every plane is 8×8-block-flat, so the lossy container round-trips
+    * them BIT-EXACT (the E127 argument per plane) and the oracle
+    * recomputes all stats straight from the chain bytes.
+    */
+  def jpegColorMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val m = docId / 3
+        val mw = 1 + (m % 2).toInt
+        val mh = 1 + (m % 3).toInt
+        val nB = mw * mh
+        val blocks = md5Chain(text, 6 * nB)
+        val w = 16 * mw; val h = 16 * mh
+        val cw = 8 * mw; val ch = 8 * mh
+        val y = Array.tabulate(w * h)(i => blocks((i / w / 8) * (2 * mw) + (i % w / 8)))
+        val cb = Array.tabulate(cw * ch)(i => blocks(4 * nB + (i / cw / 8) * mw + (i % cw / 8)))
+        val cr = Array.tabulate(cw * ch)(i => blocks(5 * nB + (i / cw / 8) * mw + (i % cw / 8)))
+        MediaRecord(docId, "image",
+          Codecs.encodeJpegYcc(Codecs.YccImage(w, h, y, cb, cr)))
       })
   }
 

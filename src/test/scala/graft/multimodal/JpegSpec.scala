@@ -113,6 +113,100 @@ class JpegSpec extends AnyFunSuite {
     assert(viaDispatch.width == 8 && viaDispatch.height == 8)
   }
 
+  // ---- COLOR 4:2:0 (r13, E134) -------------------------------------------
+
+  /** Planar fixture: block-flat planes (luma bw×bh blocks of 16×16-MCU
+    * geometry, chroma at quarter res), values chosen per block.
+    */
+  private def ycc(mw: Int, mh: Int)(yv: Int => Int, cbv: Int => Int,
+      crv: Int => Int): Codecs.YccImage = {
+    val w = 16 * mw; val h = 16 * mh; val cw = 8 * mw; val ch = 8 * mh
+    Codecs.YccImage(w, h,
+      Array.tabulate(w * h)(i => yv((i / w / 8) * (2 * mw) + (i % w / 8))),
+      Array.tabulate(cw * ch)(i => cbv((i / cw / 8) * mw + (i % cw / 8))),
+      Array.tabulate(cw * ch)(i => crv((i / cw / 8) * mw + (i % cw / 8))))
+  }
+
+  test("COLOR: block-flat planes round-trip BIT-EXACT through the interleaved 4:2:0 container") {
+    val img = ycc(2, 3)(b => (b * 17 + 3) % 256, b => (b * 31 + 80) % 256,
+      b => (b * 53 + 11) % 256)
+    val out = Codecs.decodeJpegYcc(Codecs.encodeJpegYcc(img))
+    assert(out.width == img.width && out.height == img.height)
+    assert(out.y.toSeq == img.y.toSeq, "luma plane drifted")
+    assert(out.cb.toSeq == img.cb.toSeq, "Cb plane drifted")
+    assert(out.cr.toSeq == img.cr.toSeq, "Cr plane drifted")
+  }
+
+  test("COLOR: arbitrary planes round-trip within the coefficient-rounding bound") {
+    val rnd = new scala.util.Random(7L)
+    val w = 32; val h = 16
+    val img = Codecs.YccImage(w, h,
+      Array.fill(w * h)(rnd.nextInt(256)),
+      Array.fill((w / 2) * (h / 2))(rnd.nextInt(256)),
+      Array.fill((w / 2) * (h / 2))(rnd.nextInt(256)))
+    val out = Codecs.decodeJpegYcc(Codecs.encodeJpegYcc(img))
+    def maxErr(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+    assert(maxErr(out.y, img.y) <= 4 && maxErr(out.cb, img.cb) <= 4 &&
+      maxErr(out.cr, img.cr) <= 4)
+  }
+
+  test("COLOR: restart intervals reset ALL THREE DC predictors; wrong index fails loudly") {
+    val img = ycc(2, 2)(b => 10 + b * 16, b => 200 - b * 15, b => 60 + b * 9)
+    val bytes = Codecs.encodeJpegYcc(img, restartInterval = 1)
+    assert(bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0
+      && (p(1) & 0xff) <= 0xd7), "no RSTn emitted at interval 1")
+    val out = Codecs.decodeJpegYcc(bytes)
+    assert(out.y.toSeq == img.y.toSeq && out.cb.toSeq == img.cb.toSeq &&
+      out.cr.toSeq == img.cr.toSeq)
+    // corrupt the first restart marker's index: resync must be CHECKED
+    val i = bytes.indices.dropWhile(j => j < 2 || !(
+      (bytes(j) & 0xff) == 0xff && (bytes(j + 1) & 0xff) >= 0xd0 &&
+        (bytes(j + 1) & 0xff) <= 0xd7)).head
+    val bad = bytes.clone()
+    bad(i + 1) = (0xd0 | (((bad(i + 1) & 0x07) + 3) % 8)).toByte
+    intercept[IllegalArgumentException](Codecs.decodeJpegYcc(bad))
+  }
+
+  test("COLOR: non-multiple-of-16 dims pad by edge replication and crop exactly") {
+    val w = 20; val h = 12 // 2×1 MCUs, right/bottom partial
+    val img = Codecs.YccImage(w, h,
+      Array.tabulate(w * h)(i => (i * 7) % 256 / 16 * 16),
+      Array.tabulate(10 * 6)(i => 90), Array.tabulate(10 * 6)(i => 160))
+    val out = Codecs.decodeJpegYcc(Codecs.encodeJpegYcc(img))
+    assert(out.width == w && out.height == h && out.cb.length == 10 * 6)
+    assert(out.cb.toSeq == img.cb.toSeq && out.cr.toSeq == img.cr.toSeq)
+    val maxErr = out.y.zip(img.y).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 4, s"partial-MCU luma drifted by $maxErr")
+  }
+
+  test("COLOR: rgb→ycc420→rgb is bounded-lossy; the codec in between is exact") {
+    val rnd = new scala.util.Random(13L)
+    val w = 16; val h = 16
+    // smooth-ish content (chroma subsampling on noise is unboundedly lossy
+    // by design; the bound claim is for the conversion+rounding path)
+    val r = Array.tabulate(w * h)(i => 40 + (i / w) * 8)
+    val g = Array.tabulate(w * h)(i => 200 - (i % w) * 6)
+    val b = Array.tabulate(w * h)(i => 30 + ((i / w) + (i % w)) * 4)
+    val planes = Codecs.rgbToYcc420(w, h, r, g, b)
+    val rt = Codecs.decodeJpegYcc(Codecs.encodeJpegYcc(planes))
+    val (r2, g2, b2) = Codecs.yccToRgb(rt)
+    def maxErr(a: Array[Int], c: Array[Int]): Int =
+      a.zip(c).map { case (x, y) => math.abs(x - y) }.max
+    val e = Seq(maxErr(r, r2), maxErr(g, g2), maxErr(b, b2)).max
+    assert(e <= 24, s"RGB round-trip error $e exceeds the smooth-content bound")
+    assert(rnd.nextInt(2) >= 0) // keep rnd referenced (seed documents intent)
+  }
+
+  test("COLOR: component-shape dispatch fails loudly both ways") {
+    val gray8 = Codecs.encodeJpeg(gray(8, 8)((_, _) => 90))
+    val color = Codecs.encodeJpegYcc(ycc(1, 1)(_ => 50, _ => 128, _ => 128))
+    val e1 = intercept[IllegalArgumentException](Codecs.decodeJpegYcc(gray8))
+    assert(e1.getMessage.contains("3-component"))
+    val e2 = intercept[IllegalArgumentException](Codecs.decodeJpeg(color))
+    assert(e2.getMessage.contains("grayscale expected"))
+  }
+
   test("0xFF fill bytes before a header marker are skipped, not read as lengths (r12 advice)") {
     // T.81 B.1.1.2: any marker may be preceded by fill 0xFF bytes. Inject
     // fill between SOI and the first marker segment: the stream stays
