@@ -281,7 +281,10 @@ object DumpPlans {
         |key-digest interval brackets a batch span (readOverlapping manifest
         |pruning — the file list is in the scan's Location). Batch spans
         |derive in-plan (O(batch)); the existence check is the residual
-        |left join over the pruned files.""".stripMargin,
+        |left join over the pruned files. Since r13 the table carries the
+        |per-window refcount and the probe filters cnt > 0 inside the scan
+        |stage — a deleteDocs-zeroed window is dead before its physical
+        |prune commits (fail-closed across the two-commit gap).""".stripMargin,
     "pipe_incremental_corpus_lake" ->
       """Every verdict stage O(batch) against pruned lake tables: exact-dup
         |probes the fp MergeSink, near-dup candidates come from the batch
@@ -308,7 +311,9 @@ object DumpPlans {
         |manifest pruning and any shuffle ride fixed-width longs; the
         |batch-internal dup set is the two-phase shape in miniature and
         |the string column is dropped before the corpus join (78 → 49 MB
-        |shuffle at the 10× replica).""".stripMargin,
+        |shuffle at the 10× replica). r13: the table adds the per-window
+        |refcount (still all-longs, contract-pinned) and the probe's
+        |cnt > 0 residual runs inside the scan stage.""".stripMargin,
 
     "ann_ivf_lake" ->
       """The lake-served IVF probe: pcells from the read-back centroid
