@@ -955,6 +955,12 @@ object DedupQueries {
     *    the r12 boundary note prescribed, now wired. Only corpus-side
     *    (doc_id % 5 ≠ 0) docs decrement, mirroring what the sink builds
     *    counted.
+    *  - the CLUSTER tables (`ensureLabelSinks`) via DECREMENTAL connected
+    *    components: the touched components' surviving members relabel
+    *    from their surviving verified edges (a bridge doc's removal
+    *    SPLITS its component; edge-less survivors revert to implicit
+    *    self-labels), O(touched clusters) work, marker-gated merges +
+    *    idempotent row deletes.
     *
     * Cost: O(dropped docs' windows/bands) touched files per table, never
     * a table scan. Concurrent delete batches serialize through the OCC
@@ -994,6 +1000,60 @@ object DedupQueries {
       .groupBy("h", "fp").agg(countDistinct(col("doc_id")).as("__dec"))
     decrementWindows(s, substrSink, Seq("h", "fp"), substrDec, marker,
       targetFileRows = 2048)
+
+    // LABEL tier — decremental connected components (r13, E135): a dropped
+    // doc leaves the cluster tables, and a component it BRIDGED must
+    // SPLIT. The surviving members of every touched component are
+    // RELABELED from their surviving verified edges — recomputed through
+    // the same band + exact-Jaccard dataflow that built the tables, over
+    // O(touched clusters) docs, never the corpus. Survivors whose edges
+    // all died REVERT to the build's implicit self-label convention
+    // (absent rows; every consumer coalesces missing to self). The
+    // relabel merges are marker-gated like the refcount decrements; the
+    // trailing row deletes are idempotent and run unconditionally, so a
+    // crash between merge and delete completes on retry.
+    val (byDoc, byComp) = ensureLabelSinks(s, dir)
+    val touchedComps = MergeSink.readOverlapping(s, byDoc, drop, Seq("doc_id"))
+      .join(drop, Seq("doc_id"))
+      .select("component").distinct().localCheckpoint(true)
+    if (!touchedComps.isEmpty) {
+      val survivors = MergeSink.readOverlapping(s, byComp, touchedComps,
+          Seq("component"))
+        .join(touchedComps, Seq("component"))
+        .select(explode(col("doc_ids")).as("doc_id"))
+        .join(drop, Seq("doc_id"), "left_anti")
+        .distinct().localCheckpoint(true)
+      val bt = bandTable(s, dir).join(survivors, Seq("doc_id"))
+      val cand = bt.as("a")
+        .join(bt.as("b"),
+          col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val relabeled = starComponents(
+        verifyJaccard(s, dir, cand).select("doc_a", "doc_b"))
+        .localCheckpoint(true)
+      if (!MergeSink.lastProperty(byDoc, DelBatchProp).contains(marker)) {
+        MergeSink.merge(s, byDoc, relabeled, Seq("doc_id"), Seq(col("doc_id")),
+          targetFileRows = 8, properties = Map(DelBatchProp -> marker))
+        val newComps = relabeled.groupBy("component")
+          .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+        MergeSink.merge(s, byComp, newComps, Seq("component"),
+          Seq(col("component")), targetFileRows = 2,
+          properties = Map(DelBatchProp -> marker))
+      }
+      // stale rows out (idempotent): dropped docs + now-edge-less
+      // survivors from byDoc; dissolved component keys from byComp
+      MergeSink.delete(s, byDoc,
+        drop.unionByName(
+          survivors.join(relabeled.select("doc_id"), Seq("doc_id"), "left_anti")),
+        Seq("doc_id"), targetFileRows = 8)
+      MergeSink.delete(s, byComp,
+        touchedComps.join(
+          relabeled.select(col("component")).distinct(),
+          Seq("component"), "left_anti"),
+        Seq("component"), targetFileRows = 2)
+      ()
+    }
 
     // band postings: array_except in place (idempotent)
     val keyed = bandTable(s, dir).join(drop, Seq("doc_id"))

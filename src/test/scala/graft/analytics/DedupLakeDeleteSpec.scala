@@ -161,4 +161,74 @@ class DedupLakeDeleteSpec extends AnyFunSuite {
     assert(MergeSink.read(spark, DedupQueries.ensureTombSink(spark, planted))
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
+
+  /** PLANTED cluster corpus for the LABEL tier (r13, E135 — decremental
+    * connected components). Fixture found by deterministic minhash-band
+    * search (the word seeds are load-bearing: LSH candidacy must hold by
+    * construction, not by luck):
+    *  - docs 1(A)–2(B)–3(C): B = A's words ++ C's tail vocabulary, spliced
+    *    so shingles(B) = shingles(A) ∪ shingles(C) exactly — J(A,B) =
+    *    J(C,B) = 0.5 (verified pairs), J(A,C) = 0 and no shared band.
+    *    B BRIDGES the component {1,2,3}.
+    *  - docs 4(D)–6(E): near-identical pair (J ≈ 0.82), a bystander
+    *    component that must survive every delete untouched.
+    *  - docs 7,8,9: identical texts — a 3-clique; deleting one member
+    *    must RELABEL the remaining pair, not dissolve it.
+    */
+  private lazy val cluster: String = {
+    import spark.implicits._
+    val w = (0 until 12).map(i => s"w5x$i")
+    val c = (0 until 10).map(i => s"c5y$i")
+    val dd = (0 until 12).map(i => s"d0z$i")
+    val clique = (0 until 12).map(i => s"k7v$i").mkString(" ")
+    val d = Files.createTempDirectory("graft_dldl").toFile
+    d.deleteOnExit()
+    Seq(
+      (1L, w.mkString(" ")),                          // A
+      (2L, (w ++ c).mkString(" ")),                   // B (the bridge)
+      (3L, (w.takeRight(2) ++ c).mkString(" ")),      // C
+      (4L, dd.mkString(" ")),                         // D
+      (6L, (dd.take(11) :+ "e0q1").mkString(" ")),    // E
+      (7L, clique), (8L, clique), (9L, clique)
+    ).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${d.getAbsolutePath}/documents.parquet")
+    d.getAbsolutePath
+  }
+
+  private def byDocRows(byDoc: String): Map[Long, Long] =
+    MergeSink.read(spark, byDoc).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def byCompRows(byComp: String): Map[Long, Seq[Long]] =
+    MergeSink.read(spark, byComp).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  test("cluster tables: deleting a BRIDGE doc splits its component; a clique member's delete relabels; bystanders untouched") {
+    import spark.implicits._
+    val (byDoc, byComp) = DedupQueries.ensureLabelSinks(spark, cluster)
+    // construction: {1,2,3} one component (B bridges), {4,6}, {7,8,9}
+    assert(byDocRows(byDoc) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+    assert(byCompRows(byComp) ==
+      Map(1L -> Seq(1L, 2L, 3L), 4L -> Seq(4L, 6L), 7L -> Seq(7L, 8L, 9L)))
+
+    // deleting the BRIDGE: A and C keep no surviving edge — the component
+    // DISSOLVES (both revert to implicit self-labels, i.e. absent rows)
+    DedupQueries.deleteDocs(spark, cluster, Seq(2L).toDF("doc_id"))
+    assert(byDocRows(byDoc) ==
+      Map(4L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L, 9L -> 7L),
+      "bridge delete must dissolve {1,2,3} and leave bystanders exact")
+    assert(byCompRows(byComp) == Map(4L -> Seq(4L, 6L), 7L -> Seq(7L, 8L, 9L)))
+
+    // deleting a CLIQUE member: the remaining pair stays one component
+    DedupQueries.deleteDocs(spark, cluster, Seq(9L).toDF("doc_id"))
+    assert(byDocRows(byDoc) == Map(4L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L))
+    assert(byCompRows(byComp) == Map(4L -> Seq(4L, 6L), 7L -> Seq(7L, 8L)))
+
+    // replay both (tombstone-filtered): contents exact
+    DedupQueries.deleteDocs(spark, cluster, Seq(2L, 9L).toDF("doc_id"))
+    assert(byDocRows(byDoc) == Map(4L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L))
+    assert(byCompRows(byComp) == Map(4L -> Seq(4L, 6L), 7L -> Seq(7L, 8L)))
+  }
 }
