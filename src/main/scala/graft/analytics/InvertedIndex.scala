@@ -87,6 +87,40 @@ object InvertedIndex {
     ()
   }
 
+  /** DELETE documents from the index (r13 — the last index tier to get the
+    * delete verb: ANN postings, dedup bands/windows and the cluster tables
+    * all prune on upstream deletion, and a purged doc must stop being
+    * retrievable too). The dropped docs' terms recompute through the same
+    * tokenization that inserted them, the touched posting rows read
+    * manifest-pruned, doc ids `array_except` in place — O(dropped docs'
+    * vocabulary) files, never the index; rows whose postings empty out
+    * stay as empty-array rows (the posting-table convention — lookups
+    * return them as zero hits); re-removal is a content no-op; and the
+    * commit rides the shared OCC loop so a racing addDocs can't have its
+    * postings silently dropped by a stale rewrite.
+    */
+  def removeDocs(spark: SparkSession, path: String, docs: DataFrame,
+      targetFileRows: Long = 4096, maxRetries: Int = 8): Unit = {
+    val dropped = docs
+      .select(col("doc_id"), explode(split(Norm.cleanText(col("text")), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(collect_set(col("doc_id")).as("__drop"))
+      .localCheckpoint(true) // reused by every OCC retry
+    MergeSink.occRetry(path, "removeDocs", maxRetries) { readV =>
+      val old = MergeSink.readOverlapping(spark, path,
+        dropped.select("term"), Seq("term"))
+      // inner join: rewrite ONLY the touched term rows; same-file
+      // neighbors carry over through merge's copy-on-write untouched
+      val updated = old.join(dropped, Seq("term"))
+        .select(col("term"),
+          array_except(col("postings"), col("__drop")).as("postings"))
+      MergeSink.merge(spark, path, updated, Seq("term"), Seq(col("term")),
+        targetFileRows, expectedVersion = Some(readV))
+    }
+    ()
+  }
+
   /** Posting list of one term: O(1) files via the manifest. */
   def lookup(spark: SparkSession, path: String, term: String): DataFrame =
     MergeSink.pointRead(spark, path, Seq("term"), Seq(term))

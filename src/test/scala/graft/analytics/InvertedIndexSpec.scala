@@ -61,6 +61,45 @@ class InvertedIndexSpec extends AnyFunSuite {
     } finally rm(base)
   }
 
+  test("removeDocs: purged docs leave every posting list; semantics equal rebuild-without (r13)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_invidx_rm").toFile
+    val idx = s"${base.getPath}/idx"
+    val twin = s"${base.getPath}/twin"
+    try {
+      InvertedIndex.build(spark, idx, docs)
+      val dropIds = Seq(0L, 7L, 42L)
+      val dropDocs = docs.filter(col("doc_id").isin(dropIds: _*))
+      assert(dropDocs.count() == 3)
+      InvertedIndex.removeDocs(spark, idx, dropDocs)
+      // 1. no posting row still carries a dropped id
+      val posted = graft.ingest.MergeSink.read(spark, idx)
+        .select(explode(col("postings")).as("id"))
+        .filter(col("id").isin(dropIds: _*)).count()
+      assert(posted == 0, s"$posted postings still reference purged docs")
+      // 2. REBUILD-WITHOUT equivalence on the live postings: every term of
+      // the surviving corpus has identical postings in both indexes (the
+      // purged index additionally keeps empty-array rows for vanished
+      // terms — the posting-table convention; lookups return zero hits)
+      InvertedIndex.build(spark, twin, docs.filter(!col("doc_id").isin(dropIds: _*)))
+      val a = graft.ingest.MergeSink.read(spark, idx)
+        .filter(size(col("postings")) > 0)
+        .select(col("term"), col("postings").cast("string").as("p"))
+      val b = graft.ingest.MergeSink.read(spark, twin)
+        .select(col("term"), col("postings").cast("string").as("p"))
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "purged index diverges from rebuild-without")
+      // 3. re-removal is a content no-op
+      val snap = graft.ingest.MergeSink.read(spark, idx)
+        .select(col("term"), col("postings").cast("string").as("p"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      InvertedIndex.removeDocs(spark, idx, dropDocs)
+      val snap2 = graft.ingest.MergeSink.read(spark, idx)
+        .select(col("term"), col("postings").cast("string").as("p"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(snap2 == snap, "re-removal changed posting contents")
+    } finally rm(base)
+  }
+
   test("concurrent addDocs with overlapping terms lose no postings") {
     // the read-modify-write race the OCC pin exists for: racing writers
     // read current postings, union their docs, and merge — without
