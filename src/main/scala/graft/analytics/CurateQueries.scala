@@ -934,8 +934,14 @@ object CurateQueries {
                                   dir: String): String =
     fpSinks.get(s, dir) {
       val sink = s"${Staging.freshBase("graft_fps", dir).getPath}/sink"
+      // fp plus the per-fingerprint REFCOUNT (r13, the window-set pattern):
+      // cnt = distinct corpus docs with this content hash, so document
+      // DELETION can decrement contributions and prune exactly the
+      // fingerprints whose LAST holder left — an fp shared by a surviving
+      // exact-dup must survive. Probe semantics unchanged (cnt ≥ 1).
       val corpusFp = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
-        .select(md5(col("text")).as("fp")).distinct()
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(countDistinct(col("doc_id")).as("cnt"))
       // small target so the table spans several range-clustered files and
       // the batch probe's pruning is a REAL subset (spec-asserted)
       MergeSink.merge(s, sink, corpusFp, Seq("fp"), Seq(col("fp")),
@@ -967,8 +973,11 @@ object CurateQueries {
       .localCheckpoint(true)
     // manifest-pruned fingerprint probe: only files whose key-digest
     // interval brackets some batch fp are opened; the left join is the
-    // residual filter over the pruned files' other rows
+    // residual filter over the pruned files' other rows. cnt > 0 is the
+    // delete-path residual (the window-probe convention): a refcount-
+    // zeroed fingerprint is dead the instant the decrement commits.
     val corpusFp = MergeSink.readOverlapping(s, fpSink, clean.select("fp"), Seq("fp"))
+      .filter(col("cnt") > 0).select(col("fp"))
     val ikeep = clean.groupBy("fp").agg(min("doc_id").as("keep"))
     val exacts = clean
       .join(corpusFp.withColumn("in_corp", lit(1)), Seq("fp"), "left")

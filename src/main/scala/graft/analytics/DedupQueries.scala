@@ -955,6 +955,9 @@ object DedupQueries {
     *    the r12 boundary note prescribed, now wired. Only corpus-side
     *    (doc_id % 5 ≠ 0) docs decrement, mirroring what the sink builds
     *    counted.
+    *  - the curation tier's FINGERPRINT table (`CurateQueries.ensureFpSink`)
+    *    via the same refcounts: an fp shared by a surviving exact-dup
+    *    survives decremented; the last holder's departure prunes it.
     *  - the CLUSTER tables (`ensureLabelSinks`) via DECREMENTAL connected
     *    components: the touched components' surviving members relabel
     *    from their surviving verified edges (a bridge doc's removal
@@ -1000,6 +1003,14 @@ object DedupQueries {
       .groupBy("h", "fp").agg(countDistinct(col("doc_id")).as("__dec"))
     decrementWindows(s, substrSink, Seq("h", "fp"), substrDec, marker,
       targetFileRows = 2048)
+    // the CURATION tier's fingerprint table (exact-dup check) is the same
+    // shape — an fp shared by a surviving exact-dup must survive
+    val fpSink = CurateQueries.ensureFpSink(s, dir)
+    val fpDec = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+      .join(drop, Seq("doc_id"))
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(countDistinct(col("doc_id")).as("__dec"))
+    decrementWindows(s, fpSink, Seq("fp"), fpDec, marker, targetFileRows = 64)
 
     // LABEL tier — decremental connected components (r13, E135): a dropped
     // doc leaves the cluster tables, and a component it BRIDGED must

@@ -207,6 +207,16 @@ class DedupLakeDeleteSpec extends AnyFunSuite {
   test("cluster tables: deleting a BRIDGE doc splits its component; a clique member's delete relabels; bystanders untouched") {
     import spark.implicits._
     val (byDoc, byComp) = DedupQueries.ensureLabelSinks(spark, cluster)
+    // the curation tier's fingerprint table rides the same purge: the
+    // clique docs 7/8/9 share ONE content hash (refcount 3)
+    val fpSink = CurateQueries.ensureFpSink(spark, cluster)
+    def fpCounts(): Map[String, Long] =
+      MergeSink.read(spark, fpSink).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fp0 = fpCounts()
+    assert(fp0.size == 6 && fp0.values.toSeq.sorted == Seq(1L, 1L, 1L, 1L, 1L, 3L),
+      s"expected 5 unique fps + one shared-by-3: $fp0")
+    val cliqueFp = fp0.find(_._2 == 3L).get._1
     // construction: {1,2,3} one component (B bridges), {4,6}, {7,8,9}
     assert(byDocRows(byDoc) ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
@@ -220,11 +230,17 @@ class DedupLakeDeleteSpec extends AnyFunSuite {
       Map(4L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L, 9L -> 7L),
       "bridge delete must dissolve {1,2,3} and leave bystanders exact")
     assert(byCompRows(byComp) == Map(4L -> Seq(4L, 6L), 7L -> Seq(7L, 8L, 9L)))
+    // B's unique fingerprint left the curation table; the rest survive
+    assert(fpCounts().size == 5 && !fpCounts().contains(
+      fp0.keySet.diff(fpCounts().keySet).headOption.getOrElse("")))
 
-    // deleting a CLIQUE member: the remaining pair stays one component
+    // deleting a CLIQUE member: the remaining pair stays one component,
+    // and the SHARED fingerprint survives with its refcount decremented
     DedupQueries.deleteDocs(spark, cluster, Seq(9L).toDF("doc_id"))
     assert(byDocRows(byDoc) == Map(4L -> 4L, 6L -> 4L, 7L -> 7L, 8L -> 7L))
     assert(byCompRows(byComp) == Map(4L -> Seq(4L, 6L), 7L -> Seq(7L, 8L)))
+    assert(fpCounts()(cliqueFp) == 2L,
+      "a fingerprint shared by surviving exact-dups must survive decremented")
 
     // replay both (tombstone-filtered): contents exact
     DedupQueries.deleteDocs(spark, cluster, Seq(2L, 9L).toDF("doc_id"))
