@@ -139,8 +139,16 @@ object DedupQueries {
     * docs that the oracle (whose `|| NULL` nulls the whole key) never
     * generates. No shingles → no n-gram similarity defined.
     */
-  private[analytics] def bandTable(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val base = shingleBase(s, dir).filter(size(col("shingles")) > 0)
+  private[analytics] def bandTable(s: org.apache.spark.sql.SparkSession, dir: String) =
+    bandsOf(shingleBase(s, dir).filter(size(col("shingles")) > 0))
+
+  /** The minhash/banding transform over an arbitrary (doc_id, shingles)
+    * frame — factored out of [[bandTable]] so doc-scoped maintenance
+    * (deleteDocs) can band ONLY the docs it touches, reading their
+    * shingles from the doc-keyed lake table instead of re-deriving the
+    * corpus-wide shingle base per purge.
+    */
+  private def bandsOf(base: DataFrame): DataFrame = {
     val hashed = base.select(
       col("doc_id"),
       transform(col("shingles"), sh => call_function("graft_rolling_hash", sh)).as("h1"),
@@ -1034,15 +1042,29 @@ object DedupQueries {
         .select(explode(col("doc_ids")).as("doc_id"))
         .join(drop, Seq("doc_id"), "left_anti")
         .distinct().localCheckpoint(true)
-      val bt = bandTable(s, dir).join(survivors, Seq("doc_id"))
+      // survivors' shingles come from the doc-keyed LAKE table (manifest-
+      // pruned to the touched docs), NOT the corpus-wide shingle base —
+      // bands + the exact-Jaccard verify both run over O(touched) rows
+      // (PurgeProfile is the receipt)
+      val survSh = MergeSink.readOverlapping(s, shingleSink, survivors,
+          Seq("doc_id"))
+        .join(survivors, Seq("doc_id"))
+        .filter(size(col("shingles")) > 0)
+        .localCheckpoint(true) // feeds banding AND both verify sides
+      val bt = bandsOf(survSh)
       val cand = bt.as("a")
         .join(bt.as("b"),
           col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val relabeled = starComponents(
-        verifyJaccard(s, dir, cand).select("doc_a", "doc_b"))
-        .localCheckpoint(true)
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val edges = cand
+        .join(survSh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+        .join(survSh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+        .filter(inter.cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - inter) >= 0.5)
+        .select("doc_a", "doc_b")
+      val relabeled = starComponents(edges).localCheckpoint(true)
       if (!MergeSink.lastProperty(byDoc, DelBatchProp).contains(marker)) {
         MergeSink.merge(s, byDoc, relabeled, Seq("doc_id"), Seq(col("doc_id")),
           targetFileRows = 8, properties = Map(DelBatchProp -> marker))
@@ -1066,8 +1088,14 @@ object DedupQueries {
       ()
     }
 
-    // band postings: array_except in place (idempotent)
-    val keyed = bandTable(s, dir).join(drop, Seq("doc_id"))
+    // band postings: array_except in place (idempotent). The dropped docs'
+    // band keys derive from their LAKE shingle rows (manifest-pruned;
+    // still present — the shingle row delete below runs after this
+    // checkpoint materializes), not from a corpus-wide band recompute.
+    val keyed = bandsOf(
+      MergeSink.readOverlapping(s, shingleSink, drop, Seq("doc_id"))
+        .join(drop, Seq("doc_id"))
+        .filter(size(col("shingles")) > 0))
       .groupBy("band_key").agg(collect_set(col("doc_id")).as("__drop"))
       .localCheckpoint(true) // reused by every OCC retry
     MergeSink.occRetry(bandSink, "deleteDocs") { readV =>
