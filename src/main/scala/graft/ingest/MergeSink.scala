@@ -180,15 +180,26 @@ object MergeSink {
   }
 
   /** The most recent committed value of commit property `key`, scanning
-    * versions newest-first — O(versions) driver-side manifest reads, no
-    * data scan. Properties commit atomically WITH their version (same CAS
-    * hard-link), which is what makes them usable as exactly-once markers:
-    * a reader can never observe the data change without the marker.
+    * versions newest-first. Properties commit atomically WITH their
+    * version (same CAS hard-link), which is what makes them usable as
+    * exactly-once markers: a reader can never observe the data change
+    * without the marker. Since r13 the scan starts from the high-water
+    * POINTER and walks manifest files downward (committed versions are
+    * dense; vacuum removes a prefix, so the first missing file IS the
+    * retention boundary) — no directory LIST, and the common callers (a
+    * streaming sink checking the marker it wrote LAST batch, a purge
+    * checking its own recent marker) stop after one or two manifest
+    * reads.
     */
-  def lastProperty(path: String, key: String): Option[String] =
-    versions(path).reverseIterator
-      .map(v => readManifest(path, v).props.get(key))
-      .collectFirst { case Some(v) => v }
+  def lastProperty(path: String, key: String): Option[String] = {
+    var v = currentVersion(path).getOrElse(return None)
+    while (v >= 1 && manifestFile(path, v).isFile) {
+      val hit = readManifest(path, v).props.get(key)
+      if (hit.isDefined) return hit
+      v -= 1
+    }
+    None
+  }
 
   /** Read the sink at a committed version (default: latest). Files are
     * projected through the manifest schema, so rows written before a

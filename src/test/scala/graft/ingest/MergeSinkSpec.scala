@@ -387,4 +387,30 @@ class MergeSinkSpec extends AnyFunSuite {
     // uninitialized sink: no pointer, no versions, None
     assert(MergeSink.currentVersion(tmp()).isEmpty)
   }
+
+  test("pointer-based property scan: newest value wins, walks past bare commits, stops at the vacuum boundary") {
+    val path = tmp()
+    def put(id: Long, props: Map[String, String]): Unit = {
+      MergeSink.merge(spark, path, Seq((id, s"p$id")).toDF("id", "payload"),
+        Seq("id"), Seq(col("id")), properties = props)
+      ()
+    }
+    put(1L, Map("q" -> "old", "p" -> "a")) // v1
+    put(2L, Map.empty)                     // v2 (bare)
+    put(3L, Map("p" -> "c"))               // v3
+    put(4L, Map.empty)                     // v4 (bare)
+    // newest-first through bare commits, no directory LIST
+    assert(MergeSink.lastProperty(path, "p").contains("c"))
+    assert(MergeSink.lastProperty(path, "q").contains("old"))
+    assert(MergeSink.lastProperty(path, "nope").isEmpty)
+    // vacuum drops v1/v2: the downward walk stops at the retention
+    // boundary — "p" survives on v3, "q" left with its only manifest
+    MergeSink.vacuum(path, keepVersions = 2)
+    assert(MergeSink.versions(path) == Seq(3L, 4L))
+    assert(MergeSink.currentVersion(path).contains(4L))
+    assert(MergeSink.lastProperty(path, "p").contains("c"))
+    assert(MergeSink.lastProperty(path, "q").isEmpty,
+      "a property whose only manifest was vacuumed must not resurrect")
+    assert(content(path) == Set((1L, "p1"), (2L, "p2"), (3L, "p3"), (4L, "p4")))
+  }
 }
