@@ -60,6 +60,9 @@ object SparkEntry {
     "ann_ivf_topk" -> AnnQueries.ensureAnnIndexes,
     "ann_pq_topk" -> AnnQueries.ensureAnnIndexes,
     "ann_ivfpq_topk" -> AnnQueries.ensureAnnIndexes,
+    // the graph walk probes a PRE-BUILT kNN graph (same contract as the
+    // cell/codebook builds above)
+    "ann_graph_beam" -> AnnQueries.ensureGraphIndex,
     // the lake probes measure the PROBE, not index construction (k13's
     // contract: a daily job probes yesterday's index)
     "ann_ivf_lake" -> ((s, dir) => { AnnLake.ensureAnnLake(s, dir); () }),

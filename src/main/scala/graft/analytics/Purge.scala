@@ -1,0 +1,101 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Vec
+import graft.ingest.MergeSink
+
+/** ONE-CALL document purge across EVERY maintained index tier (E138) —
+  * the orchestration the per-tier delete verbs (r12/r13) were built for:
+  * a GDPR-style erasure or a heavy curation pass must make a document
+  * unreachable from every derived artifact, and a caller wiring the tiers
+  * by hand will miss one. The tiers and their delete verbs:
+  *
+  *  - dedup + curation + cluster lake ([[DedupQueries.deleteDocs]]):
+  *    band postings, doc-keyed shingles, span/substr window refcounts,
+  *    curation fingerprints, decremental component relabel — plus the
+  *    TOMBSTONE table that makes the whole purge replay-idempotent;
+  *  - the inverted text index ([[InvertedIndex.removeDocs]]), when the
+  *    deployment maintains one (pass its sink path);
+  *  - the lake ANN index ([[AnnLake.deleteVectors]]), when one is
+  *    maintained (pass its handle): the dropped docs' VECTORS leave the
+  *    member and code postings, intent-logged so an interrupted delete
+  *    completes on the next ensure.
+  *
+  * Ordering invariant — auxiliary tiers FIRST, `deleteDocs` LAST: the
+  * dedup tier writes the tombstones that short-circuit a re-delivered
+  * batch, so they must be the FINAL commit of a successful purge. A crash
+  * anywhere earlier leaves the ids un-tombstoned and the whole purge
+  * re-runs: the ANN and inverted-index removals are content-idempotent
+  * (array_except prunes), the dedup tier's non-idempotent refcount
+  * decrements are protected by their own per-sink batch markers, so the
+  * retry converges on exactly the purged state. Conversely the
+  * already-tombstoned filter runs FIRST here too, so a fully completed
+  * purge re-delivered later touches NO tier at all (the no-op the spec
+  * pins by version equality).
+  *
+  * Doc → vector mapping: the corpus convention is vec_id ≡ doc_id (the
+  * driver tables share the 0..n id space); a deployment with a separate
+  * embedding store passes `vecIds` explicitly (a (doc_id → vec_id) frame)
+  * and the purge drops those vectors instead.
+  *
+  * Cost: each tier is O(dropped docs' artifacts) manifest-pruned files —
+  * the per-tier contracts, unchanged; the orchestrator adds one pruned
+  * tombstone probe. `tools/PurgeProfile` commits the measured per-sink
+  * copy-on-write footprint.
+  */
+object Purge {
+
+  /** Purge `dropIds` (a `doc_id` column) from every maintained tier.
+    *
+    * @param annIndex      handle of a maintained lake ANN index, if any
+    * @param invertedIndex sink path of a maintained inverted index, if any
+    * @param vecIds        (doc_id, vec_id) mapping when vector ids differ
+    *                      from doc ids; defaults to the identity convention
+    */
+  def purgeDocuments(
+      s: SparkSession, dir: String, dropIds: DataFrame,
+      annIndex: Option[AnnLake.IndexHandle] = None,
+      invertedIndex: Option[String] = None,
+      vecIds: Option[DataFrame] = None): Unit = {
+    val ids0 = dropIds.select(col("doc_id")).distinct()
+    // the tombstone filter the dedup tier applies, lifted to the WHOLE
+    // purge: ids a prior purge completed skip every tier (re-delivery is
+    // a version-level no-op, not just a content no-op)
+    val tomb = DedupQueries.ensureTombSink(s, dir)
+    val dead = MergeSink.readOverlapping(s, tomb, ids0, Seq("doc_id"))
+      .select("doc_id")
+    val ids = ids0.join(dead, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    if (ids.isEmpty) return
+
+    // inverted index: the dropped docs' text re-tokenizes through the same
+    // pipeline that indexed it (removeDocs' contract)
+    invertedIndex.foreach { path =>
+      InvertedIndex.removeDocs(s, path,
+        Tables.documents(s, dir).join(ids, Seq("doc_id"))
+          .select("doc_id", "text"))
+    }
+
+    // ANN lake: the dropped docs' vectors, normalized exactly as the index
+    // build normalized them (assignment to the FIXED trained centroids
+    // reconstructs each vector's posting row key)
+    annIndex.foreach { h =>
+      val mapped = vecIds match {
+        case Some(m) => ids.join(m, Seq("doc_id")).select("vec_id")
+        case None    => ids.select(col("doc_id").as("vec_id"))
+      }
+      val vnDrop = Tables.embeddings(s, dir)
+        .join(mapped, Seq("vec_id"))
+        .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
+        .withColumn("nrm", Vec.dot(col("e"), col("e")))
+        .select(col("vec_id"),
+          transform(col("e"), x => x / sqrt(col("nrm"))).as("en"))
+      AnnLake.deleteVectors(s, h.sinks, vnDrop)
+    }
+
+    // dedup / curation / cluster tiers LAST — deleteDocs commits the
+    // tombstones only after every table it maintains has, closing the purge
+    DedupQueries.deleteDocs(s, dir, ids)
+  }
+}

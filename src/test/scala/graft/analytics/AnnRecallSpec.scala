@@ -216,6 +216,44 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mogIncr >= 0.75, f"incremental index collapsed on clustered data: $mogIncr%.2f")
   }
 
+  test("GRAPH beam recall@5 stays above the floor (both corpora)") {
+    // the graph tier's trade: ≤ nprobe + rounds·ef·M exact scores per
+    // probe at ANY corpus size (the law test below), bought with the
+    // one-off kNN-graph build. Floors are collapse guards at
+    // measured-minus-margin; clustered data is where a neighborhood graph
+    // must shine (edges follow cluster structure by construction).
+    // measured r13: 0.84 isotropic / 0.84 clustered — the same operating
+    // band as the incr/post-delete IVF+PQ rows; floors at measured-minus-
+    // margin, the post-delete convention
+    val iso = recallAt("ann_graph_beam", 5)
+    val mog = mogRecallAt("ann_graph_beam")
+    info(f"ann_graph_beam recall@5: isotropic $iso%.2f, clustered $mog%.2f")
+    assert(iso >= 0.7, f"graph-beam recall collapsed: $iso%.2f")
+    assert(mog >= 0.7, f"graph-beam recall collapsed on clustered data: $mog%.2f")
+  }
+
+  test("GRAPH beam candidate-volume law: scored set per probe bounded by nprobe + rounds*ef*M") {
+    // the property that justifies a graph tier next to IVF: an IVF probe
+    // scores nprobe·occupancy vectors (bounded only because the planner
+    // grows the cell count); the beam walk scores at most its entry points
+    // plus rounds·ef·M expansions PER PROBE — a corpus-size-independent
+    // constant. Checked on both corpus shapes, plus the out-degree cap the
+    // bound depends on.
+    for (d <- Seq(sf, mogDir)) {
+      val (sc, _) = AnnQueries.graphBeamParts(spark, d)
+      val k = AnnQueries.ivfCellsFor(graft.Tables.embeddings(spark, d).count())
+      val bound = AnnQueries.nprobeFor(k) +
+        AnnQueries.BeamRounds * AnnQueries.BeamEf * AnnQueries.GraphM
+      val perProbe = sc.groupBy("probe_id").count().collect().map(_.getLong(1))
+      assert(perProbe.nonEmpty && perProbe.forall(_ <= bound),
+        s"scored-candidate law violated in $d: ${perProbe.max} > $bound")
+      val deg = AnnQueries.graphEdges(spark, d)
+        .groupBy("src").count().collect().map(_.getLong(1))
+      assert(deg.forall(_ <= AnnQueries.GraphM),
+        "graph out-degree exceeds GraphM")
+    }
+  }
+
   test("POST-DELETE index recall@5 vs brute force over the SURVIVING vectors (both corpora)") {
     // r12 verdict ask #7: ann_ivfpq_delete has oracle EQUALITY (the incr
     // oracle minus the dropped candidates) — the missing leg is QUALITY:
