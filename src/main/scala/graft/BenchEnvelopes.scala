@@ -115,7 +115,13 @@ object BenchEnvelopes {
     "dd_incr_substr_lake" -> 2.3,  // (h, fp) lake probe
     "dd_incr_span_lake" -> 1.1,
     "mm_frame_sample" -> 0.2,      // real-AVI decode
-    "ann_ivfpq_incr" -> 1.3)       // lake probe, index build prestaged
+    "ann_ivfpq_incr" -> 1.3,       // lake probe, index build prestaged
+    // r13 graph tier — fresh-JVM 3-run rows at sf0.1 (BASELINE.md r13):
+    // beam walk 1.89/1.63/1.56 (graph build prestaged); lake walk
+    // 5.55/5.14/5.09 (the pruned-read constant: ~8 readOverlapping
+    // key-fetches per probe batch — flat at 10× data, 5.30 steady)
+    "ann_graph_beam" -> 1.9,
+    "ann_graph_lake" -> 5.6)
 
   /** Entries whose measured seconds exceed the suspect bar, worst ratio
     * first, capped at 3 (the JSON line budget — BenchLineSpec models the

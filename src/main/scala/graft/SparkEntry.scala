@@ -16,7 +16,8 @@ object SparkEntry {
   /** All declared queries, each optionally paired with a DuckDB oracle. */
   def allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ NormQueries.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ AnnQueries.defs ++ AnnLake.defs ++ StreamQueries.defs ++
+      DedupQueries.defs ++ AnnQueries.defs ++ AnnLake.defs ++
+      AnnGraphLake.defs ++ StreamQueries.defs ++
       MultimodalQueries.defs ++ ExtQueries.defs ++ CurateQueries.defs ++
       GraphQueries.defs
 
@@ -69,6 +70,7 @@ object SparkEntry {
     "ann_ivfpq_lake" -> ((s, dir) => { AnnLake.ensureAnnLake(s, dir); () }),
     "ann_ivfpq_incr" -> ((s, dir) => { AnnLake.ensureAnnIncrLake(s, dir); () }),
     "ann_ivfpq_delete" -> ((s, dir) => { AnnLake.ensureAnnDeleteLake(s, dir); () }),
+    "ann_graph_lake" -> ((s, dir) => { AnnGraphLake.ensureGraphLake(s, dir); () }),
     "tx_bpe_incr_lake" -> ((s, dir) => { TextQueries.ensureBpeLake(s, dir); () }))
 
   /** Headline benchmark set — one-to-two representatives per tier, chosen
@@ -109,9 +111,11 @@ object SparkEntry {
     "dd_embed_cosine", "dd_incr_lsh_lake", "dd_span_dedup", "dd_containment",
     "dd_entity_match", "dd_semdedup", "dd_incr_components",
     "dd_exact_substr", "dd_incr_substr_lake", "dd_incr_span_lake",
-    // similarity search / sketches (+ the r11 incremental lake index probe)
+    // similarity search / sketches (+ the r11 incremental lake index
+    // probe; r13 adds the graph tier — in-plan walk + lake walk)
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_knn_join",
     "ann_ivfpq_topk", "a14_kmv_setops", "ann_rrf_hybrid", "ann_ivfpq_incr",
+    "ann_graph_beam", "ann_graph_lake",
     // text analysis
     "tx_bm25_rank", "tx_lang_id", "tx_token_count", "tx_ngram_novelty",
     "tx_familiarity", "tx_bpe_merge", "tx_tfidf_keywords", "tx_bpe_tokenize",
@@ -148,5 +152,7 @@ object SparkEntry {
     "dd_incr_span_lake" -> "dd_span_lk",
     "pipe_incremental_corpus_lake" -> "pipe_incr_lk",
     "mm_frame_sample" -> "mm_frame",
-    "ann_ivfpq_incr" -> "ann_pq_incr")
+    "ann_ivfpq_incr" -> "ann_pq_incr",
+    "ann_graph_beam" -> "ann_graph",
+    "ann_graph_lake" -> "ann_gr_lk")
 }

@@ -353,7 +353,21 @@ object DumpPlans {
         |digests), joined word-sharded and rolled up per doc. NO training
         |in-plan: the 10 merge rounds ran once at build and live in
         |storage — at 100 TB a daily tokenize reads O(batch ∪ its
-        |vocabulary files), never the corpus.""".stripMargin)
+        |vocabulary files), never the corpus.""".stripMargin,
+    "ann_graph_beam" ->
+      """The graph walk's FINAL round (each beam round localCheckpoints, so
+        |the visible plan is the last union + rank): the per-probe window
+        |ranks a candidate set the law bounds at ≤ nprobe + rounds·ef·M
+        |rows per probe — there is no corpus-sized exchange anywhere; the
+        |corpus appears only as the scoring join's scan side, which is the
+        |in-plan tier's honest limit (the lake twin removes it).""".stripMargin,
+    "ann_graph_lake" ->
+      """The same walk over MergeSink posting tables: every per-round
+        |FileScan lists ONLY the manifest-pruned files of that round's key
+        |set (beam ids → adjacency rows, unseen ids → vectors) — probe IO
+        |is O(candidate files) at any corpus size, measured flat at 10×
+        |data. The centroid read is the |cells|-row routing table every
+        |lake ANN tier pays.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
