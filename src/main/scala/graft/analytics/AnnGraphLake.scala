@@ -34,27 +34,42 @@ import graft.ingest.MergeSink
   * the round trip through storage must be invisible to results); the
   * pruned-file claim is spec-pinned via inputFiles on both posting tables.
   *
-  * Deletion boundary (honest): dropped vectors leave `vectors` and their
-  * own `edges` row by key delete, but appear as DESTINATIONS in up to
-  * |cell| other rows' arrays — pruning those needs the reverse adjacency
-  * (an (dst → srcs) posting table maintained alongside, the window-
-  * refcount pattern). Not wired; a design note, same class as the r12
-  * window-set boundary before E130 closed it.
+  * Deletion: WIRED (the boundary the first cut documented, closed the
+  * same session). A REVERSE adjacency posting table (`redges`: dst →
+  * srcs) is maintained alongside the forward one, so "who points at a
+  * dropped vector" is one pruned key read; `deleteVectors` then prunes
+  * the in-neighbors' dsts arrays, the out-neighbors' srcs arrays, the
+  * touched cells' membership rows, REPAIRS the medoid table when a
+  * dropped vector was an entry point (recomputed over surviving members,
+  * emptied cells lose their row), and row-deletes the vector — all under
+  * the intent-table protocol (intent first, prunes content-idempotent,
+  * intent cleared last, completion wired into every ensure/refresh).
   */
 object AnnGraphLake {
 
   import AnnQueries._
 
   final case class Sinks(centroids: String, medoids: String,
-                         edges: String, vectors: String)
+                         edges: String, redges: String,
+                         members: String, vectors: String)
 
   final case class Handle(sinks: Sinks, cells: Long)
 
   private def sinksUnder(base: String) = Sinks(
-    s"$base/centroids", s"$base/medoids", s"$base/edges", s"$base/vectors")
+    s"$base/centroids", s"$base/medoids", s"$base/edges",
+    s"$base/redges", s"$base/members", s"$base/vectors")
 
   private def tablesOf(h: Handle): Seq[String] =
-    Seq(h.sinks.centroids, h.sinks.medoids, h.sinks.edges, h.sinks.vectors)
+    Seq(h.sinks.centroids, h.sinks.medoids, h.sinks.edges,
+      h.sinks.redges, h.sinks.members, h.sinks.vectors)
+
+  /** The delete protocol's intent table — a sibling of the index tables
+    * (the AnnLake convention): six tables, so no commit ordering fails
+    * closed for all of them; the keyed drop rows commit here FIRST and
+    * clear only after every prune committed.
+    */
+  private def intentSink(sk: Sinks): String =
+    s"${new java.io.File(sk.edges).getParent}/delete_intents"
 
   // small target rows so the posting tables span several range-clustered
   // files at oracle SF and the walk's manifest pruning is a REAL subset
@@ -63,10 +78,14 @@ object AnnGraphLake {
 
   /** Version-derived state: the trained cell count (probe fan-out sizing),
     * re-read from the lake when any table's commit version advances — the
-    * AnnLake deriveHandle posture.
+    * AnnLake deriveHandle posture. Also the delete protocol's "next
+    * ensure" hook: pending intents a crashed delete left behind complete
+    * before the handle is served (one O(1) pointer read when none).
     */
-  private def deriveHandle(s: SparkSession, sk: Sinks): Handle =
+  private def deriveHandle(s: SparkSession, sk: Sinks): Handle = {
+    completeIntents(s, sk)
     Handle(sk, MergeSink.read(s, sk.centroids).count())
+  }
 
   private val memo = new VersionedMemo[Handle](
     tablesOf, (s, h) => deriveHandle(s, h.sinks))
@@ -88,11 +107,191 @@ object AnnGraphLake {
         graphEdges(s, dir).groupBy("src")
           .agg(sort_array(collect_list(col("dst"))).as("dsts")),
         Seq("src"), Seq(col("src")), targetFileRows = GraphFileRows)
+      // REVERSE adjacency (dst → srcs): the delete verb's index — "who
+      // points at this vector" answered by one pruned key read instead of
+      // an O(table) scan of every dsts array (the window-refcount lesson:
+      // a maintained inverse makes the non-local half of a delete local)
+      MergeSink.merge(s, sk.redges,
+        graphEdges(s, dir).groupBy("dst")
+          .agg(sort_array(collect_list(col("src"))).as("srcs")),
+        Seq("dst"), Seq(col("dst")), targetFileRows = GraphFileRows)
+      // cell MEMBERSHIP postings: medoid REPAIR after a delete recomputes
+      // a touched cell's entry from its SURVIVING members — O(touched
+      // cells · occupancy), never a corpus re-assignment
+      MergeSink.merge(s, sk.members,
+        { val (cells, _) = ivfParts(s, dir)
+          cells.groupBy("cell")
+            .agg(sort_array(collect_list(col("vec_id"))).as("members")) },
+        Seq("cell"), Seq(col("cell")), targetFileRows = GraphFileRows)
       MergeSink.merge(s, sk.vectors,
         normalized(s, dir).select("vec_id", "e", "nrm"),
         Seq("vec_id"), Seq(col("vec_id")), targetFileRows = GraphFileRows)
       deriveHandle(s, sk)
     }
+
+  /** DELETE vectors from the graph index (closing the boundary the first
+    * cut documented): a vector dropped upstream must leave every graph
+    * artifact — its vectors row, its OWN adjacency row, every OTHER row's
+    * dsts array that points at it (found by ONE pruned read of the
+    * reverse postings, never a table scan), the reverse postings
+    * themselves, its cell's membership row, and — when it WAS a probed
+    * entry point — the medoid table, whose touched cells recompute their
+    * entry from the surviving members (an emptied cell's medoid row is
+    * deleted; probes route past it to nothing, the fail-closed shape).
+    *
+    * Protocol: intent rows FIRST (six tables, no commit order fails
+    * closed for all), prunes in an order chosen so a crash-retry always
+    * converges — edges before redges (the in-neighbor set is read from
+    * the still-intact reverse postings), vectors LAST (the medoid repair
+    * and the cell reconstruction read the dropped rows) — then the
+    * intent clears. Every prune is content-idempotent (array_except /
+    * keyed row deletes), so completing a half-applied intent re-runs the
+    * whole list; `completeIntents` is wired into deriveHandle, so every
+    * ensure/refresh finishes what a crashed delete owed.
+    */
+  private[graft] def deleteVectors(s: SparkSession, h: Handle,
+      dropIds: DataFrame, afterIntent: () => Unit = () => ()): Unit = {
+    val sk = h.sinks
+    completeIntents(s, sk)
+    val drop = dropIds.select(col("vec_id")).distinct().localCheckpoint(true)
+    if (drop.isEmpty) return
+    // the intent CARRIES each dropped id's out-neighbor list, captured
+    // while the forward adjacency is still intact: a crash-retry entering
+    // after the dropped rows left `edges` could not re-derive which srcs
+    // arrays in `redges` still owe a prune — the payload makes the whole
+    // list re-applicable from the intent alone
+    val keyed = drop
+      .join(MergeSink.readOverlapping(s, sk.edges,
+          drop.select(col("vec_id").as("src")), Seq("src"))
+        .select(col("src").as("vec_id"), col("dsts")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("dsts"), typedLit(Array.empty[Long])).as("dsts"))
+      .localCheckpoint(true)
+    MergeSink.merge(s, intentSink(sk), keyed,
+      Seq("vec_id"), Seq(col("vec_id")), targetFileRows = GraphFileRows)
+    afterIntent() // test seam: the spec kills the delete here
+    applyDelete(s, sk, keyed)
+    MergeSink.delete(s, intentSink(sk), keyed.select("vec_id"), Seq("vec_id"),
+      targetFileRows = GraphFileRows)
+    ()
+  }
+
+  /** Complete (re-apply and clear) pending delete intents — O(1) pointer
+    * read when there are none (the AnnLake posture).
+    */
+  private[analytics] def completeIntents(s: SparkSession, sk: Sinks): Unit = {
+    val intents = intentSink(sk)
+    if (MergeSink.currentVersion(intents).isEmpty) return
+    val pend = MergeSink.read(s, intents)
+      .select("vec_id", "dsts").localCheckpoint(true)
+    if (pend.isEmpty) return
+    applyDelete(s, sk, pend)
+    MergeSink.delete(s, intents, pend.select("vec_id"), Seq("vec_id"),
+      targetFileRows = GraphFileRows)
+    ()
+  }
+
+  /** Re-applicable prune list over `keyed` (vec_id, dsts-at-intent-time):
+    * every step is content-idempotent and derives its key sets from state
+    * that survives partial application.
+    */
+  private def applyDelete(s: SparkSession, sk: Sinks, keyed: DataFrame): Unit = {
+    val drop = keyed.select("vec_id")
+    // the global drop set as a 1-row array — every prune is an
+    // array_except against it (|drop| is a maintenance batch, not a table)
+    val dropArr = drop.agg(sort_array(collect_list(col("vec_id"))).as("__drop"))
+      .localCheckpoint(true)
+    // SURVIVING in-neighbors (whose dsts arrays must prune), from the
+    // reverse postings — pruned key read, never a scan. Safe across
+    // retries: redges prunes AFTER edges, so whenever this set matters
+    // (edges not yet pruned) the reverse rows are still intact.
+    val inN = MergeSink.readOverlapping(s, sk.redges,
+        drop.select(col("vec_id").as("dst")), Seq("dst"))
+      .join(drop.select(col("vec_id").as("dst")), Seq("dst"))
+      .select(explode(col("srcs")).as("src")).distinct()
+      .join(drop.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+      .localCheckpoint(true)
+    // surviving OUT-neighbors (whose srcs arrays must prune) — from the
+    // intent PAYLOAD, immune to the dropped edges rows' deletion
+    val outN = keyed.select(explode(col("dsts")).as("dst")).distinct()
+      .join(drop.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
+      .localCheckpoint(true)
+    // dropped ids' cells, reconstructed from the lake's own vectors rows
+    // (still present — vectors delete LAST) + the fixed trained centroids
+    val cents = MergeSink.read(s, sk.centroids)
+    val dropVn = MergeSink.readOverlapping(s, sk.vectors, drop, Seq("vec_id"))
+      .join(drop, Seq("vec_id"))
+      .select(col("vec_id"),
+        transform(col("e"), x => x / sqrt(col("nrm"))).as("en"))
+    val dropCells = assignCells(dropVn, cents.select("cell", "ce"))
+      .select("cell").distinct().localCheckpoint(true)
+
+    // 1. edges: surviving in-neighbors' rows prune the dropped dsts
+    MergeSink.occRetry(sk.edges, "graphDelete/edges") { readV =>
+      val touched = MergeSink.readOverlapping(s, sk.edges, inN, Seq("src"))
+        .join(inN, Seq("src"))
+      MergeSink.merge(s, sk.edges,
+        touched.crossJoin(broadcast(dropArr))
+          .select(col("src"), array_except(col("dsts"), col("__drop")).as("dsts")),
+        Seq("src"), Seq(col("src")), targetFileRows = GraphFileRows,
+        expectedVersion = Some(readV))
+    }
+    //    ... and the dropped rows leave (idempotent keyed delete)
+    MergeSink.delete(s, sk.edges, drop.select(col("vec_id").as("src")),
+      Seq("src"), targetFileRows = GraphFileRows)
+    // 2. redges, symmetric: surviving out-neighbors prune dropped srcs
+    MergeSink.occRetry(sk.redges, "graphDelete/redges") { readV =>
+      val touched = MergeSink.readOverlapping(s, sk.redges, outN, Seq("dst"))
+        .join(outN, Seq("dst"))
+      MergeSink.merge(s, sk.redges,
+        touched.crossJoin(broadcast(dropArr))
+          .select(col("dst"), array_except(col("srcs"), col("__drop")).as("srcs")),
+        Seq("dst"), Seq(col("dst")), targetFileRows = GraphFileRows,
+        expectedVersion = Some(readV))
+    }
+    MergeSink.delete(s, sk.redges, drop.select(col("vec_id").as("dst")),
+      Seq("dst"), targetFileRows = GraphFileRows)
+    // 3. membership postings of the touched cells prune the dropped ids
+    MergeSink.occRetry(sk.members, "graphDelete/members") { readV =>
+      val touched = MergeSink.readOverlapping(s, sk.members, dropCells, Seq("cell"))
+        .join(dropCells, Seq("cell"))
+      MergeSink.merge(s, sk.members,
+        touched.crossJoin(broadcast(dropArr))
+          .select(col("cell"),
+            array_except(col("members"), col("__drop")).as("members")),
+        Seq("cell"), Seq(col("cell")), targetFileRows = GraphFileRows,
+        expectedVersion = Some(readV))
+    }
+    // 4. medoid REPAIR: touched cells recompute their entry over the
+    //    SURVIVING members (exactly the build's argmax — dot against the
+    //    fixed centroid, ties lowest id); emptied cells lose the row
+    val survMem = MergeSink.readOverlapping(s, sk.members, dropCells, Seq("cell"))
+      .join(dropCells, Seq("cell"))
+      .select(col("cell"), explode(col("members")).as("vec_id"))
+    val survVn = MergeSink.readOverlapping(s, sk.vectors,
+        survMem.select("vec_id"), Seq("vec_id"))
+      .join(survMem, Seq("vec_id"))
+      .select(col("cell"), col("vec_id"),
+        transform(col("e"), x => x / sqrt(col("nrm"))).as("en"))
+    val newMed = survVn
+      .join(broadcast(cents.select("cell", "ce")), Seq("cell"))
+      .groupBy("cell")
+      .agg(max_by(col("vec_id"),
+        struct(Vec.dot(col("en"), col("ce")), -col("vec_id"))).as("entry"))
+      .localCheckpoint(true)
+    MergeSink.occRetry(sk.medoids, "graphDelete/medoids") { readV =>
+      MergeSink.merge(s, sk.medoids, newMed, Seq("cell"), Seq(col("cell")),
+        targetFileRows = 8, expectedVersion = Some(readV))
+    }
+    MergeSink.delete(s, sk.medoids,
+      dropCells.join(newMed.select("cell"), Seq("cell"), "left_anti"),
+      Seq("cell"), targetFileRows = 8)
+    // 5. vectors LAST (steps above read the dropped rows)
+    MergeSink.delete(s, sk.vectors, drop, Seq("vec_id"),
+      targetFileRows = GraphFileRows)
+    ()
+  }
 
   /** The beam walk over the LAKE tables — dataflow identical to
     * `graphBeamParts` (same constants, same tiebreaks, so the in-plan

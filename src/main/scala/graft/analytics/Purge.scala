@@ -21,7 +21,10 @@ import graft.ingest.MergeSink
   *  - the lake ANN index ([[AnnLake.deleteVectors]]), when one is
   *    maintained (pass its handle): the dropped docs' VECTORS leave the
   *    member and code postings, intent-logged so an interrupted delete
-  *    completes on the next ensure.
+  *    completes on the next ensure;
+  *  - the graph-ANN index ([[AnnGraphLake.deleteVectors]]), when one is
+  *    maintained: adjacency + reverse postings prune, membership rows
+  *    shrink, medoids repair — same intent protocol.
   *
   * Ordering invariant — auxiliary tiers FIRST, `deleteDocs` LAST: the
   * dedup tier writes the tombstones that short-circuit a re-delivered
@@ -50,6 +53,7 @@ object Purge {
   /** Purge `dropIds` (a `doc_id` column) from every maintained tier.
     *
     * @param annIndex      handle of a maintained lake ANN index, if any
+    * @param graphIndex    handle of a maintained graph-ANN index, if any
     * @param invertedIndex sink path of a maintained inverted index, if any
     * @param vecIds        (doc_id, vec_id) mapping when vector ids differ
     *                      from doc ids; defaults to the identity convention
@@ -57,6 +61,7 @@ object Purge {
   def purgeDocuments(
       s: SparkSession, dir: String, dropIds: DataFrame,
       annIndex: Option[AnnLake.IndexHandle] = None,
+      graphIndex: Option[AnnGraphLake.Handle] = None,
       invertedIndex: Option[String] = None,
       vecIds: Option[DataFrame] = None): Unit = {
     val ids0 = dropIds.select(col("doc_id")).distinct()
@@ -80,11 +85,11 @@ object Purge {
     // ANN lake: the dropped docs' vectors, normalized exactly as the index
     // build normalized them (assignment to the FIXED trained centroids
     // reconstructs each vector's posting row key)
+    lazy val mapped = (vecIds match {
+      case Some(m) => ids.join(m, Seq("doc_id")).select("vec_id")
+      case None    => ids.select(col("doc_id").as("vec_id"))
+    }).localCheckpoint(true)
     annIndex.foreach { h =>
-      val mapped = vecIds match {
-        case Some(m) => ids.join(m, Seq("doc_id")).select("vec_id")
-        case None    => ids.select(col("doc_id").as("vec_id"))
-      }
       val vnDrop = Tables.embeddings(s, dir)
         .join(mapped, Seq("vec_id"))
         .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
@@ -92,6 +97,11 @@ object Purge {
         .select(col("vec_id"),
           transform(col("e"), x => x / sqrt(col("nrm"))).as("en"))
       AnnLake.deleteVectors(s, h.sinks, vnDrop)
+    }
+    // graph-ANN lake: same mapped ids; the graph delete reconstructs what
+    // it needs (cells, neighbors) from its own tables + reverse postings
+    graphIndex.foreach { h =>
+      AnnGraphLake.deleteVectors(s, h, mapped)
     }
 
     // dedup / curation / cluster tiers LAST — deleteDocs commits the

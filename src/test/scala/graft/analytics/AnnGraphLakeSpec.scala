@@ -56,4 +56,77 @@ class AnnGraphLakeSpec extends AnyFunSuite {
       .select(size(col("dsts")).as("d")).collect().map(_.getInt(0))
     assert(deg.forall(_ <= AnnQueries.GraphM))
   }
+
+  /** PRIVATE corpus copy for the destructive tests (the PurgeSpec
+    * convention): the shared per-dir lake of the oracle query must stay
+    * pristine.
+    */
+  private lazy val delDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_agl_del").toFile
+    d.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+      java.nio.file.Paths.get(d.getAbsolutePath, "embeddings.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    d.getAbsolutePath
+  }
+
+  test("vector DELETE reaches every graph artifact; a dropped MEDOID's cell repairs its entry; re-delete and crash-retry converge") {
+    import spark.implicits._
+    val h = AnnGraphLake.ensureGraphLake(spark, delDir)
+    val sk = h.sinks
+    def medoids(): Map[Long, Long] = MergeSink.read(spark, sk.medoids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def members(): Map[Long, Seq[Long]] = MergeSink.read(spark, sk.members)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // victims: one cell's ENTRY POINT (forces the medoid repair) plus a
+    // non-medoid member of the same cell
+    val (cell, entry) = medoids().head
+    val other = members()(cell).filter(_ != entry).head
+    val victims = Seq(entry, other)
+
+    AnnGraphLake.deleteVectors(spark, h, victims.toDF("vec_id"))
+
+    // 1. vectors rows gone; own adjacency rows (forward + reverse) gone
+    assert(MergeSink.read(spark, sk.vectors)
+      .filter(col("vec_id").isin(victims: _*)).count() == 0)
+    assert(MergeSink.read(spark, sk.edges)
+      .filter(col("src").isin(victims: _*)).count() == 0)
+    assert(MergeSink.read(spark, sk.redges)
+      .filter(col("dst").isin(victims: _*)).count() == 0)
+    // 2. no surviving adjacency array points at a victim, either direction
+    def dstsFlat() = MergeSink.read(spark, sk.edges)
+      .select(explode(col("dsts")).as("id")).collect().map(_.getLong(0)).toSet
+    val srcsFlat = MergeSink.read(spark, sk.redges)
+      .select(explode(col("srcs")).as("id")).collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !dstsFlat().contains(v) && !srcsFlat.contains(v)))
+    // 3. membership pruned; medoid REPAIRED to the argmax over survivors
+    assert(victims.forall(v => !members()(cell).contains(v)))
+    val newEntry = medoids()(cell)
+    assert(newEntry != entry && members()(cell).contains(newEntry),
+      s"medoid of cell $cell not repaired to a surviving member")
+    // 4. the walk never returns a victim
+    val got = AnnGraphLake.graphBeamLake(spark, delDir)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !got.contains(v)))
+    // 5. re-delete: content no-op on every artifact
+    val snap = (medoids(), members(), dstsFlat())
+    AnnGraphLake.deleteVectors(spark, h, victims.toDF("vec_id"))
+    assert((medoids(), members(), dstsFlat()) == snap)
+    // 6. crash AFTER the intent commit, BEFORE any prune: the next ensure
+    // completes the pending delete (deriveHandle's completeIntents hook)
+    val third = members()(cell).filterNot(_ == newEntry).head
+    intercept[RuntimeException] {
+      AnnGraphLake.deleteVectors(spark, h, Seq(third).toDF("vec_id"),
+        afterIntent = () => throw new RuntimeException("killed mid-delete"))
+    }
+    assert(MergeSink.read(spark, sk.vectors)
+      .filter(col("vec_id") === third).count() == 1,
+      "the killed delete must not have pruned anything yet")
+    AnnGraphLake.ensureGraphLake(spark, delDir) // version advance → refresh
+    assert(MergeSink.read(spark, sk.vectors)
+      .filter(col("vec_id") === third).count() == 0,
+      "the next ensure must complete the pending intent")
+    assert(!dstsFlat().contains(third) && !members()(cell).contains(third))
+  }
 }

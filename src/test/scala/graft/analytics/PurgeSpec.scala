@@ -40,6 +40,7 @@ class PurgeSpec extends AnyFunSuite {
       AnnLake.DefaultSaltTarget)
     val handle = AnnLake.IndexHandle(sk,
       MergeSink.read(spark, sk.centroids).count())
+    val gh = AnnGraphLake.ensureGraphLake(spark, dir)
     // dedup tier sinks warm through their normal ensure paths
     val bandSink = DedupQueries.ensureBandSink(spark, dir)
     val shingleSink = DedupQueries.ensureShingleSink(spark, dir)
@@ -51,11 +52,14 @@ class PurgeSpec extends AnyFunSuite {
       .select(explode(col("members")).as("id")).collect().map(_.getLong(0)).toSet
     def iiPosted(): Set[Long] = MergeSink.read(spark, idx)
       .select(explode(col("postings")).as("id")).collect().map(_.getLong(0)).toSet
+    def graphVecs(): Set[Long] = MergeSink.read(spark, gh.sinks.vectors)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(victims.forall(annMembers().contains), "victims must start indexed (ANN)")
     assert(victims.forall(iiPosted().contains), "victims must start indexed (II)")
+    assert(victims.forall(graphVecs().contains), "victims must start indexed (graph)")
 
     Purge.purgeDocuments(spark, dir, victims.toDF("doc_id"),
-      annIndex = Some(handle), invertedIndex = Some(idx))
+      annIndex = Some(handle), graphIndex = Some(gh), invertedIndex = Some(idx))
 
     // 1. the inverted index no longer retrieves the victims
     assert(victims.forall(v => !iiPosted().contains(v)),
@@ -68,6 +72,13 @@ class PurgeSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(victims.forall(v => !codedIds.contains(v)),
       "purged vectors still in the ANN code postings")
+    // 2b. the GRAPH index: vectors gone and no adjacency array points back
+    assert(victims.forall(v => !graphVecs().contains(v)),
+      "purged vectors still in the graph index")
+    val graphDsts = MergeSink.read(spark, gh.sinks.edges)
+      .select(explode(col("dsts")).as("id")).collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !graphDsts.contains(v)),
+      "surviving adjacency rows still point at purged vectors")
     // 3. the dedup tier absorbed the same batch (tombstoned + rows gone)
     assert(MergeSink.read(spark, DedupQueries.ensureTombSink(spark, dir))
       .collect().map(_.getLong(0)).toSet == victims.toSet)
@@ -79,22 +90,25 @@ class PurgeSpec extends AnyFunSuite {
 
     // 4. re-delivery: the tombstone filter short-circuits BEFORE any tier
     // is touched — every sink's commit version must be exactly unchanged
-    val watched = Seq(idx, sk.cells, sk.codes, sk.centroids, bandSink,
+    val watched = Seq(idx, sk.cells, sk.codes, sk.centroids,
+      gh.sinks.edges, gh.sinks.redges, gh.sinks.members, gh.sinks.medoids,
+      gh.sinks.vectors, bandSink,
       shingleSink, DedupQueries.ensureSpanSink(spark, dir),
       DedupQueries.ensureSubstrSink(spark, dir),
       CurateQueries.ensureFpSink(spark, dir))
     def versions(): Seq[Option[Long]] = watched.map(MergeSink.currentVersion)
     val v1 = versions()
     Purge.purgeDocuments(spark, dir, victims.toDF("doc_id"),
-      annIndex = Some(handle), invertedIndex = Some(idx))
+      annIndex = Some(handle), graphIndex = Some(gh), invertedIndex = Some(idx))
     assert(versions() == v1,
       "a re-delivered purge committed to some tier (should be a version-level no-op)")
 
     // 5. a MIXED batch (one already purged, one new) purges only the new id
     val extra = 19L
     Purge.purgeDocuments(spark, dir, Seq(victims.head, extra).toDF("doc_id"),
-      annIndex = Some(handle), invertedIndex = Some(idx))
-    assert(!annMembers().contains(extra) && !iiPosted().contains(extra))
+      annIndex = Some(handle), graphIndex = Some(gh), invertedIndex = Some(idx))
+    assert(!annMembers().contains(extra) && !iiPosted().contains(extra)
+      && !graphVecs().contains(extra))
     assert(MergeSink.read(spark, DedupQueries.ensureTombSink(spark, dir))
       .collect().map(_.getLong(0)).toSet == victims.toSet + extra)
   }
