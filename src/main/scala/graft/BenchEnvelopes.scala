@@ -121,7 +121,9 @@ object BenchEnvelopes {
     // 5.55/5.14/5.09 (the pruned-read constant: ~8 readOverlapping
     // key-fetches per probe batch — flat at 10× data, 5.30 steady)
     "ann_graph_beam" -> 1.9,
-    "ann_graph_lake" -> 5.6)
+    "ann_graph_lake" -> 5.6,
+    "ann_graph_incr" -> 4.3)   // slice-built + batch-inserted walk
+                               // (fresh-JVM 4.28/3.77/3.84, build prestaged)
 
   /** Entries whose measured seconds exceed the suspect bar, worst ratio
     * first, capped at 3 (the JSON line budget — BenchLineSpec models the

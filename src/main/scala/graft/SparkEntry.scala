@@ -71,6 +71,7 @@ object SparkEntry {
     "ann_ivfpq_incr" -> ((s, dir) => { AnnLake.ensureAnnIncrLake(s, dir); () }),
     "ann_ivfpq_delete" -> ((s, dir) => { AnnLake.ensureAnnDeleteLake(s, dir); () }),
     "ann_graph_lake" -> ((s, dir) => { AnnGraphLake.ensureGraphLake(s, dir); () }),
+    "ann_graph_incr" -> ((s, dir) => { AnnGraphLake.ensureGraphIncrLake(s, dir); () }),
     "tx_bpe_incr_lake" -> ((s, dir) => { TextQueries.ensureBpeLake(s, dir); () }))
 
   /** Headline benchmark set — one-to-two representatives per tier, chosen
@@ -115,7 +116,7 @@ object SparkEntry {
     // probe; r13 adds the graph tier — in-plan walk + lake walk)
     "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk", "ann_knn_join",
     "ann_ivfpq_topk", "a14_kmv_setops", "ann_rrf_hybrid", "ann_ivfpq_incr",
-    "ann_graph_beam", "ann_graph_lake",
+    "ann_graph_beam", "ann_graph_lake", "ann_graph_incr",
     // text analysis
     "tx_bm25_rank", "tx_lang_id", "tx_token_count", "tx_ngram_novelty",
     "tx_familiarity", "tx_bpe_merge", "tx_tfidf_keywords", "tx_bpe_tokenize",
@@ -153,6 +154,7 @@ object SparkEntry {
     "pipe_incremental_corpus_lake" -> "pipe_incr_lk",
     "mm_frame_sample" -> "mm_frame",
     "ann_ivfpq_incr" -> "ann_pq_incr",
-    "ann_graph_beam" -> "ann_graph",
-    "ann_graph_lake" -> "ann_gr_lk")
+    "ann_graph_beam" -> "ann_gb",
+    "ann_graph_lake" -> "ann_gl",
+    "ann_graph_incr" -> "ann_gi")
 }

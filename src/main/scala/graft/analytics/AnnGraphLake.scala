@@ -293,13 +293,262 @@ object AnnGraphLake {
     ()
   }
 
+  // ---- shared graph-construction pieces (full, slice and batch paths) ---
+
+  /** Within-cell top-GraphM edges of `mem` (cell, vec_id, e, nrm) — the
+    * one pair-ranking every build path runs (ties by dst id).
+    */
+  private def topMEdges(mem: DataFrame): DataFrame = {
+    val pairs = mem.as("a")
+      .join(mem.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        Vec.cosinePre(Vec.dot(col("a.e"), col("b.e")),
+          col("a.nrm"), col("b.nrm")).as("cosine"))
+    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= GraphM).select("src", "dst")
+  }
+
+  /** Per-cell medoid of `memEn` (cell, vec_id, en) against `cents`. */
+  private def medoidsOf(memEn: DataFrame, cents: DataFrame): DataFrame =
+    memEn.join(broadcast(cents), Seq("cell"))
+      .groupBy("cell")
+      .agg(max_by(col("vec_id"),
+        struct(Vec.dot(col("en"), col("ce")), -col("vec_id"))).as("entry"))
+
+  // ---- INCREMENTAL tier: slice build + exact daily-batch insert ---------
+
+  /** Graph tables over the corpus SLICE (vec_id % 5 ≠ 0), on the SAME
+    * slice-trained centroids the incremental IVF+PQ lake trains
+    * (`AnnLake.ensureAnnIncrLake` — one training pass feeds both incr
+    * tiers, and the oracle's SliceCellsCte proves them both).
+    */
+  private[analytics] def buildSliceGraph(s: SparkSession, dir: String,
+      prefix: String): Sinks = {
+    val sk = sinksUnder(Staging.freshBase(prefix, dir).getPath)
+    val cents = MergeSink.read(s, AnnLake.ensureAnnIncrLake(s, dir).sinks.centroids)
+      .select("cell", "ce")
+    val slice = normalized(s, dir).filter(col("vec_id") % 5 =!= 0)
+    val sCells = assignCells(slice.select("vec_id", "en"), cents)
+    val mem = sCells
+      .join(slice.select("vec_id", "e", "nrm", "en"), Seq("vec_id"))
+      .localCheckpoint(true)
+    MergeSink.merge(s, sk.centroids, cents,
+      Seq("cell"), Seq(col("cell")), targetFileRows = 64)
+    MergeSink.merge(s, sk.medoids,
+      medoidsOf(mem.select("cell", "vec_id", "en"), cents),
+      Seq("cell"), Seq(col("cell")), targetFileRows = 8)
+    val ed = topMEdges(mem.select("cell", "vec_id", "e", "nrm"))
+      .localCheckpoint(true)
+    MergeSink.merge(s, sk.edges,
+      ed.groupBy("src").agg(sort_array(collect_list(col("dst"))).as("dsts")),
+      Seq("src"), Seq(col("src")), targetFileRows = GraphFileRows)
+    MergeSink.merge(s, sk.redges,
+      ed.groupBy("dst").agg(sort_array(collect_list(col("src"))).as("srcs")),
+      Seq("dst"), Seq(col("dst")), targetFileRows = GraphFileRows)
+    MergeSink.merge(s, sk.members,
+      sCells.groupBy("cell")
+        .agg(sort_array(collect_list(col("vec_id"))).as("members")),
+      Seq("cell"), Seq(col("cell")), targetFileRows = GraphFileRows)
+    MergeSink.merge(s, sk.vectors, slice.select("vec_id", "e", "nrm"),
+      Seq("vec_id"), Seq(col("vec_id")), targetFileRows = GraphFileRows)
+    sk
+  }
+
+  /** INSERT a batch into a maintained graph index — and EXACTLY: the
+    * updated index equals the one-shot build over the union, not an
+    * approximation (spec-pinned table-content equivalence). The key fact:
+    * a cell's true top-M after the batch is a subset of (top-M before ∪
+    * batch cohabitants) — scores of old members don't change — so each
+    * touched EXISTING member re-ranks only its stored neighbors plus the
+    * batch, O(touched members · (M + batch-per-cell)) pair scores, and
+    * every read is a manifest-pruned key fetch. New members rank against
+    * their full cell (occupancy-bounded). Medoids update by comparing the
+    * stored entry against the batch (argmax over {entry} ∪ batch = global
+    * argmax, same reasoning). Replay-idempotent: the batch is excluded
+    * from the "existing" side, so a re-delivered batch recomputes the
+    * same arrays (array_distinct unions, deterministic re-ranks) — the
+    * appendBatch standard. Reverse postings append the new edges and drop
+    * the evicted ones; a crash between the edges and redges commits
+    * leaves redges a conservative SUPERSET (extra src entries), which
+    * every consumer tolerates: the delete path's extra in-neighbor prunes
+    * are array_except no-ops.
+    */
+  private[graft] def addVectors(s: SparkSession, h: Handle,
+      batchRaw: DataFrame): Unit = {
+    val sk = h.sinks
+    val batch = batchRaw
+      .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", Vec.dot(col("e"), col("e")))
+      .withColumn("en", transform(col("e"), x => x / sqrt(col("nrm"))))
+      .localCheckpoint(true)
+    if (batch.isEmpty) return
+    val cents = MergeSink.read(s, sk.centroids).select("cell", "ce")
+    val bCells = assignCells(batch.select("vec_id", "en"), cents)
+      .localCheckpoint(true)
+    val touched = bCells.select("cell").distinct().localCheckpoint(true)
+    val bFull = bCells.join(batch, Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("e"), col("nrm"))
+      .localCheckpoint(true)
+    // existing members of the touched cells, batch EXCLUDED (replay: a
+    // re-delivered batch must not see itself on the existing side)
+    val exMem = MergeSink.readOverlapping(s, sk.members, touched, Seq("cell"))
+      .join(touched, Seq("cell"))
+      .select(col("cell"), explode(col("members")).as("vec_id"))
+      .join(batch.select("vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val exVec = MergeSink.readOverlapping(s, sk.vectors,
+        exMem.select("vec_id"), Seq("vec_id"))
+      .join(exMem.select("vec_id").distinct(), Seq("vec_id"))
+      .select(col("vec_id"), col("e"), col("nrm"))
+    val exFull = exMem.join(exVec, Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("e"), col("nrm"))
+      .localCheckpoint(true)
+    val allTouched = exFull.unionByName(bFull).localCheckpoint(true)
+    val wSrc = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
+    // NEW members' adjacency: top-M over the whole (post-insert) cell
+    val newRows = bFull.as("a")
+      .join(allTouched.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        Vec.cosinePre(Vec.dot(col("a.e"), col("b.e")),
+          col("a.nrm"), col("b.nrm")).as("cosine"))
+      .withColumn("rn", row_number().over(wSrc)).filter(col("rn") <= GraphM)
+      .groupBy("src").agg(sort_array(collect_list(col("dst"))).as("dsts"))
+      .localCheckpoint(true)
+    // EXISTING members re-rank (stored dsts ∪ batch cohabitants) — exact
+    val exRows = MergeSink.readOverlapping(s, sk.edges,
+        exMem.select(col("vec_id").as("src")), Seq("src"))
+      .join(exMem.select(col("vec_id").as("src")).distinct(), Seq("src"))
+      .localCheckpoint(true)
+    val exCandIds = exRows.select(col("src"), explode(col("dsts")).as("dst"))
+      .unionByName(exFull.select(col("cell"), col("vec_id").as("src"))
+        .join(bFull.select(col("cell"), col("vec_id").as("dst")), Seq("cell"))
+        .select("src", "dst"))
+      .distinct()
+    val updRows = exCandIds
+      .join(exFull.select(col("vec_id").as("src"), col("e").as("se"),
+        col("nrm").as("sn")), Seq("src"))
+      .join(allTouched.select(col("vec_id").as("dst"), col("e").as("de"),
+        col("nrm").as("dn")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        Vec.cosinePre(Vec.dot(col("se"), col("de")),
+          col("sn"), col("dn")).as("cosine"))
+      .withColumn("rn", row_number().over(wSrc)).filter(col("rn") <= GraphM)
+      .groupBy("src").agg(sort_array(collect_list(col("dst"))).as("dsts"))
+      .localCheckpoint(true)
+    // evicted vs added per existing member → the reverse-posting deltas
+    // (LEFT from the re-ranked side: a member with no prior adjacency row
+    // — no same-cell cohabitant before the batch — still contributes its
+    // brand-new edges)
+    val diff = updRows.select(col("src"), col("dsts").as("nw"))
+      .join(exRows.select(col("src"), col("dsts").as("old")), Seq("src"), "left")
+      .select(col("src"),
+        array_except(coalesce(col("old"), typedLit(Array.empty[Long])),
+          col("nw")).as("gone"),
+        array_except(col("nw"),
+          coalesce(col("old"), typedLit(Array.empty[Long]))).as("added"))
+      .localCheckpoint(true)
+    // 1. forward adjacency (new + re-ranked rows in one merge)
+    MergeSink.occRetry(sk.edges, "graphAdd/edges") { readV =>
+      MergeSink.merge(s, sk.edges, newRows.unionByName(updRows),
+        Seq("src"), Seq(col("src")), targetFileRows = GraphFileRows,
+        expectedVersion = Some(readV))
+    }
+    // 2. reverse postings: append new edges' sources, drop evicted ones
+    val rAdd = newRows.select(col("src"), explode(col("dsts")).as("dst"))
+      .unionByName(diff.select(col("src"), explode(col("added")).as("dst")))
+      .groupBy("dst").agg(collect_set(col("src")).as("__add"))
+    val rGone = diff.select(col("src"), explode(col("gone")).as("dst"))
+      .groupBy("dst").agg(collect_set(col("src")).as("__gone"))
+    val rDelta = rAdd.join(rGone, Seq("dst"), "full")
+      .select(col("dst"),
+        coalesce(col("__add"), typedLit(Array.empty[Long])).as("__add"),
+        coalesce(col("__gone"), typedLit(Array.empty[Long])).as("__gone"))
+      .localCheckpoint(true)
+    MergeSink.occRetry(sk.redges, "graphAdd/redges") { readV =>
+      val old = MergeSink.readOverlapping(s, sk.redges,
+          rDelta.select("dst"), Seq("dst"))
+        .select(col("dst"), col("srcs").as("__old"))
+      MergeSink.merge(s, sk.redges,
+        rDelta.join(old, Seq("dst"), "left")
+          .select(col("dst"), sort_array(array_distinct(array_except(
+            concat(coalesce(col("__old"), typedLit(Array.empty[Long])),
+              col("__add")), col("__gone")))).as("srcs")),
+        Seq("dst"), Seq(col("dst")), targetFileRows = GraphFileRows,
+        expectedVersion = Some(readV))
+    }
+    // 3. membership postings: union the batch into its cells' arrays
+    MergeSink.occRetry(sk.members, "graphAdd/members") { readV =>
+      val old = MergeSink.readOverlapping(s, sk.members, touched, Seq("cell"))
+        .select(col("cell"), col("members").as("__old"))
+      MergeSink.merge(s, sk.members,
+        bCells.groupBy("cell").agg(collect_list(col("vec_id")).as("__new"))
+          .join(old, Seq("cell"), "left")
+          .select(col("cell"), sort_array(array_distinct(concat(
+            coalesce(col("__old"), typedLit(Array.empty[Long])),
+            col("__new")))).as("members")),
+        Seq("cell"), Seq(col("cell")), targetFileRows = GraphFileRows,
+        expectedVersion = Some(readV))
+    }
+    // 4. medoids: argmax over {stored entry} ∪ batch ≡ the global argmax
+    // (the stored entry already won its cell's previous members)
+    val entryKeys = MergeSink.readOverlapping(s, sk.medoids, touched, Seq("cell"))
+      .join(touched, Seq("cell"))
+      .select(col("cell"), col("entry").as("vec_id"))
+      .localCheckpoint(true)
+    val entryVn = entryKeys
+      .join(MergeSink.readOverlapping(s, sk.vectors,
+        entryKeys.select("vec_id"), Seq("vec_id")), Seq("vec_id"))
+      .select(col("cell"), col("vec_id"),
+        transform(col("e"), x => x / sqrt(col("nrm"))).as("en"))
+    val candVn = entryVn.unionByName(
+      bCells.join(batch.select("vec_id", "en"), Seq("vec_id"))
+        .select("cell", "vec_id", "en"))
+    MergeSink.occRetry(sk.medoids, "graphAdd/medoids") { readV =>
+      MergeSink.merge(s, sk.medoids, medoidsOf(candVn, cents),
+        Seq("cell"), Seq(col("cell")), targetFileRows = 8,
+        expectedVersion = Some(readV))
+    }
+    // 5. the vectors themselves
+    MergeSink.occRetry(sk.vectors, "graphAdd/vectors") { readV =>
+      MergeSink.merge(s, sk.vectors, batch.select("vec_id", "e", "nrm"),
+        Seq("vec_id"), Seq(col("vec_id")), targetFileRows = GraphFileRows,
+        expectedVersion = Some(readV))
+    }
+    ()
+  }
+
+  private val incrMemo = new VersionedMemo[Handle](
+    tablesOf, (s, h) => deriveHandle(s, h.sinks))
+
+  /** Slice-built graph + the daily batch inserted — the incremental
+    * lifecycle end-to-end, probed by `ann_graph_incr` whose oracle walks
+    * the SAME slice-trained cells (AnnLake.SliceCellsCte) over the final
+    * membership: exactness of the insert makes the persistence invisible.
+    */
+  private[graft] def ensureGraphIncrLake(s: SparkSession, dir: String): Handle =
+    incrMemo.get(s, dir) {
+      val sk = buildSliceGraph(s, dir, "graft_ann_graph_incr")
+      val h0 = deriveHandle(s, sk)
+      addVectors(s, h0,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0))
+      deriveHandle(s, sk)
+    }
+
   /** The beam walk over the LAKE tables — dataflow identical to
     * `graphBeamParts` (same constants, same tiebreaks, so the in-plan
     * oracle proves this plan too); every per-round fetch is a
     * `readOverlapping` key read, exact via the inner join back.
     */
-  private[graft] def graphBeamLake(s: SparkSession, dir: String): DataFrame = {
-    val h = ensureGraphLake(s, dir)
+  private[graft] def graphBeamLake(s: SparkSession, dir: String): DataFrame =
+    walkOn(s, dir, ensureGraphLake(s, dir))
+
+  private[graft] def graphBeamIncr(s: SparkSession, dir: String): DataFrame =
+    walkOn(s, dir, ensureGraphIncrLake(s, dir))
+
+  private def walkOn(s: SparkSession, dir: String, h: Handle): DataFrame = {
     val sk = h.sinks
     // probes are QUERY-side input (the raw embedding column), normalized
     // exactly as the index build normalized the corpus
@@ -357,5 +606,19 @@ object AnnGraphLake {
       graphBeamLake(s, dir)
     }
 
-  val defs: Seq[QueryDef] = Seq(graphLake)
+  /** The INCREMENTAL walk's oracle: the slice-trained cell CTEs (shared
+    * verbatim with the incremental IVF+PQ oracles) feeding the same walk
+    * CTEs the full-corpus oracle uses — because the insert is EXACT, the
+    * walk over the maintained index must equal the walk over a one-shot
+    * build on those cells.
+    */
+  val graphIncr: QueryDef =
+    QueryDef("ann_graph_incr",
+      s"""WITH ${AnnQueries.VnCte},
+         |${AnnLake.SliceCellsCte},
+         |${AnnQueries.graphWalkSql}""".stripMargin) { (s, dir) =>
+      graphBeamIncr(s, dir)
+    }
+
+  val defs: Seq[QueryDef] = Seq(graphLake, graphIncr)
 }

@@ -605,9 +605,14 @@ object AnnLake {
     * the oracle's candidate set is exactly what `deleteVectors` does to
     * the lake).
     */
-  private def incrOracleSql(scoredExtra: String): String =
-    s"""WITH $VnCte,
-       |vc AS MATERIALIZED (SELECT vec_id, en FROM vn WHERE vec_id % 5 <> 0),
+  /** The slice-trained cell CTE block (vc/iseed/…/icarr + the final
+    * corpus/probe assignments) — shared VERBATIM by the incremental
+    * IVF+PQ oracles here and the graph tier's incremental oracle
+    * (AnnGraphLake): both walk the SAME slice-trained cells, so the
+    * proof text must be one definition.
+    */
+  private[analytics] val SliceCellsCte: String =
+    s"""vc AS MATERIALIZED (SELECT vec_id, en FROM vn WHERE vec_id % 5 <> 0),
        |iseed AS (SELECT vec_id AS cell, en AS ce FROM (
        |    SELECT vec_id, en, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM vc) t
        |  WHERE rn <= $IncrCells),
@@ -641,7 +646,11 @@ object AnnLake {
        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id
        |        ORDER BY list_dot_product(n.en, c.ce) DESC, c.cell) AS rn
        |    FROM vn n, icarr c WHERE n.vec_id < $ProbeCount) t
-       |  WHERE rn <= $IncrNProbe),
+       |  WHERE rn <= $IncrNProbe)""".stripMargin
+
+  private def incrOracleSql(scoredExtra: String): String =
+    s"""WITH $VnCte,
+       |$SliceCellsCte,
        |subv AS (
        |  SELECT vec_id, m, en[m*$PqSub+1 : m*$PqSub+$PqSub] AS sub
        |  FROM vn, unnest([${(0 until PqM).mkString(", ")}]) AS t(m)),

@@ -1157,11 +1157,15 @@ object AnnQueries {
     * search is |probes|·ef·M rows a round through a broadcast-probe join —
     * no corpus-sized exchange anywhere after the build.
     */
-  val graphBeam: QueryDef = QueryDef(
-    "ann_graph_beam",
-    s"""WITH $VnCte,
-       |$IvfCellsCte,
-       |pv AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < $ProbeCount),
+  /** The walk's CTE block, parameterized ONLY by which cell table feeds
+    * it: medoid entries, within-cell top-M edges, seed scoring and the
+    * generated beam rounds all reference the `cells`/`pcells`/`icarr`
+    * CTEs its prefix defines — so the full-corpus oracle (IvfCellsCte)
+    * and the slice-trained incremental oracle (AnnLake.SliceCellsCte)
+    * share this text VERBATIM.
+    */
+  private[analytics] def graphWalkSql: String =
+    s"""pv AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < $ProbeCount),
        |medoid AS MATERIALIZED (SELECT cell, vec_id AS entry FROM (
        |  SELECT m.cell, m.vec_id,
        |    ROW_NUMBER() OVER (PARTITION BY m.cell
@@ -1186,7 +1190,13 @@ object AnnQueries {
        |  SELECT probe_id, nid, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, nid) AS rank
        |  FROM sc$BeamRounds WHERE nid <> probe_id) t
-       |WHERE rank <= $LshK""".stripMargin) { (s, dir) =>
+       |WHERE rank <= $LshK""".stripMargin
+
+  val graphBeam: QueryDef = QueryDef(
+    "ann_graph_beam",
+    s"""WITH $VnCte,
+       |$IvfCellsCte,
+       |$graphWalkSql""".stripMargin) { (s, dir) =>
     graphBeamParts(s, dir)._2
   }
 

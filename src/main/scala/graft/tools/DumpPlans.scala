@@ -367,7 +367,13 @@ object DumpPlans {
         |set (beam ids → adjacency rows, unseen ids → vectors) — probe IO
         |is O(candidate files) at any corpus size, measured flat at 10×
         |data. The centroid read is the |cells|-row routing table every
-        |lake ANN tier pays.""".stripMargin)
+        |lake ANN tier pays.""".stripMargin,
+    "ann_graph_incr" ->
+      """The walk over the slice-built + batch-INSERTED index — the plan is
+        |ann_graph_lake's (pruned per-round fetches) because the insert
+        |happened to STORAGE exactly (maintained tables ≡ one-shot rebuild,
+        |spec-pinned): nothing in-plan distinguishes a maintained index
+        |from a rebuilt one, which is the maintenance contract.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -57,6 +57,69 @@ class AnnGraphLakeSpec extends AnyFunSuite {
     assert(deg.forall(_ <= AnnQueries.GraphM))
   }
 
+  test("INCREMENTAL insert is EXACT: slice-built + addVectors(batch) ≡ one-shot build, table for table") {
+    // the claim addVectors makes (and the reason ann_graph_incr can share
+    // the one-shot walk oracle): a cell's true top-M after the batch is a
+    // subset of (top-M before ∪ batch cohabitants), so the maintained
+    // index is the one-shot index over the same slice-trained cells — not
+    // an approximation of it. Compare every artifact's full contents.
+    val h = AnnGraphLake.ensureGraphIncrLake(spark, sf)
+    val sk = h.sinks
+    // one-shot reference over the SAME slice-trained centroids
+    val cents = MergeSink.read(spark, sk.centroids).select("cell", "ce")
+    val vn = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .selectExpr("vec_id", "e", "graft_dot(e, e) AS nrm")
+      .selectExpr("vec_id", "e", "nrm",
+        "transform(e, x -> x / sqrt(nrm)) AS en")
+    val assigned = AnnQueries.assignCells(
+      vn.select("vec_id", "en"), cents).localCheckpoint(true)
+    val mem = assigned.join(vn, Seq("vec_id"))
+    val refEdges = mem.as("a")
+      .join(mem.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        (graft.functions.Vec.dot(col("a.e"), col("b.e")) /
+          (sqrt(col("a.nrm")) * sqrt(col("b.nrm")))).as("cosine"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(col("cosine").desc, col("dst"))))
+      .filter(col("rn") <= AnnQueries.GraphM).select("src", "dst")
+      .localCheckpoint(true)
+    // emptied posting rows STAY as empty-array rows (the E125 convention
+    // every posting table here follows) while a one-shot build never
+    // writes them — compare semantic content, not row presence
+    def edgeMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+        .filter(_._2.nonEmpty).toMap
+    val gotEdges = edgeMap(MergeSink.read(spark, sk.edges).select("src", "dsts"))
+    val refFwd = refEdges.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("dsts"))
+    assert(gotEdges == edgeMap(refFwd), "forward adjacency diverged from one-shot")
+    val gotRev = edgeMap(MergeSink.read(spark, sk.redges).select("dst", "srcs"))
+    val refRev = refEdges.groupBy("dst")
+      .agg(sort_array(collect_list(col("src"))).as("srcs"))
+    assert(gotRev == edgeMap(refRev), "reverse adjacency diverged from one-shot")
+    val gotMem = edgeMap(MergeSink.read(spark, sk.members).select("cell", "members"))
+    val refMem = assigned.groupBy("cell")
+      .agg(sort_array(collect_list(col("vec_id"))).as("members"))
+    assert(gotMem == edgeMap(refMem), "membership diverged from one-shot")
+    val gotMed = MergeSink.read(spark, sk.medoids).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refMed = mem.join(broadcast(cents), Seq("cell"))
+      .groupBy("cell")
+      .agg(max_by(col("vec_id"), struct(
+        graft.functions.Vec.dot(col("en"), col("ce")), -col("vec_id"))).as("entry"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotMed == refMed, "medoids diverged from one-shot")
+    // and a REPLAYED batch changes nothing (the appendBatch standard)
+    AnnGraphLake.addVectors(spark, h,
+      graft.Tables.embeddings(spark, sf).filter(col("vec_id") % 5 === 0))
+    assert(edgeMap(MergeSink.read(spark, sk.edges).select("src", "dsts")) == gotEdges
+      && edgeMap(MergeSink.read(spark, sk.redges).select("dst", "srcs")) == gotRev,
+      "a re-delivered batch changed the adjacency tables")
+  }
+
   /** PRIVATE corpus copy for the destructive tests (the PurgeSpec
     * convention): the shared per-dir lake of the oracle query must stay
     * pristine.
