@@ -375,9 +375,8 @@ object AnnGraphLake {
     * every consumer tolerates: the delete path's extra in-neighbor prunes
     * are array_except no-ops.
     */
-  private[graft] def addVectors(s: SparkSession, h: Handle,
+  private[graft] def addVectors(s: SparkSession, sk: Sinks,
       batchRaw: DataFrame): Unit = {
-    val sk = h.sinks
     val batch = batchRaw
       .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", Vec.dot(col("e"), col("e")))
@@ -531,11 +530,39 @@ object AnnGraphLake {
   private[graft] def ensureGraphIncrLake(s: SparkSession, dir: String): Handle =
     incrMemo.get(s, dir) {
       val sk = buildSliceGraph(s, dir, "graft_ann_graph_incr")
-      val h0 = deriveHandle(s, sk)
-      addVectors(s, h0,
+      addVectors(s, sk,
         Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0))
       deriveHandle(s, sk)
     }
+
+  /** STREAM-MAINTAIN a graph index (the AnnLake posture verbatim):
+    * `readStream` over an embeddings parquet directory → AvailableNow
+    * micro-batches (one file per trigger, bounded drain) → `foreachBatch`
+    * running the same EXACT insert the daily path uses. Exactly-once
+    * EFFECT comes from the insert's exactness (a replayed micro-batch
+    * recomputes identical arrays — spec-pinned), and ORDER-independence
+    * from the same property: each insert leaves the one-shot index over
+    * the union so far, so any arrival order converges to the same tables.
+    */
+  def streamMaintain(s: SparkSession, sk: Sinks, srcDir: String,
+      checkpoint: String): Unit = {
+    // schema DERIVED from the source files (the r11 advice: an inline
+    // StructType that drifts null-fills silently instead of failing)
+    val schema = s.read.parquet(srcDir).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) addVectors(s, sk, batch)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    ()
+  }
 
   /** The beam walk over the LAKE tables — dataflow identical to
     * `graphBeamParts` (same constants, same tiebreaks, so the in-plan

@@ -113,11 +113,44 @@ class AnnGraphLakeSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotMed == refMed, "medoids diverged from one-shot")
     // and a REPLAYED batch changes nothing (the appendBatch standard)
-    AnnGraphLake.addVectors(spark, h,
+    AnnGraphLake.addVectors(spark, sk,
       graft.Tables.embeddings(spark, sf).filter(col("vec_id") % 5 === 0))
     assert(edgeMap(MergeSink.read(spark, sk.edges).select("src", "dsts")) == gotEdges
       && edgeMap(MergeSink.read(spark, sk.redges).select("dst", "srcs")) == gotRev,
       "a re-delivered batch changed the adjacency tables")
+  }
+
+  test("STREAM-maintained graph index converges to the daily-batch result (shuffled multi-file arrival)") {
+    // order-independence is a COROLLARY of insert exactness (each micro-
+    // batch leaves the one-shot index over the union so far), so a
+    // shuffled multi-file drain must land on byte-identical table
+    // contents vs the single-batch incr tier over the same slice cells
+    val sk = AnnGraphLake.buildSliceGraph(spark, sf, "graft_agl_stream")
+    val src = java.nio.file.Files.createTempDirectory("graft_agl_src").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft_agl_ckp").toString
+    val batch = graft.Tables.embeddings(spark, sf).filter(col("vec_id") % 5 === 0)
+    // three files staged OUT of id order — the stream drains them one per
+    // trigger in staging order
+    for (g <- Seq(2, 0, 1))
+      batch.filter(pmod(col("vec_id"), lit(3)) === g)
+        .coalesce(1).write.mode("append").parquet(src)
+    AnnGraphLake.streamMaintain(spark, sk, src, ckp)
+    val ih = AnnGraphLake.ensureGraphIncrLake(spark, sf)
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+        .filter(_._2.nonEmpty).toMap
+    assert(m(MergeSink.read(spark, sk.edges).select("src", "dsts"))
+      == m(MergeSink.read(spark, ih.sinks.edges).select("src", "dsts")),
+      "streamed forward adjacency diverged from the daily-batch result")
+    assert(m(MergeSink.read(spark, sk.redges).select("dst", "srcs"))
+      == m(MergeSink.read(spark, ih.sinks.redges).select("dst", "srcs")),
+      "streamed reverse adjacency diverged from the daily-batch result")
+    assert(m(MergeSink.read(spark, sk.members).select("cell", "members"))
+      == m(MergeSink.read(spark, ih.sinks.members).select("cell", "members")))
+    assert(MergeSink.read(spark, sk.medoids).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == MergeSink.read(spark, ih.sinks.medoids).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
   /** PRIVATE corpus copy for the destructive tests (the PurgeSpec
