@@ -232,6 +232,25 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mog >= 0.7, f"graph-beam recall collapsed on clustered data: $mog%.2f")
   }
 
+  test("GRAPH incremental tier recall@5 stays above the floor (both corpora)") {
+    // the slice-trained graph index (built on 80% of the corpus, batch
+    // inserted exactly): the insert's exactness means any recall gap vs
+    // the full tier (0.84/0.84) comes from the slice-trained CELLS —
+    // coarser routing moves some true neighbors out of the probed cells'
+    // graphs entirely. Measured r13: 0.80 isotropic / 0.64 clustered;
+    // the clustered cost (0.20) is larger than IVF+PQ's ≤0.08 because a
+    // graph walk confined to mis-routed cells cannot recover by exact
+    // re-rank the way the ADC shortlist does — the honest trade of the
+    // tier, floors at measured-minus-margin. The lake tier needs no row
+    // of its own — AnnGraphLakeSpec pins it result-identical to
+    // ann_graph_beam.
+    val iso = recallAt("ann_graph_incr", 5)
+    val mog = mogRecallAt("ann_graph_incr")
+    info(f"ann_graph_incr recall@5: isotropic $iso%.2f, clustered $mog%.2f")
+    assert(iso >= 0.6, f"incr graph recall collapsed: $iso%.2f")
+    assert(mog >= 0.5, f"incr graph recall collapsed on clustered data: $mog%.2f")
+  }
+
   test("GRAPH beam candidate-volume law: scored set per probe bounded by nprobe + rounds*ef*M") {
     // the property that justifies a graph tier next to IVF: an IVF probe
     // scores nprobe·occupancy vectors (bounded only because the planner
