@@ -331,6 +331,7 @@ object AnnGraphLake {
       .select("cell", "ce")
     val slice = normalized(s, dir).filter(col("vec_id") % 5 =!= 0)
     val sCells = assignCells(slice.select("vec_id", "en"), cents)
+    requireBoundedOccupancy(sCells, "buildSliceGraph")
     val mem = sCells
       .join(slice.select("vec_id", "e", "nrm", "en"), Seq("vec_id"))
       .localCheckpoint(true)
@@ -405,6 +406,10 @@ object AnnGraphLake {
       .select(col("cell"), col("vec_id"), col("e"), col("nrm"))
       .localCheckpoint(true)
     val allTouched = exFull.unionByName(bFull).localCheckpoint(true)
+    // post-insert occupancy must stay bounded too: a skewed batch can
+    // push a cell past the quadratic threshold even when the build was
+    // healthy (same guard, same named fix)
+    requireBoundedOccupancy(allTouched.select("cell", "vec_id"), "addVectors")
     val wSrc = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
     // NEW members' adjacency: top-M over the whole (post-insert) cell
     val newRows = bFull.as("a")

@@ -1027,10 +1027,33 @@ object AnnQueries {
     * cell-blocked exact build is chosen here because it is deterministic
     * (oracle-mirrorable) and its cost class is already the knnJoin's.
     */
+  /** Fail-loud occupancy guard for the graph tier's cell-blocked pair
+    * stages (the r9 83×-envelope lesson applied at BUILD time): Σ|cell|²
+    * is linear only while the planner's occupancy law holds, and a
+    * duplicate-heavy embedding corpus concentrates mass in few cells —
+    * exactly the failure mode AnnLake's salted postings absorb on the
+    * STORAGE side, but salting cannot cap the within-cell PAIR work a
+    * graph build pays. Rather than silently going quadratic on a hot
+    * cell, every build refuses past the salting threshold and names the
+    * fix (upstream semantic dedup — dd_semdedup / dd_embed_cosine, the
+    * SemDeDup pipeline order — or a retrain at a larger cell count).
+    */
+  private[analytics] def requireBoundedOccupancy(
+      assignment: org.apache.spark.sql.DataFrame, what: String,
+      cap: Long = AnnLake.DefaultSaltTarget.toLong): Unit = {
+    val hot = assignment.groupBy("cell").count()
+      .agg(coalesce(max(col("count")), lit(0L))).collect()(0).getLong(0)
+    require(hot <= cap,
+      s"$what: hottest cell holds $hot members (> $cap) — the within-cell " +
+        "pair stage would go quadratic on it; semantically dedup the corpus " +
+        "first (dd_semdedup / dd_embed_cosine) or retrain with more cells")
+  }
+
   private[analytics] def graphEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     PlanCache.cached(s, dir, "ann_graph_edges") {
       val (cells, _) = ivfParts(s, dir)
+      requireBoundedOccupancy(cells, "graphEdges")
       val v = normalized(s, dir)
       val mem = cells.join(v.select(col("vec_id"), col("e"), col("nrm")), Seq("vec_id"))
       val pairs = mem.as("a")

@@ -153,6 +153,21 @@ class AnnGraphLakeSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("occupancy guard: a hot cell past the threshold fails LOUDLY with the named fix") {
+    import spark.implicits._
+    // salting bounds posting-row SIZE, but nothing caps the within-cell
+    // PAIR work a graph build pays on a hot cell — the guard refuses
+    // instead of silently going quadratic (the r9 lesson), and its
+    // message names the mitigation
+    val hot = Seq.tabulate(6)(i => (i.toLong, 0L)).toDF("vec_id", "cell")
+    val ex = intercept[IllegalArgumentException] {
+      AnnQueries.requireBoundedOccupancy(hot, "spec-degenerate", cap = 4L)
+    }
+    assert(ex.getMessage.contains("dd_semdedup") &&
+      ex.getMessage.contains("spec-degenerate"))
+    AnnQueries.requireBoundedOccupancy(hot.limit(3), "spec-ok", cap = 4L)
+  }
+
   /** PRIVATE corpus copy for the destructive tests (the PurgeSpec
     * convention): the shared per-dir lake of the oracle query must stay
     * pristine.
