@@ -14,7 +14,9 @@ import graft.ingest.MergeSink
   * round's working set by MANIFEST-PRUNED key reads instead:
   *
   *  - `centroids` — the trained IVF cells (cell, ce), probe routing;
-  *  - `medoids`   — per-cell entry points (cell, entry);
+  *  - `medoids`   — per-cell entry points (cell, entries[]): the cell's
+  *    top-GraphEntries members by dot against the trained centroid (r14
+  *    multi-entry seeds), one array row per cell;
   *  - `edges`     — adjacency POSTINGS (src, dsts[]): one row per vector,
   *    its top-GraphM within-cell neighbors, range-clustered on src;
   *  - `vectors`   — (vec_id, e, nrm), the exact-scoring payload,
@@ -23,7 +25,7 @@ import graft.ingest.MergeSink
   * The walk's reads then cost O(candidates) FILES per round — beam ids
   * fetch their adjacency rows, unseen ids fetch their vectors, both
   * through `readOverlapping`'s digest-interval prune — so with the
-  * candidate-volume law (≤ nprobe + rounds·ef·M scored per probe,
+  * candidate-volume law (≤ GraphEntries·nprobe + rounds·ef·M scored per probe,
   * AnnRecallSpec) the probe's IO is corpus-size-independent: the defining
   * property graph indexes are deployed for (DiskANN serves billion-vector
   * corpora from exactly this posting shape on SSD). Probe routing still
@@ -59,16 +61,22 @@ object AnnGraphLake {
     s"$base/centroids", s"$base/medoids", s"$base/edges",
     s"$base/redges", s"$base/members", s"$base/vectors")
 
+  // the intent table is INCLUDED (r13 advice): a crashed delete that
+  // committed only its intent advances no index table, and a memo keyed on
+  // the six index tables alone would serve the cached handle without ever
+  // running completeIntents in this session — the intent commit must
+  // invalidate the memo so deriveHandle's completion hook actually fires
   private def tablesOf(h: Handle): Seq[String] =
     Seq(h.sinks.centroids, h.sinks.medoids, h.sinks.edges,
-      h.sinks.redges, h.sinks.members, h.sinks.vectors)
+      h.sinks.redges, h.sinks.members, h.sinks.vectors,
+      intentSink(h.sinks))
 
   /** The delete protocol's intent table — a sibling of the index tables
     * (the AnnLake convention): six tables, so no commit ordering fails
     * closed for all of them; the keyed drop rows commit here FIRST and
     * clear only after every prune committed.
     */
-  private def intentSink(sk: Sinks): String =
+  private[analytics] def intentSink(sk: Sinks): String =
     s"${new java.io.File(sk.edges).getParent}/delete_intents"
 
   // small target rows so the posting tables span several range-clustered
@@ -76,15 +84,24 @@ object AnnGraphLake {
   // (spec-asserted); production sizes by bytes instead
   private val GraphFileRows = 32L
 
-  /** Version-derived state: the trained cell count (probe fan-out sizing),
-    * re-read from the lake when any table's commit version advances — the
-    * AnnLake deriveHandle posture. Also the delete protocol's "next
-    * ensure" hook: pending intents a crashed delete left behind complete
-    * before the handle is served (one O(1) pointer read when none).
+  /** Version-derived state: the PLANNER-LAW cell count (probe fan-out
+    * sizing), re-derived from the lake when any table's commit version
+    * advances. `cells` is `ivfCellsFor(indexed corpus)` — the same law the
+    * in-plan walk applies (`graphBeamParts` via `ivfParts`) — NOT the
+    * stored centroid row count (r13 advice): when the Lloyd step empties a
+    * seed cell the trained table holds fewer rows than `ivfCellsFor(n)`,
+    * the two `nprobeFor` values diverge at larger corpora, and the lake
+    * walk's entry set — hence results — drifts from the in-plan walk the
+    * spec declares it identical to. The vectors table IS the indexed
+    * corpus (insert/delete maintained), so the count is metadata-only
+    * (parquet footers) and tracks exactly what the index covers. Also the
+    * delete protocol's "next ensure" hook: pending intents a crashed
+    * delete left behind complete before the handle is served (one O(1)
+    * pointer read when none).
     */
   private def deriveHandle(s: SparkSession, sk: Sinks): Handle = {
     completeIntents(s, sk)
-    Handle(sk, MergeSink.read(s, sk.centroids).count())
+    Handle(sk, ivfCellsFor(MergeSink.read(s, sk.vectors).count()))
   }
 
   private val memo = new VersionedMemo[Handle](
@@ -101,7 +118,9 @@ object AnnGraphLake {
       val k = ivfCellsFor(Tables.embeddings(s, dir).count())
       MergeSink.merge(s, sk.centroids, ivfCarr(s, dir, k),
         Seq("cell"), Seq(col("cell")), targetFileRows = 64)
-      MergeSink.merge(s, sk.medoids, cellMedoids(s, dir),
+      MergeSink.merge(s, sk.medoids,
+        cellMedoids(s, dir).groupBy("cell")
+          .agg(sort_array(collect_list(col("entry"))).as("entries")),
         Seq("cell"), Seq(col("cell")), targetFileRows = 8)
       MergeSink.merge(s, sk.edges,
         graphEdges(s, dir).groupBy("src")
@@ -274,11 +293,7 @@ object AnnGraphLake {
       .join(survMem, Seq("vec_id"))
       .select(col("cell"), col("vec_id"),
         transform(col("e"), x => x / sqrt(col("nrm"))).as("en"))
-    val newMed = survVn
-      .join(broadcast(cents.select("cell", "ce")), Seq("cell"))
-      .groupBy("cell")
-      .agg(max_by(col("vec_id"),
-        struct(Vec.dot(col("en"), col("ce")), -col("vec_id"))).as("entry"))
+    val newMed = medoidsOf(survVn, cents.select("cell", "ce"))
       .localCheckpoint(true)
     MergeSink.occRetry(sk.medoids, "graphDelete/medoids") { readV =>
       MergeSink.merge(s, sk.medoids, newMed, Seq("cell"), Seq(col("cell")),
@@ -310,12 +325,36 @@ object AnnGraphLake {
       .filter(col("rn") <= GraphM).select("src", "dst")
   }
 
-  /** Per-cell medoid of `memEn` (cell, vec_id, en) against `cents`. */
-  private def medoidsOf(memEn: DataFrame, cents: DataFrame): DataFrame =
-    memEn.join(broadcast(cents), Seq("cell"))
+  /** Per-cell entry ARRAY of `memEn` (cell, vec_id, en) against `cents`:
+    * the MEDOID (dot-to-centroid argmax, ties lowest id) plus its ANTIPODE
+    * (dot-to-medoid argmin, ties lowest id — the seed that reaches a
+    * merged cell's other graph component, see AnnQueries.GraphEntries),
+    * collected as a sorted-by-id distinct array — rank order is irrelevant
+    * downstream (all entries seed round 0; every maintenance step
+    * re-derives from membership), and a sorted array makes the merge
+    * content-idempotent.
+    */
+  private def medoidsOf(memEn: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = memEn.join(broadcast(cents), Seq("cell"))
+      .select(col("cell"), col("vec_id"), col("en"),
+        Vec.dot(col("en"), col("ce")).as("score"))
+    val wMed = Window.partitionBy("cell").orderBy(col("score").desc, col("vec_id"))
+    val med = scored.withColumn("rn", row_number().over(wMed))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id").as("med_id"), col("en").as("med_en"))
+    val wAnti = Window.partitionBy("cell").orderBy(col("adot").asc, col("vec_id"))
+    val anti = scored
+      .join(broadcast(med.select(col("cell"), col("med_en"))), Seq("cell"))
+      .select(col("cell"), col("vec_id"),
+        Vec.dot(col("en"), col("med_en")).as("adot"))
+      .withColumn("rn", row_number().over(wAnti))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id").as("entry"))
+    med.select(col("cell"), col("med_id").as("entry"))
+      .unionByName(anti)
       .groupBy("cell")
-      .agg(max_by(col("vec_id"),
-        struct(Vec.dot(col("en"), col("ce")), -col("vec_id"))).as("entry"))
+      .agg(sort_array(array_distinct(collect_list(col("entry")))).as("entries"))
+  }
 
   // ---- INCREMENTAL tier: slice build + exact daily-batch insert ---------
 
@@ -365,19 +404,27 @@ object AnnGraphLake {
     * touched EXISTING member re-ranks only its stored neighbors plus the
     * batch, O(touched members · (M + batch-per-cell)) pair scores, and
     * every read is a manifest-pruned key fetch. New members rank against
-    * their full cell (occupancy-bounded). Medoids update by comparing the
-    * stored entry against the batch (argmax over {entry} ∪ batch = global
-    * argmax, same reasoning). Replay-idempotent: the batch is excluded
+    * their full cell (occupancy-bounded). Medoid entry arrays re-derive
+    * over the touched cells' full post-insert membership (already read
+    * for the edge step): the antipode is anchored to the medoid, so a
+    * batch that moves the medoid re-scores every member — only the full
+    * re-derive is exact. Replay-idempotent: the
+    * batch is excluded
     * from the "existing" side, so a re-delivered batch recomputes the
     * same arrays (array_distinct unions, deterministic re-ranks) — the
     * appendBatch standard. Reverse postings append the new edges and drop
-    * the evicted ones; a crash between the edges and redges commits
-    * leaves redges a conservative SUPERSET (extra src entries), which
-    * every consumer tolerates: the delete path's extra in-neighbor prunes
-    * are array_except no-ops.
+    * the evicted ones, and they commit BEFORE the forward table (r13
+    * advice): the redges delta is DIFFED against the stored forward rows,
+    * so a crash after the forward commit would leave a replay reading the
+    * already-updated dsts — empty diff, the missing reverse entries never
+    * heal, and a later delete of such a dst skips pruning its in-neighbor
+    * (a permanently dangling adjacency entry). Redges-first, a replayed
+    * micro-batch re-reads the still-intact forward rows, recomputes the
+    * identical diff, and the redges merge is content-idempotent — the
+    * pair converges under replay from either crash point.
     */
   private[graft] def addVectors(s: SparkSession, sk: Sinks,
-      batchRaw: DataFrame): Unit = {
+      batchRaw: DataFrame, afterRedges: () => Unit = () => ()): Unit = {
     val batch = batchRaw
       .select(col("vec_id"), Vec.toDouble(col("embedding")).as("e"))
       .withColumn("nrm", Vec.dot(col("e"), col("e")))
@@ -454,13 +501,12 @@ object AnnGraphLake {
         array_except(col("nw"),
           coalesce(col("old"), typedLit(Array.empty[Long]))).as("added"))
       .localCheckpoint(true)
-    // 1. forward adjacency (new + re-ranked rows in one merge)
-    MergeSink.occRetry(sk.edges, "graphAdd/edges") { readV =>
-      MergeSink.merge(s, sk.edges, newRows.unionByName(updRows),
-        Seq("src"), Seq(col("src")), targetFileRows = GraphFileRows,
-        expectedVersion = Some(readV))
-    }
-    // 2. reverse postings: append new edges' sources, drop evicted ones
+    // 1. reverse postings FIRST (r13 advice): the delta below was diffed
+    //    against the stored forward rows (exRows), so redges must commit
+    //    while those rows are still intact — a crash here replays to the
+    //    identical delta (idempotent merge); edges-first, the replay's
+    //    diff would come back empty and the missing reverse entries would
+    //    never heal
     val rAdd = newRows.select(col("src"), explode(col("dsts")).as("dst"))
       .unionByName(diff.select(col("src"), explode(col("added")).as("dst")))
       .groupBy("dst").agg(collect_set(col("src")).as("__add"))
@@ -483,6 +529,13 @@ object AnnGraphLake {
         Seq("dst"), Seq(col("dst")), targetFileRows = GraphFileRows,
         expectedVersion = Some(readV))
     }
+    afterRedges() // test seam: the spec kills the insert here
+    // 2. forward adjacency (new + re-ranked rows in one merge)
+    MergeSink.occRetry(sk.edges, "graphAdd/edges") { readV =>
+      MergeSink.merge(s, sk.edges, newRows.unionByName(updRows),
+        Seq("src"), Seq(col("src")), targetFileRows = GraphFileRows,
+        expectedVersion = Some(readV))
+    }
     // 3. membership postings: union the batch into its cells' arrays
     MergeSink.occRetry(sk.members, "graphAdd/members") { readV =>
       val old = MergeSink.readOverlapping(s, sk.members, touched, Seq("cell"))
@@ -496,22 +549,18 @@ object AnnGraphLake {
         Seq("cell"), Seq(col("cell")), targetFileRows = GraphFileRows,
         expectedVersion = Some(readV))
     }
-    // 4. medoids: argmax over {stored entry} ∪ batch ≡ the global argmax
-    // (the stored entry already won its cell's previous members)
-    val entryKeys = MergeSink.readOverlapping(s, sk.medoids, touched, Seq("cell"))
-      .join(touched, Seq("cell"))
-      .select(col("cell"), col("entry").as("vec_id"))
-      .localCheckpoint(true)
-    val entryVn = entryKeys
-      .join(MergeSink.readOverlapping(s, sk.vectors,
-        entryKeys.select("vec_id"), Seq("vec_id")), Seq("vec_id"))
-      .select(col("cell"), col("vec_id"),
-        transform(col("e"), x => x / sqrt(col("nrm"))).as("en"))
-    val candVn = entryVn.unionByName(
-      bCells.join(batch.select("vec_id", "en"), Seq("vec_id"))
-        .select("cell", "vec_id", "en"))
+    // 4. medoids: recomputed over the touched cells' FULL post-insert
+    // membership (allTouched — already in hand for the edge re-rank, no
+    // extra read). The medoid alone would update by the {stored entry} ∪
+    // batch subset argument, but the ANTIPODE is anchored to the medoid:
+    // when the batch moves the medoid, every member's dot-to-medoid
+    // changes and only a full re-derive is exact. Same O(touched cells ·
+    // occupancy) class as the edge step; replay-idempotent (a pure
+    // function of final membership).
+    val touchedEn = allTouched.select(col("cell"), col("vec_id"),
+      transform(col("e"), x => x / sqrt(col("nrm"))).as("en"))
     MergeSink.occRetry(sk.medoids, "graphAdd/medoids") { readV =>
-      MergeSink.merge(s, sk.medoids, medoidsOf(candVn, cents),
+      MergeSink.merge(s, sk.medoids, medoidsOf(touchedEn, cents),
         Seq("cell"), Seq(col("cell")), targetFileRows = 8,
         expectedVersion = Some(readV))
     }
@@ -595,7 +644,7 @@ object AnnGraphLake {
       cents.select("cell", "ce"), nprobeFor(h.cells))
     val entry = MergeSink.readOverlapping(s, sk.medoids, pc.select("cell"), Seq("cell"))
       .join(pc, Seq("cell"))
-      .select(col("probe_id"), col("entry").as("nid")).distinct()
+      .select(col("probe_id"), explode(col("entries")).as("nid")).distinct()
     // exact cosine of a candidate set: the candidates' vectors come from
     // the manifest-pruned files their digests land in, never the table
     def score(cand: DataFrame): DataFrame = {

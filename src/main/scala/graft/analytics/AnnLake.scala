@@ -146,8 +146,13 @@ object AnnLake {
     */
   final case class IndexHandle(sinks: Sinks, cells: Long)
 
+  // the intent table is INCLUDED (the r13 AnnGraphLake advice, same hole
+  // here): a crashed delete that committed only its intent advances no
+  // index table, so a memo keyed on the four alone would serve the cached
+  // handle without running completeIntents this session — the intent
+  // commit must invalidate the memo so deriveHandle's completion fires
   private def sinkTables(sk: Sinks): Seq[String] =
-    Seq(sk.centroids, sk.cells, sk.codebook, sk.codes)
+    Seq(sk.centroids, sk.cells, sk.codebook, sk.codes, intentSink(sk))
 
   /** Version-derived state, read from the LAKE (the centroid table is
     * |cells| rows — a bounded metadata read, not a corpus scan). Also the
@@ -386,7 +391,7 @@ object AnnLake {
   /** The delete protocol's intent table — a sibling of the four index
     * tables under the same base dir.
     */
-  private def intentSink(sk: Sinks): String =
+  private[analytics] def intentSink(sk: Sinks): String =
     s"${new java.io.File(sk.cells).getParent}/delete_intents"
 
   private def applyPrunes(s: SparkSession, sk: Sinks, keyed: DataFrame): Unit = {

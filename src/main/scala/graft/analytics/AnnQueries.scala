@@ -1011,6 +1011,22 @@ object AnnQueries {
   private[analytics] val GraphM = 4
   /** Beam width (HNSW's efSearch): candidates kept alive between rounds. */
   private[analytics] val BeamEf = 8
+  /** Entry points PER PROBED CELL (r14, the r13 verdict ask #4): the walk
+    * seeds at each probed cell's MEDOID (argmax dot against the trained
+    * centroid) AND its ANTIPODE — the member farthest from the medoid
+    * (argmin dot against the medoid's unit vector, ties lowest id). One
+    * entry point anchors the whole walk to the centroid's immediate
+    * neighborhood, and on coarsely-trained cells (the slice-trained
+    * incremental tier: 7 cells over 10 clusters) a merged cell's
+    * within-cell kNN graph splits into per-cluster COMPONENTS the beam
+    * cannot cross — measured r13 clustered recall 0.64, unchanged by a
+    * second near-centroid seed. The antipode lands in the opposite
+    * cluster of a merged cell by construction (inter-cluster cosine ≈ 0
+    * vs intra ≈ 0.9), giving the beam one seed per component for a 2×
+    * constant in the candidate law (≤ GraphEntries·nprobe + rounds·ef·M —
+    * still corpus-size-independent).
+    */
+  private[analytics] val GraphEntries = 2
   /** Expansion rounds (graph hops). Static on BOTH engines — unlike the
     * corpus-sized knobs (bits/cells/K) there is no live/oracle split to
     * reconcile: hop count is a search-time constant at any corpus size.
@@ -1068,10 +1084,14 @@ object AnnQueries {
         .select("src", "dst")
     }
 
-  /** Per-cell entry point (the search's "layer 0 seed"): the cell MEDOID —
-    * the member with the highest dot against its trained centroid, ties by
-    * lowest id. One row per cell, computed map-side (max_by against the
-    * broadcast centroid table).
+  /** Per-cell entry points (the search's "layer 0 seeds"): the cell
+    * MEDOID — highest dot against the trained centroid, ties lowest id —
+    * plus its ANTIPODE — the member with the LOWEST dot against the
+    * medoid's unit vector, ties lowest id (see [[GraphEntries]]: the
+    * second seed exists to reach the other connected component of a
+    * merged cell's within-cell graph, which a second near-centroid seed
+    * cannot). Up to GraphEntries distinct rows per cell (a one-member
+    * cell's antipode IS its medoid).
     */
   private[analytics] def cellMedoids(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
@@ -1079,11 +1099,27 @@ object AnnQueries {
       val k = ivfCellsFor(Tables.embeddings(s, dir).count())
       val (cells, _) = ivfParts(s, dir)
       val carr = ivfCarr(s, dir, k)
-      cells.join(normalized(s, dir).select(col("vec_id"), col("en")), Seq("vec_id"))
+      val scored = cells
+        .join(normalized(s, dir).select(col("vec_id"), col("en")), Seq("vec_id"))
         .join(broadcast(carr), Seq("cell"))
-        .groupBy("cell")
-        .agg(max_by(col("vec_id"),
-          struct(Vec.dot(col("en"), col("ce")), -col("vec_id"))).as("entry"))
+        .select(col("cell"), col("vec_id"), col("en"),
+          Vec.dot(col("en"), col("ce")).as("score"))
+      val wMed = Window.partitionBy("cell")
+        .orderBy(col("score").desc, col("vec_id"))
+      val med = scored.withColumn("rn", row_number().over(wMed))
+        .filter(col("rn") === 1)
+        .select(col("cell"), col("vec_id").as("med_id"), col("en").as("med_en"))
+      val wAnti = Window.partitionBy("cell")
+        .orderBy(col("adot").asc, col("vec_id"))
+      val anti = scored
+        .join(broadcast(med.select(col("cell"), col("med_en"))), Seq("cell"))
+        .select(col("cell"), col("vec_id"),
+          Vec.dot(col("en"), col("med_en")).as("adot"))
+        .withColumn("rn", row_number().over(wAnti))
+        .filter(col("rn") === 1)
+        .select(col("cell"), col("vec_id").as("entry"))
+      med.select(col("cell"), col("med_id").as("entry"))
+        .unionByName(anti).distinct()
     }
 
   /** The beam search, exposed with its cumulative candidate set so the
@@ -1166,7 +1202,7 @@ object AnnQueries {
     *
     * Why a graph tier at all, next to IVF: an IVF probe pays
     * nprobe·occupancy exact scores — bounded only because the planner
-    * grows the cell count. The graph walk pays ≤ nprobe + rounds·ef·M
+    * grows the cell count. The graph walk pays ≤ GraphEntries·nprobe + rounds·ef·M
     * scores PER PROBE at ANY corpus size (the spec pins the law): capacity
     * scaling moves entirely into the one-off graph build. That is the
     * published trade (HNSW/DiskANN: big build, O(ef·M·hops) search) — and
@@ -1189,12 +1225,21 @@ object AnnQueries {
     */
   private[analytics] def graphWalkSql: String =
     s"""pv AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < $ProbeCount),
-       |medoid AS MATERIALIZED (SELECT cell, vec_id AS entry FROM (
-       |  SELECT m.cell, m.vec_id,
+       |med AS MATERIALIZED (SELECT cell, vec_id, en FROM (
+       |  SELECT m.cell, m.vec_id, n.en,
        |    ROW_NUMBER() OVER (PARTITION BY m.cell
        |      ORDER BY list_dot_product(n.en, c.ce) DESC, m.vec_id) AS rn
        |  FROM cells m JOIN vn n ON n.vec_id = m.vec_id
        |  JOIN icarr c ON c.cell = m.cell) t WHERE rn = 1),
+       |apo AS MATERIALIZED (SELECT cell, vec_id FROM (
+       |  SELECT m.cell, m.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY m.cell
+       |      ORDER BY list_dot_product(n.en, d.en) ASC, m.vec_id) AS rn
+       |  FROM cells m JOIN vn n ON n.vec_id = m.vec_id
+       |  JOIN med d ON d.cell = m.cell) t WHERE rn = 1),
+       |medoid AS MATERIALIZED (SELECT DISTINCT cell, entry FROM (
+       |  SELECT cell, vec_id AS entry FROM med
+       |  UNION ALL SELECT cell, vec_id AS entry FROM apo) u),
        |gedges AS MATERIALIZED (SELECT src, dst FROM (
        |  SELECT a.vec_id AS src, b.vec_id AS dst,
        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id

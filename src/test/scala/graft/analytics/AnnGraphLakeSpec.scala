@@ -105,13 +105,33 @@ class AnnGraphLakeSpec extends AnyFunSuite {
       .agg(sort_array(collect_list(col("vec_id"))).as("members"))
     assert(gotMem == edgeMap(refMem), "membership diverged from one-shot")
     val gotMed = MergeSink.read(spark, sk.medoids).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val refMed = mem.join(broadcast(cents), Seq("cell"))
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // one-shot reference: medoid (dot-to-centroid argmax) + its antipode
+    // (dot-to-medoid argmin), sorted distinct — the r14 entry scheme
+    val refScored = mem.join(broadcast(cents), Seq("cell"))
+      .select(col("cell"), col("vec_id"), col("en"),
+        graft.functions.Vec.dot(col("en"), col("ce")).as("score"))
+    val refMedRow = refScored
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cell")
+          .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id").as("med_id"), col("en").as("med_en"))
+    val refAnti = refScored
+      .join(broadcast(refMedRow.select("cell", "med_en")), Seq("cell"))
+      .select(col("cell"), col("vec_id"),
+        graft.functions.Vec.dot(col("en"), col("med_en")).as("adot"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cell")
+          .orderBy(col("adot").asc, col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id").as("entry"))
+    val refMed = refMedRow.select(col("cell"), col("med_id").as("entry"))
+      .unionByName(refAnti)
       .groupBy("cell")
-      .agg(max_by(col("vec_id"), struct(
-        graft.functions.Vec.dot(col("en"), col("ce")), -col("vec_id"))).as("entry"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(gotMed == refMed, "medoids diverged from one-shot")
+      .agg(sort_array(array_distinct(collect_list(col("entry")))).as("entries"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(gotMed == refMed, "medoid entry arrays diverged from one-shot")
     // and a REPLAYED batch changes nothing (the appendBatch standard)
     AnnGraphLake.addVectors(spark, sk,
       graft.Tables.embeddings(spark, sf).filter(col("vec_id") % 5 === 0))
@@ -148,9 +168,9 @@ class AnnGraphLakeSpec extends AnyFunSuite {
     assert(m(MergeSink.read(spark, sk.members).select("cell", "members"))
       == m(MergeSink.read(spark, ih.sinks.members).select("cell", "members")))
     assert(MergeSink.read(spark, sk.medoids).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       == MergeSink.read(spark, ih.sinks.medoids).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
   }
 
   test("occupancy guard: a hot cell past the threshold fails LOUDLY with the named fix") {
@@ -166,6 +186,33 @@ class AnnGraphLakeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("dd_semdedup") &&
       ex.getMessage.contains("spec-degenerate"))
     AnnQueries.requireBoundedOccupancy(hot.limit(3), "spec-ok", cap = 4L)
+  }
+
+  test("insert killed between the redges and edges commits REPLAYS to the one-shot pair (r13 advice)") {
+    // the diff feeding the reverse-posting delta is computed against the
+    // STORED forward rows, so the reverse table must commit first: killed
+    // here, a replay re-reads the intact forward rows, recomputes the
+    // identical diff, and both merges are content-idempotent. (Edges-first
+    // — the pre-fix order — a replay's diff came back empty, the missing
+    // reverse entries never healed, and a later delete of such a dst left
+    // a surviving dsts array pointing at the victim.)
+    val sk = AnnGraphLake.buildSliceGraph(spark, sf, "graft_agl_crash")
+    val batch = graft.Tables.embeddings(spark, sf).filter(col("vec_id") % 5 === 0)
+    intercept[RuntimeException] {
+      AnnGraphLake.addVectors(spark, sk, batch,
+        afterRedges = () => throw new RuntimeException("killed mid-insert"))
+    }
+    AnnGraphLake.addVectors(spark, sk, batch) // the checkpoint replay
+    val ih = AnnGraphLake.ensureGraphIncrLake(spark, sf)
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+        .filter(_._2.nonEmpty).toMap
+    assert(m(MergeSink.read(spark, sk.edges).select("src", "dsts"))
+      == m(MergeSink.read(spark, ih.sinks.edges).select("src", "dsts")),
+      "replayed forward adjacency diverged from the uninterrupted result")
+    assert(m(MergeSink.read(spark, sk.redges).select("dst", "srcs"))
+      == m(MergeSink.read(spark, ih.sinks.redges).select("dst", "srcs")),
+      "replayed reverse adjacency diverged — the crash-point edges never healed")
   }
 
   /** PRIVATE corpus copy for the destructive tests (the PurgeSpec
@@ -186,14 +233,17 @@ class AnnGraphLakeSpec extends AnyFunSuite {
     import spark.implicits._
     val h = AnnGraphLake.ensureGraphLake(spark, delDir)
     val sk = h.sinks
-    def medoids(): Map[Long, Long] = MergeSink.read(spark, sk.medoids)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def medoids(): Map[Long, Seq[Long]] = MergeSink.read(spark, sk.medoids)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     def members(): Map[Long, Seq[Long]] = MergeSink.read(spark, sk.members)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    // victims: one cell's ENTRY POINT (forces the medoid repair) plus a
-    // non-medoid member of the same cell
-    val (cell, entry) = medoids().head
-    val other = members()(cell).filter(_ != entry).head
+    // victims: one of a cell's ENTRY POINTS (forces the medoid repair)
+    // plus a non-entry member of the same cell; pick a cell with spare
+    // members so the repair has survivors to choose from
+    val (cell, entries) = medoids()
+      .find { case (c, es) => members()(c).size > es.size + 1 }.get
+    val entry = entries.head
+    val other = members()(cell).filterNot(entries.contains).head
     val victims = Seq(entry, other)
 
     AnnGraphLake.deleteVectors(spark, h, victims.toDF("vec_id"))
@@ -211,11 +261,12 @@ class AnnGraphLakeSpec extends AnyFunSuite {
     val srcsFlat = MergeSink.read(spark, sk.redges)
       .select(explode(col("srcs")).as("id")).collect().map(_.getLong(0)).toSet
     assert(victims.forall(v => !dstsFlat().contains(v) && !srcsFlat.contains(v)))
-    // 3. membership pruned; medoid REPAIRED to the argmax over survivors
+    // 3. membership pruned; entry ARRAY repaired to the top over survivors
     assert(victims.forall(v => !members()(cell).contains(v)))
-    val newEntry = medoids()(cell)
-    assert(newEntry != entry && members()(cell).contains(newEntry),
-      s"medoid of cell $cell not repaired to a surviving member")
+    val newEntries = medoids()(cell)
+    assert(!newEntries.contains(entry)
+        && newEntries.forall(members()(cell).contains),
+      s"medoids of cell $cell not repaired to surviving members")
     // 4. the walk never returns a victim
     val got = AnnGraphLake.graphBeamLake(spark, delDir)
       .select("neighbor_id").collect().map(_.getLong(0)).toSet
@@ -226,7 +277,7 @@ class AnnGraphLakeSpec extends AnyFunSuite {
     assert((medoids(), members(), dstsFlat()) == snap)
     // 6. crash AFTER the intent commit, BEFORE any prune: the next ensure
     // completes the pending delete (deriveHandle's completeIntents hook)
-    val third = members()(cell).filterNot(_ == newEntry).head
+    val third = members()(cell).filterNot(newEntries.contains).head
     intercept[RuntimeException] {
       AnnGraphLake.deleteVectors(spark, h, Seq(third).toDF("vec_id"),
         afterIntent = () => throw new RuntimeException("killed mid-delete"))
@@ -239,5 +290,34 @@ class AnnGraphLakeSpec extends AnyFunSuite {
       .filter(col("vec_id") === third).count() == 0,
       "the next ensure must complete the pending intent")
     assert(!dstsFlat().contains(third) && !members()(cell).contains(third))
+  }
+
+  test("an intent-only crash on a FRESH index still invalidates the memo (r13 advice)") {
+    // the hardest case for the version memo: NO prior delete has advanced
+    // any of the six index tables, so only the intent table's own commit
+    // can signal staleness — it must be in the memo's watched set, or the
+    // cached handle is served and completeIntents never runs this session
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_agl_fresh").toFile
+    d.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+      java.nio.file.Paths.get(d.getAbsolutePath, "embeddings.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val h = AnnGraphLake.ensureGraphLake(spark, d.getAbsolutePath)
+    val victim = MergeSink.read(spark, h.sinks.vectors)
+      .select("vec_id").orderBy("vec_id").limit(1)
+      .collect().head.getLong(0)
+    intercept[RuntimeException] {
+      AnnGraphLake.deleteVectors(spark, h, Seq(victim).toDF("vec_id"),
+        afterIntent = () => throw new RuntimeException("killed mid-delete"))
+    }
+    assert(MergeSink.read(spark, h.sinks.vectors)
+      .filter(col("vec_id") === victim).count() == 1,
+      "the killed delete must not have pruned anything yet")
+    AnnGraphLake.ensureGraphLake(spark, d.getAbsolutePath)
+    assert(MergeSink.read(spark, h.sinks.vectors)
+      .filter(col("vec_id") === victim).count() == 0,
+      "intent-only commit did not trigger the memo refresh that completes it")
   }
 }

@@ -222,46 +222,49 @@ class AnnRecallSpec extends AnyFunSuite {
     // one-off kNN-graph build. Floors are collapse guards at
     // measured-minus-margin; clustered data is where a neighborhood graph
     // must shine (edges follow cluster structure by construction).
-    // measured r13: 0.84 isotropic / 0.84 clustered — the same operating
-    // band as the incr/post-delete IVF+PQ rows; floors at measured-minus-
-    // margin, the post-delete convention
+    // measured r14 (medoid + antipode entries): 0.84 isotropic / 0.92
+    // clustered — the multi-entry seeds lifted the clustered row from
+    // r13's 0.84; floors at measured-minus-margin, the post-delete
+    // convention
     val iso = recallAt("ann_graph_beam", 5)
     val mog = mogRecallAt("ann_graph_beam")
     info(f"ann_graph_beam recall@5: isotropic $iso%.2f, clustered $mog%.2f")
     assert(iso >= 0.7, f"graph-beam recall collapsed: $iso%.2f")
-    assert(mog >= 0.7, f"graph-beam recall collapsed on clustered data: $mog%.2f")
+    assert(mog >= 0.8, f"graph-beam recall collapsed on clustered data: $mog%.2f")
   }
 
   test("GRAPH incremental tier recall@5 stays above the floor (both corpora)") {
     // the slice-trained graph index (built on 80% of the corpus, batch
     // inserted exactly): the insert's exactness means any recall gap vs
-    // the full tier (0.84/0.84) comes from the slice-trained CELLS —
-    // coarser routing moves some true neighbors out of the probed cells'
-    // graphs entirely. Measured r13: 0.80 isotropic / 0.64 clustered;
-    // the clustered cost (0.20) is larger than IVF+PQ's ≤0.08 because a
-    // graph walk confined to mis-routed cells cannot recover by exact
-    // re-rank the way the ADC shortlist does — the honest trade of the
-    // tier, floors at measured-minus-margin. The lake tier needs no row
-    // of its own — AnnGraphLakeSpec pins it result-identical to
-    // ann_graph_beam.
+    // the full tier comes from the slice-trained CELLS. r13 measured
+    // 0.80/0.64 — the clustered walk was TRAPPED: with 7 slice-trained
+    // cells over 10 clusters, a merged cell's within-cell kNN graph
+    // splits into per-cluster components the beam cannot cross, and the
+    // single near-centroid medoid seeded only one of them. The r14
+    // medoid+ANTIPODE entry pair (r13 verdict ask #4) seeds the other
+    // component too — measured r14: 0.80 isotropic / 0.80 clustered,
+    // closing the gap to IVF+PQ's slice rows. Floor at the verdict's
+    // ≥0.75 bar. The lake tier needs no row of its own —
+    // AnnGraphLakeSpec pins it result-identical to ann_graph_beam.
     val iso = recallAt("ann_graph_incr", 5)
     val mog = mogRecallAt("ann_graph_incr")
     info(f"ann_graph_incr recall@5: isotropic $iso%.2f, clustered $mog%.2f")
-    assert(iso >= 0.6, f"incr graph recall collapsed: $iso%.2f")
-    assert(mog >= 0.5, f"incr graph recall collapsed on clustered data: $mog%.2f")
+    assert(iso >= 0.7, f"incr graph recall collapsed: $iso%.2f")
+    assert(mog >= 0.75, f"incr graph recall collapsed on clustered data: $mog%.2f")
   }
 
-  test("GRAPH beam candidate-volume law: scored set per probe bounded by nprobe + rounds*ef*M") {
+  test("GRAPH beam candidate-volume law: scored set per probe bounded by entries*nprobe + rounds*ef*M") {
     // the property that justifies a graph tier next to IVF: an IVF probe
     // scores nprobe·occupancy vectors (bounded only because the planner
     // grows the cell count); the beam walk scores at most its entry points
-    // plus rounds·ef·M expansions PER PROBE — a corpus-size-independent
+    // (GraphEntries per probed cell since r14's multi-entry seeds) plus
+    // rounds·ef·M expansions PER PROBE — a corpus-size-independent
     // constant. Checked on both corpus shapes, plus the out-degree cap the
     // bound depends on.
     for (d <- Seq(sf, mogDir)) {
       val (sc, _) = AnnQueries.graphBeamParts(spark, d)
       val k = AnnQueries.ivfCellsFor(graft.Tables.embeddings(spark, d).count())
-      val bound = AnnQueries.nprobeFor(k) +
+      val bound = AnnQueries.GraphEntries * AnnQueries.nprobeFor(k) +
         AnnQueries.BeamRounds * AnnQueries.BeamEf * AnnQueries.GraphM
       val perProbe = sc.groupBy("probe_id").count().collect().map(_.getLong(1))
       assert(perProbe.nonEmpty && perProbe.forall(_ <= bound),
