@@ -374,7 +374,63 @@ object MultimodalQueries {
     Multimodal.imageColorStats(media).toDF()
   }
 
+  /** Per-channel stats through the TRUECOLOR PNG container (r14, the r13
+    * verdict ask #5): real color-type-2 PNGs with ARBITRARY per-pixel
+    * channel bytes — lossless, so no block-flat constraint (the advantage
+    * over the JPEG color tier) — rows filtered through all five types
+    * with the bpp-3 left/upper-left rule, IDAT split, CRC-guarded. The
+    * oracle recomputes each channel's stats straight from the md5-chain
+    * planes (R then G then B); an interleave, bpp-filter or channel-order
+    * slip hash-mismatches.
+    */
+  val pngColorStats: QueryDef = QueryDef(
+    "mm_png_color_stats",
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |    md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')
+       |      || md5(text || 'd') || md5(text || 'e') || md5(text || 'f')
+       |      || md5(text || 'g') AS hx,
+       |    doc_id // 3 AS m
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |dims AS (
+       |  SELECT doc_id, hx, ([3,5,8])[CAST(m % 3 AS INTEGER) + 1] AS w,
+       |         4 + CAST(m % 2 AS INTEGER) AS h
+       |  FROM src),
+       |ch AS (
+       |  SELECT doc_id, w, h,
+       |    [${byteAt("i")} for i in range(0, w*h)] AS rb,
+       |    [${byteAt("w*h + i")} for i in range(0, w*h)] AS gb,
+       |    [${byteAt("2*w*h + i")} for i in range(0, w*h)] AS bb
+       |  FROM dims)
+       |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width,
+       |  CAST(h AS INTEGER) AS height, CAST(w*h AS INTEGER) AS n_px,
+       |  CAST(list_sum(rb) AS BIGINT) AS sum_r,
+       |  CAST(list_min(rb) AS INTEGER) AS min_r,
+       |  CAST(list_max(rb) AS INTEGER) AS max_r,
+       |  CAST(list_sum(gb) AS BIGINT) AS sum_g,
+       |  CAST(list_min(gb) AS INTEGER) AS min_g,
+       |  CAST(list_max(gb) AS INTEGER) AS max_g,
+       |  CAST(list_sum(bb) AS BIGINT) AS sum_b,
+       |  CAST(list_min(bb) AS INTEGER) AS min_b,
+       |  CAST(list_max(bb) AS INTEGER) AS max_b
+       |FROM ch""".stripMargin) { (s, dir) =>
+    val media = Multimodal.pngColorMedia(s, Tables.documents(s, dir))
+    Multimodal.imageRgbStats(media).toDF()
+  }
+
+  /** Perceptual aHash through BOTH new color paths — mm_avg_hash's
+    * fingerprint (same oracle, same gray seeds) recovered from truecolor
+    * R=G=B PNGs on even m and gray-triplet PALETTE PNGs on odd m: the
+    * container-independence proof now spans BMP, gray PNG, gray JPEG,
+    * truecolor PNG and palette PNG.
+    */
+  val pngColorHash: QueryDef = QueryDef(
+    "mm_png_color_hash", avgHash.oracle.get) { (s, dir) =>
+    val media = Multimodal.pngColorGrayMedia(s, Tables.documents(s, dir))
+    Multimodal.imageColorHash(media).toDF()
+  }
+
   val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash,
     imageStats, resizeGrid, mediaDedup, pngStats, pngHash, jpegStats, jpegHash,
-    jpegColorStats)
+    jpegColorStats, pngColorStats, pngColorHash)
 }

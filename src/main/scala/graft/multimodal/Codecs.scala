@@ -443,27 +443,31 @@ object Codecs {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode gray pixels as a real 8-bit grayscale PNG. Every row uses
-    * filter `row % 5`, so None/Sub/Up/Average/Paeth are ALL live in every
-    * fixture taller than 4 rows (and the unfilter path is load-bearing for
-    * any fixture at all); the zlib stream splits across IDAT chunks of
-    * `idatChunk` bytes, so multi-IDAT concatenation is exercised too.
+  /** An RGB image: per-channel byte planes (0–255), row-major top-down. */
+  final case class RgbImage(width: Int, height: Int,
+      r: Array[Int], g: Array[Int], b: Array[Int])
+
+  /** Filter INTERLEAVED sample bytes into the (1 + w·bpp)·h scanline
+    * stream. Every row uses filter `row % 5`, so None/Sub/Up/Average/
+    * Paeth are ALL live in every fixture taller than 4 rows; per the
+    * spec, a filter's "left"/"upper-left" reference is the byte `bpp`
+    * positions back — so the SAME code drives grayscale (bpp 1), palette
+    * indices (bpp 1) and truecolor (bpp 3).
     */
-  def encodePng(img: GrayImage, idatChunk: Int = 16): Array[Byte] = {
-    val w = img.width; val h = img.height
-    require(w > 0 && h > 0 && img.pixels.length == w * h)
-    // filtered scanlines: filter byte + w filtered gray bytes per row
-    val raw = new Array[Byte]((w + 1) * h)
+  private def filterScanlines(samp: Array[Int], w: Int, h: Int,
+      bpp: Int): Array[Byte] = {
+    val rb = w * bpp
+    val raw = new Array[Byte]((rb + 1) * h)
     var r = 0
     while (r < h) {
       val ft = r % 5
-      raw(r * (w + 1)) = ft.toByte
+      raw(r * (rb + 1)) = ft.toByte
       var c = 0
-      while (c < w) {
-        val x = img.pixels(r * w + c) & 0xff
-        val left = if (c > 0) img.pixels(r * w + c - 1) & 0xff else 0
-        val up = if (r > 0) img.pixels((r - 1) * w + c) & 0xff else 0
-        val ul = if (r > 0 && c > 0) img.pixels((r - 1) * w + c - 1) & 0xff else 0
+      while (c < rb) {
+        val x = samp(r * rb + c) & 0xff
+        val left = if (c >= bpp) samp(r * rb + c - bpp) & 0xff else 0
+        val up = if (r > 0) samp((r - 1) * rb + c) & 0xff else 0
+        val ul = if (r > 0 && c >= bpp) samp((r - 1) * rb + c - bpp) & 0xff else 0
         val f = ft match {
           case 0 => x
           case 1 => x - left
@@ -471,11 +475,53 @@ object Codecs {
           case 3 => x - (left + up) / 2
           case 4 => x - paeth(left, up, ul)
         }
-        raw(r * (w + 1) + 1 + c) = (f & 0xff).toByte
+        raw(r * (rb + 1) + 1 + c) = (f & 0xff).toByte
         c += 1
       }
       r += 1
     }
+    raw
+  }
+
+  /** Reverse of [[filterScanlines]]: unfilter the inflated scanline
+    * stream back to interleaved sample bytes.
+    */
+  private def unfilterScanlines(raw: Array[Byte], w: Int, h: Int,
+      bpp: Int): Array[Int] = {
+    val rb = w * bpp
+    val samp = new Array[Int](rb * h)
+    var r = 0
+    while (r < h) {
+      val ft = raw(r * (rb + 1)) & 0xff
+      var c = 0
+      while (c < rb) {
+        val f = raw(r * (rb + 1) + 1 + c) & 0xff
+        val left = if (c >= bpp) samp(r * rb + c - bpp) else 0
+        val up = if (r > 0) samp((r - 1) * rb + c) else 0
+        val ul = if (r > 0 && c >= bpp) samp((r - 1) * rb + c - bpp) else 0
+        val x = ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case 4 => f + paeth(left, up, ul)
+          case other => throw new IllegalArgumentException(s"bad PNG filter $other")
+        }
+        samp(r * rb + c) = x & 0xff
+        c += 1
+      }
+      r += 1
+    }
+    samp
+  }
+
+  /** Assemble a PNG from filtered scanlines: deflate, then the chunk
+    * stream — IHDR, PLTE when `palette` is non-empty (flat RGB triplets),
+    * IDATs of `idatChunk` bytes (so multi-IDAT concatenation is always
+    * exercised), IEND. Every chunk carries its CRC.
+    */
+  private def pngBytes(w: Int, h: Int, colorType: Int, palette: Array[Int],
+      raw: Array[Byte], idatChunk: Int): Array[Byte] = {
     val deflater = new java.util.zip.Deflater
     deflater.setInput(raw); deflater.finish()
     val zBuf = new Array[Byte](raw.length + 64)
@@ -503,9 +549,13 @@ object Codecs {
     val ihdr = new Array[Byte](13)
     wbe32(ihdr, 0, w); wbe32(ihdr, 4, h)
     ihdr(8) = 8 // bit depth
-    ihdr(9) = 0 // grayscale
+    ihdr(9) = colorType.toByte // 0 gray, 2 truecolor, 3 palette
     // ihdr(10..12) = compression 0, filter 0, interlace 0
     chunk("IHDR", ihdr)
+    if (palette.nonEmpty) {
+      require(colorType == 3 && palette.length % 3 == 0 && palette.length <= 768)
+      chunk("PLTE", palette.map(v => (v & 0xff).toByte))
+    }
     var off = 0
     while (off < zLen) {
       val n = math.min(idatChunk, zLen - off)
@@ -516,17 +566,61 @@ object Codecs {
     out.toByteArray
   }
 
-  /** Parse an 8-bit grayscale PNG: verify the signature, walk the
-    * BIG-endian chunk stream CHECKING EVERY CRC, concatenate all IDAT
-    * payloads, inflate through java.util.zip.Inflater, and reverse the
-    * per-row filters (all five spec types). Top-down row-major output —
-    * PNG stores rows top-down, no flip.
+  /** Encode gray pixels as a real 8-bit grayscale PNG (color type 0). */
+  def encodePng(img: GrayImage, idatChunk: Int = 16): Array[Byte] = {
+    val w = img.width; val h = img.height
+    require(w > 0 && h > 0 && img.pixels.length == w * h)
+    pngBytes(w, h, 0, Array.emptyIntArray,
+      filterScanlines(img.pixels, w, h, 1), idatChunk)
+  }
+
+  /** Encode per-channel planes as an 8-bit TRUECOLOR PNG (color type 2,
+    * r14): samples interleave R,G,B per pixel, filters reference the byte
+    * 3 positions back per the spec's bpp rule.
     */
-  def decodePng(bytes: Array[Byte]): GrayImage = {
+  def encodePngRgb(img: RgbImage, idatChunk: Int = 16): Array[Byte] = {
+    val w = img.width; val h = img.height
+    require(w > 0 && h > 0 && img.r.length == w * h
+      && img.g.length == w * h && img.b.length == w * h)
+    val samp = new Array[Int](3 * w * h)
+    var i = 0
+    while (i < w * h) {
+      samp(3 * i) = img.r(i); samp(3 * i + 1) = img.g(i)
+      samp(3 * i + 2) = img.b(i)
+      i += 1
+    }
+    pngBytes(w, h, 2, Array.emptyIntArray,
+      filterScanlines(samp, w, h, 3), idatChunk)
+  }
+
+  /** Encode index pixels + a flat RGB-triplet palette as an 8-bit
+    * PALETTE PNG (color type 3, r14): the PLTE chunk carries the
+    * palette, scanlines carry 1-byte indices.
+    */
+  def encodePngPalette(w: Int, h: Int, indices: Array[Int],
+      palette: Array[Int], idatChunk: Int = 16): Array[Byte] = {
+    require(w > 0 && h > 0 && indices.length == w * h)
+    require(palette.nonEmpty && palette.length % 3 == 0 && palette.length <= 768)
+    require(indices.forall(i => i >= 0 && 3 * i < palette.length),
+      "palette index out of range")
+    pngBytes(w, h, 3, palette, filterScanlines(indices, w, h, 1), idatChunk)
+  }
+
+  /** The decoded chunk walk shared by every PNG entry point: signature,
+    * BIG-endian chunks CHECKING EVERY CRC, IHDR validation (8-bit depth,
+    * color type 0/2/3), PLTE capture, multi-IDAT concatenation, inflate,
+    * unfilter. Top-down row-major samples — PNG stores rows top-down,
+    * no flip.
+    */
+  private final case class PngRaw(w: Int, h: Int, colorType: Int,
+      palette: Array[Int], samples: Array[Int])
+
+  private def decodePngRaw(bytes: Array[Byte]): PngRaw = {
     require(bytes.length >= 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i)),
       "not a PNG: missing signature")
     var off = 8
-    var w = -1; var h = -1
+    var w = -1; var h = -1; var colorType = -1
+    var palette = Array.emptyIntArray
     val idat = new java.io.ByteArrayOutputStream
     var ended = false
     while (!ended) {
@@ -542,10 +636,15 @@ object Codecs {
           require(len == 13, "bad IHDR length")
           w = be32(bytes, off + 8); h = be32(bytes, off + 12)
           require(bytes(off + 16) == 8, "unsupported PNG bit depth")
-          require(bytes(off + 17) == 0, "unsupported PNG color type (need grayscale)")
+          colorType = bytes(off + 17) & 0xff
+          require(colorType == 0 || colorType == 2 || colorType == 3,
+            "unsupported PNG color type (need grayscale, truecolor or palette)")
           require(bytes(off + 18) == 0 && bytes(off + 19) == 0 && bytes(off + 20) == 0,
             "unsupported PNG compression/filter/interlace method")
           require(w > 0 && h > 0, s"bad PNG dims ${w}x$h")
+        case "PLTE" =>
+          require(len % 3 == 0 && len > 0 && len <= 768, "bad PLTE length")
+          palette = Array.tabulate(len)(i => bytes(off + 8 + i) & 0xff)
         case "IDAT" => idat.write(bytes, off + 8, len)
         case "IEND" => ended = true
         case _ => // ancillary chunks (tEXt/pHYs/...): CRC-checked, skipped
@@ -553,9 +652,11 @@ object Codecs {
       off += 12 + len
     }
     require(w > 0, "PNG missing IHDR")
+    require(colorType != 3 || palette.nonEmpty, "palette PNG missing PLTE")
+    val bpp = if (colorType == 2) 3 else 1
     val z = idat.toByteArray
     require(z.nonEmpty, "PNG missing IDAT")
-    val raw = new Array[Byte]((w + 1) * h)
+    val raw = new Array[Byte]((w * bpp + 1) * h)
     val inflater = new java.util.zip.Inflater
     inflater.setInput(z)
     var got = 0
@@ -566,30 +667,49 @@ object Codecs {
     }
     inflater.end()
     require(got == raw.length, s"PNG scanline stream short: $got of ${raw.length}")
-    val px = new Array[Int](w * h)
-    var r = 0
-    while (r < h) {
-      val ft = raw(r * (w + 1)) & 0xff
-      var c = 0
-      while (c < w) {
-        val f = raw(r * (w + 1) + 1 + c) & 0xff
-        val left = if (c > 0) px(r * w + c - 1) else 0
-        val up = if (r > 0) px((r - 1) * w + c) else 0
-        val ul = if (r > 0 && c > 0) px((r - 1) * w + c - 1) else 0
-        val x = ft match {
-          case 0 => f
-          case 1 => f + left
-          case 2 => f + up
-          case 3 => f + (left + up) / 2
-          case 4 => f + paeth(left, up, ul)
-          case other => throw new IllegalArgumentException(s"bad PNG filter $other")
+    PngRaw(w, h, colorType, palette, unfilterScanlines(raw, w, h, bpp))
+  }
+
+  /** Parse an 8-bit GRAYSCALE PNG (the strict single-plane view — color
+    * containers must go through [[decodePngRgb]]).
+    */
+  def decodePng(bytes: Array[Byte]): GrayImage = {
+    val p = decodePngRaw(bytes)
+    require(p.colorType == 0, "unsupported PNG color type (need grayscale)")
+    GrayImage(p.w, p.h, p.samples)
+  }
+
+  /** Parse any supported PNG to per-channel planes: truecolor
+    * de-interleaves, palette resolves indices through PLTE (range-checked),
+    * grayscale replicates the single plane.
+    */
+  def decodePngRgb(bytes: Array[Byte]): RgbImage = {
+    val p = decodePngRaw(bytes)
+    val n = p.w * p.h
+    p.colorType match {
+      case 0 => RgbImage(p.w, p.h, p.samples, p.samples.clone(), p.samples.clone())
+      case 2 =>
+        val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          r(i) = p.samples(3 * i); g(i) = p.samples(3 * i + 1)
+          b(i) = p.samples(3 * i + 2)
+          i += 1
         }
-        px(r * w + c) = x & 0xff
-        c += 1
-      }
-      r += 1
+        RgbImage(p.w, p.h, r, g, b)
+      case _ =>
+        val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val idx = p.samples(i)
+          require(3 * idx + 2 < p.palette.length,
+            s"palette index $idx outside the ${p.palette.length / 3}-entry PLTE")
+          r(i) = p.palette(3 * idx); g(i) = p.palette(3 * idx + 1)
+          b(i) = p.palette(3 * idx + 2)
+          i += 1
+        }
+        RgbImage(p.w, p.h, r, g, b)
     }
-    GrayImage(w, h, px)
   }
 
   /** Format-dispatching image decode — the typed-metadata surface accepts

@@ -296,6 +296,55 @@ object Multimodal {
     })
   }
 
+  /** Per-CHANNEL stats of a decoded color PNG (r14): R/G/B at full
+    * resolution — PNG is lossless, so every field is exact over arbitrary
+    * channel bytes (no block-flat constraint, unlike the JPEG tier).
+    */
+  final case class RgbStats(
+      media_id: Long, width: Int, height: Int, n_px: Int,
+      sum_r: Long, min_r: Int, max_r: Int,
+      sum_g: Long, min_g: Int, max_g: Int,
+      sum_b: Long, min_b: Int, max_b: Int)
+
+  def imageRgbStats(media: Dataset[MediaRecord]): Dataset[RgbStats] = {
+    import media.sparkSession.implicits._
+    def agg(p: Array[Int]): (Long, Int, Int) = {
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      var i = 0
+      while (i < p.length) {
+        val v = p(i); sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        i += 1
+      }
+      (sum, mn, mx)
+    }
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val img = Codecs.decodePngRgb(m.content)
+      val (sr, nr, xr) = agg(img.r)
+      val (sg, ng, xg) = agg(img.g)
+      val (sb, nb, xb) = agg(img.b)
+      RgbStats(m.media_id, img.width, img.height, img.r.length,
+        sr, nr, xr, sg, ng, xg, sb, nb, xb)
+    })
+  }
+
+  /** aHash over the LUMA of a color container — integer mean (r+g+b)/3
+    * per pixel, then the shared aHashBits. On gray-seeded color fixtures
+    * (R=G=B, or a gray-triplet palette) the luma IS the gray seed, so the
+    * code equals `avgHash`'s on the same seeds — the
+    * container-independence proof for the dedup fingerprint (the
+    * mm_jpeg_hash precedent, extended to truecolor and palette PNG).
+    */
+  def imageColorHash(media: Dataset[MediaRecord]): Dataset[AvgHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val img = Codecs.decodePngRgb(m.content)
+      val luma = Array.tabulate(img.r.length)(i =>
+        (img.r(i) + img.g(i) + img.b(i)) / 3)
+      val (code, nset) = aHashBits(luma)
+      AvgHash(m.media_id, code, nset)
+    })
+  }
+
   /** A resized image: target dims + the resampled gray pixels. */
   final case class Resized(media_id: Long, w: Int, h: Int, pixels: Array[Int])
 
@@ -383,6 +432,63 @@ object Multimodal {
         val h = 4 + (m % 2).toInt
         val px = md5Chain(text, w * h)
         MediaRecord(docId, "image", Codecs.encodePng(Codecs.GrayImage(w, h, px)))
+      })
+  }
+
+  /** Build REAL truecolor PNGs from the doc_id ≡ 1 mod 3 documents (r14,
+    * the r13 verdict ask #5): w ∈ {3,5,8}, h ∈ {4,5} as the gray family,
+    * the md5 chain supplies 3·w·h bytes — the R plane, then G, then B
+    * (planar seed, interleaved container). PNG is lossless, so unlike the
+    * JPEG color fixtures the channels carry ARBITRARY per-pixel bytes —
+    * no block-flat constraint — and the oracle recomputes per-channel
+    * stats straight from the chain. A bpp-3 filter slip (Sub/Paeth
+    * referencing the previous BYTE instead of the previous PIXEL), an
+    * interleave mistake or a channel swap hash-mismatches.
+    */
+  def pngColorMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val widths = Array(3, 5, 8)
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val m = docId / 3
+        val w = widths((m % 3).toInt)
+        val h = 4 + (m % 2).toInt
+        val chain = md5Chain(text, 3 * w * h)
+        MediaRecord(docId, "image", Codecs.encodePngRgb(Codecs.RgbImage(w, h,
+          chain.slice(0, w * h), chain.slice(w * h, 2 * w * h),
+          chain.slice(2 * w * h, 3 * w * h))))
+      })
+  }
+
+  /** The gray seed pixels shipped through the COLOR PNG paths (r14): even
+    * m → truecolor with R=G=B, odd m → PALETTE (PLTE of the distinct gray
+    * values as (v,v,v) triplets, sorted; pixels store indices). Either
+    * way the decoded luma (r+g+b)/3 reproduces the gray seeds EXACTLY, so
+    * `mm_avg_hash`'s oracle applies verbatim — the container-independence
+    * proof for the dedup fingerprint through BOTH new color types.
+    */
+  def pngColorGrayMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val widths = Array(3, 5, 8)
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val m = docId / 3
+        val w = widths((m % 3).toInt)
+        val h = 4 + (m % 2).toInt
+        val px = md5Chain(text, w * h)
+        val bytes =
+          if (m % 2 == 0) Codecs.encodePngRgb(Codecs.RgbImage(w, h, px, px, px))
+          else {
+            val vals = px.distinct.sorted
+            val palette = vals.flatMap(v => Array(v, v, v))
+            val rank = vals.zipWithIndex.toMap
+            Codecs.encodePngPalette(w, h, px.map(rank), palette)
+          }
+        MediaRecord(docId, "image", bytes)
       })
   }
 

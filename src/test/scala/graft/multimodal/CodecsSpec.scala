@@ -275,4 +275,50 @@ class CodecsSpec extends AnyFunSuite {
     corrupt(37) = (corrupt(37) ^ 0x5a).toByte
     intercept[IllegalArgumentException] { decodePng(corrupt) }
   }
+
+  // ---- color PNG (r14: truecolor + palette) ------------------------------
+
+  test("TRUECOLOR PNG round-trip is lossless over dims that exercise every filter (bpp-3 rule)") {
+    for ((w, h) <- Seq((3, 4), (5, 5), (8, 7), (1, 1))) {
+      val n = w * h
+      val r = Array.tabulate(n)(i => (i * 37 + 11) % 256)
+      val g = Array.tabulate(n)(i => (i * 91 + 5) % 256)
+      val b = Array.tabulate(n)(i => (i * 53 + 200) % 256)
+      val img = decodePngRgb(encodePngRgb(RgbImage(w, h, r, g, b)))
+      assert(img.width == w && img.height == h)
+      assert(img.r.sameElements(r) && img.g.sameElements(g) && img.b.sameElements(b),
+        s"truecolor roundtrip lost pixels at ${w}x$h")
+    }
+  }
+
+  test("PALETTE PNG round-trip resolves indices through a CRC-guarded PLTE") {
+    val w = 6; val h = 5
+    val palette = Array(10, 20, 30, 200, 100, 0, 5, 5, 5, 255, 128, 64)
+    val idx = Array.tabulate(w * h)(i => (i * 7) % 4)
+    val b = encodePngPalette(w, h, idx, palette)
+    val img = decodePngRgb(b)
+    assert(idx.indices.forall { i =>
+      img.r(i) == palette(3 * idx(i)) && img.g(i) == palette(3 * idx(i) + 1) &&
+        img.b(i) == palette(3 * idx(i) + 2)
+    }, "palette indirection broke")
+    // PLTE corruption must be caught by ITS chunk CRC (the PLTE sits right
+    // after the 25-byte IHDR chunk: its first color byte is at 8+25+8)
+    val corrupt = b.clone()
+    corrupt(8 + 25 + 8) = (corrupt(8 + 25 + 8) ^ 0x5a).toByte
+    intercept[IllegalArgumentException] { decodePngRgb(corrupt) }
+    // an index past the palette is rejected, not silently wrapped
+    intercept[IllegalArgumentException] {
+      encodePngPalette(2, 1, Array(0, 9), palette)
+    }
+  }
+
+  test("color containers refuse the strict-gray decode; gray replicates through the RGB view") {
+    val rgb = encodePngRgb(RgbImage(2, 2, Array(1, 2, 3, 4),
+      Array(5, 6, 7, 8), Array(9, 10, 11, 12)))
+    intercept[IllegalArgumentException] { decodePng(rgb) }
+    val px = Array(40, 80, 120, 160)
+    val viaRgb = decodePngRgb(encodePng(GrayImage(2, 2, px)))
+    assert(viaRgb.r.sameElements(px) && viaRgb.g.sameElements(px)
+      && viaRgb.b.sameElements(px))
+  }
 }
