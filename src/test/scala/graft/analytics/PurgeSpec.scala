@@ -112,4 +112,109 @@ class PurgeSpec extends AnyFunSuite {
     assert(MergeSink.read(spark, DedupQueries.ensureTombSink(spark, dir))
       .collect().map(_.getLong(0)).toSet == victims.toSet + extra)
   }
+
+  test("purge reaches the DATA plane: doc store, fact sinks, SCD2 history — and re-delivery is version-equal there too (r13 gap #2)") {
+    import spark.implicits._
+    // a private corpus copy: this purge writes its own tombstones
+    val d = Files.createTempDirectory("graft_purge_facts").toFile
+    d.deleteOnExit()
+    for (t <- Seq("documents", "embeddings"))
+      Files.copy(Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        Paths.get(d.getAbsolutePath, s"$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    val fdir = d.getAbsolutePath
+    val base = Files.createTempDirectory("graft_purge_fact_sinks").toString
+    // the deployment's data plane: a doc store keyed by doc_id, two
+    // platform fact sinks keyed by their OWN id columns, and an SCD2
+    // history holding MULTIPLE versions per entity
+    val docStore = s"$base/docs"
+    MergeSink.merge(spark,  docStore,
+      graft.Tables.documents(spark, fdir).select("doc_id", "text"),
+      Seq("doc_id"), Seq(col("doc_id")), targetFileRows = 64)
+    val factA = s"$base/fact_twitter"
+    MergeSink.merge(spark, factA,
+      graft.Tables.documents(spark, fdir)
+        .select(col("doc_id").as("post_id"), col("lang")),
+      Seq("post_id"), Seq(col("post_id")), targetFileRows = 64)
+    val factB = s"$base/fact_reviews"
+    MergeSink.merge(spark, factB,
+      graft.Tables.documents(spark, fdir)
+        .select(col("doc_id").as("review_id"), col("n_chars")),
+      Seq("review_id"), Seq(col("review_id")), targetFileRows = 64)
+    val scd2 = s"$base/scd2"
+    MergeSink.merge(spark,
+      scd2,
+      graft.Tables.documents(spark, fdir).select(col("doc_id").as("entity_id"))
+        .crossJoin(Seq(1, 2).toDF("ver")),
+      Seq("entity_id", "ver"), Seq(col("entity_id")), targetFileRows = 64)
+
+    val victims = Seq(3L, 11L)
+    Purge.purgeDocuments(spark, fdir, victims.toDF("doc_id"),
+      docStore = Some(docStore),
+      factSinks = Seq(factA -> "post_id", factB -> "review_id"),
+      scd2History = Some((scd2, "entity_id", Seq("entity_id", "ver"))))
+
+    def ids(path: String, c: String): Set[Long] = MergeSink.read(spark, path)
+      .select(col(c)).collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !ids(docStore, "doc_id").contains(v)),
+      "purged docs still in the doc store")
+    assert(victims.forall(v => !ids(factA, "post_id").contains(v)),
+      "purged docs still in fact sink A")
+    assert(victims.forall(v => !ids(factB, "review_id").contains(v)),
+      "purged docs still in fact sink B")
+    assert(victims.forall(v => !ids(scd2, "entity_id").contains(v)),
+      "purged entities still have SCD2 history rows (ALL versions must go)")
+    // survivors keep all their rows (both SCD2 versions)
+    assert(MergeSink.read(spark, scd2)
+      .filter(col("entity_id") === 0L).count() == 2)
+
+    // re-delivery: version-equal across the DATA plane too (the tombstone
+    // filter short-circuits before any fact delete)
+    val watched = Seq(docStore, factA, factB, scd2)
+    val v1 = watched.map(MergeSink.currentVersion)
+    Purge.purgeDocuments(spark, fdir, victims.toDF("doc_id"),
+      docStore = Some(docStore),
+      factSinks = Seq(factA -> "post_id", factB -> "review_id"),
+      scd2History = Some((scd2, "entity_id", Seq("entity_id", "ver"))))
+    assert(watched.map(MergeSink.currentVersion) == v1,
+      "a re-delivered purge committed to the data plane")
+  }
+
+  test("vacuumed tombstone/intent tables still block re-delivered purges (r13 ask #7)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_purge_vac").toFile
+    d.deleteOnExit()
+    for (t <- Seq("documents", "embeddings"))
+      Files.copy(Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        Paths.get(d.getAbsolutePath, s"$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    val vdir = d.getAbsolutePath
+    val gh = AnnGraphLake.ensureGraphLake(spark, vdir)
+    // two purges → ≥2 tombstone versions (and intent versions: each delete
+    // commits then clears its intent rows)
+    Purge.purgeDocuments(spark, vdir, Seq(3L).toDF("doc_id"), graphIndex = Some(gh))
+    Purge.purgeDocuments(spark, vdir, Seq(5L).toDF("doc_id"), graphIndex = Some(gh))
+    val tomb = DedupQueries.ensureTombSink(spark, vdir)
+    def manifests(p: String): Int =
+      Option(new java.io.File(p, "_manifest").listFiles()).toSeq.flatten
+        .count(f => f.isFile && f.getName.matches("v\\d+\\.tsv"))
+    assert(manifests(tomb) >= 2, "need version history for a non-vacuous vacuum")
+    val reclaimed = Purge.vacuumProtocolTables(spark, vdir,
+      graphIndex = Some(gh), keepVersions = 1)
+    assert(manifests(tomb) == 1,
+      "vacuum must drop the superseded tombstone manifests")
+    assert(reclaimed >= 0L)
+    // the CONTENT contract survives the GC: both purged ids still block,
+    // so re-delivery is a version-level no-op everywhere
+    val watched = Seq(tomb, gh.sinks.vectors, gh.sinks.edges, gh.sinks.medoids)
+    val v1 = watched.map(MergeSink.currentVersion)
+    Purge.purgeDocuments(spark, vdir, Seq(3L, 5L).toDF("doc_id"),
+      graphIndex = Some(gh))
+    assert(watched.map(MergeSink.currentVersion) == v1,
+      "a re-delivered purge committed after vacuum — tombstone rows lost")
+    // and a THIRD purge of a fresh id still flows normally
+    Purge.purgeDocuments(spark, vdir, Seq(7L).toDF("doc_id"), graphIndex = Some(gh))
+    assert(MergeSink.read(spark, tomb).collect().map(_.getLong(0)).toSet
+      == Set(3L, 5L, 7L))
+  }
 }
