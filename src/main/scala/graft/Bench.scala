@@ -35,6 +35,17 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1200").toLong
     val deadline = System.nanoTime() + budgetSec * 1000000000L
     val spark = Sessions.local(appName = "graft-bench")
+    // Bench-session logging hygiene (r13 verdict defect #1): the full sweep
+    // runs ~25 streaming queries, each of which WARNs several lines
+    // (ResolveWriteToStream's checkpoint/AQE notices, MicroBatchExecution's
+    // AvailableNow chatter) — unbounded per-query noise that pushed the
+    // r13 headline line out of the driver's 2000-char stdout tail. The
+    // artifact (BENCH_FULL.json) carries everything those WARNs could say;
+    // in THIS session they are pure line-budget poison, so the streaming
+    // package logs at ERROR. Bench-only: Verify/tests keep the default.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming",
+      org.apache.logging.log4j.Level.ERROR)
 
     def materialize(name: String, dir: String): Either[String, Double] =
       // construction work (e.g. building k13's probed MergeSink) runs under
@@ -99,7 +110,9 @@ object Bench {
     // line competes with the capturing harness's 2000-char stdout tail.
     val sf = new java.io.File(sfDir).getName
     // the headline total keeps 100 ms resolution (one value, 4-5 chars)
-    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$qs$failedJson$suspectJson,"sf":"$sf"}""")
+    val headlineLine =
+      s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$qs$failedJson$suspectJson,"sf":"$sf"}"""
+    println(headlineLine)
     Console.out.flush()
 
     // ---- FULL-coverage artifact (r12 verdict ask #4): the 2000-char
@@ -121,8 +134,14 @@ object Bench {
         .mkString("{", ",", "}")
       val ffl = all.collect { case (n, Left(_)) => s""""$n"""" }.mkString("[", ",", "]")
       val fsk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // sweep self-adjudication (r13 ask #6): non-headline entries above
+      // the coarse 3× bar flag themselves IN THE ARTIFACT — the headline
+      // suspect block never saw these 99 queries
+      val fsus = BenchEnvelopes.sweepSuspects(
+          extResults.toSeq.collect { case (n, Right(sec)) => n -> sec })
+        .map { case (n, r) => s""""$n":${f"$r%.1f"}""" }.mkString("{", ",", "}")
       val body =
-        s"""{"sf":"$sf","headline_total":${f"$total%.1f"},"headline_n":${names.size},"queries":$fqs,"failed":$ffl,"skipped":$fsk}"""
+        s"""{"sf":"$sf","headline_total":${f"$total%.1f"},"headline_n":${names.size},"queries":$fqs,"failed":$ffl,"skipped":$fsk,"suspect":$fsus}"""
       val tmpF = new java.io.File("BENCH_FULL.json.tmp")
       java.nio.file.Files.write(tmpF.toPath, (body + "\n").getBytes("UTF-8"))
       java.nio.file.Files.move(tmpF.toPath, new java.io.File("BENCH_FULL.json").toPath,
@@ -140,6 +159,15 @@ object Bench {
 
     val stopper = new Thread(() => spark.stop(), "bench-stop")
     stopper.setDaemon(true); stopper.start(); stopper.join(20000L)
+    // Re-emit the IDENTICAL headline line as the FINAL stdout write
+    // (r13 verdict defect #1: the sweep's stdout chatter pushed the early
+    // print out of the 2000-char capture tail — the r03 failure mode
+    // reintroduced by the r12 full-coverage fix). Printing after
+    // spark.stop() means nothing can follow it but sbt's own framing; the
+    // early print stays as the mid-sweep-kill fallback (the sweep is
+    // near-silent now that the streaming loggers sit at ERROR).
+    println(headlineLine)
+    Console.out.flush()
     // exit code stays the HEADLINE contract (the parsed line); extended
     // failures are gate-visible in the artifact's "failed" list
     if (failed.nonEmpty) sys.exit(1)

@@ -120,10 +120,19 @@ object BenchEnvelopes {
     // beam walk 1.89/1.63/1.56 (graph build prestaged); lake walk
     // 5.55/5.14/5.09 (the pruned-read constant: ~8 readOverlapping
     // key-fetches per probe batch — flat at 10× data, 5.30 steady)
-    "ann_graph_beam" -> 1.9,
-    "ann_graph_lake" -> 5.6,
-    "ann_graph_incr" -> 4.3)   // slice-built + batch-inserted walk
-                               // (fresh-JVM 4.28/3.77/3.84, build prestaged)
+    // r14 re-pin, all three: the medoid+ANTIPODE entry pair (E141) seeds
+    // 2× the walk starts, so each round scores more unseen candidates —
+    // the deliberate price of clustered recall 0.64→0.80 (incr) and
+    // 0.84→0.92 (full). Fresh-JVM 3-runs at sf0.1 (BASELINE.md r14):
+    // beam 5.81/3.49/3.70, lake 6.40/5.55/6.22, incr 5.74/5.59/5.31.
+    "ann_graph_beam" -> 3.7,
+    "ann_graph_lake" -> 6.2,
+    "ann_graph_incr" -> 5.6,
+    // r14 color-PNG tier (E139) — fresh-JVM 1.27/0.87/0.67 and
+    // 0.57/0.68/0.76 at sf0.1 (pure-JVM inflate+unfilter CPU in
+    // mapPartitions, embarrassingly parallel)
+    "mm_png_color_stats" -> 1.3,
+    "mm_png_color_hash" -> 0.8)
 
   /** Entries whose measured seconds exceed the suspect bar, worst ratio
     * first, capped at 3 (the JSON line budget — BenchLineSpec models the
@@ -136,4 +145,130 @@ object BenchEnvelopes {
         case env if sec > math.max(2 * env, env + 1.0) => name -> sec / env
       }
     }.sortBy(-_._2).take(3)
+
+  /** Coarse envelopes for the NON-headline queries the full-coverage sweep
+    * measures into BENCH_FULL.json (r13 verdict ask #6: a silent 3× drift in
+    * any of the other 99 declared queries previously had no self-flag —
+    * only headline entries adjudicated). Values are the r13 driver sweep
+    * (BENCH_FULL.json, shared-JVM first-run after the headline pass), which
+    * is exactly the condition every future sweep repeats, so the numbers are
+    * like-for-like. The bar is looser than the headline's (3× and a +1.5 s
+    * floor): shared-JVM numbers inherit GC/cache pressure from whichever 83
+    * headline queries ran first, and the sweep's job is catching real
+    * regressions, not relitigating jitter on 0.2 s entries. Suspects land in
+    * the BENCH_FULL.json artifact (a file has no char budget — no cap), not
+    * the stdout line.
+    */
+  val fullSweepSec: Map[String, Double] = Map(
+    "a10_stats_moments" -> 1.0,
+    "a11_approx_quantile" -> 0.7,
+    "a13_unpivot" -> 0.3,
+    "a4_distinct_agg" -> 0.7,
+    "a5_pivot_status" -> 0.3,
+    "a6_min_max_by" -> 0.4,
+    "a7_approx_distinct" -> 1.2,
+    "a8_quantile_disc" -> 0.6,
+    "a9_grouping_sets" -> 0.5,
+    "ann_bruteforce_topk" -> 0.5,
+    "ann_ivf_lake" -> 0.6,
+    "ann_ivfpq_delete" -> 1.2,
+    "ann_ivfpq_lake" -> 0.9,
+    "cu_decontaminate" -> 1.1,
+    "cu_embed_decontaminate" -> 0.3,
+    "cu_kmeans" -> 1.7,
+    "cu_pii_redact" -> 0.4,
+    "cu_shard_balance" -> 0.7,
+    "cu_split_stratified" -> 0.3,
+    "cu_window_chunks" -> 0.2,
+    "dd_block_prefix" -> 0.2,
+    "dd_cluster_keep_best" -> 2.0,
+    "dd_components" -> 1.7,
+    "dd_incr_components_lake" -> 4.0,
+    "dd_incr_lsh" -> 0.7,
+    "dd_incr_span" -> 0.6,
+    "dd_ngram_jaccard" -> 0.2,
+    "dd_simhash" -> 2.6,
+    "dd_simhash_pairs" -> 0.4,
+    "ev_attribution" -> 0.5,
+    "ev_ewma_smooth" -> 0.4,
+    "ev_scd2_history" -> 0.4,
+    "ev_session_window_stream" -> 1.4,
+    "ev_sliding_window" -> 0.5,
+    "ev_stateful_state" -> 1.3,
+    "ev_stream_dedup" -> 0.9,
+    "ev_stream_dedup_wm" -> 0.9,
+    "ev_stream_enrich" -> 1.4,
+    "ev_stream_merge_sink" -> 3.1,
+    "ev_stream_session_timeout" -> 10.8,
+    "ev_stream_sliding" -> 2.9,
+    "ev_stream_stream_join" -> 1.6,
+    "ev_topk_trending" -> 0.3,
+    "ev_transform_with_state" -> 1.5,
+    "ev_watermarked_window" -> 2.8,
+    "f10_dispatch_guards" -> 0.1,
+    "j3_semi_exists" -> 0.2,
+    "j4_left_outer_coalesce" -> 0.4,
+    "j7_full_outer" -> 0.4,
+    "k15_zorder_skip" -> 1.0,
+    "k3_composite_dedup" -> 0.2,
+    "k4_null_key_sink" -> 0.9,
+    "k9_watermark_advance" -> 0.2,
+    "l2_topk_recency" -> 0.1,
+    "mm_audio_energy" -> 0.2,
+    "mm_image_stats" -> 0.1,
+    "mm_jpeg_color_stats" -> 4.1,
+    "mm_jpeg_hash" -> 0.8,
+    "mm_jpeg_stats" -> 0.9,
+    "mm_png_hash" -> 0.2,
+    "mm_png_stats" -> 0.2,
+    "mm_resize" -> 0.2,
+    "p15_date_arith" -> 0.2,
+    "p3_twitter_ts_parse" -> 0.2,
+    "p4_string_surface" -> 1.0,
+    "p5_p6_date_roundtrip" -> 0.2,
+    "p7_coalesce_alias" -> 0.1,
+    "p8_p11_epoch_units" -> 0.1,
+    "pipe_incremental_corpus" -> 1.9,
+    "tpch_q10_returned_items" -> 0.5,
+    "tpch_q11_important_stock" -> 1.4,
+    "tpch_q12_shipping_priority" -> 0.6,
+    "tpch_q13_customer_distribution" -> 0.5,
+    "tpch_q14_promo_effect" -> 0.3,
+    "tpch_q15_top_supplier" -> 0.4,
+    "tpch_q16_parts_supplier" -> 1.6,
+    "tpch_q17_small_qty_revenue" -> 0.7,
+    "tpch_q19_bracket_revenue" -> 0.4,
+    "tpch_q20_part_promotion" -> 1.5,
+    "tpch_q21_waiting_suppliers" -> 1.1,
+    "tpch_q22_sales_opportunity" -> 0.5,
+    "tpch_q3_shipping_priority" -> 0.5,
+    "tpch_q4_order_priority" -> 0.6,
+    "tpch_q7_volume_shipping" -> 0.7,
+    "tpch_q8_market_share" -> 0.9,
+    "tx_bpe_incr_lake" -> 0.4,
+    "tx_corpus_filter" -> 0.4,
+    "tx_edit_dist" -> 0.3,
+    "tx_fingerprint" -> 0.2,
+    "tx_quality_score" -> 0.4,
+    "tx_repetition" -> 0.9,
+    "tx_rolling_hash" -> 0.1,
+    "tx_sentiment" -> 0.3,
+    "u2_intersect_except" -> 0.4,
+    "w2_lag_gap_days" -> 0.4,
+    "w3_rank_frames" -> 0.6,
+    "w4_range_frame" -> 0.4,
+    "w5_distribution_frames" -> 0.6,
+    "x2_explode_wordcount" -> 0.2)
+
+  /** Sweep entries above max(3 × envelope, envelope + 1.5 s), worst ratio
+    * first — the artifact-side analogue of [[suspects]]. No cap: these go
+    * into BENCH_FULL.json, which has no line budget. Missing envelopes
+    * (queries added this round) never flag.
+    */
+  def sweepSuspects(measured: Seq[(String, Double)]): Seq[(String, Double)] =
+    measured.flatMap { case (name, sec) =>
+      fullSweepSec.get(name).collect {
+        case env if sec > math.max(3 * env, env + 1.5) => name -> sec / env
+      }
+    }.sortBy(-_._2)
 }

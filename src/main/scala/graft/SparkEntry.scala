@@ -128,6 +128,8 @@ object SparkEntry {
     // in-plan incremental slot, the dd_incr_lsh_lake precedent; r11 adds
     // the real-container frame sampler)
     "mm_byte_histogram", "mm_avg_hash", "mm_frame_sample", "dd_media_dedup",
+    // r14: the color-PNG tier (E139)
+    "mm_png_color_stats", "mm_png_color_hash",
     "cu_pack_chunks", "cu_ngram_decontaminate",
     "cu_mixture_weights", "cu_dsir_weights", "cu_quality_filter",
     "cu_token_budget",
@@ -142,6 +144,31 @@ object SparkEntry {
     * round-over-round comparability.
     */
   def benchAlias: Map[String, String] = Map(
+    // r14: the ingest/join/agg families emit their bare SURVEY §2 ids —
+    // the descriptive suffixes cost ~300 chars of the 2000-char capture
+    // tail, and the post-sweep re-emit discipline needs that headroom
+    // (BenchLineSpec models the tail with a trailing-noise allowance)
+    "s1_f1_new_keys_anti" -> "s1_f1",
+    "s2_f2_stale_keys" -> "s2_f2",
+    "k1_sink_idempotence" -> "k1",
+    "k10_merge_upsert" -> "k10",
+    "k13_point_lookup" -> "k13",
+    "k11_format_roundtrip" -> "k11",
+    "k12_incremental_agg" -> "k12",
+    "k14_delete" -> "k14",
+    "p2_struct_array_extract" -> "p2",
+    "p14_json_props" -> "p14",
+    "x1_concat_explode" -> "x1",
+    "a1_batch_counts" -> "a1",
+    "a3_rollup_spend" -> "a3",
+    "a15_column_stats" -> "a15",
+    "j1_broadcast_enrich" -> "j1",
+    "j2_star_join_revenue" -> "j2",
+    "j5_asof_join" -> "j5",
+    "j6_range_join_bucketed" -> "j6",
+    "l3_topk_per_group" -> "l3",
+    "u1_union_dedup_cap" -> "u1",
+    "w1_running_total" -> "w1",
     "tpch_q1_pricing_summary" -> "tpch_q1",
     "tpch_q2_min_cost_supplier" -> "tpch_q2",
     "tpch_q5_local_supplier" -> "tpch_q5",
@@ -153,6 +180,8 @@ object SparkEntry {
     "dd_incr_span_lake" -> "dd_span_lk",
     "pipe_incremental_corpus_lake" -> "pipe_incr_lk",
     "mm_frame_sample" -> "mm_frame",
+    "mm_png_color_stats" -> "mm_pngc",
+    "mm_png_color_hash" -> "mm_pngh",
     "ann_ivfpq_incr" -> "ann_pq_incr",
     "ann_graph_beam" -> "ann_gb",
     "ann_graph_lake" -> "ann_gl",

@@ -357,7 +357,7 @@ object DumpPlans {
     "ann_graph_beam" ->
       """The graph walk's FINAL round (each beam round localCheckpoints, so
         |the visible plan is the last union + rank): the per-probe window
-        |ranks a candidate set the law bounds at ≤ nprobe + rounds·ef·M
+        |ranks a candidate set the law bounds at ≤ entries·nprobe + rounds·ef·M
         |rows per probe — there is no corpus-sized exchange anywhere; the
         |corpus appears only as the scoring join's scan side, which is the
         |in-plan tier's honest limit (the lake twin removes it).""".stripMargin,

@@ -51,6 +51,46 @@ class BenchLineSpec extends AnyFunSuite {
         "captures only the last 2000 — shorten names or drop a bench entry")
   }
 
+  test("headline line survives the post-sweep tail (r13 defect #1)") {
+    // Bench re-emits the identical headline line as the FINAL stdout write
+    // after the full sweep and after spark.stop(), so the only bytes that
+    // can follow it are sbt's framing plus at most a couple of stray
+    // shutdown lines. Model the worst case: the full-size line, sbt
+    // framing, and a 150-char trailing-noise allowance must still fit the
+    // 2000-char capture window. (The r13 failure mode was unbounded
+    // per-query WARN chatter AFTER the line; the fix is ordering — line
+    // last — so the budget only has to absorb bounded shutdown noise.)
+    val names = SparkEntry.benchQueries
+      .map(n => SparkEntry.benchAlias.getOrElse(n, n))
+    val qs = names.map(n => s""""$n":999""").mkString("{", ",", "}")
+    val sus = names.sortBy(-_.length).take(3)
+      .map(n => s""""$n":99.9""").mkString(""","suspect":{""", ",", "}")
+    val line =
+      s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs$sus,"sf":"sf0.01"}"""
+    val sbtFraming = 7 + 70
+    val trailingNoiseAllowance = 150
+    assert(line.length + sbtFraming + trailingNoiseAllowance <= 2000,
+      s"post-sweep tail (line ${line.length} + framing + noise allowance) " +
+        "exceeds the 2000-char capture window")
+  }
+
+  test("every declared query carries exactly one envelope (headline or sweep)") {
+    val declared = SparkEntry.allDefs.map(_.name).toSet
+    val headline = SparkEntry.benchQueries.toSet
+    // non-headline queries self-adjudicate through the sweep map
+    val uncovered = declared -- headline -- BenchEnvelopes.fullSweepSec.keySet
+    assert(uncovered.isEmpty, s"declared queries with no sweep envelope: $uncovered")
+    // no orphans: a retired/renamed/promoted query must drop its sweep row
+    val orphans = BenchEnvelopes.fullSweepSec.keySet -- (declared -- headline)
+    assert(orphans.isEmpty, s"sweep envelopes with no matching non-headline query: $orphans")
+    // sweep bar: flags a real 4x regression, ignores first-run jitter
+    val sus = BenchEnvelopes.sweepSuspects(Seq(
+      "tpch_q16_parts_supplier" -> 6.5, // 4.1x the 1.6 envelope -> flag
+      "mm_resize" -> 0.9,               // 4.5x but under the +1.5s floor -> quiet
+      "never_enveloped_query" -> 99.0)) // unknown -> never flags
+    assert(sus.map(_._1) == Seq("tpch_q16_parts_supplier"))
+  }
+
   test("every headline entry carries a committed self-adjudication envelope") {
     val missing = SparkEntry.benchQueries.filterNot(BenchEnvelopes.envelopeSec.contains)
     assert(missing.isEmpty, s"bench entries without an envelope: $missing")
