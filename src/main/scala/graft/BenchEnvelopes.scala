@@ -132,7 +132,10 @@ object BenchEnvelopes {
     // 0.57/0.68/0.76 at sf0.1 (pure-JVM inflate+unfilter CPU in
     // mapPartitions, embarrassingly parallel)
     "mm_png_color_stats" -> 1.3,
-    "mm_png_color_hash" -> 0.8)
+    "mm_png_color_hash" -> 0.8,
+    // r14 FLAC tier (E144) — fresh-JVM 1.60/1.02/0.70 at sf0.1 (entropy
+    // decode + predictor reconstruction CPU in mapPartitions)
+    "mm_flac_energy" -> 1.2)
 
   /** Entries whose measured seconds exceed the suspect bar, worst ratio
     * first, capped at 3 (the JSON line budget — BenchLineSpec models the

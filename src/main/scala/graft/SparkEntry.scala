@@ -128,8 +128,8 @@ object SparkEntry {
     // in-plan incremental slot, the dd_incr_lsh_lake precedent; r11 adds
     // the real-container frame sampler)
     "mm_byte_histogram", "mm_avg_hash", "mm_frame_sample", "dd_media_dedup",
-    // r14: the color-PNG tier (E139)
-    "mm_png_color_stats", "mm_png_color_hash",
+    // r14: the color-PNG tier (E139) and the FLAC tier (E144)
+    "mm_png_color_stats", "mm_png_color_hash", "mm_flac_energy",
     "cu_pack_chunks", "cu_ngram_decontaminate",
     "cu_mixture_weights", "cu_dsir_weights", "cu_quality_filter",
     "cu_token_budget",
@@ -182,6 +182,7 @@ object SparkEntry {
     "mm_frame_sample" -> "mm_frame",
     "mm_png_color_stats" -> "mm_pngc",
     "mm_png_color_hash" -> "mm_pngh",
+    "mm_flac_energy" -> "mm_flac",
     "ann_ivfpq_incr" -> "ann_pq_incr",
     "ann_graph_beam" -> "ann_gb",
     "ann_graph_lake" -> "ann_gl",

@@ -430,7 +430,38 @@ object MultimodalQueries {
     Multimodal.imageColorHash(media).toDF()
   }
 
+  /** Per-frame energy through the COMPRESSED audio container (r14
+    * stretch, E144): real FLAC streams — FIXED-predictor Rice-coded
+    * residuals, CRC-8 per frame header, CRC-16 per frame, STREAMINFO MD5
+    * over the decoded PCM — carrying md5-chain samples (the wavMedia
+    * rule, 33–48 samples at block size 16 → multi-frame with a short
+    * last block). FLAC is lossless, so the oracle recomputes the energy
+    * straight from the chain; a predictor, Rice, zigzag, CRC or
+    * frame-walk slip hash-mismatches.
+    */
+  val flacEnergy: QueryDef = {
+    def sample(i: String): String = {
+      val v = s"(${byteAt(s"2*($i)")} + 256 * ${byteAt(s"2*($i)+1")})"
+      s"(CASE WHEN $v >= 32768 THEN $v - 65536 ELSE $v END)"
+    }
+    QueryDef(
+      "mm_flac_energy",
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')
+         |      || md5(text || 'd') || md5(text || 'e') AS hx,
+         |    33 + CAST((doc_id // 3) % 16 AS INTEGER) AS n
+         |  FROM documents WHERE doc_id % 3 = 1)
+         |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+         |  CAST(list_sum([ ${sample("i")} * ${sample("i")}
+         |                  for i in range(f*4, least(f*4+4, n)) ]) AS BIGINT) AS energy
+         |FROM src, unnest(range(0, (n + 3) // 4)) AS t(f)""".stripMargin) { (s, dir) =>
+      val media = Multimodal.flacMedia(s, Tables.documents(s, dir))
+      Multimodal.flacFrameEnergy(media, samplesPerFrame = 4).toDF()
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash,
     imageStats, resizeGrid, mediaDedup, pngStats, pngHash, jpegStats, jpegHash,
-    jpegColorStats, pngColorStats, pngColorHash)
+    jpegColorStats, pngColorStats, pngColorHash, flacEnergy)
 }

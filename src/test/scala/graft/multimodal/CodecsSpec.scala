@@ -276,6 +276,59 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { decodePng(corrupt) }
   }
 
+  // ---- FLAC (r14: compressed audio) --------------------------------------
+
+  test("FLAC round-trip is bit-exact across subframe shapes (constant / ramp / noisy / short)") {
+    val shapes = Seq(
+      Array.fill(16)(1234),                       // CONSTANT subframe
+      Array.tabulate(40)(i => -300 + 17 * i),     // linear ramp -> FIXED order >=1
+      Array.tabulate(48)(i => ((i * 12347 + 911) % 65536) - 32768), // noisy -> escape path
+      Array(7),                                   // single short block
+      Array.tabulate(33)(i => if (i % 2 == 0) 32767 else -32768))   // extremes
+    for (s <- shapes) {
+      val clip = decodeFlac(encodeFlac(Codecs.PcmClip(8000, s)))
+      assert(clip.sampleRate == 8000)
+      assert(clip.samples.sameElements(s), s"FLAC roundtrip lost samples (n=${s.length})")
+    }
+  }
+
+  test("FLAC multi-frame walk: block size 16 splits a 40-sample clip into 3 frames with a short tail") {
+    val s = Array.tabulate(40)(i => (i * 991) % 30000 - 15000)
+    val b = encodeFlac(Codecs.PcmClip(8000, s), blockSize = 16)
+    // count frame syncs at byte positions (sync is byte-aligned by
+    // construction: every frame ends CRC-16-aligned)
+    val syncs = b.indices.count(i => i + 1 < b.length &&
+      (b(i) & 0xff) == 0xff && (b(i + 1) & 0xfc) == 0xf8)
+    assert(syncs == 3, s"expected 3 frames, saw $syncs syncs")
+    assert(decodeFlac(b).samples.sameElements(s))
+  }
+
+  test("FLAC rejects CRC-8, CRC-16, MD5 and magic corruption") {
+    val s = Array.tabulate(33)(i => (i * 4099) % 20000 - 10000)
+    val good = encodeFlac(Codecs.PcmClip(8000, s))
+    intercept[IllegalArgumentException] { decodeFlac("flaC".getBytes ++ good.drop(4)) }
+    intercept[IllegalArgumentException] { decodeFlac(good.dropRight(3)) }
+    // STREAMINFO's MD5 field sits at bytes [26, 42): flipping it breaks no
+    // frame CRC, so only the decoded-PCM MD5 check can catch it
+    val badMd5 = good.clone(); badMd5(30) = (badMd5(30) ^ 0x5a).toByte
+    val exMd5 = intercept[IllegalArgumentException] { decodeFlac(badMd5) }
+    assert(exMd5.getMessage.contains("MD5"))
+    // a flipped byte inside the first frame body trips CRC-8 or CRC-16
+    val badFrame = good.clone(); badFrame(50) = (badFrame(50) ^ 0x5a).toByte
+    val exFrame = intercept[IllegalArgumentException] { decodeFlac(badFrame) }
+    assert(exFrame.getMessage.toLowerCase.contains("crc")
+      || exFrame.getMessage.contains("sync") || exFrame.getMessage.contains("FLAC"))
+  }
+
+  test("FLAC round-trip property over arbitrary 16-bit clips") {
+    check("flac roundtrip", Prop.forAll(
+      Gen.chooseNum(1, 80).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-32768, 32767)))) { xs =>
+      val s = xs.toArray
+      decodeFlac(encodeFlac(Codecs.PcmClip(8000, s))).samples.sameElements(s)
+    })
+  }
+
   // ---- color PNG (r14: truecolor + palette) ------------------------------
 
   test("TRUECOLOR PNG round-trip is lossless over dims that exercise every filter (bpp-3 rule)") {
