@@ -334,27 +334,10 @@ object AnnGraphLake {
     * re-derives from membership), and a sorted array makes the merge
     * content-idempotent.
     */
-  private def medoidsOf(memEn: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = memEn.join(broadcast(cents), Seq("cell"))
-      .select(col("cell"), col("vec_id"), col("en"),
-        Vec.dot(col("en"), col("ce")).as("score"))
-    val wMed = Window.partitionBy("cell").orderBy(col("score").desc, col("vec_id"))
-    val med = scored.withColumn("rn", row_number().over(wMed))
-      .filter(col("rn") === 1)
-      .select(col("cell"), col("vec_id").as("med_id"), col("en").as("med_en"))
-    val wAnti = Window.partitionBy("cell").orderBy(col("adot").asc, col("vec_id"))
-    val anti = scored
-      .join(broadcast(med.select(col("cell"), col("med_en"))), Seq("cell"))
-      .select(col("cell"), col("vec_id"),
-        Vec.dot(col("en"), col("med_en")).as("adot"))
-      .withColumn("rn", row_number().over(wAnti))
-      .filter(col("rn") === 1)
-      .select(col("cell"), col("vec_id").as("entry"))
-    med.select(col("cell"), col("med_id").as("entry"))
-      .unionByName(anti)
+  private def medoidsOf(memEn: DataFrame, cents: DataFrame): DataFrame =
+    entryRowsOf(memEn, cents)
       .groupBy("cell")
       .agg(sort_array(array_distinct(collect_list(col("entry")))).as("entries"))
-  }
 
   // ---- INCREMENTAL tier: slice build + exact daily-batch insert ---------
 

@@ -1093,33 +1093,44 @@ object AnnQueries {
     * cannot). Up to GraphEntries distinct rows per cell (a one-member
     * cell's antipode IS its medoid).
     */
+  /** The ONE medoid+antipode derivation (rows of (cell, entry)) both the
+    * in-plan walk and the lake tier's array table build from — a single
+    * source for the windows and tie-breaks, so the spec-pinned
+    * lake ≡ beam identity cannot drift through a one-sided edit.
+    * `memEn` is (cell, vec_id, en); `cents` is (cell, ce).
+    */
+  private[analytics] def entryRowsOf(memEn: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val scored = memEn.join(broadcast(cents), Seq("cell"))
+      .select(col("cell"), col("vec_id"), col("en"),
+        Vec.dot(col("en"), col("ce")).as("score"))
+    val wMed = Window.partitionBy("cell")
+      .orderBy(col("score").desc, col("vec_id"))
+    val med = scored.withColumn("rn", row_number().over(wMed))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id").as("med_id"), col("en").as("med_en"))
+    val wAnti = Window.partitionBy("cell")
+      .orderBy(col("adot").asc, col("vec_id"))
+    val anti = scored
+      .join(broadcast(med.select(col("cell"), col("med_en"))), Seq("cell"))
+      .select(col("cell"), col("vec_id"),
+        Vec.dot(col("en"), col("med_en")).as("adot"))
+      .withColumn("rn", row_number().over(wAnti))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id").as("entry"))
+    med.select(col("cell"), col("med_id").as("entry"))
+      .unionByName(anti).distinct()
+  }
+
   private[analytics] def cellMedoids(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     PlanCache.cached(s, dir, "ann_graph_medoids") {
       val k = ivfCellsFor(Tables.embeddings(s, dir).count())
       val (cells, _) = ivfParts(s, dir)
       val carr = ivfCarr(s, dir, k)
-      val scored = cells
-        .join(normalized(s, dir).select(col("vec_id"), col("en")), Seq("vec_id"))
-        .join(broadcast(carr), Seq("cell"))
-        .select(col("cell"), col("vec_id"), col("en"),
-          Vec.dot(col("en"), col("ce")).as("score"))
-      val wMed = Window.partitionBy("cell")
-        .orderBy(col("score").desc, col("vec_id"))
-      val med = scored.withColumn("rn", row_number().over(wMed))
-        .filter(col("rn") === 1)
-        .select(col("cell"), col("vec_id").as("med_id"), col("en").as("med_en"))
-      val wAnti = Window.partitionBy("cell")
-        .orderBy(col("adot").asc, col("vec_id"))
-      val anti = scored
-        .join(broadcast(med.select(col("cell"), col("med_en"))), Seq("cell"))
-        .select(col("cell"), col("vec_id"),
-          Vec.dot(col("en"), col("med_en")).as("adot"))
-        .withColumn("rn", row_number().over(wAnti))
-        .filter(col("rn") === 1)
-        .select(col("cell"), col("vec_id").as("entry"))
-      med.select(col("cell"), col("med_id").as("entry"))
-        .unionByName(anti).distinct()
+      entryRowsOf(
+        cells.join(normalized(s, dir).select(col("vec_id"), col("en")), Seq("vec_id")),
+        carr)
     }
 
   /** The beam search, exposed with its cumulative candidate set so the

@@ -441,7 +441,6 @@ object Codecs {
     }
     def putUnary(q: Int): Unit = { var i = 0; while (i < q) { put(0, 1); i += 1 }; put(1, 1) }
     def alignByte(): Unit = if (nBits > 0) put(0, 8 - nBits)
-    def bitLength: Long = out.size().toLong * 8 + nBits
     def toBytes: Array[Byte] = { alignByte(); out.toByteArray }
   }
 
@@ -493,6 +492,21 @@ object Codecs {
     }
     crc
   }
+
+  /** The spec's UTF-8-style coded number (the frame index under fixed
+    * blocking): n bytes carry 5n+1 payload bits — a lead byte of n ones,
+    * a zero, and the top 7−n bits, then 0b10-prefixed continuations.
+    */
+  private def putUtf8Number(w: FlacBitWriter, v: Long): Unit =
+    if (v < 0x80) w.put(v, 8)
+    else {
+      var n = 2
+      while (v >= (1L << (5 * n + 1)) && n < 7) n += 1
+      require(v < (1L << (5 * n + 1)), "frame number beyond UTF-8 range")
+      w.put(((0xff00 >> n) & 0xff) | ((v >> (6 * (n - 1))) & ((1 << (7 - n)) - 1)), 8)
+      var i = n - 2
+      while (i >= 0) { w.put(0x80L | ((v >> (6 * i)) & 0x3f), 8); i -= 1 }
+    }
 
   private def fixedResidual(s: Array[Int], i: Int, order: Int): Long = order match {
     case 0 => s(i)
@@ -559,8 +573,7 @@ object Codecs {
       w.put(if (clip.sampleRate == 8000) 4L else 0L, 4)
       w.put(0, 4)                                    // mono
       w.put(4, 3); w.put(0, 1)                       // 16 bps, reserved
-      require(frameIdx < 0x80, "frame index beyond 1-byte UTF-8 (raise blockSize)")
-      w.put(frameIdx, 8)
+      putUtf8Number(w, frameIdx)
       w.put((n - 1).toLong, 8)                       // block-size trailer
       val headBytes = w.toBytes
       w.put(crc8(headBytes, 0, headBytes.length).toLong, 8)
@@ -653,6 +666,14 @@ object Codecs {
       pos += 4 + len
     }
     require(sampleRate > 0 && total >= 0 && md5Stored != null, "FLAC missing STREAMINFO")
+    // STREAMINFO carries no CRC of its own, so the 36-bit total must be
+    // sanity-bounded BEFORE allocation: a flipped high bit would otherwise
+    // crash the JVM (negative/multi-GB array) instead of rejecting cleanly.
+    // Structural bound: every frame is ≥ 12 bytes and covers ≤ 65535
+    // samples, so a stream of B bytes cannot hold more than
+    // (B/12 + 1)·65535 samples.
+    require(total <= (bytes.length.toLong / 12 + 1) * 65535 && total <= Int.MaxValue,
+      "implausible FLAC total-samples field — corrupt container")
     val outSamples = new Array[Int](total.toInt)
     var got = 0
     val r = new FlacBitReader(bytes, pos)
@@ -982,7 +1003,7 @@ object Codecs {
   private final case class PngRaw(w: Int, h: Int, colorType: Int,
       palette: Array[Int], samples: Array[Int])
 
-  private def decodePngRaw(bytes: Array[Byte]): PngRaw = {
+  private def decodePngRaw(bytes: Array[Byte], grayOnly: Boolean = false): PngRaw = {
     require(bytes.length >= 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i)),
       "not a PNG: missing signature")
     var off = 8
@@ -1004,6 +1025,10 @@ object Codecs {
           w = be32(bytes, off + 8); h = be32(bytes, off + 12)
           require(bytes(off + 16) == 8, "unsupported PNG bit depth")
           colorType = bytes(off + 17) & 0xff
+          // a strict-gray caller rejects HERE, at the header — before any
+          // inflate/unfilter work is spent on a container it cannot accept
+          require(!grayOnly || colorType == 0,
+            "unsupported PNG color type (need grayscale)")
           require(colorType == 0 || colorType == 2 || colorType == 3,
             "unsupported PNG color type (need grayscale, truecolor or palette)")
           require(bytes(off + 18) == 0 && bytes(off + 19) == 0 && bytes(off + 20) == 0,
@@ -1041,8 +1066,7 @@ object Codecs {
     * containers must go through [[decodePngRgb]]).
     */
   def decodePng(bytes: Array[Byte]): GrayImage = {
-    val p = decodePngRaw(bytes)
-    require(p.colorType == 0, "unsupported PNG color type (need grayscale)")
+    val p = decodePngRaw(bytes, grayOnly = true)
     GrayImage(p.w, p.h, p.samples)
   }
 

@@ -303,6 +303,26 @@ class CodecsSpec extends AnyFunSuite {
     assert(decodeFlac(b).samples.sameElements(s))
   }
 
+  test("FLAC multi-byte UTF-8 frame numbers: a >128-frame stream round-trips") {
+    // 2100 samples at block size 16 -> 132 frames; frames 128+ need the
+    // 2-byte UTF-8 coding on the encode side (the decoder always spoke it)
+    val s = Array.tabulate(2100)(i => (i * 131) % 40000 - 20000)
+    assert(decodeFlac(encodeFlac(Codecs.PcmClip(8000, s))).samples.sameElements(s))
+  }
+
+  test("FLAC rejects an implausible STREAMINFO total-samples field cleanly") {
+    val s = Array.tabulate(33)(i => (i * 4099) % 20000 - 10000)
+    val good = encodeFlac(Codecs.PcmClip(8000, s))
+    // STREAMINFO total-samples occupies the low 4 bits of byte 21 plus
+    // bytes 22-25 (8 + 13 header/meta bytes in); blast byte 22 high —
+    // STREAMINFO has no CRC, so only the plausibility bound can catch it
+    // BEFORE a negative/multi-GB allocation
+    val bad = good.clone(); bad(22) = 0x7f.toByte
+    val ex = intercept[IllegalArgumentException] { decodeFlac(bad) }
+    assert(ex.getMessage.contains("total-samples") || ex.getMessage.contains("MD5")
+      || ex.getMessage.toLowerCase.contains("crc"))
+  }
+
   test("FLAC rejects CRC-8, CRC-16, MD5 and magic corruption") {
     val s = Array.tabulate(33)(i => (i * 4099) % 20000 - 10000)
     val good = encodeFlac(Codecs.PcmClip(8000, s))
