@@ -135,7 +135,9 @@ object BenchEnvelopes {
     "mm_png_color_hash" -> 0.8,
     // r14 FLAC tier (E144) — fresh-JVM 1.60/1.02/0.70 at sf0.1 (entropy
     // decode + predictor reconstruction CPU in mapPartitions)
-    "mm_flac_energy" -> 1.2)
+    "mm_flac_energy" -> 1.2,
+    // r14 stereo FLAC (E145) — fresh-JVM 2.25/1.61/1.34 at sf0.1
+    "mm_flac_stereo_energy" -> 1.8)
 
   /** Entries whose measured seconds exceed the suspect bar, worst ratio
     * first, capped at 3 (the JSON line budget — BenchLineSpec models the

@@ -461,7 +461,44 @@ object MultimodalQueries {
     }
   }
 
+  /** Per-frame per-CHANNEL energy through STEREO FLAC (r14, E145): the
+    * fixtures pair a smooth quadratic LEFT with a RIGHT that alternates
+    * between chain noise (even m — independent channels) and
+    * left-minus-delta (odd m — a side decorrelation wins), so every
+    * stream drives the per-frame channel-assignment choice and the
+    * decoder's inverse reconstruction (left/side, right/side, mid/side
+    * carry the side at 17 bits). Lossless, so the oracle recomputes both
+    * channels' energies straight from the (i, m) formula and the chain.
+    */
+  val flacStereoEnergy: QueryDef = {
+    def chainByte(i: String): String = byteAt(i)
+    def rawSample(i: String): String = {
+      val v = s"(${byteAt(s"2*($i)")} + 256 * ${byteAt(s"2*($i)+1")})"
+      s"(CASE WHEN $v >= 32768 THEN $v - 65536 ELSE $v END)"
+    }
+    val lval = "((((i + 2) * (i + 3 + CAST(m % 7 AS INTEGER))) % 3001) - 1500)"
+    val rval = s"(CASE WHEN m % 2 = 0 THEN ${rawSample("i")} ELSE $lval - (${chainByte("i")} - 128) END)"
+    QueryDef(
+      "mm_flac_stereo_energy",
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')
+         |      || md5(text || 'd') || md5(text || 'e') AS hx,
+         |    doc_id // 3 AS m,
+         |    33 + CAST((doc_id // 3) % 16 AS INTEGER) AS n
+         |  FROM documents WHERE doc_id % 3 = 2)
+         |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+         |  CAST(list_sum([ $lval * $lval
+         |                  for i in range(f*4, least(f*4+4, n)) ]) AS BIGINT) AS energy_l,
+         |  CAST(list_sum([ $rval * $rval
+         |                  for i in range(f*4, least(f*4+4, n)) ]) AS BIGINT) AS energy_r
+         |FROM src, unnest(range(0, (n + 3) // 4)) AS t(f)""".stripMargin) { (s, dir) =>
+      val media = Multimodal.flacStereoMedia(s, Tables.documents(s, dir))
+      Multimodal.flacStereoFrameEnergy(media, samplesPerFrame = 4).toDF()
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash,
     imageStats, resizeGrid, mediaDedup, pngStats, pngHash, jpegStats, jpegHash,
-    jpegColorStats, pngColorStats, pngColorHash, flacEnergy)
+    jpegColorStats, pngColorStats, pngColorHash, flacEnergy, flacStereoEnergy)
 }

@@ -427,7 +427,7 @@ object Codecs {
   //    5-bit-width raw residuals); residuals zigzag-fold, quotient in
   //    unary (q zeros then a 1), remainder in `param` bits.
 
-  private final class FlacBitWriter {
+  private[multimodal] final class FlacBitWriter {
     private val out = new java.io.ByteArrayOutputStream
     private var acc = 0L; private var nBits = 0
     def put(v: Long, bits: Int): Unit = {
@@ -535,13 +535,195 @@ object Codecs {
     md.digest(b)
   }
 
+  // ----- shared subframe machinery (mono and stereo paths) ----------------
+
+  /** One partition-order-0 residual coding plan: the optimal 4-bit Rice
+    * parameter by EXACT bit count, or the 5-bit-width raw escape when
+    * cheaper (ties: Rice, then the lower parameter). `bits` includes the
+    * 6-bit residual header (method + partition order).
+    */
+  private final case class ResPlan(param: Int, escBits: Int,
+      us: Array[Long], bits: Long)
+
+  private def planResiduals(us: Array[Long]): ResPlan = {
+    val best = (0 to 14).map(p => p -> riceBits(us, p)).minBy { case (p, b) => (b, p) }
+    val maxBits = us.map(u => signedWidth(unzigzag(u))).max
+    val escTotal = 5L + us.length.toLong * maxBits
+    if (escTotal < best._2) ResPlan(15, maxBits, us, 6L + escTotal)
+    else ResPlan(best._1, 0, us, 6L + best._2)
+  }
+
+  private def writeResiduals(w: FlacBitWriter, rp: ResPlan): Unit = {
+    w.put(0, 2) // residual method: 4-bit Rice parameters
+    w.put(0, 4) // partition order 0
+    if (rp.param == 15) {
+      w.put(15, 4); w.put(rp.escBits.toLong, 5)
+      rp.us.foreach { u =>
+        w.put(unzigzag(u) & ((1L << rp.escBits) - 1), rp.escBits)
+      }
+    } else {
+      w.put(rp.param.toLong, 4)
+      rp.us.foreach { u =>
+        w.putUnary((u >>> rp.param).toInt)
+        if (rp.param > 0) w.put(u & ((1L << rp.param) - 1), rp.param)
+      }
+    }
+  }
+
+  /** Quantized-LPC plan (subframe type 1xxxxx): double-precision
+    * autocorrelation + Levinson-Durbin, coefficients quantized to
+    * `LpcPrecision` bits at a shift derived from their magnitude — but
+    * the RESIDUALS come from the same integer prediction the decoder
+    * runs (Σ qcoef·s >> shift), so the round trip is exact regardless of
+    * how good the float model was. None when the model degenerates
+    * (flat/short blocks, non-positive error).
+    */
+  private val LpcPrecision = 12
+
+  private final case class LpcPlan(order: Int, shift: Int, coefs: Array[Int],
+      rp: ResPlan, bits: Long)
+
+  private def planLpc(blk: Array[Int], order: Int, sbits: Int): Option[LpcPlan] = {
+    val n = blk.length
+    if (n <= order + 1) return None
+    val ac = new Array[Double](order + 1)
+    var lag = 0
+    while (lag <= order) {
+      var acc = 0.0; var i = lag
+      while (i < n) { acc += blk(i).toDouble * blk(i - lag); i += 1 }
+      ac(lag) = acc; lag += 1
+    }
+    if (ac(0) <= 0.0) return None
+    val lpc = new Array[Double](order)
+    var err = ac(0)
+    var i = 0
+    while (i < order) {
+      var acc = ac(i + 1)
+      var j = 0
+      while (j < i) { acc -= lpc(j) * ac(i - j); j += 1 }
+      val k = acc / err
+      if (!java.lang.Double.isFinite(k)) return None
+      // reflect
+      val half = (i + 1) / 2
+      var a = 0
+      while (a < half) {
+        val b = i - 1 - a
+        val ta = lpc(a); val tb = lpc(b)
+        lpc(a) = ta - k * tb
+        if (b != a) lpc(b) = tb - k * ta
+        a += 1
+      }
+      lpc(i) = k
+      err *= (1 - k * k)
+      if (err <= 0.0 || !java.lang.Double.isFinite(err)) return None
+      i += 1
+    }
+    val cmax = lpc.map(math.abs).max
+    if (cmax == 0.0 || !java.lang.Double.isFinite(cmax)) return None
+    // scale so the largest coefficient uses the precision's headroom
+    var shift = LpcPrecision - 2 - math.getExponent(cmax)
+    if (shift > 15) shift = 15
+    if (shift < 0) return None // spec allows negative shifts; this encoder never needs them
+    val lim = 1 << (LpcPrecision - 1)
+    val coefs = lpc.map(c =>
+      math.max(-lim, math.min(lim - 1, math.round(c * (1L << shift)).toInt)))
+    val us = Array.tabulate(n - order) { t =>
+      val at = t + order
+      var pred = 0L; var j = 0
+      while (j < order) { pred += coefs(j).toLong * blk(at - 1 - j); j += 1 }
+      zigzag(blk(at).toLong - (pred >> shift))
+    }
+    val rp = planResiduals(us)
+    Some(LpcPlan(order, shift, coefs, rp,
+      order.toLong * sbits + 4 + 5 + order.toLong * LpcPrecision + rp.bits))
+  }
+
+  /** Exact-bit plan for ONE subframe over `blk` at `sbits` sample width:
+    * CONSTANT when flat, else the cheapest of FIXED orders 0–4 and LPC
+    * orders {2, 4, 8} — chosen by exact encoded size with deterministic
+    * ties (FIXED before LPC, then the lower order). Returns total bits
+    * (including the 8-bit subframe header), the chosen subframe TYPE code
+    * (spec-observable for the LPC-path test), and the writer.
+    */
+  private[multimodal] def planSubframe(blk: Array[Int], sbits: Int)
+      : (Long, Int, FlacBitWriter => Unit) = {
+    val n = blk.length
+    if (blk.forall(_ == blk(0)))
+      return (8L + sbits, 0, w => {
+        w.put(0, 1); w.put(0, 6); w.put(0, 1)
+        w.put(blk(0).toLong & ((1L << sbits) - 1), sbits)
+      })
+    val fixedPlans = (0 to math.min(4, n - 1)).map { k =>
+      val us = Array.tabulate(n - k)(i => zigzag(fixedResidual(blk, i + k, k)))
+      val rp = planResiduals(us)
+      (k.toLong * sbits + rp.bits, k, rp)
+    }
+    val (fBits, fOrder, fRp) = fixedPlans.minBy { case (b, k, _) => (b, k) }
+    val lpcPlans = Seq(2, 4, 8).flatMap(o => planLpc(blk, o, sbits))
+    val bestLpc = if (lpcPlans.isEmpty) None
+      else Some(lpcPlans.minBy(p => (p.bits, p.order)))
+    bestLpc match {
+      case Some(lp) if lp.bits < fBits =>
+        (8L + lp.bits, 0x20 | (lp.order - 1), w => {
+          w.put(0, 1); w.put(0x20L | (lp.order - 1), 6); w.put(0, 1)
+          var i = 0
+          while (i < lp.order) {
+            w.put(blk(i).toLong & ((1L << sbits) - 1), sbits); i += 1
+          }
+          w.put((LpcPrecision - 1).toLong, 4)
+          w.put(lp.shift.toLong, 5)
+          lp.coefs.foreach(c => w.put(c.toLong & ((1L << LpcPrecision) - 1), LpcPrecision))
+          writeResiduals(w, lp.rp)
+        })
+      case _ =>
+        (8L + fBits, 8 | fOrder, w => {
+          w.put(0, 1); w.put(8L | fOrder, 6); w.put(0, 1)
+          var i = 0
+          while (i < fOrder) {
+            w.put(blk(i).toLong & ((1L << sbits) - 1), sbits); i += 1
+          }
+          writeResiduals(w, fRp)
+        })
+    }
+  }
+
+  private def writeStreamInfo(out: java.io.ByteArrayOutputStream,
+      blockSize: Int, sampleRate: Int, channels: Int, total: Long,
+      md5: Array[Byte]): Unit = {
+    val info = new FlacBitWriter
+    info.put(1, 1); info.put(0, 7); info.put(34, 24) // last block, STREAMINFO
+    info.put(blockSize.toLong, 16); info.put(blockSize.toLong, 16)
+    info.put(0, 24); info.put(0, 24) // frame sizes unknown
+    info.put(sampleRate.toLong, 20)
+    info.put((channels - 1).toLong, 3)
+    info.put(15, 5) // bps - 1
+    info.put(total, 36)
+    md5.foreach(b => info.put(b & 0xffL, 8))
+    out.write(info.toBytes)
+  }
+
+  /** Frame header through its CRC-8; `chanAssign` is the 4-bit channel
+    * assignment code (0 mono, 1 stereo-independent, 8 left/side,
+    * 9 right/side, 10 mid/side).
+    */
+  private def writeFrameHeader(w: FlacBitWriter, sampleRate: Int,
+      chanAssign: Int, frameIdx: Long, n: Int): Unit = {
+    w.put(0x3ffe, 14); w.put(0, 1); w.put(0, 1) // sync, reserved, fixed blocking
+    w.put(6, 4)                                 // block size: 8-bit trailer
+    w.put(if (sampleRate == 8000) 4L else 0L, 4)
+    w.put(chanAssign.toLong, 4)
+    w.put(4, 3); w.put(0, 1)                    // 16 bps, reserved
+    putUtf8Number(w, frameIdx)
+    w.put((n - 1).toLong, 8)                    // block-size trailer
+    val headBytes = w.toBytes
+    w.put(crc8(headBytes, 0, headBytes.length).toLong, 8)
+  }
+
   /** Encode 16-bit mono PCM as a real FLAC stream: fixed block size
     * (last block short), per-block subframe chosen EXACTLY by encoded
-    * size — CONSTANT when flat, else the cheapest FIXED order 0–4 with
-    * the optimal Rice parameter (or the 5-bit-width escape when raw is
-    * cheaper) — so different seeds exercise different subframe shapes
-    * while the choice stays deterministic (ties → lower order / lower
-    * param / Rice over escape).
+    * size over CONSTANT / FIXED 0–4 / LPC {2,4,8} — so different signal
+    * shapes exercise different subframe types while the choice stays
+    * deterministic.
     */
   def encodeFlac(clip: PcmClip, blockSize: Int = 16): Array[Byte] = {
     val s = clip.samples
@@ -549,70 +731,15 @@ object Codecs {
     require(s.forall(v => v >= -32768 && v <= 32767), "16-bit PCM only")
     val out = new java.io.ByteArrayOutputStream
     out.write("fLaC".getBytes("US-ASCII"))
-    val info = new FlacBitWriter
-    info.put(1, 1); info.put(0, 7); info.put(34, 24) // last block, STREAMINFO
-    info.put(blockSize.toLong, 16); info.put(blockSize.toLong, 16)
-    info.put(0, 24); info.put(0, 24) // frame sizes unknown
-    info.put(clip.sampleRate.toLong, 20)
-    info.put(0, 3)  // channels - 1 (mono)
-    info.put(15, 5) // bps - 1
-    info.put(s.length.toLong, 36)
-    val md5 = md5OfPcm(s)
-    md5.foreach(b => info.put(b & 0xffL, 8))
-    out.write(info.toBytes)
-
+    writeStreamInfo(out, blockSize, clip.sampleRate, 1, s.length.toLong, md5OfPcm(s))
     var frameIdx = 0L
     var off = 0
     while (off < s.length) {
       val n = math.min(blockSize, s.length - off)
       val blk = java.util.Arrays.copyOfRange(s, off, off + n)
       val w = new FlacBitWriter
-      // frame header
-      w.put(0x3ffe, 14); w.put(0, 1); w.put(0, 1)   // sync, reserved, fixed blocking
-      w.put(6, 4)                                    // block size: 8-bit trailer
-      w.put(if (clip.sampleRate == 8000) 4L else 0L, 4)
-      w.put(0, 4)                                    // mono
-      w.put(4, 3); w.put(0, 1)                       // 16 bps, reserved
-      putUtf8Number(w, frameIdx)
-      w.put((n - 1).toLong, 8)                       // block-size trailer
-      val headBytes = w.toBytes
-      w.put(crc8(headBytes, 0, headBytes.length).toLong, 8)
-
-      // subframe: CONSTANT | best FIXED order
-      if (blk.forall(_ == blk(0))) {
-        w.put(0, 1); w.put(0, 6); w.put(0, 1)
-        w.put(blk(0).toLong & 0xffff, 16)
-      } else {
-        final case class Plan(order: Int, param: Int, escBits: Int,
-            us: Array[Long], bits: Long)
-        val plans = (0 to math.min(4, n - 1)).map { k =>
-          val us = Array.tabulate(n - k)(i => zigzag(fixedResidual(blk, i + k, k)))
-          val best = (0 to 14).map(p => p -> riceBits(us, p)).minBy { case (p, b) => (b, p) }
-          val maxBits = us.map(u => signedWidth(unzigzag(u))).max
-          val escTotal = 5L + us.length.toLong * maxBits
-          if (escTotal < best._2) Plan(k, 15, maxBits, us, escTotal)
-          else Plan(k, best._1, 0, us, best._2)
-        }
-        val pl = plans.minBy(p => (p.bits + 16L * p.order, p.order))
-        w.put(0, 1); w.put(8 | pl.order, 6); w.put(0, 1)
-        var i = 0
-        while (i < pl.order) { w.put(blk(i).toLong & 0xffff, 16); i += 1 }
-        w.put(0, 2) // residual method: 4-bit Rice
-        w.put(0, 4) // partition order 0
-        if (pl.param == 15) {
-          w.put(15, 4); w.put(pl.escBits.toLong, 5)
-          pl.us.foreach { u =>
-            val r = unzigzag(u)
-            w.put(r & ((1L << pl.escBits) - 1), pl.escBits)
-          }
-        } else {
-          w.put(pl.param.toLong, 4)
-          pl.us.foreach { u =>
-            w.putUnary((u >>> pl.param).toInt)
-            if (pl.param > 0) w.put(u & ((1L << pl.param) - 1), pl.param)
-          }
-        }
-      }
+      writeFrameHeader(w, clip.sampleRate, 0, frameIdx, n)
+      planSubframe(blk, 16)._3(w)
       val frameBytes = w.toBytes // aligns
       val c16 = crc16(frameBytes, 0, frameBytes.length)
       out.write(frameBytes)
@@ -622,28 +749,172 @@ object Codecs {
     out.toByteArray
   }
 
-  /** Two's-complement width for a signed residual: the smallest w with
-    * -2^(w-1) ≤ r < 2^(w-1) — the escape path stores residuals raw at
-    * the partition's max width.
-    */
-  private def signedWidth(r: Long): Int = {
-    var w = 1
-    while (r < -(1L << (w - 1)) || r >= (1L << (w - 1))) w += 1
-    w
+  /** A stereo clip: equal-length left/right 16-bit channels. */
+  final case class StereoClip(sampleRate: Int, left: Array[Int], right: Array[Int])
+
+  private def md5OfStereo(l: Array[Int], r: Array[Int]): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b = new Array[Byte](4 * l.length)
+    var i = 0
+    while (i < l.length) {
+      b(4 * i) = (l(i) & 0xff).toByte
+      b(4 * i + 1) = ((l(i) >> 8) & 0xff).toByte
+      b(4 * i + 2) = (r(i) & 0xff).toByte
+      b(4 * i + 3) = ((r(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    md.digest(b)
   }
 
-  /** Parse a FLAC stream back to PCM: verify the magic, read STREAMINFO,
-    * skip other metadata blocks, then walk frames — CRC-8-checking every
-    * header, CRC-16-checking every frame, reconstructing CONSTANT /
-    * VERBATIM / FIXED subframes through the predictor recurrences — and
-    * finally verify the decoded PCM against STREAMINFO's MD5 (the
-    * container's own end-to-end integrity contract).
+  /** Encode 16-bit STEREO PCM (r14): per frame, the channel assignment —
+    * independent, left/side, right/side or mid/side — is chosen by the
+    * EXACT total encoded size of its two subframes (ties: the lower
+    * assignment code), with the side channel planned at 17 bits per the
+    * spec. Channel decorrelation is where stereo FLAC earns its
+    * compression, and choosing per frame means seeds with correlated
+    * channels exercise every assignment the decoder speaks.
     */
-  def decodeFlac(bytes: Array[Byte]): PcmClip = {
+  def encodeFlacStereo(clip: StereoClip, blockSize: Int = 16): Array[Byte] = {
+    val l = clip.left; val rr = clip.right
+    require(l.nonEmpty && l.length == rr.length && blockSize >= 1 && blockSize <= 256)
+    require(l.forall(v => v >= -32768 && v <= 32767)
+      && rr.forall(v => v >= -32768 && v <= 32767), "16-bit PCM only")
+    val out = new java.io.ByteArrayOutputStream
+    out.write("fLaC".getBytes("US-ASCII"))
+    writeStreamInfo(out, blockSize, clip.sampleRate, 2, l.length.toLong,
+      md5OfStereo(l, rr))
+    var frameIdx = 0L
+    var off = 0
+    while (off < l.length) {
+      val n = math.min(blockSize, l.length - off)
+      val lb = java.util.Arrays.copyOfRange(l, off, off + n)
+      val rb = java.util.Arrays.copyOfRange(rr, off, off + n)
+      val side = Array.tabulate(n)(i => lb(i) - rb(i))
+      val mid = Array.tabulate(n)(i => (lb(i) + rb(i)) >> 1)
+      val pL = planSubframe(lb, 16); val pR = planSubframe(rb, 16)
+      val pS = planSubframe(side, 17); val pM = planSubframe(mid, 16)
+      val candidates = Seq(
+        (1, pL._1 + pR._1, Seq(pL._3, pR._3)),   // independent: L, R
+        (8, pL._1 + pS._1, Seq(pL._3, pS._3)),   // left/side:   L, S
+        (9, pS._1 + pR._1, Seq(pS._3, pR._3)),   // right/side:  S, R
+        (10, pM._1 + pS._1, Seq(pM._3, pS._3)))  // mid/side:    M, S
+      val (code, _, writers) = candidates.minBy { case (c, b, _) => (b, c) }
+      val w = new FlacBitWriter
+      writeFrameHeader(w, clip.sampleRate, code, frameIdx, n)
+      writers.foreach(_(w))
+      val frameBytes = w.toBytes
+      val c16 = crc16(frameBytes, 0, frameBytes.length)
+      out.write(frameBytes)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+      off += n; frameIdx += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode ONE subframe of `n` samples at `sbits` width: CONSTANT,
+    * VERBATIM, FIXED 0–4 or LPC 1–32 (quantized coefficients, signed
+    * shift), Rice/escape residuals at any partition order.
+    */
+  private def decodeSubframe(r: FlacBitReader, n: Int, sbits: Int): Array[Int] = {
+    require(r.take(1) == 0, "bad subframe pad bit")
+    val tpe = r.take(6).toInt
+    require(r.take(1) == 0, "wasted-bits FLAC unsupported")
+    val blk = new Array[Int](n)
+    val lo = -(1 << (sbits - 1)); val hi = (1 << (sbits - 1)) - 1
+    def sN(v: Long): Int = {
+      val x = (v & ((1L << sbits) - 1)).toInt
+      if (x > hi) x - (1 << sbits) else x
+    }
+    def bound(v: Long): Int = {
+      require(v >= lo && v <= hi, s"FLAC sample out of $sbits-bit range")
+      v.toInt
+    }
+    def readResiduals(order: Int)(applyRes: (Int, Long) => Int): Unit = {
+      require(r.take(2) == 0, "5-bit-Rice FLAC partitions unsupported")
+      val partOrder = r.take(4).toInt
+      val parts = 1 << partOrder
+      require(n % parts == 0 && n / parts > (if (parts == 1) order else 0),
+        "bad FLAC partition geometry")
+      var idx = order
+      var p = 0
+      while (p < parts) {
+        val param = r.take(4).toInt
+        val cnt = n / parts - (if (p == 0) order else 0)
+        if (param == 15) {
+          val width = r.take(5).toInt
+          var j = 0
+          while (j < cnt) {
+            var raw = r.take(width)
+            if (width > 0 && (raw & (1L << (width - 1))) != 0) raw -= 1L << width
+            blk(idx) = applyRes(idx, raw); idx += 1; j += 1
+          }
+        } else {
+          var j = 0
+          while (j < cnt) {
+            val q = r.takeUnary().toLong
+            val rem = if (param > 0) r.take(param) else 0L
+            blk(idx) = applyRes(idx, unzigzag((q << param) | rem)); idx += 1; j += 1
+          }
+        }
+        p += 1
+      }
+    }
+    tpe match {
+      case 0 =>
+        java.util.Arrays.fill(blk, sN(r.take(sbits)))
+      case 1 =>
+        var i = 0; while (i < n) { blk(i) = sN(r.take(sbits)); i += 1 }
+      case t if (t & 0x38) == 8 && (t & 7) <= 4 =>
+        val order = t & 7
+        var i = 0
+        while (i < order) { blk(i) = sN(r.take(sbits)); i += 1 }
+        readResiduals(order) { (idx, res) =>
+          val pred = order match {
+            case 0 => 0L
+            case 1 => blk(idx - 1).toLong
+            case 2 => 2L * blk(idx - 1) - blk(idx - 2)
+            case 3 => 3L * blk(idx - 1) - 3L * blk(idx - 2) + blk(idx - 3)
+            case _ => 4L * blk(idx - 1) - 6L * blk(idx - 2) +
+              4L * blk(idx - 3) - blk(idx - 4)
+          }
+          bound(pred + res)
+        }
+      case t if (t & 0x20) != 0 =>
+        val order = (t & 0x1f) + 1
+        require(order < n, "LPC order exceeds the block")
+        var i = 0
+        while (i < order) { blk(i) = sN(r.take(sbits)); i += 1 }
+        val precision = r.take(4).toInt + 1
+        require(precision <= 15, "invalid LPC precision escape")
+        var shift = r.take(5).toInt
+        if (shift >= 16) shift -= 32 // the spec field is signed
+        require(shift >= 0, "negative LPC shift unsupported")
+        val coefs = Array.tabulate(order) { _ =>
+          val c = r.take(precision).toInt
+          if (c >= (1 << (precision - 1))) c - (1 << precision) else c
+        }
+        readResiduals(order) { (idx, res) =>
+          var pred = 0L; var j = 0
+          while (j < order) { pred += coefs(j).toLong * blk(idx - 1 - j); j += 1 }
+          bound((pred >> shift) + res)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"reserved FLAC subframe type $other")
+    }
+    blk
+  }
+
+  /** The shared stream walk: STREAMINFO (+ skipped metadata), then every
+    * frame — CRC-8-checked headers, per-assignment subframe widths,
+    * CRC-16-checked frames, inter-channel reconstruction — and finally
+    * the decoded PCM against STREAMINFO's MD5. Returns per-channel
+    * full-length samples.
+    */
+  private def decodeFlacChannels(bytes: Array[Byte]): (Int, Array[Array[Int]]) = {
     require(bytes.length >= 42 && new String(bytes, 0, 4, "US-ASCII") == "fLaC",
       "not a FLAC stream: missing magic")
     var pos = 4
-    var sampleRate = -1; var total = -1L
+    var sampleRate = -1; var total = -1L; var channels = -1
     var md5Stored: Array[Byte] = null
     var last = false
     while (!last) {
@@ -658,7 +929,8 @@ object Codecs {
         val r = new FlacBitReader(bytes, pos + 4)
         r.take(16); r.take(16); r.take(24); r.take(24)
         sampleRate = r.take(20).toInt
-        require(r.take(3) == 0, "non-mono FLAC unsupported")
+        channels = r.take(3).toInt + 1
+        require(channels <= 2, "more-than-stereo FLAC unsupported")
         require(r.take(5) == 15, "non-16-bit FLAC unsupported")
         total = r.take(36)
         md5Stored = Array.tabulate(16)(i => r.take(8).toByte)
@@ -674,7 +946,7 @@ object Codecs {
     // (B/12 + 1)·65535 samples.
     require(total <= (bytes.length.toLong / 12 + 1) * 65535 && total <= Int.MaxValue,
       "implausible FLAC total-samples field — corrupt container")
-    val outSamples = new Array[Int](total.toInt)
+    val out = Array.fill(channels)(new Array[Int](total.toInt))
     var got = 0
     val r = new FlacBitReader(bytes, pos)
     while (got < total) {
@@ -684,7 +956,7 @@ object Codecs {
       require(r.take(1) == 0, "variable-blocking FLAC unsupported")
       val bsCode = r.take(4).toInt
       val srCode = r.take(4).toInt
-      require(r.take(4) == 0, "non-mono FLAC frame")
+      val chanAssign = r.take(4).toInt
       require(r.take(3) == 4, "non-16-bit FLAC frame")
       r.take(1)
       // UTF-8 coded frame number (full multi-byte form)
@@ -712,79 +984,85 @@ object Codecs {
       require(crc8(bytes, frameStart, r.bytePos) == r.take(8).toInt,
         "FLAC frame header fails its CRC-8 — corrupt container")
 
-      // one mono subframe
-      require(r.take(1) == 0, "bad subframe pad bit")
-      val tpe = r.take(6).toInt
-      require(r.take(1) == 0, "wasted-bits FLAC unsupported")
-      val blk = new Array[Int](blockSize)
-      def s16(v: Long): Int = { val x = (v & 0xffff).toInt; if (x >= 32768) x - 65536 else x }
-      tpe match {
+      val chans: Array[Array[Int]] = chanAssign match {
         case 0 =>
-          val v = s16(r.take(16)); java.util.Arrays.fill(blk, v)
+          require(channels == 1, "mono frame in a stereo stream")
+          Array(decodeSubframe(r, blockSize, 16))
         case 1 =>
-          var i = 0; while (i < blockSize) { blk(i) = s16(r.take(16)); i += 1 }
-        case t if (t & 0x38) == 8 && (t & 7) <= 4 =>
-          val order = t & 7
-          var i = 0
-          while (i < order) { blk(i) = s16(r.take(16)); i += 1 }
-          require(r.take(2) == 0, "5-bit-Rice FLAC partitions unsupported")
-          val partOrder = r.take(4).toInt
-          val parts = 1 << partOrder
-          require(blockSize % parts == 0, "bad FLAC partition geometry")
-          var idx = order
-          var p = 0
-          while (p < parts) {
-            val param = r.take(4).toInt
-            val cnt = blockSize / parts - (if (p == 0) order else 0)
-            if (param == 15) {
-              val width = r.take(5).toInt
-              var j = 0
-              while (j < cnt) {
-                var raw = r.take(width)
-                if (width > 0 && (raw & (1L << (width - 1))) != 0) raw -= 1L << width
-                blk(idx) = applyFixed(blk, idx, order, raw); idx += 1; j += 1
-              }
-            } else {
-              var j = 0
-              while (j < cnt) {
-                val q = r.takeUnary().toLong
-                val rem = if (param > 0) r.take(param) else 0L
-                val res = unzigzag((q << param) | rem)
-                blk(idx) = applyFixed(blk, idx, order, res); idx += 1; j += 1
-              }
-            }
-            p += 1
+          require(channels == 2, "stereo frame in a mono stream")
+          Array(decodeSubframe(r, blockSize, 16), decodeSubframe(r, blockSize, 16))
+        case 8 => // left/side: ch0 = L (16), ch1 = side (17); R = L - side
+          require(channels == 2, "stereo frame in a mono stream")
+          val lch = decodeSubframe(r, blockSize, 16)
+          val sch = decodeSubframe(r, blockSize, 17)
+          Array(lch, Array.tabulate(blockSize)(i => lch(i) - sch(i)))
+        case 9 => // right/side: ch0 = side (17), ch1 = R (16); L = side + R
+          require(channels == 2, "stereo frame in a mono stream")
+          val sch = decodeSubframe(r, blockSize, 17)
+          val rch = decodeSubframe(r, blockSize, 16)
+          Array(Array.tabulate(blockSize)(i => sch(i) + rch(i)), rch)
+        case 10 => // mid/side: the lost low bit of L+R rides the side's parity
+          require(channels == 2, "stereo frame in a mono stream")
+          val mch = decodeSubframe(r, blockSize, 16)
+          val sch = decodeSubframe(r, blockSize, 17)
+          val lch = Array.tabulate(blockSize) { i =>
+            val m2 = (mch(i).toLong << 1) | (sch(i).toLong & 1)
+            ((m2 + sch(i)) >> 1).toInt
           }
+          val rch = Array.tabulate(blockSize)(i => lch(i) - sch(i))
+          Array(lch, rch)
         case other =>
-          throw new IllegalArgumentException(s"unsupported FLAC subframe type $other (LPC not implemented)")
+          throw new IllegalArgumentException(s"unsupported FLAC channel assignment $other")
       }
       r.alignByte()
       val c16 = crc16(bytes, frameStart, r.bytePos)
       val stored = (r.take(8).toInt << 8) | r.take(8).toInt
       require(c16 == stored, "FLAC frame fails its CRC-16 — corrupt container")
       val take = math.min(blockSize.toLong, total - got).toInt
-      System.arraycopy(blk, 0, outSamples, got, take)
+      var c = 0
+      while (c < channels) {
+        var i = 0
+        while (i < take) {
+          val v = chans(c)(i)
+          require(v >= -32768 && v <= 32767, "FLAC sample out of 16-bit range")
+          out(c)(got + i) = v
+          i += 1
+        }
+        c += 1
+      }
       got += take
     }
-    require(java.util.Arrays.equals(md5OfPcm(outSamples), md5Stored),
+    val md5Got =
+      if (channels == 1) md5OfPcm(out(0)) else md5OfStereo(out(0), out(1))
+    require(java.util.Arrays.equals(md5Got, md5Stored),
       "decoded PCM fails STREAMINFO's MD5 — corrupt container")
-    PcmClip(sampleRate, outSamples)
+    (sampleRate, out)
   }
 
-  /** Undo a FIXED predictor: sample = residual + prediction from the
-    * already-reconstructed neighbors.
+  /** Parse a MONO FLAC stream back to PCM (the strict single-channel
+    * view; stereo goes through [[decodeFlacStereo]]).
     */
-  private def applyFixed(s: Array[Int], i: Int, order: Int, res: Long): Int = {
-    val pred = order match {
-      case 0 => 0L
-      case 1 => s(i - 1).toLong
-      case 2 => 2L * s(i - 1) - s(i - 2)
-      case 3 => 3L * s(i - 1) - 3L * s(i - 2) + s(i - 3)
-      case _ => 4L * s(i - 1) - 6L * s(i - 2) + 4L * s(i - 3) - s(i - 4)
-    }
-    val v = pred + res
-    require(v >= -32768 && v <= 32767, "FLAC sample out of 16-bit range")
-    v.toInt
+  def decodeFlac(bytes: Array[Byte]): PcmClip = {
+    val (rate, chans) = decodeFlacChannels(bytes)
+    require(chans.length == 1, "stereo FLAC: use decodeFlacStereo")
+    PcmClip(rate, chans(0))
+  }
+
+  /** Parse a STEREO FLAC stream back to its two channels. */
+  def decodeFlacStereo(bytes: Array[Byte]): StereoClip = {
+    val (rate, chans) = decodeFlacChannels(bytes)
+    require(chans.length == 2, "mono FLAC: use decodeFlac")
+    StereoClip(rate, chans(0), chans(1))
+  }
+
+  /** Two's-complement width for a signed residual: the smallest w with
+    * -2^(w-1) ≤ r < 2^(w-1) — the escape path stores residuals raw at
+    * the partition's max width.
+    */
+  private def signedWidth(r: Long): Int = {
+    var w = 1
+    while (r < -(1L << (w - 1)) || r >= (1L << (w - 1))) w += 1
+    w
   }
 
   // ---- PNG ---------------------------------------------------------------

@@ -641,4 +641,57 @@ object Multimodal {
       }
     })
   }
+
+  /** Build REAL STEREO FLAC streams (r14): n = 33 + m%16 sample pairs —
+    * LEFT is a smooth integer quadratic of (i, m) (SQL-expressible, so
+    * the oracle needs no prefix-scan), RIGHT alternates by m between
+    * chain NOISE (even m — the independent-channels regime) and
+    * LEFT-minus-small-chain-delta (odd m — strongly correlated channels,
+    * where the per-frame assignment choice picks a SIDE decorrelation).
+    * Every fixture therefore exercises the stereo machinery the decoder
+    * must speak, deterministically.
+    */
+  def flacStereoMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val m = docId / 3
+        val n = 33 + (m % 16).toInt
+        val chain = md5Chain(text, 2 * n)
+        val left = Array.tabulate(n)(i =>
+          ((i + 2) * (i + 3 + (m % 7).toInt)) % 3001 - 1500)
+        val right =
+          if (m % 2 == 0) Array.tabulate(n) { i =>
+            val v = chain(2 * i) + 256 * chain(2 * i + 1)
+            if (v >= 32768) v - 65536 else v
+          }
+          else Array.tabulate(n)(i => left(i) - (chain(i) - 128))
+        MediaRecord(docId, "audio",
+          Codecs.encodeFlacStereo(Codecs.StereoClip(8000, left, right)))
+      })
+  }
+
+  final case class StereoFrameEnergy(
+      media_id: Long, frame_idx: Int, energy_l: Long, energy_r: Long)
+
+  /** Per-frame per-CHANNEL energy through the stereo container: the
+    * decode undoes whichever channel decorrelation each frame chose
+    * (independent / left-side / right-side / mid-side), so matching the
+    * seed oracle proves the assignment round trip, not just the mono
+    * entropy path.
+    */
+  def flacStereoFrameEnergy(media: Dataset[MediaRecord],
+      samplesPerFrame: Int): Dataset[StereoFrameEnergy] = {
+    import media.sparkSession.implicits._
+    require(samplesPerFrame > 0)
+    media.filter(_.kind == "audio").mapPartitions(_.flatMap { m =>
+      val clip = Codecs.decodeFlacStereo(m.content)
+      val le = frameEnergies(clip.left, samplesPerFrame).toMap
+      frameEnergies(clip.right, samplesPerFrame).map { case (f, er) =>
+        StereoFrameEnergy(m.media_id, f, le(f), er)
+      }
+    })
+  }
 }

@@ -340,6 +340,67 @@ class CodecsSpec extends AnyFunSuite {
       || exFrame.getMessage.contains("sync") || exFrame.getMessage.contains("FLAC"))
   }
 
+  test("STEREO FLAC round-trips exactly across channel-correlation regimes (r14: all four assignments)") {
+    val n = 48
+    val noise = Array.tabulate(n)(i => ((i * 12347 + 911) % 65536) - 32768)
+    val smooth = Array.tabulate(n)(i => ((i + 2) * (i + 5)) % 3001 - 1500)
+    val cases = Seq(
+      (smooth, noise),                                  // uncorrelated -> independent
+      (smooth, smooth.clone()),                         // identical -> side = 0
+      (smooth, Array.tabulate(n)(i => -smooth(i))),     // anti-phase -> mid ~ 0
+      (smooth, Array.tabulate(n)(i => smooth(i) - (i % 7 - 3))), // small side
+      (Array(5), Array(-5)))                            // single short block
+    for ((l, r) <- cases) {
+      val c = decodeFlacStereo(encodeFlacStereo(Codecs.StereoClip(8000, l, r)))
+      assert(c.left.sameElements(l) && c.right.sameElements(r),
+        "stereo roundtrip lost samples")
+    }
+  }
+
+  test("STEREO FLAC decorrelation really engages: correlated channels pick a side assignment and compress") {
+    // identical channels: the side subframe is CONSTANT 0, so ANY side
+    // assignment beats two independent copies — assert through the only
+    // spec-level observable, the encoded size
+    val n = 64
+    val smooth = Array.tabulate(n)(i => ((i + 2) * (i + 5)) % 3001 - 1500)
+    val noise = Array.tabulate(n)(i => ((i * 30011 + 17) % 65536) - 32768)
+    val corr = encodeFlacStereo(Codecs.StereoClip(8000, noise, noise.clone())).length
+    val indep = encodeFlacStereo(Codecs.StereoClip(8000, noise,
+      noise.reverse)).length
+    assert(corr < indep - n, // the whole second channel collapses to ~constant subframes
+      s"correlated stereo ($corr B) did not compress vs uncorrelated ($indep B)")
+    // and a mixed clip still roundtrips when every frame picks differently
+    val l = smooth ++ noise
+    val r = smooth.map(v => v - 1) ++ noise.reverse
+    val c = decodeFlacStereo(encodeFlacStereo(Codecs.StereoClip(8000, l, r)))
+    assert(c.left.sameElements(l) && c.right.sameElements(r))
+  }
+
+  test("LPC subframes win on resonant signals and round-trip bit-exact") {
+    // a FAST sinusoid (w = 1 rad/sample): the FIXED family differentiates,
+    // and |1-e^{-jw}|^4 ~ 0.85 leaves order-4 residuals near full scale —
+    // while LPC-2 models the resonance (2cos(w)s[i-1] - s[i-2]) down to
+    // coefficient-quantization noise. (A SLOW sinusoid is the opposite:
+    // the 4th difference nearly vanishes and FIXED-4 rightfully wins.)
+    val s = Array.tabulate(200)(i => math.round(12000 * math.sin(i * 1.0)).toInt)
+    val blk = java.util.Arrays.copyOfRange(s, 0, 64)
+    val (_, tpe, _) = planSubframe(blk, 16)
+    assert((tpe & 0x20) != 0, s"expected an LPC subframe on a sinusoid, got type $tpe")
+    assert(decodeFlac(encodeFlac(Codecs.PcmClip(8000, s), blockSize = 64))
+      .samples.sameElements(s), "LPC roundtrip lost samples")
+  }
+
+  test("STEREO FLAC round-trip property over arbitrary channel pairs") {
+    check("stereo flac roundtrip", Prop.forAll(
+      Gen.chooseNum(1, 60).flatMap(n => for {
+        l <- Gen.listOfN(n, Gen.chooseNum(-32768, 32767))
+        r <- Gen.listOfN(n, Gen.chooseNum(-32768, 32767))
+      } yield (l.toArray, r.toArray))) { case (l, r) =>
+      val c = decodeFlacStereo(encodeFlacStereo(Codecs.StereoClip(8000, l, r)))
+      c.left.sameElements(l) && c.right.sameElements(r)
+    })
+  }
+
   test("FLAC round-trip property over arbitrary 16-bit clips") {
     check("flac roundtrip", Prop.forAll(
       Gen.chooseNum(1, 80).flatMap(n =>
