@@ -137,7 +137,9 @@ object BenchEnvelopes {
     // decode + predictor reconstruction CPU in mapPartitions)
     "mm_flac_energy" -> 1.2,
     // r14 stereo FLAC (E145) — fresh-JVM 2.25/1.61/1.34 at sf0.1
-    "mm_flac_stereo_energy" -> 1.8)
+    "mm_flac_stereo_energy" -> 1.8,
+    // r14 RGBA + Adam7 PNG (E146) — fresh-JVM 2.11/1.55/1.18 at sf0.1
+    "mm_png_alpha_stats" -> 1.6)
 
   /** Entries whose measured seconds exceed the suspect bar, worst ratio
     * first, capped at 3 (the JSON line budget — BenchLineSpec models the

@@ -128,9 +128,9 @@ object SparkEntry {
     // in-plan incremental slot, the dd_incr_lsh_lake precedent; r11 adds
     // the real-container frame sampler)
     "mm_byte_histogram", "mm_avg_hash", "mm_frame_sample", "dd_media_dedup",
-    // r14: the color-PNG tier (E139) and the FLAC tiers (E144/E145)
+    // r14: the color-PNG tiers (E139/E146) and the FLAC tiers (E144/E145)
     "mm_png_color_stats", "mm_png_color_hash", "mm_flac_energy",
-    "mm_flac_stereo_energy",
+    "mm_flac_stereo_energy", "mm_png_alpha_stats",
     "cu_pack_chunks", "cu_ngram_decontaminate",
     "cu_mixture_weights", "cu_dsir_weights", "cu_quality_filter",
     "cu_token_budget",
@@ -185,6 +185,7 @@ object SparkEntry {
     "mm_png_color_hash" -> "mm_pngh",
     "mm_flac_energy" -> "mm_flac",
     "mm_flac_stereo_energy" -> "mm_flacs",
+    "mm_png_alpha_stats" -> "mm_pnga",
     "ann_ivfpq_incr" -> "ann_pq_incr",
     "ann_graph_beam" -> "ann_gb",
     "ann_graph_lake" -> "ann_gl",

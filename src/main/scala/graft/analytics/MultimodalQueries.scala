@@ -498,7 +498,54 @@ object MultimodalQueries {
     }
   }
 
+  /** Per-channel stats INCLUDING ALPHA through the RGBA PNG container
+    * (r14, E146): color type 6 with 4-byte pixels under the bpp filter
+    * rule; odd m ships Adam7-INTERLACED, so the seven-pass geometry sits
+    * on the hash-exact oracle path (an interlace slip scrambles pixel
+    * positions and every stat after the first). The oracle recomputes
+    * all four channels straight from the md5-chain planes.
+    */
+  val pngAlphaStats: QueryDef = QueryDef(
+    "mm_png_alpha_stats",
+    s"""WITH src AS (
+       |  SELECT doc_id,
+       |    md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')
+       |      || md5(text || 'd') || md5(text || 'e') || md5(text || 'f')
+       |      || md5(text || 'g') || md5(text || 'h') || md5(text || 'i') AS hx,
+       |    doc_id // 3 AS m
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |dims AS (
+       |  SELECT doc_id, hx, ([3,5,8])[CAST(m % 3 AS INTEGER) + 1] AS w,
+       |         4 + CAST(m % 2 AS INTEGER) AS h
+       |  FROM src),
+       |ch AS (
+       |  SELECT doc_id, w, h,
+       |    [${byteAt("i")} for i in range(0, w*h)] AS rb,
+       |    [${byteAt("w*h + i")} for i in range(0, w*h)] AS gb,
+       |    [${byteAt("2*w*h + i")} for i in range(0, w*h)] AS bb,
+       |    [${byteAt("3*w*h + i")} for i in range(0, w*h)] AS ab
+       |  FROM dims)
+       |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width,
+       |  CAST(h AS INTEGER) AS height, CAST(w*h AS INTEGER) AS n_px,
+       |  CAST(list_sum(rb) AS BIGINT) AS sum_r,
+       |  CAST(list_min(rb) AS INTEGER) AS min_r,
+       |  CAST(list_max(rb) AS INTEGER) AS max_r,
+       |  CAST(list_sum(gb) AS BIGINT) AS sum_g,
+       |  CAST(list_min(gb) AS INTEGER) AS min_g,
+       |  CAST(list_max(gb) AS INTEGER) AS max_g,
+       |  CAST(list_sum(bb) AS BIGINT) AS sum_b,
+       |  CAST(list_min(bb) AS INTEGER) AS min_b,
+       |  CAST(list_max(bb) AS INTEGER) AS max_b,
+       |  CAST(list_sum(ab) AS BIGINT) AS sum_a,
+       |  CAST(list_min(ab) AS INTEGER) AS min_a,
+       |  CAST(list_max(ab) AS INTEGER) AS max_a
+       |FROM ch""".stripMargin) { (s, dir) =>
+    val media = Multimodal.pngAlphaMedia(s, Tables.documents(s, dir))
+    Multimodal.imageRgbaStats(media).toDF()
+  }
+
   val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash,
     imageStats, resizeGrid, mediaDedup, pngStats, pngHash, jpegStats, jpegHash,
-    jpegColorStats, pngColorStats, pngColorHash, flacEnergy, flacStereoEnergy)
+    jpegColorStats, pngColorStats, pngColorHash, flacEnergy, flacStereoEnergy,
+    pngAlphaStats)
 }

@@ -1113,6 +1113,101 @@ object Codecs {
   final case class RgbImage(width: Int, height: Int,
       r: Array[Int], g: Array[Int], b: Array[Int])
 
+  /** An RGBA image: per-channel byte planes including alpha (r14). */
+  final case class RgbaImage(width: Int, height: Int,
+      r: Array[Int], g: Array[Int], b: Array[Int], a: Array[Int])
+
+  /** Adam7 pass geometry: (xStart, yStart, xStep, yStep) — the spec's
+    * seven-pass interlace order (r14).
+    */
+  private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def adam7PassDims(w: Int, h: Int): Array[(Int, Int)] =
+    Adam7.map { case (x0, y0, dx, dy) =>
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+        if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
+
+  private def interlacedRawLen(w: Int, h: Int, bpp: Int): Int =
+    adam7PassDims(w, h).map { case (pw, ph) =>
+      if (pw > 0 && ph > 0) (pw * bpp + 1) * ph else 0
+    }.sum
+
+  /** Adam7-interlaced filtered stream: each non-empty pass is extracted
+    * as its own sub-image and filtered INDEPENDENTLY (the spec's rule —
+    * a pass row's up/left references are within the pass, not the final
+    * image), then the passes concatenate into one zlib payload.
+    */
+  private def interlaceFilter(samp: Array[Int], w: Int, h: Int,
+      bpp: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream
+    var p = 0
+    while (p < 7) {
+      val (x0, y0, dx, dy) = Adam7(p)
+      val (pw, ph) = adam7PassDims(w, h)(p)
+      if (pw > 0 && ph > 0) {
+        val sub = new Array[Int](pw * ph * bpp)
+        var r = 0
+        while (r < ph) {
+          var c = 0
+          while (c < pw) {
+            var b = 0
+            while (b < bpp) {
+              sub((r * pw + c) * bpp + b) =
+                samp(((y0 + r * dy) * w + (x0 + c * dx)) * bpp + b)
+              b += 1
+            }
+            c += 1
+          }
+          r += 1
+        }
+        out.write(filterScanlines(sub, pw, ph, bpp))
+      }
+      p += 1
+    }
+    out.toByteArray
+  }
+
+  /** Reverse of [[interlaceFilter]]: unfilter each pass at its own
+    * geometry and scatter the samples back to image positions.
+    */
+  private def deinterlace(raw: Array[Byte], w: Int, h: Int,
+      bpp: Int): Array[Int] = {
+    val samp = new Array[Int](w * h * bpp)
+    var off = 0
+    var p = 0
+    while (p < 7) {
+      val (x0, y0, dx, dy) = Adam7(p)
+      val (pw, ph) = adam7PassDims(w, h)(p)
+      if (pw > 0 && ph > 0) {
+        val len = (pw * bpp + 1) * ph
+        require(off + len <= raw.length, "interlaced PNG stream short")
+        val sub = unfilterScanlines(
+          java.util.Arrays.copyOfRange(raw, off, off + len), pw, ph, bpp)
+        off += len
+        var r = 0
+        while (r < ph) {
+          var c = 0
+          while (c < pw) {
+            var b = 0
+            while (b < bpp) {
+              samp(((y0 + r * dy) * w + (x0 + c * dx)) * bpp + b) =
+                sub((r * pw + c) * bpp + b)
+              b += 1
+            }
+            c += 1
+          }
+          r += 1
+        }
+      }
+      p += 1
+    }
+    require(off == raw.length, "interlaced PNG stream length mismatch")
+    samp
+  }
+
   /** Filter INTERLEAVED sample bytes into the (1 + w·bpp)·h scanline
     * stream. Every row uses filter `row % 5`, so None/Sub/Up/Average/
     * Paeth are ALL live in every fixture taller than 4 rows; per the
@@ -1187,7 +1282,7 @@ object Codecs {
     * exercised), IEND. Every chunk carries its CRC.
     */
   private def pngBytes(w: Int, h: Int, colorType: Int, palette: Array[Int],
-      raw: Array[Byte], idatChunk: Int): Array[Byte] = {
+      raw: Array[Byte], idatChunk: Int, interlaced: Boolean = false): Array[Byte] = {
     val deflater = new java.util.zip.Deflater
     deflater.setInput(raw); deflater.finish()
     val zBuf = new Array[Byte](raw.length + 64)
@@ -1215,8 +1310,9 @@ object Codecs {
     val ihdr = new Array[Byte](13)
     wbe32(ihdr, 0, w); wbe32(ihdr, 4, h)
     ihdr(8) = 8 // bit depth
-    ihdr(9) = colorType.toByte // 0 gray, 2 truecolor, 3 palette
-    // ihdr(10..12) = compression 0, filter 0, interlace 0
+    ihdr(9) = colorType.toByte // 0 gray, 2 truecolor, 3 palette, 4 gray+alpha, 6 RGBA
+    // ihdr(10..11) = compression 0, filter 0
+    ihdr(12) = if (interlaced) 1 else 0 // Adam7
     chunk("IHDR", ihdr)
     if (palette.nonEmpty) {
       require(colorType == 3 && palette.length % 3 == 0 && palette.length <= 768)
@@ -1232,19 +1328,26 @@ object Codecs {
     out.toByteArray
   }
 
+  private def scanlinesOf(samp: Array[Int], w: Int, h: Int, bpp: Int,
+      interlaced: Boolean): Array[Byte] =
+    if (interlaced) interlaceFilter(samp, w, h, bpp)
+    else filterScanlines(samp, w, h, bpp)
+
   /** Encode gray pixels as a real 8-bit grayscale PNG (color type 0). */
-  def encodePng(img: GrayImage, idatChunk: Int = 16): Array[Byte] = {
+  def encodePng(img: GrayImage, idatChunk: Int = 16,
+      interlaced: Boolean = false): Array[Byte] = {
     val w = img.width; val h = img.height
     require(w > 0 && h > 0 && img.pixels.length == w * h)
     pngBytes(w, h, 0, Array.emptyIntArray,
-      filterScanlines(img.pixels, w, h, 1), idatChunk)
+      scanlinesOf(img.pixels, w, h, 1, interlaced), idatChunk, interlaced)
   }
 
   /** Encode per-channel planes as an 8-bit TRUECOLOR PNG (color type 2,
     * r14): samples interleave R,G,B per pixel, filters reference the byte
     * 3 positions back per the spec's bpp rule.
     */
-  def encodePngRgb(img: RgbImage, idatChunk: Int = 16): Array[Byte] = {
+  def encodePngRgb(img: RgbImage, idatChunk: Int = 16,
+      interlaced: Boolean = false): Array[Byte] = {
     val w = img.width; val h = img.height
     require(w > 0 && h > 0 && img.r.length == w * h
       && img.g.length == w * h && img.b.length == w * h)
@@ -1256,7 +1359,42 @@ object Codecs {
       i += 1
     }
     pngBytes(w, h, 2, Array.emptyIntArray,
-      filterScanlines(samp, w, h, 3), idatChunk)
+      scanlinesOf(samp, w, h, 3, interlaced), idatChunk, interlaced)
+  }
+
+  /** Encode per-channel planes + alpha as an 8-bit RGBA PNG (color type
+    * 6, r14): 4-byte pixels, the bpp rule covering the alpha byte too.
+    */
+  def encodePngRgba(img: RgbaImage, idatChunk: Int = 16,
+      interlaced: Boolean = false): Array[Byte] = {
+    val w = img.width; val h = img.height
+    require(w > 0 && h > 0 && img.r.length == w * h && img.g.length == w * h
+      && img.b.length == w * h && img.a.length == w * h)
+    val samp = new Array[Int](4 * w * h)
+    var i = 0
+    while (i < w * h) {
+      samp(4 * i) = img.r(i); samp(4 * i + 1) = img.g(i)
+      samp(4 * i + 2) = img.b(i); samp(4 * i + 3) = img.a(i)
+      i += 1
+    }
+    pngBytes(w, h, 6, Array.emptyIntArray,
+      scanlinesOf(samp, w, h, 4, interlaced), idatChunk, interlaced)
+  }
+
+  /** Encode gray + alpha planes as an 8-bit GRAYSCALE-ALPHA PNG (color
+    * type 4, r14): 2-byte pixels.
+    */
+  def encodePngGrayAlpha(w: Int, h: Int, gray: Array[Int], alpha: Array[Int],
+      idatChunk: Int = 16, interlaced: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && gray.length == w * h && alpha.length == w * h)
+    val samp = new Array[Int](2 * w * h)
+    var i = 0
+    while (i < w * h) {
+      samp(2 * i) = gray(i); samp(2 * i + 1) = alpha(i)
+      i += 1
+    }
+    pngBytes(w, h, 4, Array.emptyIntArray,
+      scanlinesOf(samp, w, h, 2, interlaced), idatChunk, interlaced)
   }
 
   /** Encode index pixels + a flat RGB-triplet palette as an 8-bit
@@ -1264,12 +1402,14 @@ object Codecs {
     * palette, scanlines carry 1-byte indices.
     */
   def encodePngPalette(w: Int, h: Int, indices: Array[Int],
-      palette: Array[Int], idatChunk: Int = 16): Array[Byte] = {
+      palette: Array[Int], idatChunk: Int = 16,
+      interlaced: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && indices.length == w * h)
     require(palette.nonEmpty && palette.length % 3 == 0 && palette.length <= 768)
     require(indices.forall(i => i >= 0 && 3 * i < palette.length),
       "palette index out of range")
-    pngBytes(w, h, 3, palette, filterScanlines(indices, w, h, 1), idatChunk)
+    pngBytes(w, h, 3, palette,
+      scanlinesOf(indices, w, h, 1, interlaced), idatChunk, interlaced)
   }
 
   /** The decoded chunk walk shared by every PNG entry point: signature,
@@ -1286,6 +1426,7 @@ object Codecs {
       "not a PNG: missing signature")
     var off = 8
     var w = -1; var h = -1; var colorType = -1
+    var interlaced = false
     var palette = Array.emptyIntArray
     val idat = new java.io.ByteArrayOutputStream
     var ended = false
@@ -1307,10 +1448,17 @@ object Codecs {
           // inflate/unfilter work is spent on a container it cannot accept
           require(!grayOnly || colorType == 0,
             "unsupported PNG color type (need grayscale)")
-          require(colorType == 0 || colorType == 2 || colorType == 3,
-            "unsupported PNG color type (need grayscale, truecolor or palette)")
-          require(bytes(off + 18) == 0 && bytes(off + 19) == 0 && bytes(off + 20) == 0,
-            "unsupported PNG compression/filter/interlace method")
+          require(colorType == 0 || colorType == 2 || colorType == 3
+              || colorType == 4 || colorType == 6,
+            "unsupported PNG color type")
+          require(bytes(off + 18) == 0 && bytes(off + 19) == 0,
+            "unsupported PNG compression/filter method")
+          interlaced = (bytes(off + 20) & 0xff) match {
+            case 0 => false
+            case 1 => true
+            case _ => throw new IllegalArgumentException(
+              "unsupported PNG interlace method")
+          }
           require(w > 0 && h > 0, s"bad PNG dims ${w}x$h")
         case "PLTE" =>
           require(len % 3 == 0 && len > 0 && len <= 768, "bad PLTE length")
@@ -1323,10 +1471,14 @@ object Codecs {
     }
     require(w > 0, "PNG missing IHDR")
     require(colorType != 3 || palette.nonEmpty, "palette PNG missing PLTE")
-    val bpp = if (colorType == 2) 3 else 1
+    val bpp = colorType match {
+      case 2 => 3; case 4 => 2; case 6 => 4; case _ => 1
+    }
     val z = idat.toByteArray
     require(z.nonEmpty, "PNG missing IDAT")
-    val raw = new Array[Byte]((w * bpp + 1) * h)
+    val rawLen =
+      if (interlaced) interlacedRawLen(w, h, bpp) else (w * bpp + 1) * h
+    val raw = new Array[Byte](rawLen)
     val inflater = new java.util.zip.Inflater
     inflater.setInput(z)
     var got = 0
@@ -1337,7 +1489,10 @@ object Codecs {
     }
     inflater.end()
     require(got == raw.length, s"PNG scanline stream short: $got of ${raw.length}")
-    PngRaw(w, h, colorType, palette, unfilterScanlines(raw, w, h, bpp))
+    val samples =
+      if (interlaced) deinterlace(raw, w, h, bpp)
+      else unfilterScanlines(raw, w, h, bpp)
+    PngRaw(w, h, colorType, palette, samples)
   }
 
   /** Parse an 8-bit GRAYSCALE PNG (the strict single-plane view — color
@@ -1348,24 +1503,28 @@ object Codecs {
     GrayImage(p.w, p.h, p.samples)
   }
 
-  /** Parse any supported PNG to per-channel planes: truecolor
-    * de-interleaves, palette resolves indices through PLTE (range-checked),
-    * grayscale replicates the single plane.
+  /** Parse any supported PNG to per-channel planes INCLUDING alpha
+    * (r14): truecolor/RGBA de-interleave, palette resolves indices
+    * through PLTE (range-checked), grayscale (±alpha) replicates the
+    * single plane; alpha-less types report an opaque 255 plane.
     */
-  def decodePngRgb(bytes: Array[Byte]): RgbImage = {
+  def decodePngRgba(bytes: Array[Byte]): RgbaImage = {
     val p = decodePngRaw(bytes)
     val n = p.w * p.h
+    def plane(bpp: Int, off: Int): Array[Int] =
+      Array.tabulate(n)(i => p.samples(bpp * i + off))
     p.colorType match {
-      case 0 => RgbImage(p.w, p.h, p.samples, p.samples.clone(), p.samples.clone())
+      case 0 =>
+        RgbaImage(p.w, p.h, p.samples, p.samples.clone(), p.samples.clone(),
+          Array.fill(n)(255))
       case 2 =>
-        val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
-        var i = 0
-        while (i < n) {
-          r(i) = p.samples(3 * i); g(i) = p.samples(3 * i + 1)
-          b(i) = p.samples(3 * i + 2)
-          i += 1
-        }
-        RgbImage(p.w, p.h, r, g, b)
+        RgbaImage(p.w, p.h, plane(3, 0), plane(3, 1), plane(3, 2),
+          Array.fill(n)(255))
+      case 4 =>
+        val g = plane(2, 0)
+        RgbaImage(p.w, p.h, g, g.clone(), g.clone(), plane(2, 1))
+      case 6 =>
+        RgbaImage(p.w, p.h, plane(4, 0), plane(4, 1), plane(4, 2), plane(4, 3))
       case _ =>
         val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
         var i = 0
@@ -1377,8 +1536,14 @@ object Codecs {
           b(i) = p.palette(3 * idx + 2)
           i += 1
         }
-        RgbImage(p.w, p.h, r, g, b)
+        RgbaImage(p.w, p.h, r, g, b, Array.fill(n)(255))
     }
+  }
+
+  /** The alpha-less per-channel view (delegates to [[decodePngRgba]]). */
+  def decodePngRgb(bytes: Array[Byte]): RgbImage = {
+    val p = decodePngRgba(bytes)
+    RgbImage(p.width, p.height, p.r, p.g, p.b)
   }
 
   /** Format-dispatching image decode — the typed-metadata surface accepts

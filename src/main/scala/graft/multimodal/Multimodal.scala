@@ -327,6 +327,36 @@ object Multimodal {
     })
   }
 
+  /** Per-channel stats INCLUDING alpha of a decoded RGBA PNG (r14). */
+  final case class RgbaStats(
+      media_id: Long, width: Int, height: Int, n_px: Int,
+      sum_r: Long, min_r: Int, max_r: Int,
+      sum_g: Long, min_g: Int, max_g: Int,
+      sum_b: Long, min_b: Int, max_b: Int,
+      sum_a: Long, min_a: Int, max_a: Int)
+
+  def imageRgbaStats(media: Dataset[MediaRecord]): Dataset[RgbaStats] = {
+    import media.sparkSession.implicits._
+    def agg(p: Array[Int]): (Long, Int, Int) = {
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      var i = 0
+      while (i < p.length) {
+        val v = p(i); sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        i += 1
+      }
+      (sum, mn, mx)
+    }
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val img = Codecs.decodePngRgba(m.content)
+      val (sr, nr, xr) = agg(img.r)
+      val (sg, ng, xg) = agg(img.g)
+      val (sb, nb, xb) = agg(img.b)
+      val (sa, na, xa) = agg(img.a)
+      RgbaStats(m.media_id, img.width, img.height, img.r.length,
+        sr, nr, xr, sg, ng, xg, sb, nb, xb, sa, na, xa)
+    })
+  }
+
   /** aHash over the LUMA of a color container — integer mean (r+g+b)/3
     * per pixel, then the shared aHashBits. On gray-seeded color fixtures
     * (R=G=B, or a gray-triplet palette) the luma IS the gray seed, so the
@@ -456,9 +486,12 @@ object Multimodal {
         val w = widths((m % 3).toInt)
         val h = 4 + (m % 2).toInt
         val chain = md5Chain(text, 3 * w * h)
+        // odd m ships Adam7-INTERLACED (r14): same pixels, same oracle —
+        // the container varies, so the seven-pass walk sits on the
+        // hash-exact path, not just in spec roundtrips
         MediaRecord(docId, "image", Codecs.encodePngRgb(Codecs.RgbImage(w, h,
           chain.slice(0, w * h), chain.slice(w * h, 2 * w * h),
-          chain.slice(2 * w * h, 3 * w * h))))
+          chain.slice(2 * w * h, 3 * w * h)), interlaced = m % 2 == 1))
       })
   }
 
@@ -486,9 +519,37 @@ object Multimodal {
             val vals = px.distinct.sorted
             val palette = vals.flatMap(v => Array(v, v, v))
             val rank = vals.zipWithIndex.toMap
-            Codecs.encodePngPalette(w, h, px.map(rank), palette)
+            // palette AND Adam7-interlaced (r14): index scanlines through
+            // the seven-pass walk, same pixels, same aHash oracle
+            Codecs.encodePngPalette(w, h, px.map(rank), palette,
+              interlaced = true)
           }
         MediaRecord(docId, "image", bytes)
+      })
+  }
+
+  /** Build REAL RGBA PNGs (color type 6, r14) from the image-kind
+    * documents: the md5 chain supplies 4·w·h bytes — R, G, B then ALPHA
+    * planes; odd m ships Adam7-interlaced (4-byte pixels through the
+    * seven-pass walk). Alpha rides the oracle as a first-class channel —
+    * transparency is real metadata in image corpora, not padding.
+    */
+  def pngAlphaMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val widths = Array(3, 5, 8)
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val m = docId / 3
+        val w = widths((m % 3).toInt)
+        val h = 4 + (m % 2).toInt
+        val n = w * h
+        val chain = md5Chain(text, 4 * n)
+        MediaRecord(docId, "image", Codecs.encodePngRgba(Codecs.RgbaImage(w, h,
+          chain.slice(0, n), chain.slice(n, 2 * n),
+          chain.slice(2 * n, 3 * n), chain.slice(3 * n, 4 * n)),
+          interlaced = m % 2 == 1))
       })
   }
 

@@ -446,6 +446,55 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("RGBA and gray-alpha PNG round-trips carry the alpha plane (r14)") {
+    val n = 5 * 4
+    val r = Array.tabulate(n)(i => (i * 31) % 256)
+    val g = Array.tabulate(n)(i => (i * 57 + 3) % 256)
+    val b = Array.tabulate(n)(i => (i * 89 + 7) % 256)
+    val a = Array.tabulate(n)(i => (i * 13 + 100) % 256)
+    val img = decodePngRgba(encodePngRgba(RgbaImage(5, 4, r, g, b, a)))
+    assert(img.r.sameElements(r) && img.g.sameElements(g)
+      && img.b.sameElements(b) && img.a.sameElements(a))
+    val ga = decodePngRgba(encodePngGrayAlpha(5, 4, r, a))
+    assert(ga.r.sameElements(r) && ga.g.sameElements(r)
+      && ga.b.sameElements(r) && ga.a.sameElements(a),
+      "gray+alpha must replicate gray across RGB and keep alpha")
+    // alpha-less containers report an opaque plane
+    assert(decodePngRgba(encodePng(GrayImage(2, 2, Array(9, 8, 7, 6))))
+      .a.forall(_ == 255))
+  }
+
+  test("Adam7 INTERLACED round-trips are lossless for every color type and empty-pass dims (r14)") {
+    // dims below 8 leave whole passes empty; 9x10 exercises all seven
+    for ((w, h) <- Seq((3, 4), (8, 5), (9, 10), (1, 1), (2, 3))) {
+      val n = w * h
+      val gray = Array.tabulate(n)(i => (i * 37 + 5) % 256)
+      assert(decodePng(encodePng(GrayImage(w, h, gray), interlaced = true))
+        .pixels.sameElements(gray), s"interlaced gray lost pixels at ${w}x$h")
+      val r = Array.tabulate(n)(i => (i * 91) % 256)
+      val g = Array.tabulate(n)(i => (i * 53 + 11) % 256)
+      val b = Array.tabulate(n)(i => (i * 17 + 200) % 256)
+      val img = decodePngRgb(encodePngRgb(RgbImage(w, h, r, g, b), interlaced = true))
+      assert(img.r.sameElements(r) && img.g.sameElements(g) && img.b.sameElements(b),
+        s"interlaced truecolor lost pixels at ${w}x$h")
+      val a = Array.tabulate(n)(i => (i * 7 + 40) % 256)
+      val rgba = decodePngRgba(encodePngRgba(RgbaImage(w, h, r, g, b, a), interlaced = true))
+      assert(rgba.a.sameElements(a), s"interlaced RGBA lost alpha at ${w}x$h")
+      val palette = Array(1, 2, 3, 200, 100, 0, 9, 9, 9)
+      val idx = Array.tabulate(n)(i => i % 3)
+      val pimg = decodePngRgb(encodePngPalette(w, h, idx, palette, interlaced = true))
+      assert(idx.indices.forall(i => pimg.r(i) == palette(3 * idx(i))),
+        s"interlaced palette lost indices at ${w}x$h")
+    }
+    // interlaced + non-interlaced encodings of the same pixels DECODE equal
+    // but are different byte streams (the pass reorder is real)
+    val px = Array.tabulate(48)(i => (i * 61) % 256)
+    val plain = encodePng(GrayImage(8, 6, px))
+    val inter = encodePng(GrayImage(8, 6, px), interlaced = true)
+    assert(!plain.sameElements(inter))
+    assert(decodePng(plain).pixels.sameElements(decodePng(inter).pixels))
+  }
+
   test("color containers refuse the strict-gray decode; gray replicates through the RGB view") {
     val rgb = encodePngRgb(RgbImage(2, 2, Array(1, 2, 3, 4),
       Array(5, 6, 7, 8), Array(9, 10, 11, 12)))
