@@ -78,7 +78,8 @@ object SparkEntry {
     * so the bench (a) covers every operator family, (b) finishes well
     * inside the driver's run budget on a throttled host, and (c) emits a
     * JSON line that fits the 2000-char stdout capture tail. The FULL
-    * 157-query surface is exercised by Verify (the correctness gate) and
+    * declared-query surface (188 as of r14) is exercised by Verify (the
+    * correctness gate) and
     * the ScalaTest suite; the bench's job is comparable throughput
     * numbers, and that many compact entries cannot fit the tail once
     * sbt's trailing `[success]` line is accounted for — rounds 2–4 all
