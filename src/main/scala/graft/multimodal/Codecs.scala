@@ -469,7 +469,7 @@ object Codecs {
     def alignByte(): Unit = if (bit > 0) { bit = 0; pos += 1 }
   }
 
-  private def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+  private[multimodal] def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
     var crc = 0
     var i = from
     while (i < until) {
@@ -481,7 +481,7 @@ object Codecs {
     crc
   }
 
-  private def crc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+  private[multimodal] def crc16(bytes: Array[Byte], from: Int, until: Int): Int = {
     var crc = 0
     var i = from
     while (i < until) {
@@ -540,7 +540,8 @@ object Codecs {
   /** One partition-order-0 residual coding plan: the optimal 4-bit Rice
     * parameter by EXACT bit count, or the 5-bit-width raw escape when
     * cheaper (ties: Rice, then the lower parameter). `bits` includes the
-    * 6-bit residual header (method + partition order).
+    * full 10-bit residual preamble (method, partition order, and the
+    * parameter/escape-code slot).
     */
   private final case class ResPlan(param: Int, escBits: Int,
       us: Array[Long], bits: Long)
@@ -549,8 +550,11 @@ object Codecs {
     val best = (0 to 14).map(p => p -> riceBits(us, p)).minBy { case (p, b) => (b, p) }
     val maxBits = us.map(u => signedWidth(unzigzag(u))).max
     val escTotal = 5L + us.length.toLong * maxBits
-    if (escTotal < best._2) ResPlan(15, maxBits, us, 6L + escTotal)
-    else ResPlan(best._1, 0, us, 6L + best._2)
+    // 10 = 2-bit method + 4-bit partition order + the 4-bit parameter /
+    // escape-code slot (the escape's extra 5-bit width field is inside
+    // escTotal) — EXACT, or the stereo assignment choice biases
+    if (escTotal < best._2) ResPlan(15, maxBits, us, 10L + escTotal)
+    else ResPlan(best._1, 0, us, 10L + best._2)
   }
 
   private def writeResiduals(w: FlacBitWriter, rp: ResPlan): Unit = {
@@ -833,7 +837,11 @@ object Codecs {
       require(r.take(2) == 0, "5-bit-Rice FLAC partitions unsupported")
       val partOrder = r.take(4).toInt
       val parts = 1 << partOrder
-      require(n % parts == 0 && n / parts > (if (parts == 1) order else 0),
+      // the FIRST partition cedes `order` warmup slots, so every
+      // partition must hold at least that many samples — for ANY
+      // partition order, or the first count goes negative and the
+      // remaining partitions overrun the block
+      require(n % parts == 0 && n / parts >= order && n > order,
         "bad FLAC partition geometry")
       var idx = order
       var p = 0
@@ -866,6 +874,7 @@ object Codecs {
         var i = 0; while (i < n) { blk(i) = sN(r.take(sbits)); i += 1 }
       case t if (t & 0x38) == 8 && (t & 7) <= 4 =>
         val order = t & 7
+        require(order <= n, "FIXED order exceeds the block")
         var i = 0
         while (i < order) { blk(i) = sN(r.take(sbits)); i += 1 }
         readResiduals(order) { (idx, res) =>
@@ -1143,10 +1152,11 @@ object Codecs {
   private def interlaceFilter(samp: Array[Int], w: Int, h: Int,
       bpp: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream
+    val dims = adam7PassDims(w, h)
     var p = 0
     while (p < 7) {
       val (x0, y0, dx, dy) = Adam7(p)
-      val (pw, ph) = adam7PassDims(w, h)(p)
+      val (pw, ph) = dims(p)
       if (pw > 0 && ph > 0) {
         val sub = new Array[Int](pw * ph * bpp)
         var r = 0
@@ -1176,11 +1186,12 @@ object Codecs {
   private def deinterlace(raw: Array[Byte], w: Int, h: Int,
       bpp: Int): Array[Int] = {
     val samp = new Array[Int](w * h * bpp)
+    val dims = adam7PassDims(w, h)
     var off = 0
     var p = 0
     while (p < 7) {
       val (x0, y0, dx, dy) = Adam7(p)
-      val (pw, ph) = adam7PassDims(w, h)(p)
+      val (pw, ph) = dims(p)
       if (pw > 0 && ph > 0) {
         val len = (pw * bpp + 1) * ph
         require(off + len <= raw.length, "interlaced PNG stream short")
@@ -1503,28 +1514,16 @@ object Codecs {
     GrayImage(p.w, p.h, p.samples)
   }
 
-  /** Parse any supported PNG to per-channel planes INCLUDING alpha
-    * (r14): truecolor/RGBA de-interleave, palette resolves indices
-    * through PLTE (range-checked), grayscale (±alpha) replicates the
-    * single plane; alpha-less types report an opaque 255 plane.
-    */
-  def decodePngRgba(bytes: Array[Byte]): RgbaImage = {
-    val p = decodePngRaw(bytes)
+  /** RGB plane extraction shared by the alpha-less and alpha views. */
+  private def rgbPlanesOf(p: PngRaw): (Array[Int], Array[Int], Array[Int]) = {
     val n = p.w * p.h
     def plane(bpp: Int, off: Int): Array[Int] =
       Array.tabulate(n)(i => p.samples(bpp * i + off))
     p.colorType match {
-      case 0 =>
-        RgbaImage(p.w, p.h, p.samples, p.samples.clone(), p.samples.clone(),
-          Array.fill(n)(255))
-      case 2 =>
-        RgbaImage(p.w, p.h, plane(3, 0), plane(3, 1), plane(3, 2),
-          Array.fill(n)(255))
-      case 4 =>
-        val g = plane(2, 0)
-        RgbaImage(p.w, p.h, g, g.clone(), g.clone(), plane(2, 1))
-      case 6 =>
-        RgbaImage(p.w, p.h, plane(4, 0), plane(4, 1), plane(4, 2), plane(4, 3))
+      case 0 => (p.samples, p.samples.clone(), p.samples.clone())
+      case 2 => (plane(3, 0), plane(3, 1), plane(3, 2))
+      case 4 => { val g = plane(2, 0); (g, g.clone(), g.clone()) }
+      case 6 => (plane(4, 0), plane(4, 1), plane(4, 2))
       case _ =>
         val r = new Array[Int](n); val g = new Array[Int](n); val b = new Array[Int](n)
         var i = 0
@@ -1536,14 +1535,35 @@ object Codecs {
           b(i) = p.palette(3 * idx + 2)
           i += 1
         }
-        RgbaImage(p.w, p.h, r, g, b, Array.fill(n)(255))
+        (r, g, b)
     }
   }
 
-  /** The alpha-less per-channel view (delegates to [[decodePngRgba]]). */
+  /** Parse any supported PNG to per-channel planes INCLUDING alpha
+    * (r14): truecolor/RGBA de-interleave, palette resolves indices
+    * through PLTE (range-checked), grayscale (±alpha) replicates the
+    * single plane; alpha-less types report an opaque 255 plane.
+    */
+  def decodePngRgba(bytes: Array[Byte]): RgbaImage = {
+    val p = decodePngRaw(bytes)
+    val n = p.w * p.h
+    val (r, g, b) = rgbPlanesOf(p)
+    val a = p.colorType match {
+      case 4 => Array.tabulate(n)(i => p.samples(2 * i + 1))
+      case 6 => Array.tabulate(n)(i => p.samples(4 * i + 3))
+      case _ => Array.fill(n)(255)
+    }
+    RgbaImage(p.w, p.h, r, g, b, a)
+  }
+
+  /** The alpha-less per-channel view: no opaque-alpha plane is
+    * materialized for alpha-less containers (the bench hot paths —
+    * imageRgbStats, imageColorHash — decode types 0/2/3 here).
+    */
   def decodePngRgb(bytes: Array[Byte]): RgbImage = {
-    val p = decodePngRgba(bytes)
-    RgbImage(p.width, p.height, p.r, p.g, p.b)
+    val p = decodePngRaw(bytes)
+    val (r, g, b) = rgbPlanesOf(p)
+    RgbImage(p.w, p.h, r, g, b)
   }
 
   /** Format-dispatching image decode — the typed-metadata surface accepts

@@ -323,6 +323,45 @@ class CodecsSpec extends AnyFunSuite {
       || ex.getMessage.toLowerCase.contains("crc"))
   }
 
+  test("corrupt FLAC subframe geometry rejects cleanly, never an array overrun (r14 review)") {
+    // (a) FIXED order past the block: a 2-sample stream's subframe type
+    // byte patched to FIXED-4 keeps a VALID CRC-8 (which covers only the
+    // frame header), so only the order<=n guard stands between the
+    // decoder and writing warmups past the block buffer
+    val good = encodeFlac(Codecs.PcmClip(8000, Array(100, 200)))
+    val subframeOff = 4 + 4 + 34 + 7 // magic + meta hdr + STREAMINFO + frame hdr
+    val bad = good.clone()
+    bad(subframeOff) = ((8 | 4) << 1).toByte
+    val ex = intercept[IllegalArgumentException] { decodeFlac(bad) }
+    assert(ex.getMessage.contains("FIXED order"), ex.getMessage)
+    // (b) partition order that leaves the first partition smaller than
+    // the warmup: hand-assemble the frame (blockSize 16, FIXED-4,
+    // partition order 3 -> 8 partitions of 2 < order 4) — previously the
+    // first count went NEGATIVE and later partitions overran the block
+    val out = new java.io.ByteArrayOutputStream
+    out.write("fLaC".getBytes("US-ASCII"))
+    val info = new FlacBitWriter
+    info.put(1, 1); info.put(0, 7); info.put(34, 24)
+    info.put(16, 16); info.put(16, 16); info.put(0, 24); info.put(0, 24)
+    info.put(8000, 20); info.put(0, 3); info.put(15, 5); info.put(16, 36)
+    (0 until 16).foreach(_ => info.put(0, 8)) // MD5 never reached
+    out.write(info.toBytes)
+    val w = new FlacBitWriter
+    w.put(0x3ffe, 14); w.put(0, 1); w.put(0, 1)
+    w.put(6, 4); w.put(4, 4); w.put(0, 4); w.put(4, 3); w.put(0, 1)
+    w.put(0, 8); w.put(15, 8) // frame 0, blockSize-1
+    val head = w.toBytes
+    w.put(crc8(head, 0, head.length).toLong, 8)
+    w.put(0, 1); w.put(8 | 4, 6); w.put(0, 1) // FIXED order 4
+    (0 until 4).foreach(i => w.put(100L + i, 16)) // warmups
+    w.put(0, 2); w.put(3, 4) // Rice method, partition order 3
+    (0 until 8).foreach(_ => w.put(0, 8)) // junk the walk never reaches
+    out.write(w.toBytes)
+    out.write(Array[Byte](0, 0)) // CRC-16 slot, never reached
+    val ex2 = intercept[IllegalArgumentException] { decodeFlac(out.toByteArray) }
+    assert(ex2.getMessage.contains("partition geometry"), ex2.getMessage)
+  }
+
   test("FLAC rejects CRC-8, CRC-16, MD5 and magic corruption") {
     val s = Array.tabulate(33)(i => (i * 4099) % 20000 - 10000)
     val good = encodeFlac(Codecs.PcmClip(8000, s))
