@@ -96,22 +96,49 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + key(_) + "\"").mkString(""","failed":[""", ",", "]")
-    // Self-adjudication (r8 verdict ask #7): entries >2× their committed
-    // envelope flag themselves, worst-ratio first, capped at 3 for the
-    // line budget — the verdict reads these instead of reconstructing
-    // which numbers need an isolated TimeQuery rebuttal.
-    val suspectJson = {
-      val sus = BenchEnvelopes.suspects(results.collect { case (n, Right(sec)) => n -> sec })
-      if (sus.isEmpty) ""
-      else sus.map { case (n, r) => s""""${key(n)}":${f"${math.min(r, 99.9)}%.1f"}""" }
-        .mkString(""","suspect":{""", ",", "}")
+    // Self-adjudication (r8 verdict ask #7, r14 ask #2): the suspect bar
+    // scales by a per-run HOST FACTOR (median canary ratio — a uniformly
+    // slow window raises every number together and must not spray flags),
+    // and every over-bar entry is RE-RUN once, immediately, in this JVM:
+    // a transient stall (r14's ANN quartet — one contiguous shared-JVM
+    // window) clears on retry and is recorded as "cleared" WITH both
+    // numbers; a real regression repeats and stays "suspect". Retries are
+    // evidence, not exoneration — a per-(session,dir)-memoized query
+    // (tx_bpe_*) retries through its cache, which is why cleared entries
+    // keep both values visible and fresh-JVM TimeQuery stays the arbiter.
+    val ok = results.collect { case (n, Right(sec)) => n -> sec }
+    val hfHead = BenchEnvelopes.hostFactor(ok, BenchEnvelopes.headlineCanaries,
+      BenchEnvelopes.envelopeSec)
+    val rawSus = BenchEnvelopes.suspects(ok, hfHead)
+    val retried = rawSus.map { case (n, r) =>
+      val again =
+        if (System.nanoTime() > deadline) Left("deadline")
+        else materialize(n, sfDir)
+      (n, r, again.toOption)
     }
+    def confirmedBar(env: Double): Double = hfHead * math.max(2 * env, env + 1.0)
+    val (headClr, headSus) = retried.partition { case (n, _, again) =>
+      again.exists(_ <= confirmedBar(BenchEnvelopes.envelopeSec(n)))
+    }
+    // line budget: at most 4 confirmed suspects inline, the rest as an
+    // overflow COUNT (never silently dropped — the artifact carries all)
+    val suspectJson = {
+      if (headSus.isEmpty) ""
+      else {
+        val inline = headSus.take(4).map { case (n, r, _) =>
+          s""""${key(n)}":${f"${math.min(r, 99.9)}%.1f"}"""
+        }.mkString(""","suspect":{""", ",", "}")
+        val more = headSus.size - math.min(headSus.size, 4)
+        if (more > 0) s"""$inline,"suspect_more":$more""" else inline
+      }
+    }
+    val hfJson = s""","hf":${f"$hfHead%.2f"}"""
     // sf as the directory basename, not the full path: every char of this
     // line competes with the capturing harness's 2000-char stdout tail.
     val sf = new java.io.File(sfDir).getName
     // the headline total keeps 100 ms resolution (one value, 4-5 chars)
     val headlineLine =
-      s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$qs$failedJson$suspectJson,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","queries":$qs$failedJson$suspectJson$hfJson,"sf":"$sf"}"""
     println(headlineLine)
     Console.out.flush()
 
@@ -128,20 +155,41 @@ object Bench {
     // the budget can't reach land in "skipped" — no silent caps.
     val extendedNames = SparkEntry.allDefs.map(_.name).filterNot(names.toSet)
     val extResults = scala.collection.mutable.LinkedHashMap[String, Either[String, Double]]()
-    def writeFull(skipped: Seq[String]): Unit = {
+    // the headline adjudication is settled by now — serialize it once
+    def pairs(m: Seq[(String, Double)]): String =
+      m.map { case (n, r) => s""""$n":${f"$r%.2f"}""" }.mkString("{", ",", "}")
+    def clearedJson(m: Seq[(String, Double, Option[Double])]): String =
+      m.map { case (n, first, again) =>
+        s""""$n":[${f"$first%.2f"},${again.map(a => f"$a%.2f").getOrElse("null")}]"""
+      }.mkString("{", ",", "}")
+    val headSusJson = pairs(headSus.map { case (n, r, _) => n -> r })
+    val headClrJson = clearedJson(headClr.map { case (n, r, a) =>
+      (n, r * BenchEnvelopes.envelopeSec(n), a) }) // cleared keeps SECONDS
+    def writeFull(skipped: Seq[String],
+                  sweepRetry: Map[String, Double] = Map.empty): Unit = {
       val all = results ++ extResults.toSeq
       val fqs = all.collect { case (n, Right(sec)) => s""""$n":${f"$sec%.2f"}""" }
         .mkString("{", ",", "}")
       val ffl = all.collect { case (n, Left(_)) => s""""$n"""" }.mkString("[", ",", "]")
       val fsk = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-      // sweep self-adjudication (r13 ask #6): non-headline entries above
-      // the coarse 3× bar flag themselves IN THE ARTIFACT — the headline
-      // suspect block never saw these 99 queries
-      val fsus = BenchEnvelopes.sweepSuspects(
-          extResults.toSeq.collect { case (n, Right(sec)) => n -> sec })
-        .map { case (n, r) => s""""$n":${f"$r%.1f"}""" }.mkString("{", ",", "}")
+      // sweep self-adjudication (r13 ask #6, r14 ask #2): non-headline
+      // entries above the host-scaled bar flag themselves IN THE ARTIFACT;
+      // after the sweep each gets one retry, splitting confirmed suspects
+      // from cleared-on-retry transients (both numbers recorded)
+      val sok = extResults.toSeq.collect { case (n, Right(sec)) => n -> sec }
+      val hfSweep = BenchEnvelopes.hostFactor(sok, BenchEnvelopes.sweepCanaries,
+        BenchEnvelopes.fullSweepSec)
+      val rawSweep = BenchEnvelopes.sweepSuspects(sok, hfSweep)
+      def sweepBar(n: String): Double =
+        hfSweep * math.max(2 * BenchEnvelopes.fullSweepSec(n),
+          BenchEnvelopes.fullSweepSec(n) + 1.5)
+      val (swClr, swSus) = rawSweep.partition { case (n, _) =>
+        sweepRetry.get(n).exists(_ <= sweepBar(n)) }
+      val fsus = pairs(swSus)
+      val fclr = clearedJson(swClr.map { case (n, r) =>
+        (n, r * BenchEnvelopes.fullSweepSec(n), sweepRetry.get(n)) })
       val body =
-        s"""{"sf":"$sf","headline_total":${f"$total%.1f"},"headline_n":${names.size},"queries":$fqs,"failed":$ffl,"skipped":$fsk,"suspect":$fsus}"""
+        s"""{"sf":"$sf","headline_total":${f"$total%.1f"},"headline_n":${names.size},"hf":${f"$hfHead%.2f"},"hf_sweep":${f"$hfSweep%.2f"},"queries":$fqs,"failed":$ffl,"skipped":$fsk,"suspect":$fsus,"sweep_cleared":$fclr,"headline_suspect":$headSusJson,"headline_cleared":$headClrJson}"""
       val tmpF = new java.io.File("BENCH_FULL.json.tmp")
       java.nio.file.Files.write(tmpF.toPath, (body + "\n").getBytes("UTF-8"))
       java.nio.file.Files.move(tmpF.toPath, new java.io.File("BENCH_FULL.json").toPath,
@@ -155,6 +203,18 @@ object Bench {
       extResults(n) = materialize(n, sfDir).left.map(e => s"$n: $e")
       extResults(n).left.foreach(e => System.err.println(s"[bench-full] FAILED $e"))
       writeFull(remaining)
+    }
+    // post-sweep retry pass: one re-run per over-bar sweep entry (deadline-
+    // gated), then the final artifact splits confirmed from cleared
+    locally {
+      val sok = extResults.toSeq.collect { case (n, Right(sec)) => n -> sec }
+      val hfSweep = BenchEnvelopes.hostFactor(sok, BenchEnvelopes.sweepCanaries,
+        BenchEnvelopes.fullSweepSec)
+      val retry = BenchEnvelopes.sweepSuspects(sok, hfSweep).flatMap { case (n, _) =>
+        if (System.nanoTime() > deadline) None
+        else materialize(n, sfDir).toOption.map(n -> _)
+      }.toMap
+      writeFull(remaining, retry)
     }
 
     val stopper = new Thread(() => spark.stop(), "bench-stop")

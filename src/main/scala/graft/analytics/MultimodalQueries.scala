@@ -544,8 +544,74 @@ object MultimodalQueries {
     Multimodal.imageRgbaStats(media).toDF()
   }
 
+  /** Shared oracle CTE for the MJPEG fixtures (r15, E147): per doc, the
+    * per-FRAME block bytes — frame f's bw·bh blocks are the chain slice
+    * [f·bw·bh, (f+1)·bw·bh). Ground truth is the seed; Spark must recover
+    * it through the RIFF walk AND a full baseline-JPEG entropy decode per
+    * frame (block-flat planes decode bit-exact — the E127 argument).
+    */
+  private val mjpegFrameBlocksCte: String =
+    s"""WITH src AS (
+       |  SELECT doc_id, md5(text) || md5(text || 'a') AS hx, doc_id // 3 AS m
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |dims AS (
+       |  SELECT doc_id, hx, 1 + CAST(m % 2 AS INTEGER) AS bw,
+       |         1 + CAST(m % 3 AS INTEGER) AS bh,
+       |         2 + CAST(m % 2 AS INTEGER) AS nf
+       |  FROM src),
+       |fb AS (
+       |  SELECT doc_id, bw, bh, CAST(f AS INTEGER) AS f,
+       |    [${byteAt("f*bw*bh + i")} for i in range(0, bw*bh)] AS bt
+       |  FROM dims, unnest(range(0, nf)) AS t(f))""".stripMargin
+
+  /** Per-frame stats through COMPRESSED video (r15, the r14 verdict ask
+    * #4): each payload is an MJPEG AVI — 'MJPG' handler/biCompression,
+    * every '00dc' chunk one complete baseline JPEG — so the chunk walk,
+    * the per-frame SOI/tables/entropy decode, and the dims cross-check
+    * are all load-bearing on every fixture. Block-flat frames decode
+    * bit-exact; the oracle recomputes each frame's stats from the chain.
+    */
+  val mjpegStats: QueryDef = QueryDef(
+    "mm_mjpeg_stats",
+    s"""$mjpegFrameBlocksCte
+       |SELECT doc_id AS media_id, f AS frame_idx,
+       |  CAST(bw*8 AS INTEGER) AS width, CAST(bh*8 AS INTEGER) AS height,
+       |  CAST(list_sum(bt)*64 AS BIGINT) AS sum_px,
+       |  CAST(list_min(bt) AS INTEGER) AS min_px,
+       |  CAST(list_max(bt) AS INTEGER) AS max_px
+       |FROM fb""".stripMargin) { (s, dir) =>
+    val media = Multimodal.mjpegMedia(s, Tables.documents(s, dir))
+    Multimodal.mjpegFrameStats(media).toDF()
+  }
+
+  /** Per-frame perceptual aHash through the MJPEG container — the
+    * container-independence fingerprint extended to video: the oracle
+    * expands each frame's block seed to the full pixel grid and mirrors
+    * aHashBits (mean over ALL n pixels, code over the first min(n, 64)).
+    */
+  val mjpegHash: QueryDef = QueryDef(
+    "mm_mjpeg_hash",
+    s"""$mjpegFrameBlocksCte,
+       |px AS (
+       |  SELECT doc_id, f,
+       |    [bt[((i // (bw*8)) // 8) * bw + ((i % (bw*8)) // 8) + 1]
+       |     for i in range(0, bw*8*bh*8)] AS pt
+       |  FROM fb),
+       |t AS (SELECT doc_id, f, pt, len(pt) AS n, list_sum(pt) AS total FROM px)
+       |SELECT doc_id AS media_id, f AS frame_idx,
+       |  CAST(list_sum([CASE WHEN pt[i+1]*n > total THEN
+       |                   CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+       |                        ELSE CAST(CAST(1 AS BIGINT) << i AS HUGEINT) END
+       |                 ELSE CAST(0 AS HUGEINT) END
+       |                 for i in range(0, least(n, 64))]) AS BIGINT) AS code,
+       |  CAST(len(list_filter(range(0, least(n, 64)), i -> pt[i+1]*n > total)) AS INTEGER) AS n_set
+       |FROM t""".stripMargin) { (s, dir) =>
+    val media = Multimodal.mjpegMedia(s, Tables.documents(s, dir))
+    Multimodal.mjpegFrameHash(media).toDF()
+  }
+
   val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash,
     imageStats, resizeGrid, mediaDedup, pngStats, pngHash, jpegStats, jpegHash,
     jpegColorStats, pngColorStats, pngColorHash, flacEnergy, flacStereoEnergy,
-    pngAlphaStats)
+    pngAlphaStats, mjpegStats, mjpegHash)
 }

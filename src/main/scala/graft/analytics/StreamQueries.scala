@@ -755,7 +755,7 @@ object StreamQueries {
       |FROM s GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     // explicit single-file staging (the delivery contract above): one
-    // coalesced corpus file → the first drain is exactly one micro-batch
+    // coalesced corpus file → the first micro-batch is exactly the corpus
     val base = Staging.freshBase("graft_sto", dir)
     val srcDir = new java.io.File(base, "src"); srcDir.mkdirs()
     val src = srcDir.getPath
@@ -766,16 +766,18 @@ object StreamQueries {
     val staged = graft.sources.EventsSource.stageInto(
       corpus.toPath, srcDir.toPath, "corpus")
     require(staged == 1, s"corpus must stage as ONE file, staged $staged")
-    EventsStream.sessionTimeout(s, src, sink, ckpt)
     // Timers only fire DURING a batch, judged against the watermark the
-    // checkpoint restored at batch start — a batch's own rows advance the
-    // watermark only for the NEXT batch, and a drain with zero new files
-    // runs zero batches. So the close-out protocol is two sentinel
-    // deliveries: flush1 advances the stored watermark past every open
-    // timeout; flush2 exists only to make the next drain run a batch,
-    // which fires under flush1's watermark. A production query on a live
-    // trigger gets this for free — any later arrival plays the role of
-    // flush2.
+    // PREVIOUS batch set — a batch's own rows advance the watermark only
+    // for the next batch. So the close-out protocol is two sentinel
+    // deliveries: flush1 advances the watermark past every open timeout;
+    // flush2 makes one more batch run, which fires under flush1's
+    // watermark. A production query on a live trigger gets this for free —
+    // any later arrival plays the role of flush2. All three deliveries are
+    // staged UP FRONT with strictly increasing mtimes and ONE query walks
+    // them as three micro-batches under maxFilesPerTrigger=1 (admission is
+    // mtime-ordered), instead of the historical three full queries — same
+    // watermark progression, one query's worth of machinery (r15: the r14
+    // verdict's weak-#1; this was the suite's most expensive entry).
     val maxTs = Tables.events(s, dir)
       .agg(max("ts")).collect()(0).get(0) match {
         case t: java.time.LocalDateTime => t
@@ -792,9 +794,17 @@ object StreamQueries {
       ()
     }
     sentinel("flush1", 2)
-    EventsStream.sessionTimeout(s, src, sink, ckpt)
     sentinel("flush2", 4)
-    EventsStream.sessionTimeout(s, src, sink, ckpt)
+    // pin the delivery order the one-query protocol relies on: strictly
+    // increasing mtimes, whatever granularity the fs copies preserved
+    val inOrder = new java.io.File(src).listFiles().sortBy(_.getName match {
+      case n if n.contains("corpus") => 0
+      case n if n.contains("flush1") => 1
+      case _                         => 2
+    })
+    inOrder.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(((System.currentTimeMillis() / 1000) + i) * 1000); () }
+    EventsStream.sessionTimeout(s, src, sink, ckpt, maxFilesPerTrigger = Some(1))
     s.read.parquet(sink).select("user_id", "start_ms", "end_ms", "n_events")
   }
 

@@ -927,8 +927,77 @@ object TextQueries {
           .as("tokens_per_word"))
   }
 
+  /** Synthetic crawl page around a document (the codec-fixture pattern
+    * brought to HTML): the doc's words become the article — an h2 title
+    * plus 8-word paragraphs — wrapped in REAL chrome that each prune rule
+    * must remove to match the oracle: a nav link bar (tag prune), a
+    * header h1 (tag prune), a sidebar div carrying DOC-DERIVED text
+    * (class-token prune — skipping it leaks the sidebar into main text),
+    * a link-dense in-ARTICLE p of pure anchors (the link-density gate —
+    * no subtree prune removes it), a related-stories div with doc words
+    * (class prune) and a footer (tag prune). Even/odd docs vary which
+    * traps are present so both page shapes are on the oracle path.
+    */
+  private def syntheticPage(docId: Long, text: String): String = {
+    val words = text.trim.split("\\s+")
+    val sb = new StringBuilder
+    sb ++= "<html><head><title>Site</title><style>body{margin:0}</style></head><body>"
+    sb ++= """<nav class="navbar"><ul><li><a href="/">Home</a></li>"""
+    sb ++= """<li><a href="/p">Products</a></li><li><a href="/c">Contact</a></li></ul></nav>"""
+    sb ++= "<header><h1>Example Site</h1></header>"
+    if (docId % 2 == 0)
+      sb ++= s"""<div class="sidebar"><p>About our excellent ${words.head} services and partners worldwide</p><a href="/a">archive</a></div>"""
+    sb ++= "<article>"
+    sb ++= s"<h2>Report $docId</h2>"
+    words.grouped(8).foreach(p => sb ++= s"<p>${p.mkString(" ")}</p>")
+    if (docId % 2 == 1)
+      sb ++= """<p><a href="#">Read more</a> <a href="#">Subscribe now</a> <a href="#">Share this article</a></p>"""
+    sb ++= "</article>"
+    sb ++= s"""<div class="related"><h3>Related stories</h3><p>More about ${words.last} and other topics from our archive pages</p></div>"""
+    sb ++= s"<footer><p>(c) 2026 Example Site - all rights reserved. ${words.head} newsletter signup.</p></footer>"
+    sb ++= "</body></html>"
+    sb.toString
+  }
+
+  /** Main-content HTML extraction (r15, the r14 verdict ask #5 — the
+    * missing stage between the scrape tier and tx_quality_score):
+    * boilerplate removal via MainContent's deterministic tag/class-token
+    * prune + integer link-density scoring over the HtmlDoc DOM. The
+    * oracle states the expected main text BY CONSTRUCTION — the h2 title
+    * plus the ≥25-char 8-word paragraphs, newline-joined — so any chrome
+    * leaking through (or any article span wrongly dropped) hash-
+    * mismatches. Scale: one mapPartitions pass, embarrassingly parallel,
+    * no shuffle — the same posture as the codec tier.
+    */
+  val htmlExtract: QueryDef = QueryDef(
+    "tx_html_extract",
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    ['Report ' || doc_id] ||
+      |    list_filter([array_to_string(ws[i*8+1:(i+1)*8], ' ')
+      |                 for i in range(0, (len(ws)+7)//8)], s -> len(s) >= 25) AS kept
+      |  FROM w)
+      |SELECT doc_id, array_to_string(kept, chr(10)) AS main_text,
+      |  CAST(len(kept) AS INTEGER) AS n_blocks,
+      |  CAST(len(array_to_string(kept, chr(10))) AS BIGINT) AS n_chars
+      |FROM p""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val spans = graft.ingest.MainContent.mainBlocks(syntheticPage(docId, text))
+        val main = spans.mkString("\n")
+        (docId, main, spans.size, main.length.toLong)
+      })
+      .toDF("doc_id", "main_text", "n_blocks", "n_chars")
+  }
+
   val defs: Seq[QueryDef] =
     Seq(qualityScore, langId, tokenCount, fingerprint, rollingHash, sentiment,
       corpusFilter, bm25Rank, editDist, repetition, ngramNovelty, familiarity,
-      bpeMerge, tfidfKeywords, bpeTokenize, rrfHybrid, bpeIncrLake)
+      bpeMerge, tfidfKeywords, bpeTokenize, rrfHybrid, bpeIncrLake, htmlExtract)
 }

@@ -298,9 +298,6 @@ object Codecs {
     * dwTotalFrames when present.
     */
   def decodeAvi(bytes: Array[Byte]): GrayVideo = {
-    def tagAt(off: Int): String = new String(bytes, off, 4, "US-ASCII")
-    require(bytes.length >= 12 && tagAt(0) == "RIFF" && tagAt(8) == "AVI ",
-      "not an AVI: missing RIFF/AVI magic")
     var width = 0; var hRaw = 0; var totalFrames = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
 
@@ -327,34 +324,167 @@ object Codecs {
       frames += px
     }
 
+    walkAvi(bytes) { (id, off, size) =>
+      id match {
+        case "avih" => totalFrames = i32(bytes, off + 16)
+        case "strf" =>
+          require(i32(bytes, off) == 40, "strf is not a BITMAPINFOHEADER")
+          width = i32(bytes, off + 4)
+          hRaw = i32(bytes, off + 8)
+          require(u16(bytes, off + 14) == 24,
+            s"unsupported AVI bit depth ${u16(bytes, off + 14)}")
+          require(i32(bytes, off + 16) == 0, "compressed AVI unsupported")
+          require(width > 0 && hRaw != 0, s"bad AVI dims ${width}x$hRaw")
+        case "00db" | "00dc" => decodeFrame(off, size)
+        case _ => // strh/JUNK/idx1/unknown: walk over
+      }
+    }
+    require(frames.nonEmpty, "AVI contains no frame chunks")
+    require(totalFrames < 0 || totalFrames == frames.length,
+      s"avih says $totalFrames frames, movi carries ${frames.length}")
+    GrayVideo(width, math.abs(hRaw), frames.toArray)
+  }
+
+  /** The RIFF/AVI chunk walk shared by the DIB and MJPEG decoders: magic
+    * check, LIST recursion (list type tag skipped), odd-size pad bytes —
+    * the callback sees every LEAF chunk as (fourcc, payload offset, size).
+    */
+  private def walkAvi(bytes: Array[Byte])(on: (String, Int, Int) => Unit): Unit = {
+    def tagAt(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(bytes.length >= 12 && tagAt(0) == "RIFF" && tagAt(8) == "AVI ",
+      "not an AVI: missing RIFF/AVI magic")
     def walk(from: Int, until: Int): Unit = {
       var off = from
       while (off + 8 <= until) {
         val id = tagAt(off)
         val size = i32(bytes, off + 4)
         require(size >= 0 && off + 8 + size <= until, s"truncated AVI chunk $id")
-        id match {
-          case "LIST" => walk(off + 12, off + 8 + size) // skip the list type tag
-          case "avih" => totalFrames = i32(bytes, off + 8 + 16)
-          case "strf" =>
-            require(i32(bytes, off + 8) == 40, "strf is not a BITMAPINFOHEADER")
-            width = i32(bytes, off + 12)
-            hRaw = i32(bytes, off + 16)
-            require(u16(bytes, off + 22) == 24,
-              s"unsupported AVI bit depth ${u16(bytes, off + 22)}")
-            require(i32(bytes, off + 24) == 0, "compressed AVI unsupported")
-            require(width > 0 && hRaw != 0, s"bad AVI dims ${width}x$hRaw")
-          case "00db" | "00dc" => decodeFrame(off + 8, size)
-          case _ => // strh/JUNK/idx1/unknown: walk over
-        }
+        if (id == "LIST") walk(off + 12, off + 8 + size) // skip the list type tag
+        else on(id, off + 8, size)
         off += 8 + size + (size & 1)
       }
     }
     walk(12, bytes.length)
-    require(frames.nonEmpty, "AVI contains no frame chunks")
+  }
+
+  /** 'MJPG' as the little-endian biCompression/handler fourcc value. */
+  private val MjpgFourcc = 'M' | ('J' << 8) | ('P' << 16) | ('G' << 24)
+
+  /** Encode pre-encoded baseline-JPEG frames as an MJPEG AVI — the
+    * COMPRESSED-video composition (r14 verdict ask #4): the same RIFF
+    * layout as [[encodeAvi]] but handler/biCompression 'MJPG', each
+    * '00dc' chunk one complete JPEG whose size varies per frame (odd
+    * sizes pad — the DIB path never exercised that on frame chunks), and
+    * idx1 entries carry the real per-frame sizes. This is the standard
+    * production MJPEG shape: no inter-frame state, every frame
+    * independently decodable — which is also why it composes from the
+    * existing JPEG codec with no new entropy machinery.
+    */
+  def encodeAviMjpeg(w: Int, h: Int, jpegFrames: Array[Array[Byte]],
+                     junkChunk: Boolean = false): Array[Byte] = {
+    val n = jpegFrames.length
+    require(w > 0 && h > 0 && n > 0 && jpegFrames.forall(_.nonEmpty))
+    val maxFrame = jpegFrames.map(_.length).max
+    val hdrl = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
+    val junk = if (junkChunk) 8 + 12 else 0
+    val movi = 4 + jpegFrames.map(f => 8 + f.length + (f.length & 1)).sum
+    val idx1 = n * 16
+    val riffSize = 4 + (8 + hdrl) + junk + (8 + movi) + (8 + idx1)
+    val b = new Array[Byte](8 + riffSize)
+    def tag(off: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { b(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); w32(b, 4, riffSize); tag(8, "AVI ")
+    var off = 12
+    tag(off, "LIST"); w32(b, off + 4, hdrl); tag(off + 8, "hdrl"); off += 12
+    tag(off, "avih"); w32(b, off + 4, 56); off += 8
+    w32(b, off, 40000)                 // dwMicroSecPerFrame (25 fps)
+    w32(b, off + 4, maxFrame * 25)     // dwMaxBytesPerSec
+    w32(b, off + 12, 0x10)             // dwFlags: AVIF_HASINDEX
+    w32(b, off + 16, n)                // dwTotalFrames
+    w32(b, off + 24, 1)                // dwStreams
+    w32(b, off + 28, maxFrame)         // dwSuggestedBufferSize
+    w32(b, off + 32, w)
+    w32(b, off + 36, h)
+    off += 56
+    tag(off, "LIST"); w32(b, off + 4, 4 + (8 + 56) + (8 + 40)); tag(off + 8, "strl"); off += 12
+    tag(off, "strh"); w32(b, off + 4, 56); off += 8
+    tag(off, "vids"); tag(off + 4, "MJPG")
+    w32(b, off + 20, 1)                // dwScale
+    w32(b, off + 24, 25)               // dwRate → 25 fps
+    w32(b, off + 32, n)                // dwLength (frames)
+    w32(b, off + 36, maxFrame)         // dwSuggestedBufferSize
+    w16(b, off + 52, w & 0xffff)
+    w16(b, off + 54, h & 0xffff)
+    off += 56
+    tag(off, "strf"); w32(b, off + 4, 40); off += 8
+    w32(b, off, 40); w32(b, off + 4, w); w32(b, off + 8, h)
+    w16(b, off + 12, 1); w16(b, off + 14, 24)   // planes, bitCount
+    w32(b, off + 16, MjpgFourcc)                // biCompression = 'MJPG'
+    w32(b, off + 20, maxFrame)                  // biSizeImage (upper bound)
+    off += 40
+    if (junkChunk) {
+      tag(off, "JUNK"); w32(b, off + 4, 12); off += 8 + 12
+    }
+    tag(off, "LIST"); w32(b, off + 4, movi); tag(off + 8, "movi")
+    val moviStart = off + 8
+    off += 12
+    val chunkOffs = new Array[Int](n)
+    var f = 0
+    while (f < n) {
+      val frame = jpegFrames(f)
+      chunkOffs(f) = off - moviStart
+      tag(off, "00dc"); w32(b, off + 4, frame.length); off += 8
+      System.arraycopy(frame, 0, b, off, frame.length)
+      off += frame.length + (frame.length & 1) // pad byte stays zero
+      f += 1
+    }
+    tag(off, "idx1"); w32(b, off + 4, idx1); off += 8
+    f = 0
+    while (f < n) {
+      tag(off, "00dc"); w32(b, off + 4, 0x10)
+      w32(b, off + 8, chunkOffs(f)); w32(b, off + 12, jpegFrames(f).length)
+      off += 16
+      f += 1
+    }
+    b
+  }
+
+  /** Parse an MJPEG AVI back to per-frame gray pixels: the shared chunk
+    * walk finds the strf whose biCompression is 'MJPG', then every
+    * '00dc'/'00db' chunk is one COMPLETE baseline JPEG handed to
+    * [[decodeJpeg]] — SOI magic, quant/Huffman tables, entropy decode and
+    * IDCT all run per frame (tables are per-frame in MJPEG by design:
+    * no state crosses frames). Each frame's decoded dims must match the
+    * container geometry; the avih frame count cross-checks like the DIB
+    * path.
+    */
+  def decodeAviMjpeg(bytes: Array[Byte]): GrayVideo = {
+    var width = 0; var height = 0; var totalFrames = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    walkAvi(bytes) { (id, off, size) =>
+      id match {
+        case "avih" => totalFrames = i32(bytes, off + 16)
+        case "strf" =>
+          require(i32(bytes, off) == 40, "strf is not a BITMAPINFOHEADER")
+          width = i32(bytes, off + 4)
+          height = i32(bytes, off + 8)
+          require(i32(bytes, off + 16) == MjpgFourcc,
+            "strf biCompression is not MJPG")
+          require(width > 0 && height > 0, s"bad MJPEG dims ${width}x$height")
+        case "00db" | "00dc" =>
+          require(width > 0, "MJPEG frame chunk before strf header")
+          val img = decodeJpeg(java.util.Arrays.copyOfRange(bytes, off, off + size))
+          require(img.width == width && img.height == height,
+            s"frame dims ${img.width}x${img.height} != container ${width}x$height")
+          frames += img.pixels
+        case _ => ()
+      }
+    }
+    require(frames.nonEmpty, "MJPEG AVI contains no frame chunks")
     require(totalFrames < 0 || totalFrames == frames.length,
       s"avih says $totalFrames frames, movi carries ${frames.length}")
-    GrayVideo(width, math.abs(hRaw), frames.toArray)
+    GrayVideo(width, height, frames.toArray)
   }
 
   /** Parse a RIFF/WAVE PCM file: verify the RIFF/WAVE magic, WALK the
@@ -1139,11 +1269,6 @@ object Codecs {
         if (h > y0) (h - y0 + dy - 1) / dy else 0)
     }
 
-  private def interlacedRawLen(w: Int, h: Int, bpp: Int): Int =
-    adam7PassDims(w, h).map { case (pw, ph) =>
-      if (pw > 0 && ph > 0) (pw * bpp + 1) * ph else 0
-    }.sum
-
   /** Adam7-interlaced filtered stream: each non-empty pass is extracted
     * as its own sub-image and filtered INDEPENDENTLY (the spec's rule —
     * a pass row's up/left references are within the pass, not the final
@@ -1487,8 +1612,24 @@ object Codecs {
     }
     val z = idat.toByteArray
     require(z.nonEmpty, "PNG missing IDAT")
-    val rawLen =
-      if (interlaced) interlacedRawLen(w, h, bpp) else (w * bpp + 1) * h
+    // Allocation plausibility gate (r14 ADVICE): a crafted IHDR with a
+    // valid CRC but huge dims would overflow the Int scanline arithmetic
+    // (NegativeArraySizeException) or attempt a multi-GB allocation. Size
+    // the filtered stream in LONG first, then reject anything the IDAT
+    // actually present cannot inflate to — zlib's hard expansion ceiling
+    // is ~1032× the compressed size, so no VALID container is lost — and
+    // anything past Int-indexable range (the same failure class the FLAC
+    // decoder gates with its total-samples plausibility bound).
+    val rawLenL =
+      if (interlaced)
+        adam7PassDims(w, h).map { case (pw, ph) =>
+          if (pw > 0 && ph > 0) (pw.toLong * bpp + 1) * ph else 0L
+        }.sum
+      else (w.toLong * bpp + 1) * h
+    require(rawLenL <= Int.MaxValue - 16 &&
+        rawLenL <= z.length.toLong * 1032 + 64,
+      s"implausible PNG dims ${w}x$h for ${z.length}-byte IDAT")
+    val rawLen = rawLenL.toInt
     val raw = new Array[Byte](rawLen)
     val inflater = new java.util.zip.Inflater
     inflater.setInput(z)

@@ -639,6 +639,83 @@ object Multimodal {
       })
   }
 
+  /** Build REAL MJPEG AVIs from the video-kind documents (r15, the r14
+    * verdict ask #4 — COMPRESSED video by composition: E127's baseline
+    * JPEG frames inside E108's RIFF walk): m = doc_id/3 gives frame
+    * geometry bw = 1+m%2 × bh = 1+m%3 8×8 blocks (8bw × 8bh pixels) and
+    * nf = 2+m%2 frames; frame f's blocks are chain[f·bw·bh ..) — the
+    * established lossy-fixture scheme (block-flat planes decode
+    * bit-exact through the all-ones quant tables), so the oracle
+    * recomputes per-frame stats straight from the seed while Spark must
+    * recover them through BOTH the RIFF walk and the per-frame entropy
+    * decode. JUNK chunk on even doc_ids; odd JPEG sizes exercise the
+    * frame-chunk pad byte the fixed-size DIB path never hits.
+    */
+  def mjpegMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val m = docId / 3
+        val bw = 1 + (m % 2).toInt
+        val bh = 1 + (m % 3).toInt
+        val nf = 2 + (m % 2).toInt
+        val nB = bw * bh
+        val blocks = md5Chain(text, nf * nB)
+        val w = bw * 8; val h = bh * 8
+        val frames = Array.tabulate(nf) { f =>
+          val px = Array.tabulate(w * h)(i =>
+            blocks(f * nB + (i / w / 8) * bw + (i % w / 8)))
+          Codecs.encodeJpeg(Codecs.GrayImage(w, h, px))
+        }
+        MediaRecord(docId, "video",
+          Codecs.encodeAviMjpeg(w, h, frames, junkChunk = docId % 2 == 0))
+      })
+  }
+
+  /** Per-frame stats through the MJPEG container: exact integer
+    * sum/min/max of each decoded frame's gray pixels.
+    */
+  final case class FrameStats(media_id: Long, frame_idx: Int, width: Int,
+                              height: Int, sum_px: Long, min_px: Int, max_px: Int)
+
+  def mjpegFrameStats(media: Dataset[MediaRecord]): Dataset[FrameStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
+      val v = Codecs.decodeAviMjpeg(m.content)
+      Iterator.range(0, v.frames.length).map { f =>
+        val px = v.frames(f)
+        var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+        var i = 0
+        while (i < px.length) {
+          val p = px(i); sum += p
+          if (p < mn) mn = p; if (p > mx) mx = p
+          i += 1
+        }
+        FrameStats(m.media_id, f, v.width, v.height, sum, mn, mx)
+      }
+    })
+  }
+
+  /** Per-frame perceptual aHash through the MJPEG container — the
+    * container-independence fingerprint (mm_avg_hash / mm_jpeg_hash /
+    * mm_png_*_hash precedent) extended to video frames: the same
+    * division-free thresholding over each frame's decoded pixels.
+    */
+  final case class FrameHash(media_id: Long, frame_idx: Int, code: Long, n_set: Int)
+
+  def mjpegFrameHash(media: Dataset[MediaRecord]): Dataset[FrameHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
+      val v = Codecs.decodeAviMjpeg(m.content)
+      Iterator.range(0, v.frames.length).map { f =>
+        val (code, nset) = aHashBits(v.frames(f))
+        FrameHash(m.media_id, f, code, nset)
+      }
+    })
+  }
+
   /** Build REAL RIFF/WAVE PCM files from the audio-kind documents
     * (doc_id ≡ 1 mod 3): 7–12 signed-LE 16-bit samples from the md5 chain
     * (sample i = chainByte(2i) + 256·chainByte(2i+1), signed), with a JUNK

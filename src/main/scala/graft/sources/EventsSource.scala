@@ -49,8 +49,10 @@ object EventsSource {
     * read — file streams require an upfront schema), then the SAME
     * normalization as the batch path, so the two cannot diverge on unit.
     */
-  def stream(s: SparkSession, dir: String): DataFrame =
-    normalizeTs(s.readStream.schema(s.read.parquet(dir).schema).parquet(dir))
+  def stream(s: SparkSession, dir: String,
+             options: Map[String, String] = Map.empty): DataFrame =
+    normalizeTs(s.readStream.options(options)
+      .schema(s.read.parquet(dir).schema).parquet(dir))
 
   /** Stage a copy of `from` — a single parquet file OR a Spark-written
     * directory of part files — into `destDir` as loose `*.parquet` files

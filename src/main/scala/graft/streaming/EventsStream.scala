@@ -444,12 +444,22 @@ object EventsStream {
         val cond = keys.map(k => existing(k) <=> fresh(k)).reduce(_ && _)
         existing.join(fresh, cond, "left_anti").unionByName(fresh)
       } else fresh // absent sink, or only the empty marker: nothing to keep
+    // Cluster on the partition column BEFORE writing: a partitioned write
+    // fans each TASK out into one file per bucket it holds, so the
+    // state-agg's partitioning (StatePartitions tasks × up to StateBuckets
+    // buckets each) would strew ~tasks×buckets tiny files per trigger —
+    // measured at ~1000 fs ops/commit (r15), the dominant sink cost on a
+    // slow-metadata host and a small-files bomb at any scale. One shuffle
+    // of the (tiny, ≤ keys-sized) merged frame lands each touched bucket
+    // in exactly one task → exactly one file per touched bucket per
+    // commit, which is also the read-side partition-discovery cost story.
     // localCheckpoint breaks the read-from-sink lineage so the overwrite
     // of the same path is legal and replay-safe. The empty marker (a ROOT
     // file) is replaced by a static overwrite — dynamic overwrite would
     // leave it next to the partition dirs, a mixed layout that breaks
     // partition discovery.
-    val writer = merged.localCheckpoint(true).write.mode("overwrite")
+    val writer = merged.repartition(col("bucket"))
+      .localCheckpoint(true).write.mode("overwrite")
     (if (marker) writer
      else writer.option("partitionOverwriteMode", "dynamic"))
       .partitionBy("bucket")
@@ -590,9 +600,21 @@ object EventsStream {
     * `__flush` sentinel rows advance the watermark but never reach the
     * processor), RocksDB state store, update-mode upserts keyed
     * (user_id, start_ms) — a re-fired close-out is idempotent.
+    *
+    * `maxFilesPerTrigger`: timers fire during a batch against the
+    * watermark the PREVIOUS batch set, so the close-out protocol needs a
+    * batch succession (corpus → flush → fire). Historically that meant
+    * one full streaming query per delivery — three query startups,
+    * plannings, and state-store lifecycles per run. Bounding the file
+    * source's admission instead lets ONE query walk the staged deliveries
+    * oldest-first as separate micro-batches with the IDENTICAL watermark
+    * progression (the file source admits files in modification-time
+    * order), cutting the machinery cost to one query. Callers staging
+    * multiple deliveries must give them strictly increasing mtimes.
     */
   def sessionTimeout(spark: SparkSession, sourceDir: String, sinkPath: String,
-                     checkpoint: String): Unit = {
+                     checkpoint: String,
+                     maxFilesPerTrigger: Option[Int] = None): Unit = {
     import spark.implicits._
     val conf = spark.conf
     val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
@@ -600,7 +622,9 @@ object EventsStream {
     conf.set(ProviderKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try withStateTunedConf(spark) {
-      val stream = eventsStream(spark, sourceDir)
+      val srcOpts = maxFilesPerTrigger
+        .map(n => Map("maxFilesPerTrigger" -> n.toString)).getOrElse(Map.empty)
+      val stream = graft.sources.EventsSource.stream(spark, sourceDir, srcOpts)
         .withWatermark("ts", "1 second")
         .select(col("user_id"), unix_millis(col("ts")).as("ms"))
         .as[(Long, Long)]

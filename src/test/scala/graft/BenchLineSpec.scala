@@ -32,19 +32,24 @@ class BenchLineSpec extends AnyFunSuite {
       assert(a.length < n.length, s"alias '$a' does not shorten '$n'") }
   }
 
+  // worst-case suspect block under the r15 contract: 4 inline confirmed
+  // suspects (the longest emitted names) + the overflow count + the host
+  // factor field
+  private def worstSuspectBlock(names: Seq[String]): String = {
+    val sus = names.sortBy(-_.length).take(4)
+      .map(n => s""""$n":99.9""").mkString(""","suspect":{""", ",", "}")
+    s"""$sus,"suspect_more":99,"hf":4.00"""
+  }
+
   test("worst-case bench JSON line fits the 2000-char capture tail") {
     val names = SparkEntry.benchQueries
       .map(n => SparkEntry.benchAlias.getOrElse(n, n))
     // worst case: every query at the 3-char clamp, every query ALSO listed
     // in "failed" is impossible (failures leave the map), so model the
-    // longer of the two renderings per entry — the map entry. The suspect
-    // block is capped at 3 entries; model it at the 3 longest names with
-    // the 4-char ratio clamp (99.9).
+    // longer of the two renderings per entry — the map entry.
     val qs = names.map(n => s""""$n":999""").mkString("{", ",", "}")
-    val sus = names.sortBy(-_.length).take(3)
-      .map(n => s""""$n":99.9""").mkString(""","suspect":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs$sus,"sf":"sf0.01"}"""
+      s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs${worstSuspectBlock(names)},"sf":"sf0.01"}"""
     val sbtFraming = 7 + 70 // "[info] " prefix + "[success] Total time: …" suffix
     assert(line.length + sbtFraming <= 2000,
       s"worst-case bench line is ${line.length}+$sbtFraming chars; the driver " +
@@ -63,15 +68,58 @@ class BenchLineSpec extends AnyFunSuite {
     val names = SparkEntry.benchQueries
       .map(n => SparkEntry.benchAlias.getOrElse(n, n))
     val qs = names.map(n => s""""$n":999""").mkString("{", ",", "}")
-    val sus = names.sortBy(-_.length).take(3)
-      .map(n => s""""$n":99.9""").mkString(""","suspect":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs$sus,"sf":"sf0.01"}"""
+      s"""{"metric":"total","value":99999.9,"unit":"sec","queries":$qs${worstSuspectBlock(names)},"sf":"sf0.01"}"""
     val sbtFraming = 7 + 70
     val trailingNoiseAllowance = 150
     assert(line.length + sbtFraming + trailingNoiseAllowance <= 2000,
       s"post-sweep tail (line ${line.length} + framing + noise allowance) " +
         "exceeds the 2000-char capture window")
+  }
+
+  test("host factor: median canary ratio, clamped, missing canaries drop out") {
+    val env = Map("a" -> 1.0, "b" -> 2.0, "c" -> 1.0, "d" -> 4.0)
+    val canaries = Seq("a", "b", "c", "d", "ghost")
+    // median of (1.2, 1.5, 1.8) = 1.5 ("d" missing from measured, "ghost"
+    // missing from env — both drop out)
+    val hf = BenchEnvelopes.hostFactor(
+      Seq("a" -> 1.2, "b" -> 3.0, "c" -> 1.8), canaries, env)
+    assert(math.abs(hf - 1.5) < 1e-9)
+    // a FAST window clamps UP to 1.0 — never lowers the bar under its
+    // committed value (that would mask real drift)
+    assert(BenchEnvelopes.hostFactor(Seq("a" -> 0.3, "b" -> 0.5), canaries, env) == 1.0)
+    // a pathological window clamps at 4.0 — a 10x regression cannot hide
+    assert(BenchEnvelopes.hostFactor(Seq("a" -> 99.0, "b" -> 99.0), canaries, env) == 4.0)
+    // no canaries measured → the unscaled bars
+    assert(BenchEnvelopes.hostFactor(Nil, canaries, env) == 1.0)
+  }
+
+  test("suspect bars scale by the host factor; ratios stay raw") {
+    // dd_exact env 0.3: 1.4s is 4.7x — over the unscaled bar (1.3) but
+    // under the hf=2 bar (2.6): a slow-window number does not flag
+    assert(BenchEnvelopes.suspects(Seq("dd_exact" -> 1.4), hf = 1.0).nonEmpty)
+    assert(BenchEnvelopes.suspects(Seq("dd_exact" -> 1.4), hf = 2.0).isEmpty)
+    // the reported ratio is measured/envelope, NOT bar-relative
+    val Seq((n, r)) = BenchEnvelopes.suspects(Seq("gr_pagerank" -> 15.3), hf = 1.0)
+    assert(n == "gr_pagerank" && math.abs(r - 15.3 / 5.1) < 1e-9)
+  }
+
+  test("suspects are UNCAPPED (the r14 take(3) cap hid a 4th over-bar entry)") {
+    val many = Seq("dd_exact", "gr_pagerank", "k10_merge_upsert", "j1_broadcast_enrich",
+      "tx_lang_id").map(_ -> 999.0)
+    assert(BenchEnvelopes.suspects(many).size == many.size)
+  }
+
+  test("canaries exist in their envelope maps and stay plan-stable entries") {
+    val missingH = BenchEnvelopes.headlineCanaries
+      .filterNot(BenchEnvelopes.envelopeSec.contains)
+    assert(missingH.isEmpty, s"headline canaries without an envelope: $missingH")
+    val missingS = BenchEnvelopes.sweepCanaries
+      .filterNot(BenchEnvelopes.fullSweepSec.contains)
+    assert(missingS.isEmpty, s"sweep canaries without a sweep envelope: $missingS")
+    // enough canaries that one odd entry cannot swing the median
+    assert(BenchEnvelopes.headlineCanaries.size >= 5)
+    assert(BenchEnvelopes.sweepCanaries.size >= 5)
   }
 
   test("every declared query carries exactly one envelope (headline or sweep)") {
@@ -89,6 +137,9 @@ class BenchLineSpec extends AnyFunSuite {
       "mm_resize" -> 0.9,               // 4.5x but under the +1.5s floor -> quiet
       "never_enveloped_query" -> 99.0)) // unknown -> never flags
     assert(sus.map(_._1) == Seq("tpch_q16_parts_supplier"))
+    // and the host factor scales the sweep bar too (6.5 < 2.5x the 2x bar)
+    assert(BenchEnvelopes.sweepSuspects(
+      Seq("tpch_q16_parts_supplier" -> 6.5), hf = 2.5).isEmpty)
   }
 
   test("every headline entry carries a committed self-adjudication envelope") {
@@ -101,7 +152,5 @@ class BenchLineSpec extends AnyFunSuite {
     // and the suspect logic flags a 3x outlier but not jitter on tiny entries
     val sus = BenchEnvelopes.suspects(Seq("dd_exact" -> 0.4, "gr_pagerank" -> 15.3))
     assert(sus.map(_._1) == Seq("gr_pagerank"))
-    assert(BenchEnvelopes.suspects(
-      (1 to 10).map(i => s"q$i" -> 999.0) ++ Seq("gr_pagerank" -> 15.3)).size <= 3)
   }
 }

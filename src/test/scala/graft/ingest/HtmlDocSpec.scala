@@ -153,4 +153,53 @@ class HtmlDocSpec extends AnyFunSuite {
     assert(normalize(viaHtml) == normalize(viaJson),
       "the DOM walk and the pre-extracted fixture diverge after normalization")
   }
+
+  // ---- MainContent: boilerplate removal (r15, E148) ------------------------
+
+  test("MainContent strips nav/header/footer/aside subtrees by tag") {
+    val html =
+      """<html><body>
+        |<nav><ul><li><a href="/">Home</a></li><li><a href="/p">Products page</a></li></ul></nav>
+        |<header><h1>Big Site Name Here</h1></header>
+        |<article><p>The actual article body sentence with enough characters to keep.</p></article>
+        |<aside><p>A long aside promotion paragraph that would pass length checks easily.</p></aside>
+        |<footer><p>Copyright and contact information paragraph long enough to keep.</p></footer>
+        |</body></html>""".stripMargin
+    assert(MainContent.mainBlocks(html) ==
+      Seq("The actual article body sentence with enough characters to keep."))
+  }
+
+  test("MainContent strips chrome by class/id token, including on otherwise-plain divs") {
+    val html =
+      """<body>
+        |<div class="sidebar"><p>Sidebar text long enough to pass every length threshold here.</p></div>
+        |<div id="comments"><p>A comment long enough to pass every length threshold easily.</p></div>
+        |<div class="content main"><p>Main content paragraph that must survive the walk intact.</p></div>
+        |<div class="related"><h3>Also read</h3><p>Related-links blurb long enough to pass the length test.</p></div>
+        |</body>""".stripMargin
+    assert(MainContent.mainBlocks(html) ==
+      Seq("Main content paragraph that must survive the walk intact."))
+  }
+
+  test("MainContent drops link-dense blocks but keeps prose with a citation link") {
+    val linky = """<body><p><a href="#">Read more</a> <a href="#">Subscribe now</a> <a href="#">Share this article</a></p></body>"""
+    assert(MainContent.mainBlocks(linky).isEmpty)
+    val cited =
+      """<body><p>A full sentence of running prose that cites <a href="#">one source</a> and keeps going with more words.</p></body>"""
+    assert(MainContent.mainBlocks(cited).size == 1)
+  }
+
+  test("MainContent emits outermost blocks once (no double-count through nesting)") {
+    val html =
+      """<body><blockquote><p>A quoted paragraph nested inside a blockquote block element here.</p></blockquote></body>"""
+    val spans = MainContent.mainBlocks(html)
+    assert(spans == Seq("A quoted paragraph nested inside a blockquote block element here."))
+  }
+
+  test("MainContent keeps short headings but not short body fragments") {
+    val html = "<body><h2>Title</h2><p>too short</p>" +
+      "<p>A body paragraph comfortably past the twenty-five character floor.</p></body>"
+    assert(MainContent.mainBlocks(html) ==
+      Seq("Title", "A body paragraph comfortably past the twenty-five character floor."))
+  }
 }

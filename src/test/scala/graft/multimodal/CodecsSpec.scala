@@ -217,6 +217,73 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { decodeAvi(drift) }
   }
 
+  // ---- MJPEG AVI (r15: compressed video by composition) -------------------
+
+  private def flatFrame(bw: Int, bh: Int, blocks: Array[Int]): Array[Int] = {
+    val w = bw * 8
+    Array.tabulate(w * bh * 8)(i => blocks((i / w / 8) * bw + (i % w / 8)))
+  }
+
+  test("encodeAviMjpeg emits MJPG handler/compression and JPEG '00dc' chunks") {
+    val frames = Array(
+      encodeJpeg(GrayImage(8, 8, Array.fill(64)(77))),
+      encodeJpeg(GrayImage(8, 8, Array.fill(64)(200))))
+    val b = encodeAviMjpeg(8, 8, frames)
+    def i32At(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    assert(new String(b, 0, 4, "US-ASCII") == "RIFF")
+    // strh handler fourcc is 'MJPG' (hdrl layout fixed: RIFF 12 + LIST
+    // hdrl 12 + avih 64 + LIST strl 12 = strh tag at 100, payload at 108)
+    val strh = 108
+    assert(new String(b, strh, 4, "US-ASCII") == "vids")
+    assert(new String(b, strh + 4, 4, "US-ASCII") == "MJPG")
+    // strf biCompression (offset 16 into the BITMAPINFOHEADER) is 'MJPG'
+    val strf = strh + 56 + 8
+    assert(new String(b, strf + 16, 4, "US-ASCII") == "MJPG")
+    // each frame chunk is a complete JPEG: '00dc' header + SOI marker
+    val body = new String(b.map(x => (x & 0xff).toChar))
+    val first = body.indexOf("00dc")
+    assert(first > 0 && (b(first + 8) & 0xff) == 0xff && (b(first + 9) & 0xff) == 0xd8)
+  }
+
+  test("MJPEG AVI round-trip is exact for block-flat frames (dims, counts, odd-size pads)") {
+    val gen = for {
+      bw <- Gen.choose(1, 3)
+      bh <- Gen.choose(1, 2)
+      n <- Gen.choose(1, 4)
+      junk <- Gen.oneOf(true, false)
+      blocks <- Gen.listOfN(n * bw * bh, Gen.choose(0, 255))
+    } yield (bw, bh, n, junk, blocks.toArray)
+    check("mjpeg-roundtrip", Prop.forAll(gen) { case (bw, bh, n, junk, blocks) =>
+      val frames = Array.tabulate(n)(f => flatFrame(bw, bh,
+        java.util.Arrays.copyOfRange(blocks, f * bw * bh, (f + 1) * bw * bh)))
+      val jpegs = frames.map(px => encodeJpeg(GrayImage(bw * 8, bh * 8, px)))
+      val back = decodeAviMjpeg(encodeAviMjpeg(bw * 8, bh * 8, jpegs, junk))
+      back.width == bw * 8 && back.height == bh * 8 &&
+        back.frames.map(_.toSeq).toSeq == frames.map(_.toSeq).toSeq
+    })
+  }
+
+  test("decodeAviMjpeg rejects DIB containers, dim drift and frame-count drift") {
+    // an uncompressed-DIB AVI is not MJPEG: biCompression gate
+    val dib = encodeAvi(GrayVideo(2, 2, Array(Array(1, 2, 3, 4))))
+    intercept[IllegalArgumentException] { decodeAviMjpeg(dib) }
+    // and the MJPEG container refuses the DIB decoder symmetrically
+    val jf = Array(encodeJpeg(GrayImage(8, 8, Array.fill(64)(128))))
+    val good = encodeAviMjpeg(8, 8, jf)
+    intercept[IllegalArgumentException] { decodeAvi(good) }
+    // a frame whose decoded dims disagree with the container geometry
+    val lied = encodeAviMjpeg(16, 8, jf)
+    intercept[IllegalArgumentException] { decodeAviMjpeg(lied) }
+    // avih frame-count drift cross-checks like the DIB path
+    val drift = good.clone(); drift(48) = 2
+    intercept[IllegalArgumentException] { decodeAviMjpeg(drift) }
+    // truncation reaching INTO the frame chunk (past the 24-byte idx1
+    // tail, which is walk-over territory a trailing cut legally removes)
+    intercept[IllegalArgumentException] { decodeAviMjpeg(good.dropRight(30)) }
+  }
+
   // ---- PNG ---------------------------------------------------------------
 
   test("encodePng emits the exact signature/IHDR layout (big-endian)") {
@@ -274,6 +341,30 @@ class CodecsSpec extends AnyFunSuite {
     val corrupt = good.clone()
     corrupt(37) = (corrupt(37) ^ 0x5a).toByte
     intercept[IllegalArgumentException] { decodePng(corrupt) }
+  }
+
+  test("decodePng rejects crafted huge-dims IHDR before allocating (r14 advice)") {
+    // a VALID-CRC IHDR whose dims would overflow the Int scanline math or
+    // demand an allocation the IDAT present cannot possibly inflate to
+    // must reject cleanly — never NegativeArraySizeException / OOM
+    def withDims(w: Int, h: Int): Array[Byte] = {
+      val b = encodePng(GrayImage(4, 4, Array.tabulate(16)(_ * 16))).clone()
+      def wbe32(off: Int, v: Int): Unit = {
+        b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+        b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+      }
+      wbe32(16, w); wbe32(20, h)
+      val crc = new java.util.zip.CRC32
+      crc.update(b, 12, 4 + 13) // chunk type + IHDR payload
+      wbe32(29, crc.getValue.toInt)
+      b
+    }
+    // Int overflow territory: (w+1)*h wraps negative without the Long gate
+    val e1 = intercept[IllegalArgumentException] { decodePng(withDims(0x40000000, 4)) }
+    assert(e1.getMessage.contains("implausible"))
+    // Int-representable but far beyond zlib's max expansion of the tiny IDAT
+    val e2 = intercept[IllegalArgumentException] { decodePng(withDims(100000, 100)) }
+    assert(e2.getMessage.contains("implausible"))
   }
 
   // ---- FLAC (r14: compressed audio) --------------------------------------
