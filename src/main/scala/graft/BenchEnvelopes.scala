@@ -297,6 +297,8 @@ object BenchEnvelopes {
     // at sf0.1 (per-frame JPEG entropy decode in mapPartitions)
     "mm_mjpeg_stats" -> 2.7,
     "mm_mjpeg_hash" -> 2.4,
+    // r15 16-bit PNG (E152) — fresh-JVM 1.25/0.83/0.78 at sf0.1
+    "mm_png16_stats" -> 1.3,
     "mm_png_hash" -> 0.2,
     "mm_png_stats" -> 0.2,
     "mm_resize" -> 0.2,

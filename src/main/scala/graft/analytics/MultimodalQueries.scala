@@ -610,8 +610,42 @@ object MultimodalQueries {
     Multimodal.mjpegFrameHash(media).toDF()
   }
 
+  /** 16-bit grayscale PNG stats (r15, the r14 verdict's codec-depth
+    * corner): full-range 0–65535 samples from big-endian byte pairs,
+    * interlaced on odd m — the filter core's bpp rule at 2-byte samples,
+    * hash-exact against the chain-recomputed oracle.
+    */
+  val png16Stats: QueryDef = {
+    def sample16(i: String): String =
+      s"(${byteAt(s"2*($i)")} * 256 + ${byteAt(s"2*($i)+1")})"
+    QueryDef(
+      "mm_png16_stats",
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')
+         |      || md5(text || 'd') AS hx,
+         |    doc_id // 3 AS m
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |dims AS (
+         |  SELECT doc_id, hx, ([3,5,8])[CAST(m % 3 AS INTEGER) + 1] AS w,
+         |         4 + CAST(m % 2 AS INTEGER) AS h
+         |  FROM src),
+         |px AS (
+         |  SELECT doc_id, w, h, [${sample16("i")} for i in range(0, w*h)] AS pt
+         |  FROM dims)
+         |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width,
+         |  CAST(h AS INTEGER) AS height, CAST(w*h AS INTEGER) AS n_px,
+         |  CAST(list_sum(pt) AS BIGINT) AS sum_px,
+         |  CAST(list_min(pt) AS INTEGER) AS min_px,
+         |  CAST(list_max(pt) AS INTEGER) AS max_px
+         |FROM px""".stripMargin) { (s, dir) =>
+      val media = Multimodal.png16Media(s, Tables.documents(s, dir))
+      Multimodal.image16Stats(media).toDF()
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash,
     imageStats, resizeGrid, mediaDedup, pngStats, pngHash, jpegStats, jpegHash,
     jpegColorStats, pngColorStats, pngColorHash, flacEnergy, flacStereoEnergy,
-    pngAlphaStats, mjpegStats, mjpegHash)
+    pngAlphaStats, mjpegStats, mjpegHash, png16Stats)
 }

@@ -1418,7 +1418,8 @@ object Codecs {
     * exercised), IEND. Every chunk carries its CRC.
     */
   private def pngBytes(w: Int, h: Int, colorType: Int, palette: Array[Int],
-      raw: Array[Byte], idatChunk: Int, interlaced: Boolean = false): Array[Byte] = {
+      raw: Array[Byte], idatChunk: Int, interlaced: Boolean = false,
+      bitDepth: Int = 8): Array[Byte] = {
     val deflater = new java.util.zip.Deflater
     deflater.setInput(raw); deflater.finish()
     val zBuf = new Array[Byte](raw.length + 64)
@@ -1445,7 +1446,7 @@ object Codecs {
     }
     val ihdr = new Array[Byte](13)
     wbe32(ihdr, 0, w); wbe32(ihdr, 4, h)
-    ihdr(8) = 8 // bit depth
+    ihdr(8) = bitDepth.toByte // 8, or 16 for deep gray (r15)
     ihdr(9) = colorType.toByte // 0 gray, 2 truecolor, 3 palette, 4 gray+alpha, 6 RGBA
     // ihdr(10..11) = compression 0, filter 0
     ihdr(12) = if (interlaced) 1 else 0 // Adam7
@@ -1555,13 +1556,13 @@ object Codecs {
     * no flip.
     */
   private final case class PngRaw(w: Int, h: Int, colorType: Int,
-      palette: Array[Int], samples: Array[Int])
+      palette: Array[Int], samples: Array[Int], depth: Int)
 
   private def decodePngRaw(bytes: Array[Byte], grayOnly: Boolean = false): PngRaw = {
     require(bytes.length >= 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i)),
       "not a PNG: missing signature")
     var off = 8
-    var w = -1; var h = -1; var colorType = -1
+    var w = -1; var h = -1; var colorType = -1; var depth = 8
     var interlaced = false
     var palette = Array.emptyIntArray
     val idat = new java.io.ByteArrayOutputStream
@@ -1578,8 +1579,14 @@ object Codecs {
         case "IHDR" =>
           require(len == 13, "bad IHDR length")
           w = be32(bytes, off + 8); h = be32(bytes, off + 12)
-          require(bytes(off + 16) == 8, "unsupported PNG bit depth")
+          depth = bytes(off + 16) & 0xff
+          require(depth == 8 || depth == 16, "unsupported PNG bit depth")
           colorType = bytes(off + 17) & 0xff
+          // 16-bit support is GRAYSCALE (r15, the r14 verdict's codec-depth
+          // corner): the filter core's bpp rule carries 2-byte samples
+          // unchanged; 16-bit color would only multiply the same rule
+          require(depth == 8 || colorType == 0,
+            "16-bit PNG supported for grayscale only")
           // a strict-gray caller rejects HERE, at the header — before any
           // inflate/unfilter work is spent on a container it cannot accept
           require(!grayOnly || colorType == 0,
@@ -1607,9 +1614,11 @@ object Codecs {
     }
     require(w > 0, "PNG missing IHDR")
     require(colorType != 3 || palette.nonEmpty, "palette PNG missing PLTE")
-    val bpp = colorType match {
+    // bytes per pixel = channels × bytes per sample: the ONE number the
+    // whole filter core keys on (the spec's bpp rule)
+    val bpp = (colorType match {
       case 2 => 3; case 4 => 2; case 6 => 4; case _ => 1
-    }
+    }) * (depth / 8)
     val z = idat.toByteArray
     require(z.nonEmpty, "PNG missing IDAT")
     // Allocation plausibility gate (r14 ADVICE): a crafted IHDR with a
@@ -1644,15 +1653,55 @@ object Codecs {
     val samples =
       if (interlaced) deinterlace(raw, w, h, bpp)
       else unfilterScanlines(raw, w, h, bpp)
-    PngRaw(w, h, colorType, palette, samples)
+    PngRaw(w, h, colorType, palette, samples, depth)
   }
 
   /** Parse an 8-bit GRAYSCALE PNG (the strict single-plane view — color
-    * containers must go through [[decodePngRgb]]).
+    * containers must go through [[decodePngRgb]], 16-bit through
+    * [[decodePng16]]).
     */
   def decodePng(bytes: Array[Byte]): GrayImage = {
     val p = decodePngRaw(bytes, grayOnly = true)
+    require(p.depth == 8, "16-bit PNG: use decodePng16")
     GrayImage(p.w, p.h, p.samples)
+  }
+
+  /** Encode 16-bit gray samples (0–65535) as a REAL 16-bit grayscale PNG
+    * (r15): each sample two BIG-endian bytes, and the SAME filter core
+    * drives the stream — per the spec, a filter's left/upper-left
+    * reference is the byte `bpp` positions back, so 16-bit gray is
+    * simply bpp = 2 (exactly how truecolor was bpp = 3). Interlacing
+    * composes for free for the same reason.
+    */
+  def encodePng16(w: Int, h: Int, samples: Array[Int], idatChunk: Int = 16,
+      interlaced: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && samples.length == w * h)
+    val bytes = new Array[Int](2 * w * h)
+    var i = 0
+    while (i < w * h) {
+      val v = samples(i)
+      require(v >= 0 && v <= 0xffff, s"16-bit sample out of range: $v")
+      bytes(2 * i) = v >>> 8
+      bytes(2 * i + 1) = v & 0xff
+      i += 1
+    }
+    pngBytes(w, h, 0, Array.emptyIntArray,
+      scanlinesOf(bytes, w, h, 2, interlaced), idatChunk, interlaced,
+      bitDepth = 16)
+  }
+
+  /** Parse a 16-bit grayscale PNG back to samples 0–65535 (r15). */
+  def decodePng16(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val p = decodePngRaw(bytes, grayOnly = true)
+    require(p.depth == 16, "not a 16-bit PNG: use decodePng")
+    val n = p.w * p.h
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (p.samples(2 * i) << 8) | p.samples(2 * i + 1)
+      i += 1
+    }
+    (p.w, p.h, out)
   }
 
   /** RGB plane extraction shared by the alpha-less and alpha views. */
@@ -1687,6 +1736,7 @@ object Codecs {
     */
   def decodePngRgba(bytes: Array[Byte]): RgbaImage = {
     val p = decodePngRaw(bytes)
+    require(p.depth == 8, "16-bit PNG: use decodePng16") // byte planes only
     val n = p.w * p.h
     val (r, g, b) = rgbPlanesOf(p)
     val a = p.colorType match {
@@ -1703,6 +1753,7 @@ object Codecs {
     */
   def decodePngRgb(bytes: Array[Byte]): RgbImage = {
     val p = decodePngRaw(bytes)
+    require(p.depth == 8, "16-bit PNG: use decodePng16") // byte planes only
     val (r, g, b) = rgbPlanesOf(p)
     RgbImage(p.w, p.h, r, g, b)
   }

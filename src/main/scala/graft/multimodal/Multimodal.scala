@@ -639,6 +639,53 @@ object Multimodal {
       })
   }
 
+  /** Build REAL 16-BIT grayscale PNGs from the image-kind documents (r15,
+    * the r14 verdict's codec-depth corner: real corpora carry 16-bit
+    * medical/scientific/scan PNGs): m = doc_id/3 gives w ∈ {3,5,8},
+    * h ∈ {4,5}; sample i = 256·chain(2i) + chain(2i+1) (big-endian pairs,
+    * full 0–65535 range), interlaced on odd m so 16-bit × Adam7 sits on
+    * the oracle path too. The filter core's bpp rule carries the 2-byte
+    * samples — a decoder that filters at byte distance 1 instead of 2
+    * scrambles every sample and hash-mismatches.
+    */
+  def png16Media(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    val widths = Array(3, 5, 8)
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val m = docId / 3
+        val w = widths((m % 3).toInt)
+        val h = 4 + (m % 2).toInt
+        val chain = md5Chain(text, 2 * w * h)
+        val samples = Array.tabulate(w * h)(i => 256 * chain(2 * i) + chain(2 * i + 1))
+        MediaRecord(docId, "image",
+          Codecs.encodePng16(w, h, samples, interlaced = m % 2 == 1))
+      })
+  }
+
+  /** Per-image stats over 16-bit samples (0–65535): exact integer
+    * sum/min/max — the deep-sample analogue of imageStats.
+    */
+  final case class Image16Stats(media_id: Long, width: Int, height: Int,
+                                n_px: Int, sum_px: Long, min_px: Int, max_px: Int)
+
+  def image16Stats(media: Dataset[MediaRecord]): Dataset[Image16Stats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val (w, h, px) = Codecs.decodePng16(m.content)
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      var i = 0
+      while (i < px.length) {
+        val p = px(i); sum += p
+        if (p < mn) mn = p; if (p > mx) mx = p
+        i += 1
+      }
+      Image16Stats(m.media_id, w, h, w * h, sum, mn, mx)
+    })
+  }
+
   /** Build REAL MJPEG AVIs from the video-kind documents (r15, the r14
     * verdict ask #4 — COMPRESSED video by composition: E127's baseline
     * JPEG frames inside E108's RIFF walk): m = doc_id/3 gives frame

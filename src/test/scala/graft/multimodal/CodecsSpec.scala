@@ -343,6 +343,30 @@ class CodecsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { decodePng(corrupt) }
   }
 
+  test("16-BIT gray PNG round-trips the full 0-65535 range, plain and interlaced (r15)") {
+    val gen = for {
+      w <- Gen.choose(1, 9)
+      h <- Gen.choose(1, 7)
+      inter <- Gen.oneOf(true, false)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 65535))
+    } yield (w, h, inter, px.toArray)
+    check("png16 round-trip", Prop.forAll(gen) { case (w, h, inter, px) =>
+      val (bw, bh, back) = decodePng16(encodePng16(w, h, px, interlaced = inter))
+      bw == w && bh == h && back.sameElements(px)
+    })
+    // the container really declares bit depth 16 in the IHDR
+    val b = encodePng16(2, 2, Array(0, 65535, 256, 255))
+    assert(b(24) == 16)
+  }
+
+  test("16-bit and 8-bit gray PNG refuse each other's strict decoders (r15)") {
+    val deep = encodePng16(3, 3, Array.tabulate(9)(_ * 7000))
+    intercept[IllegalArgumentException] { decodePng(deep) }      // 8-bit view
+    intercept[IllegalArgumentException] { decodePngRgb(deep) }   // byte planes
+    val shallow = encodePng(GrayImage(3, 3, Array.tabulate(9)(_ * 20)))
+    intercept[IllegalArgumentException] { decodePng16(shallow) }
+  }
+
   test("decodePng rejects crafted huge-dims IHDR before allocating (r14 advice)") {
     // a VALID-CRC IHDR whose dims would overflow the Int scanline math or
     // demand an allocation the IDAT present cannot possibly inflate to
