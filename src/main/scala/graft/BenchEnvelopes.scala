@@ -299,6 +299,8 @@ object BenchEnvelopes {
     "mm_mjpeg_hash" -> 2.4,
     // r15 16-bit PNG (E152) — fresh-JVM 1.25/0.83/0.78 at sf0.1
     "mm_png16_stats" -> 1.3,
+    // r15 24-bit FLAC (E153) — fresh-JVM 1.47/1.12/0.79 at sf0.1
+    "mm_flac24_energy" -> 1.5,
     "mm_png_hash" -> 0.2,
     "mm_png_stats" -> 0.2,
     "mm_resize" -> 0.2,

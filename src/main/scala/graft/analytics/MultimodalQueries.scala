@@ -461,6 +461,34 @@ object MultimodalQueries {
     }
   }
 
+  /** Per-frame energy through 24-BIT FLAC (r15 stretch): full-range
+    * ±2^23 samples from 3-byte-LE chain triples — the deep-audio path
+    * (STREAMINFO bps, frame sample-size code 6, wider subframes, 3-byte
+    * PCM MD5) hash-exact against the chain-recomputed oracle.
+    */
+  val flac24Energy: QueryDef = {
+    def sample(i: String): String = {
+      val v = s"(${byteAt(s"3*($i)")} + 256 * ${byteAt(s"3*($i)+1")} + 65536 * ${byteAt(s"3*($i)+2")})"
+      s"(CASE WHEN $v >= 8388608 THEN $v - 16777216 ELSE $v END)"
+    }
+    QueryDef(
+      "mm_flac24_energy",
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')
+         |      || md5(text || 'd') || md5(text || 'e') || md5(text || 'f')
+         |      || md5(text || 'g') || md5(text || 'h') AS hx,
+         |    33 + CAST((doc_id // 3) % 16 AS INTEGER) AS n
+         |  FROM documents WHERE doc_id % 3 = 2)
+         |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+         |  CAST(list_sum([ ${sample("i")} * ${sample("i")}
+         |                  for i in range(f*4, least(f*4+4, n)) ]) AS BIGINT) AS energy
+         |FROM src, unnest(range(0, (n + 3) // 4)) AS t(f)""".stripMargin) { (s, dir) =>
+      val media = Multimodal.flac24Media(s, Tables.documents(s, dir))
+      Multimodal.flac24FrameEnergy(media, samplesPerFrame = 4).toDF()
+    }
+  }
+
   /** Per-frame per-CHANNEL energy through STEREO FLAC (r14, E145): the
     * fixtures pair a smooth quadratic LEFT with a RIGHT that alternates
     * between chain noise (even m — independent channels) and
@@ -647,5 +675,5 @@ object MultimodalQueries {
   val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash,
     imageStats, resizeGrid, mediaDedup, pngStats, pngHash, jpegStats, jpegHash,
     jpegColorStats, pngColorStats, pngColorHash, flacEnergy, flacStereoEnergy,
-    pngAlphaStats, mjpegStats, mjpegHash, png16Stats)
+    pngAlphaStats, mjpegStats, mjpegHash, png16Stats, flac24Energy)
 }

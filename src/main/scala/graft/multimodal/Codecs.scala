@@ -653,13 +653,19 @@ object Codecs {
   private def riceBits(us: Array[Long], param: Int): Long =
     us.map(u => (u >>> param) + 1 + param).sum
 
-  private def md5OfPcm(samples: Array[Int]): Array[Byte] = {
+  /** STREAMINFO's PCM MD5: little-endian samples at the stream's byte
+    * depth (2 for 16-bit, 3 for 24-bit — r15).
+    */
+  private def md5OfPcm(samples: Array[Int], bytesPerSample: Int = 2): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val b = new Array[Byte](2 * samples.length)
+    val b = new Array[Byte](bytesPerSample * samples.length)
     var i = 0
     while (i < samples.length) {
-      b(2 * i) = (samples(i) & 0xff).toByte
-      b(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      var k = 0
+      while (k < bytesPerSample) {
+        b(bytesPerSample * i + k) = ((samples(i) >> (8 * k)) & 0xff).toByte
+        k += 1
+      }
       i += 1
     }
     md.digest(b)
@@ -823,14 +829,14 @@ object Codecs {
 
   private def writeStreamInfo(out: java.io.ByteArrayOutputStream,
       blockSize: Int, sampleRate: Int, channels: Int, total: Long,
-      md5: Array[Byte]): Unit = {
+      md5: Array[Byte], bps: Int = 16): Unit = {
     val info = new FlacBitWriter
     info.put(1, 1); info.put(0, 7); info.put(34, 24) // last block, STREAMINFO
     info.put(blockSize.toLong, 16); info.put(blockSize.toLong, 16)
     info.put(0, 24); info.put(0, 24) // frame sizes unknown
     info.put(sampleRate.toLong, 20)
     info.put((channels - 1).toLong, 3)
-    info.put(15, 5) // bps - 1
+    info.put((bps - 1).toLong, 5)
     info.put(total, 36)
     md5.foreach(b => info.put(b & 0xffL, 8))
     out.write(info.toBytes)
@@ -838,15 +844,16 @@ object Codecs {
 
   /** Frame header through its CRC-8; `chanAssign` is the 4-bit channel
     * assignment code (0 mono, 1 stereo-independent, 8 left/side,
-    * 9 right/side, 10 mid/side).
+    * 9 right/side, 10 mid/side); `bps` ∈ {16, 24} maps to the header's
+    * sample-size code (4 and 6 per the spec's table).
     */
   private def writeFrameHeader(w: FlacBitWriter, sampleRate: Int,
-      chanAssign: Int, frameIdx: Long, n: Int): Unit = {
+      chanAssign: Int, frameIdx: Long, n: Int, bps: Int = 16): Unit = {
     w.put(0x3ffe, 14); w.put(0, 1); w.put(0, 1) // sync, reserved, fixed blocking
     w.put(6, 4)                                 // block size: 8-bit trailer
     w.put(if (sampleRate == 8000) 4L else 0L, 4)
     w.put(chanAssign.toLong, 4)
-    w.put(4, 3); w.put(0, 1)                    // 16 bps, reserved
+    w.put(if (bps == 24) 6L else 4L, 3); w.put(0, 1) // sample-size code, reserved
     putUtf8Number(w, frameIdx)
     w.put((n - 1).toLong, 8)                    // block-size trailer
     val headBytes = w.toBytes
@@ -881,6 +888,47 @@ object Codecs {
       off += n; frameIdx += 1
     }
     out.toByteArray
+  }
+
+  /** Encode 24-BIT mono PCM (r15, the r14 verdict's stretch: studio
+    * masters and field recordings ship 24-bit): the subframe machinery
+    * is already sample-width-parameterized — CONSTANT/FIXED/LPC planning,
+    * Rice/escape residuals and the verbatim fallback all run at
+    * `sbits = 24` unchanged — so deep audio costs only the STREAMINFO
+    * bps field, the frame header's sample-size code (6), and a 3-byte-LE
+    * PCM MD5.
+    */
+  def encodeFlac24(clip: PcmClip, blockSize: Int = 16): Array[Byte] = {
+    val s = clip.samples
+    require(s.nonEmpty && blockSize >= 1 && blockSize <= 256)
+    require(s.forall(v => v >= -(1 << 23) && v < (1 << 23)), "24-bit PCM only")
+    val out = new java.io.ByteArrayOutputStream
+    out.write("fLaC".getBytes("US-ASCII"))
+    writeStreamInfo(out, blockSize, clip.sampleRate, 1, s.length.toLong,
+      md5OfPcm(s, bytesPerSample = 3), bps = 24)
+    var frameIdx = 0L
+    var off = 0
+    while (off < s.length) {
+      val n = math.min(blockSize, s.length - off)
+      val blk = java.util.Arrays.copyOfRange(s, off, off + n)
+      val w = new FlacBitWriter
+      writeFrameHeader(w, clip.sampleRate, 0, frameIdx, n, bps = 24)
+      planSubframe(blk, 24)._3(w)
+      val frameBytes = w.toBytes
+      val c16 = crc16(frameBytes, 0, frameBytes.length)
+      out.write(frameBytes)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+      off += n; frameIdx += 1
+    }
+    out.toByteArray
+  }
+
+  /** Parse a 24-bit mono FLAC stream back to PCM (r15). */
+  def decodeFlac24(bytes: Array[Byte]): PcmClip = {
+    val (rate, bps, chans) = decodeFlacAll(bytes)
+    require(bps == 24, "not a 24-bit FLAC: use decodeFlac")
+    require(chans.length == 1, "stereo FLAC: use decodeFlacStereo")
+    PcmClip(rate, chans(0))
   }
 
   /** A stereo clip: equal-length left/right 16-bit channels. */
@@ -1050,10 +1098,16 @@ object Codecs {
     * full-length samples.
     */
   private def decodeFlacChannels(bytes: Array[Byte]): (Int, Array[Array[Int]]) = {
+    val (rate, bps, chans) = decodeFlacAll(bytes)
+    require(bps == 16, "24-bit FLAC: use decodeFlac24")
+    (rate, chans)
+  }
+
+  private def decodeFlacAll(bytes: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
     require(bytes.length >= 42 && new String(bytes, 0, 4, "US-ASCII") == "fLaC",
       "not a FLAC stream: missing magic")
     var pos = 4
-    var sampleRate = -1; var total = -1L; var channels = -1
+    var sampleRate = -1; var total = -1L; var channels = -1; var bps = -1
     var md5Stored: Array[Byte] = null
     var last = false
     while (!last) {
@@ -1070,7 +1124,9 @@ object Codecs {
         sampleRate = r.take(20).toInt
         channels = r.take(3).toInt + 1
         require(channels <= 2, "more-than-stereo FLAC unsupported")
-        require(r.take(5) == 15, "non-16-bit FLAC unsupported")
+        bps = r.take(5).toInt + 1
+        require(bps == 16 || bps == 24, s"unsupported FLAC bit depth $bps")
+        require(bps == 16 || channels == 1, "24-bit FLAC supported for mono only")
         total = r.take(36)
         md5Stored = Array.tabulate(16)(i => r.take(8).toByte)
       }
@@ -1096,7 +1152,8 @@ object Codecs {
       val bsCode = r.take(4).toInt
       val srCode = r.take(4).toInt
       val chanAssign = r.take(4).toInt
-      require(r.take(3) == 4, "non-16-bit FLAC frame")
+      require(r.take(3) == (if (bps == 24) 6L else 4L),
+        "frame/STREAMINFO sample-size mismatch")
       r.take(1)
       // UTF-8 coded frame number (full multi-byte form)
       val first = r.take(8).toInt
@@ -1126,24 +1183,24 @@ object Codecs {
       val chans: Array[Array[Int]] = chanAssign match {
         case 0 =>
           require(channels == 1, "mono frame in a stereo stream")
-          Array(decodeSubframe(r, blockSize, 16))
+          Array(decodeSubframe(r, blockSize, bps))
         case 1 =>
           require(channels == 2, "stereo frame in a mono stream")
-          Array(decodeSubframe(r, blockSize, 16), decodeSubframe(r, blockSize, 16))
-        case 8 => // left/side: ch0 = L (16), ch1 = side (17); R = L - side
+          Array(decodeSubframe(r, blockSize, bps), decodeSubframe(r, blockSize, bps))
+        case 8 => // left/side: ch0 = L (bps), ch1 = side (bps+1); R = L - side
           require(channels == 2, "stereo frame in a mono stream")
-          val lch = decodeSubframe(r, blockSize, 16)
-          val sch = decodeSubframe(r, blockSize, 17)
+          val lch = decodeSubframe(r, blockSize, bps)
+          val sch = decodeSubframe(r, blockSize, bps + 1)
           Array(lch, Array.tabulate(blockSize)(i => lch(i) - sch(i)))
-        case 9 => // right/side: ch0 = side (17), ch1 = R (16); L = side + R
+        case 9 => // right/side: ch0 = side (bps+1), ch1 = R (bps); L = side + R
           require(channels == 2, "stereo frame in a mono stream")
-          val sch = decodeSubframe(r, blockSize, 17)
-          val rch = decodeSubframe(r, blockSize, 16)
+          val sch = decodeSubframe(r, blockSize, bps + 1)
+          val rch = decodeSubframe(r, blockSize, bps)
           Array(Array.tabulate(blockSize)(i => sch(i) + rch(i)), rch)
         case 10 => // mid/side: the lost low bit of L+R rides the side's parity
           require(channels == 2, "stereo frame in a mono stream")
-          val mch = decodeSubframe(r, blockSize, 16)
-          val sch = decodeSubframe(r, blockSize, 17)
+          val mch = decodeSubframe(r, blockSize, bps)
+          val sch = decodeSubframe(r, blockSize, bps + 1)
           val lch = Array.tabulate(blockSize) { i =>
             val m2 = (mch(i).toLong << 1) | (sch(i).toLong & 1)
             ((m2 + sch(i)) >> 1).toInt
@@ -1158,12 +1215,13 @@ object Codecs {
       val stored = (r.take(8).toInt << 8) | r.take(8).toInt
       require(c16 == stored, "FLAC frame fails its CRC-16 — corrupt container")
       val take = math.min(blockSize.toLong, total - got).toInt
+      val sLo = -(1 << (bps - 1)); val sHi = (1 << (bps - 1)) - 1
       var c = 0
       while (c < channels) {
         var i = 0
         while (i < take) {
           val v = chans(c)(i)
-          require(v >= -32768 && v <= 32767, "FLAC sample out of 16-bit range")
+          require(v >= sLo && v <= sHi, s"FLAC sample out of $bps-bit range")
           out(c)(got + i) = v
           i += 1
         }
@@ -1172,10 +1230,10 @@ object Codecs {
       got += take
     }
     val md5Got =
-      if (channels == 1) md5OfPcm(out(0)) else md5OfStereo(out(0), out(1))
+      if (channels == 1) md5OfPcm(out(0), bps / 8) else md5OfStereo(out(0), out(1))
     require(java.util.Arrays.equals(md5Got, md5Stored),
       "decoded PCM fails STREAMINFO's MD5 — corrupt container")
-    (sampleRate, out)
+    (sampleRate, bps, out)
   }
 
   /** Parse a MONO FLAC stream back to PCM (the strict single-channel

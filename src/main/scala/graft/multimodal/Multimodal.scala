@@ -827,6 +827,41 @@ object Multimodal {
     })
   }
 
+  /** Build REAL 24-BIT mono FLAC streams (r15 stretch — studio/field
+    * depth): n = 33 + m%16 samples, each from THREE chain bytes LE
+    * (full ±2^23 range), block size 16 → multi-frame streams whose
+    * header sample-size code, wider subframes and 3-byte-LE PCM MD5 are
+    * all load-bearing on every fixture.
+    */
+  def flac24Media(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val n = 33 + ((docId / 3) % 16).toInt
+        val chain = md5Chain(text, 3 * n)
+        val samples = Array.tabulate(n) { i =>
+          val v = chain(3 * i) + 256 * chain(3 * i + 1) + 65536 * chain(3 * i + 2)
+          if (v >= (1 << 23)) v - (1 << 24) else v
+        }
+        MediaRecord(docId, "audio", Codecs.encodeFlac24(Codecs.PcmClip(8000, samples)))
+      })
+  }
+
+  /** flacFrameEnergy at 24-bit depth: the deep-sample decode path. */
+  def flac24FrameEnergy(media: Dataset[MediaRecord],
+      samplesPerFrame: Int): Dataset[FrameEnergy] = {
+    import media.sparkSession.implicits._
+    require(samplesPerFrame > 0)
+    media.filter(_.kind == "audio").mapPartitions(_.flatMap { m =>
+      val clip = Codecs.decodeFlac24(m.content)
+      frameEnergies(clip.samples, samplesPerFrame).map { case (f, e) =>
+        FrameEnergy(m.media_id, f, e)
+      }
+    })
+  }
+
   /** Build REAL STEREO FLAC streams (r14): n = 33 + m%16 sample pairs —
     * LEFT is a smooth integer quadratic of (i, m) (SQL-expressible, so
     * the oracle needs no prefix-scan), RIGHT alternates by m between

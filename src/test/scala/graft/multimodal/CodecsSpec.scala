@@ -494,6 +494,33 @@ class CodecsSpec extends AnyFunSuite {
       || exFrame.getMessage.contains("sync") || exFrame.getMessage.contains("FLAC"))
   }
 
+  test("24-BIT FLAC round-trips the full deep range; strict decoders refuse each other (r15)") {
+    val shapes = Seq(
+      Array.fill(20)(-8388608),                       // CONSTANT at the floor
+      Array.tabulate(40)(i => -8000000 + 400000 * i), // ramp into the ceiling
+      Array.tabulate(40)(i => ((i * 2654435761L) % 16777216L - 8388608L).toInt))
+    shapes.foreach { s =>
+      val back = decodeFlac24(encodeFlac24(PcmClip(8000, s)))
+      assert(back.sampleRate == 8000 && back.samples.sameElements(s))
+    }
+    val deep = encodeFlac24(PcmClip(8000, Array.tabulate(20)(_ * 100000 - 1000000)))
+    intercept[IllegalArgumentException] { decodeFlac(deep) }
+    val shallow = encodeFlac(PcmClip(8000, Array.tabulate(20)(_ * 100 - 1000)))
+    intercept[IllegalArgumentException] { decodeFlac24(shallow) }
+    // the encoder refuses out-of-depth input outright
+    intercept[IllegalArgumentException] { encodeFlac24(PcmClip(8000, Array(1 << 23))) }
+  }
+
+  test("24-BIT FLAC round-trip property over arbitrary deep clips (r15)") {
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      px <- Gen.listOfN(n, Gen.choose(-8388608, 8388607))
+    } yield px.toArray
+    check("flac24 round-trip", Prop.forAll(gen) { s =>
+      decodeFlac24(encodeFlac24(PcmClip(8000, s))).samples.sameElements(s)
+    })
+  }
+
   test("STEREO FLAC round-trips exactly across channel-correlation regimes (r14: all four assignments)") {
     val n = 48
     val noise = Array.tabulate(n)(i => ((i * 12347 + 911) % 65536) - 32768)
