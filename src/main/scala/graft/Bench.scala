@@ -165,6 +165,11 @@ object Bench {
     val headSusJson = pairs(headSus.map { case (n, r, _) => n -> r })
     val headClrJson = clearedJson(headClr.map { case (n, r, a) =>
       (n, r * BenchEnvelopes.envelopeSec(n), a) }) // cleared keeps SECONDS
+    // confirmed suspects keep their retry evidence too: "retried and still
+    // slow" and "retry skipped for deadline" (null) must be tellable apart
+    val headRetryJson = headSus.map { case (n, _, a) =>
+      s""""$n":${a.map(v => f"$v%.2f").getOrElse("null")}"""
+    }.mkString("{", ",", "}")
     def writeFull(skipped: Seq[String],
                   sweepRetry: Map[String, Double] = Map.empty): Unit = {
       val all = results ++ extResults.toSeq
@@ -186,10 +191,13 @@ object Bench {
       val (swClr, swSus) = rawSweep.partition { case (n, _) =>
         sweepRetry.get(n).exists(_ <= sweepBar(n)) }
       val fsus = pairs(swSus)
+      val fsusRetry = swSus.map { case (n, _) =>
+        s""""$n":${sweepRetry.get(n).map(v => f"$v%.2f").getOrElse("null")}"""
+      }.mkString("{", ",", "}")
       val fclr = clearedJson(swClr.map { case (n, r) =>
         (n, r * BenchEnvelopes.fullSweepSec(n), sweepRetry.get(n)) })
       val body =
-        s"""{"sf":"$sf","headline_total":${f"$total%.1f"},"headline_n":${names.size},"hf":${f"$hfHead%.2f"},"hf_sweep":${f"$hfSweep%.2f"},"queries":$fqs,"failed":$ffl,"skipped":$fsk,"suspect":$fsus,"sweep_cleared":$fclr,"headline_suspect":$headSusJson,"headline_cleared":$headClrJson}"""
+        s"""{"sf":"$sf","headline_total":${f"$total%.1f"},"headline_n":${names.size},"hf":${f"$hfHead%.2f"},"hf_sweep":${f"$hfSweep%.2f"},"queries":$fqs,"failed":$ffl,"skipped":$fsk,"suspect":$fsus,"suspect_retry":$fsusRetry,"sweep_cleared":$fclr,"headline_suspect":$headSusJson,"headline_suspect_retry":$headRetryJson,"headline_cleared":$headClrJson}"""
       val tmpF = new java.io.File("BENCH_FULL.json.tmp")
       java.nio.file.Files.write(tmpF.toPath, (body + "\n").getBytes("UTF-8"))
       java.nio.file.Files.move(tmpF.toPath, new java.io.File("BENCH_FULL.json").toPath,

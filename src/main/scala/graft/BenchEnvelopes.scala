@@ -177,15 +177,17 @@ object BenchEnvelopes {
     * clamped to [1.0, 4.0]: ≥1 so a FAST window never lowers the bar under
     * its committed value (masking real drift), ≤4 so a pathological window
     * cannot stretch the bar past where a 10× regression would hide.
-    * Missing canaries (skipped/failed) simply drop out; an empty
-    * intersection returns 1.0 (the unscaled bars).
+    * Missing canaries (skipped/failed) simply drop out; FEWER THAN THREE
+    * surviving canaries return 1.0 (the unscaled bars) — a median of one
+    * or two ratios is one local stall away from the 4.0 clamp, which
+    * would stretch every bar 4× off a single bad sample (r15 review).
     */
   def hostFactor(measured: Seq[(String, Double)], canaries: Seq[String],
                  env: Map[String, Double]): Double = {
     val m = measured.toMap
     val ratios = canaries.flatMap(c =>
       for (sec <- m.get(c); e <- env.get(c) if e > 0) yield sec / e).sorted
-    if (ratios.isEmpty) 1.0
+    if (ratios.size < 3) 1.0
     else {
       val mid = ratios.size / 2
       val med =

@@ -206,6 +206,19 @@ object Purge {
     val touched = scala.collection.mutable.Set.empty[String]
     var alive = entities.select(col(entityCol).cast(entityType).as(entityCol))
       .distinct().localCheckpoint(true)
+    // guard the cheap-to-violate half of the density contract LOUDLY: a
+    // 0-based producer would silently leave its version-0 rows behind on
+    // a privacy-delete path. (A gap ABOVE the dense prefix is not
+    // detectable without a scan — that half stays a documented contract.)
+    locally {
+      val zero = alive.select(col(entityCol),
+        lit(0L).cast(verType).as(verCol))
+      val z = MergeSink.readOverlapping(s, path, zero, fullKey)
+      touched ++= z.inputFiles
+      require(z.select(fullKey.map(col): _*).join(zero, fullKey).isEmpty,
+        s"SCD2 table at $path has version-0 rows — violates the dense-1..N " +
+          "contract scd2VictimKeys requires; derive keys by scan instead")
+    }
     var keys: Option[DataFrame] = None
     var lo = 1L
     var width = 1L

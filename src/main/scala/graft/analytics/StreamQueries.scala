@@ -803,7 +803,11 @@ object StreamQueries {
       case _                         => 2
     })
     inOrder.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(((System.currentTimeMillis() / 1000) + i) * 1000); () }
+      // loud, not best-effort: a failed mtime write would let the file
+      // source admit a flush BEFORE the corpus, advance the watermark
+      // hours past every event, and silently drop the whole corpus as late
+      require(f.setLastModified(((System.currentTimeMillis() / 1000) + i) * 1000),
+        s"could not order delivery mtime for $f") }
     EventsStream.sessionTimeout(s, src, sink, ckpt, maxFilesPerTrigger = Some(1))
     s.read.parquet(sink).select("user_id", "start_ms", "end_ms", "n_events")
   }

@@ -938,8 +938,17 @@ object TextQueries {
     * (class prune) and a footer (tag prune). Even/odd docs vary which
     * traps are present so both page shapes are on the oracle path.
     */
+  /** HTML-escape for embedded doc text: &, <, > become entities the DOM
+    * parser decodes back to the raw characters, so `textStripped` returns
+    * the ORIGINAL text and the oracle's raw-word computation holds even
+    * for documents containing markup metacharacters (a literal "&nbsp;"
+    * in a doc escapes to "&amp;nbsp;" and round-trips too).
+    */
+  private def escapeHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
   private def syntheticPage(docId: Long, text: String): String = {
-    val words = text.trim.split("\\s+")
+    val words = text.trim.split("\\s+").map(escapeHtml)
     val sb = new StringBuilder
     sb ++= "<html><head><title>Site</title><style>body{margin:0}</style></head><body>"
     sb ++= """<nav class="navbar"><ul><li><a href="/">Home</a></li>"""

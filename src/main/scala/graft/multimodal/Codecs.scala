@@ -925,8 +925,7 @@ object Codecs {
 
   /** Parse a 24-bit mono FLAC stream back to PCM (r15). */
   def decodeFlac24(bytes: Array[Byte]): PcmClip = {
-    val (rate, bps, chans) = decodeFlacAll(bytes)
-    require(bps == 24, "not a 24-bit FLAC: use decodeFlac")
+    val (rate, _, chans) = decodeFlacAll(bytes, requireBps = Some(24))
     require(chans.length == 1, "stereo FLAC: use decodeFlacStereo")
     PcmClip(rate, chans(0))
   }
@@ -1098,12 +1097,12 @@ object Codecs {
     * full-length samples.
     */
   private def decodeFlacChannels(bytes: Array[Byte]): (Int, Array[Array[Int]]) = {
-    val (rate, bps, chans) = decodeFlacAll(bytes)
-    require(bps == 16, "24-bit FLAC: use decodeFlac24")
+    val (rate, _, chans) = decodeFlacAll(bytes, requireBps = Some(16))
     (rate, chans)
   }
 
-  private def decodeFlacAll(bytes: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
+  private def decodeFlacAll(bytes: Array[Byte],
+      requireBps: Option[Int] = None): (Int, Int, Array[Array[Int]]) = {
     require(bytes.length >= 42 && new String(bytes, 0, 4, "US-ASCII") == "fLaC",
       "not a FLAC stream: missing magic")
     var pos = 4
@@ -1127,6 +1126,10 @@ object Codecs {
         bps = r.take(5).toInt + 1
         require(bps == 16 || bps == 24, s"unsupported FLAC bit depth $bps")
         require(bps == 16 || channels == 1, "24-bit FLAC supported for mono only")
+        // a fixed-depth caller rejects HERE, at STREAMINFO — before any
+        // frame is entropy-decoded for a stream it cannot accept
+        require(requireBps.forall(_ == bps),
+          s"FLAC bit depth $bps: use the matching decoder")
         total = r.take(36)
         md5Stored = Array.tabulate(16)(i => r.take(8).toByte)
       }
@@ -1616,7 +1619,8 @@ object Codecs {
   private final case class PngRaw(w: Int, h: Int, colorType: Int,
       palette: Array[Int], samples: Array[Int], depth: Int)
 
-  private def decodePngRaw(bytes: Array[Byte], grayOnly: Boolean = false): PngRaw = {
+  private def decodePngRaw(bytes: Array[Byte], grayOnly: Boolean = false,
+      requireDepth: Option[Int] = None): PngRaw = {
     require(bytes.length >= 8 && PngSig.indices.forall(i => bytes(i) == PngSig(i)),
       "not a PNG: missing signature")
     var off = 8
@@ -1639,6 +1643,10 @@ object Codecs {
           w = be32(bytes, off + 8); h = be32(bytes, off + 12)
           depth = bytes(off + 16) & 0xff
           require(depth == 8 || depth == 16, "unsupported PNG bit depth")
+          // a fixed-depth caller rejects HERE too (the grayOnly posture):
+          // no inflate/unfilter spent on a container it cannot accept
+          require(requireDepth.forall(_ == depth),
+            s"PNG bit depth $depth: use the matching decoder")
           colorType = bytes(off + 17) & 0xff
           // 16-bit support is GRAYSCALE (r15, the r14 verdict's codec-depth
           // corner): the filter core's bpp rule carries 2-byte samples
@@ -1719,8 +1727,7 @@ object Codecs {
     * [[decodePng16]]).
     */
   def decodePng(bytes: Array[Byte]): GrayImage = {
-    val p = decodePngRaw(bytes, grayOnly = true)
-    require(p.depth == 8, "16-bit PNG: use decodePng16")
+    val p = decodePngRaw(bytes, grayOnly = true, requireDepth = Some(8))
     GrayImage(p.w, p.h, p.samples)
   }
 
@@ -1750,8 +1757,7 @@ object Codecs {
 
   /** Parse a 16-bit grayscale PNG back to samples 0–65535 (r15). */
   def decodePng16(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
-    val p = decodePngRaw(bytes, grayOnly = true)
-    require(p.depth == 16, "not a 16-bit PNG: use decodePng")
+    val p = decodePngRaw(bytes, grayOnly = true, requireDepth = Some(16))
     val n = p.w * p.h
     val out = new Array[Int](n)
     var i = 0
@@ -1793,8 +1799,7 @@ object Codecs {
     * single plane; alpha-less types report an opaque 255 plane.
     */
   def decodePngRgba(bytes: Array[Byte]): RgbaImage = {
-    val p = decodePngRaw(bytes)
-    require(p.depth == 8, "16-bit PNG: use decodePng16") // byte planes only
+    val p = decodePngRaw(bytes, requireDepth = Some(8)) // byte planes only
     val n = p.w * p.h
     val (r, g, b) = rgbPlanesOf(p)
     val a = p.colorType match {
@@ -1810,8 +1815,7 @@ object Codecs {
     * imageRgbStats, imageColorHash — decode types 0/2/3 here).
     */
   def decodePngRgb(bytes: Array[Byte]): RgbImage = {
-    val p = decodePngRaw(bytes)
-    require(p.depth == 8, "16-bit PNG: use decodePng16") // byte planes only
+    val p = decodePngRaw(bytes, requireDepth = Some(8)) // byte planes only
     val (r, g, b) = rgbPlanesOf(p)
     RgbImage(p.w, p.h, r, g, b)
   }

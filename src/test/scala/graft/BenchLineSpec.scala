@@ -87,10 +87,14 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(hf - 1.5) < 1e-9)
     // a FAST window clamps UP to 1.0 — never lowers the bar under its
     // committed value (that would mask real drift)
-    assert(BenchEnvelopes.hostFactor(Seq("a" -> 0.3, "b" -> 0.5), canaries, env) == 1.0)
+    assert(BenchEnvelopes.hostFactor(
+      Seq("a" -> 0.3, "b" -> 0.5, "c" -> 0.4), canaries, env) == 1.0)
     // a pathological window clamps at 4.0 — a 10x regression cannot hide
-    assert(BenchEnvelopes.hostFactor(Seq("a" -> 99.0, "b" -> 99.0), canaries, env) == 4.0)
-    // no canaries measured → the unscaled bars
+    assert(BenchEnvelopes.hostFactor(
+      Seq("a" -> 99.0, "b" -> 99.0, "c" -> 99.0), canaries, env) == 4.0)
+    // fewer than 3 surviving canaries → the unscaled bars: a median of one
+    // or two ratios is one stall away from the 4.0 clamp (r15 review)
+    assert(BenchEnvelopes.hostFactor(Seq("a" -> 99.0, "b" -> 99.0), canaries, env) == 1.0)
     assert(BenchEnvelopes.hostFactor(Nil, canaries, env) == 1.0)
   }
 

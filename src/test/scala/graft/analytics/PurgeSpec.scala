@@ -208,6 +208,18 @@ class PurgeSpec extends AnyFunSuite {
     val (none, _) = Purge.scd2VictimKeys(spark, scd2,
       Seq(99999L).toDF("entity_id"), "entity_id", Seq("entity_id", "ver"))
     assert(none.isEmpty)
+    // the cheap-to-violate half of the density contract fails LOUDLY: a
+    // 0-based table would silently retain its version-0 rows on a
+    // privacy-delete path (r15 review)
+    val zeroed = s"$base/scd2_zero"
+    MergeSink.merge(spark, zeroed,
+      Seq((7L, 0), (7L, 1)).toDF("entity_id", "ver"),
+      Seq("entity_id", "ver"), Seq(col("entity_id")))
+    val e = intercept[IllegalArgumentException] {
+      Purge.scd2VictimKeys(spark, zeroed,
+        Seq(7L).toDF("entity_id"), "entity_id", Seq("entity_id", "ver"))
+    }
+    assert(e.getMessage.contains("version-0"))
   }
 
   test("vacuumed tombstone/intent tables still block re-delivered purges (r13 ask #7)") {
