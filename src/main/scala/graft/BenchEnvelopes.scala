@@ -303,6 +303,10 @@ object BenchEnvelopes {
     "mm_png16_stats" -> 1.3,
     // r15 24-bit FLAC (E153) — fresh-JVM 1.47/1.12/0.79 at sf0.1
     "mm_flac24_energy" -> 1.5,
+    // r15 4:4:4 JPEG (E154) — fresh-JVM 7.06/5.73/6.25 at sf0.1: three
+    // full-resolution planes × (encode-side full DCT + decode) per doc,
+    // the same cost class as mm_jpeg_color_stats' 4.1
+    "mm_jpeg444_stats" -> 7.1,
     "mm_png_hash" -> 0.2,
     "mm_png_stats" -> 0.2,
     "mm_resize" -> 0.2,

@@ -672,8 +672,46 @@ object MultimodalQueries {
     }
   }
 
+  /** Per-plane stats through the 4:4:4 color container (r15, the
+    * unsubsampled-chroma corner): all three planes full-resolution, MCU =
+    * one block of each — a sampling-factor or interleave slip against the
+    * 4:2:0 machinery hash-mismatches. Same oracle scheme as
+    * mm_jpeg_color_stats with every plane at bw·bh blocks.
+    */
+  val jpeg444Stats: QueryDef = QueryDef(
+    "mm_jpeg444_stats",
+    s"""WITH src AS (
+       |  SELECT doc_id, md5(text) || md5(text || 'a') || md5(text || 'b') AS hx,
+       |         doc_id // 3 AS m
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |dims AS (
+       |  SELECT doc_id, hx, 1 + CAST(m % 3 AS INTEGER) AS bw,
+       |         1 + CAST(m % 2 AS INTEGER) AS bh
+       |  FROM src),
+       |bx AS (
+       |  SELECT doc_id, bw, bh,
+       |    [${byteAt("i")} for i in range(0, bw*bh)] AS yb,
+       |    [${byteAt("bw*bh + i")} for i in range(0, bw*bh)] AS cbb,
+       |    [${byteAt("2*bw*bh + i")} for i in range(0, bw*bh)] AS crb
+       |  FROM dims)
+       |SELECT doc_id AS media_id, CAST(bw*8 AS INTEGER) AS width,
+       |  CAST(bh*8 AS INTEGER) AS height,
+       |  CAST(list_sum(yb)*64 AS BIGINT) AS sum_y,
+       |  CAST(list_min(yb) AS INTEGER) AS min_y,
+       |  CAST(list_max(yb) AS INTEGER) AS max_y,
+       |  CAST(list_sum(cbb)*64 AS BIGINT) AS sum_cb,
+       |  CAST(list_min(cbb) AS INTEGER) AS min_cb,
+       |  CAST(list_max(cbb) AS INTEGER) AS max_cb,
+       |  CAST(list_sum(crb)*64 AS BIGINT) AS sum_cr,
+       |  CAST(list_min(crb) AS INTEGER) AS min_cr,
+       |  CAST(list_max(crb) AS INTEGER) AS max_cr
+       |FROM bx""".stripMargin) { (s, dir) =>
+    val media = Multimodal.jpeg444Media(s, Tables.documents(s, dir))
+    Multimodal.image444Stats(media).toDF()
+  }
+
   val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash,
     imageStats, resizeGrid, mediaDedup, pngStats, pngHash, jpegStats, jpegHash,
     jpegColorStats, pngColorStats, pngColorHash, flacEnergy, flacStereoEnergy,
-    pngAlphaStats, mjpegStats, mjpegHash, png16Stats, flac24Energy)
+    pngAlphaStats, mjpegStats, mjpegHash, png16Stats, flac24Energy, jpeg444Stats)
 }

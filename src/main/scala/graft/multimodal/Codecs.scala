@@ -2500,6 +2500,129 @@ object Codecs {
     YccImage(w, h, yP, cbP, crP)
   }
 
+  /** A full-resolution YCbCr image (4:4:4 — all three planes w×h, r15). */
+  final case class Ycc444Image(width: Int, height: Int,
+      y: Array[Int], cb: Array[Int], cr: Array[Int])
+
+  /** Encode a 4:4:4 planar YCbCr image as an INTERLEAVED baseline JFIF
+    * JPEG (r15, the r14 verdict's remaining chroma corner: archival and
+    * screen-content JPEGs ship unsubsampled): all three components at
+    * 1×1 sampling, so an MCU is one block of each (T.81 A.2.3 with
+    * H=V=1) and the MCU grid IS the 8×8 block grid — no 2×2 luma tile,
+    * no quarter-resolution chroma. Everything else (per-component DC
+    * prediction, separate quant slots, restart-marker predictor resets,
+    * the shared canonical tables) is the 4:2:0 machinery unchanged.
+    */
+  def encodeJpegYcc444(img: Ycc444Image, restartInterval: Int = 0): Array[Byte] = {
+    val w = img.width; val h = img.height
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff)
+    require(restartInterval >= 0 && restartInterval <= 0xffff)
+    require(img.y.length == w * h && img.cb.length == w * h &&
+      img.cr.length == w * h, "plane sizes must match 4:4:4 dims")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      payload.foreach(v => out.write(v & 0xff))
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, 0 +: ZigZag.indices.map(k => JQuant(ZigZag(k))).toArray)
+    seg(0xdb, 1 +: ZigZag.indices.map(k => JQuant(ZigZag(k))).toArray)
+    seg(0xc0, Array(8, (h >>> 8) & 0xff, h & 0xff, (w >>> 8) & 0xff, w & 0xff,
+      3,
+      1, 0x11, 0, // Y:  1x1 sampling, quant table 0
+      2, 0x11, 1, // Cb: 1x1, quant table 1
+      3, 0x11, 1)) // Cr
+    seg(0xc4, (0x00 +: (jBits(JDcSyms, 4) ++ JDcSyms)).toArray)
+    seg(0xc4, (0x10 +: (jBits(JAcSyms, 9) ++ JAcSyms)).toArray)
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >>> 8) & 0xff, restartInterval & 0xff))
+    seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    val dcCodes = canonical(jBits(JDcSyms, 4), JDcSyms)
+    val acCodes = canonical(jBits(JAcSyms, 9), JAcSyms)
+    val bw = new BitWriter(out)
+    val coef = new Array[Int](64)
+    val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+    val planes = Array(img.y, img.cb, img.cr)
+    val prevDc = new Array[Int](3)
+    var mcu = 0
+    var rst = 0
+    var br = 0
+    while (br < bh8) {
+      var bc = 0
+      while (bc < bw8) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          out.write(0xff); out.write(0xd0 | rst)
+          rst = (rst + 1) % 8
+          prevDc(0) = 0; prevDc(1) = 0; prevDc(2) = 0
+        }
+        var c = 0
+        while (c < 3) {
+          fdctQuantBlock(planes(c), w, h, bc, br, coef)
+          prevDc(c) = emitBlock(bw, dcCodes, acCodes, coef, prevDc(c))
+          c += 1
+        }
+        mcu += 1
+        bc += 1
+      }
+      br += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Decode an interleaved 4:4:4 baseline YCbCr JPEG back to its three
+    * full-resolution planes (r15): SOF0 must declare 1×1 sampling on all
+    * components — the 4:2:0 stream goes through [[decodeJpegYcc]], and
+    * each decoder refuses the other's sampling with a named error (never
+    * a silently misassembled image).
+    */
+  def decodeJpegYcc444(bytes: Array[Byte]): Ycc444Image = {
+    val hd = parseJpegHeaders(bytes)
+    require(hd.comps.length == 3,
+      "3-component YCbCr expected — use decodeJpeg for grayscale")
+    require(hd.comps.forall(c => c.hs == 1 && c.vs == 1),
+      "not 4:4:4 (need 1x1 sampling on every component) — use decodeJpegYcc")
+    val w = hd.w; val h = hd.h
+    val qt = hd.comps.map(c => hd.quant.getOrElse(c.tq,
+      throw new IllegalArgumentException("SOF references a missing quant table")))
+    val dcT = hd.scan.map(sc => hd.huff((0, sc._2)))
+    val acT = hd.scan.map(sc => hd.huff((1, sc._3)))
+    val planes = Array.fill(3)(new Array[Int](w * h))
+    val r = new JBitReader(bytes, hd.sosAt)
+    val coef = new Array[Int](64)
+    val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8
+    val prevDc = new Array[Int](3)
+    var mcu = 0
+    var rst = 0
+    var br = 0
+    while (br < bh8) {
+      var bc = 0
+      while (bc < bw8) {
+        if (hd.restartInterval > 0 && mcu > 0 && mcu % hd.restartInterval == 0) {
+          r.expectRestart(rst)
+          rst = (rst + 1) % 8
+          prevDc(0) = 0; prevDc(1) = 0; prevDc(2) = 0
+        }
+        var c = 0
+        while (c < 3) {
+          prevDc(c) = readBlockInto(r, dcT(c), acT(c), qt(c), prevDc(c), coef)
+          idctInto(coef, planes(c), w, h, bc, br)
+          c += 1
+        }
+        mcu += 1
+        bc += 1
+      }
+      br += 1
+    }
+    Ycc444Image(w, h, planes(0), planes(1), planes(2))
+  }
+
   /** BT.601 full-range RGB → 4:2:0 planar YCbCr — the EXPLICIT lossy step
     * in front of encodeJpegYcc (rounding + 2×2 box-filter chroma
     * downsample; edge-replicated on odd dims). Kept out of the codec so

@@ -296,6 +296,56 @@ object Multimodal {
     })
   }
 
+  /** imageColorStats through the 4:4:4 decoder (r15): all three planes
+    * at FULL resolution — the unsubsampled chroma corner.
+    */
+  def image444Stats(media: Dataset[MediaRecord]): Dataset[ColorStats] = {
+    import media.sparkSession.implicits._
+    def agg(p: Array[Int]): (Long, Int, Int) = {
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      var i = 0
+      while (i < p.length) {
+        val v = p(i); sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        i += 1
+      }
+      (sum, mn, mx)
+    }
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val img = Codecs.decodeJpegYcc444(m.content)
+      val (sy, ny, xy) = agg(img.y)
+      val (sb, nb, xb) = agg(img.cb)
+      val (sr, nr, xr) = agg(img.cr)
+      ColorStats(m.media_id, img.width, img.height, sy, ny, xy, sb, nb, xb, sr, nr, xr)
+    })
+  }
+
+  /** Build REAL 4:4:4 color JPEGs (r15, the unsubsampled-chroma corner:
+    * archival/screen-content JPEGs ship 4:4:4): m = doc_id/3 gives
+    * bw = 1+m%3 × bh = 1+m%2 blocks per plane (8bw × 8bh pixels, ALL
+    * THREE planes full-resolution); the chain supplies 3·bw·bh block
+    * bytes — Y row-major, then Cb, then Cr. Block-flat planes decode
+    * bit-exact (the E127 argument), so the oracle recomputes every
+    * plane's stats straight from the chain.
+    */
+  def jpeg444Media(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val m = docId / 3
+        val bw = 1 + (m % 3).toInt
+        val bh = 1 + (m % 2).toInt
+        val nB = bw * bh
+        val blocks = md5Chain(text, 3 * nB)
+        val w = 8 * bw; val h = 8 * bh
+        def plane(off: Int): Array[Int] =
+          Array.tabulate(w * h)(i => blocks(off + (i / w / 8) * bw + (i % w / 8)))
+        MediaRecord(docId, "image", Codecs.encodeJpegYcc444(
+          Codecs.Ycc444Image(w, h, plane(0), plane(nB), plane(2 * nB))))
+      })
+  }
+
   /** Per-CHANNEL stats of a decoded color PNG (r14): R/G/B at full
     * resolution — PNG is lossless, so every field is exact over arbitrary
     * channel bytes (no block-flat constraint, unlike the JPEG tier).

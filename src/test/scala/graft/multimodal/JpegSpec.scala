@@ -231,4 +231,49 @@ class JpegSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](Codecs.decodeJpeg(inject(0xd9)))
     assert(e2.getMessage.contains("EOI before SOS"))
   }
+
+  // ---- 4:4:4 (r15: the unsubsampled-chroma corner) -------------------------
+
+  private def ycc444(w: Int, h: Int)(f: (Int, Int, Int) => Int) =
+    Codecs.Ycc444Image(w, h,
+      Array.tabulate(w * h)(i => f(0, i / w, i % w)),
+      Array.tabulate(w * h)(i => f(1, i / w, i % w)),
+      Array.tabulate(w * h)(i => f(2, i / w, i % w)))
+
+  test("444: block-flat planes round-trip BIT-EXACT; full-resolution chroma is real") {
+    // per-plane 8x8-flat blocks with DIFFERENT values per plane: any
+    // cross-plane interleave slip or hidden chroma subsample mismatches
+    val img = ycc444(24, 16)((c, r, col) => 20 + 40 * c + 16 * (r / 8) + 4 * (col / 8))
+    val back = Codecs.decodeJpegYcc444(Codecs.encodeJpegYcc444(img))
+    assert(back.width == 24 && back.height == 16)
+    assert(back.y.sameElements(img.y) && back.cb.sameElements(img.cb)
+      && back.cr.sameElements(img.cr))
+    // chroma really is full resolution: a 4:2:0 roundtrip of the same
+    // content stores quarter-res chroma (different plane sizes)
+    assert(back.cb.length == 24 * 16)
+  }
+
+  test("444: arbitrary planes round-trip within the coefficient-rounding bound") {
+    val img = ycc444(13, 11)((c, r, col) => (r * 31 + col * 17 + c * 71) % 256)
+    val back = Codecs.decodeJpegYcc444(Codecs.encodeJpegYcc444(img))
+    for ((a, b) <- Seq((img.y, back.y), (img.cb, back.cb), (img.cr, back.cr)))
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) <= 2) }
+  }
+
+  test("444: restart intervals reset all three predictors; sampling dispatch fails loudly both ways") {
+    val img = ycc444(32, 8)((c, r, col) => 10 + 50 * c + 5 * (col / 8))
+    val withRst = Codecs.encodeJpegYcc444(img, restartInterval = 2)
+    assert(withRst.containsSlice(Array(0xff.toByte, 0xd0.toByte)))
+    val back = Codecs.decodeJpegYcc444(withRst)
+    assert(back.y.sameElements(img.y) && back.cr.sameElements(img.cr))
+    // a 4:4:4 stream through the 4:2:0 decoder (and vice versa) names it
+    val e1 = intercept[IllegalArgumentException](
+      Codecs.decodeJpegYcc(Codecs.encodeJpegYcc444(img)))
+    assert(e1.getMessage.contains("4:2:0"))
+    val ycc420 = Codecs.YccImage(16, 16, Array.fill(256)(99),
+      Array.fill(64)(12), Array.fill(64)(200))
+    val e2 = intercept[IllegalArgumentException](
+      Codecs.decodeJpegYcc444(Codecs.encodeJpegYcc(ycc420)))
+    assert(e2.getMessage.contains("4:4:4"))
+  }
 }
