@@ -110,15 +110,18 @@ object Bench {
     val hfHead = BenchEnvelopes.hostFactor(ok, BenchEnvelopes.headlineCanaries,
       BenchEnvelopes.envelopeSec)
     val rawSus = BenchEnvelopes.suspects(ok, hfHead)
+    // retry outcome, with the three non-success shapes tellable apart in
+    // the artifact: a seconds value (re-ran), "deadline" (never re-ran),
+    // "failed" (re-ran and crashed/timed out)
     val retried = rawSus.map { case (n, r) =>
-      val again =
+      val again: Either[String, Double] =
         if (System.nanoTime() > deadline) Left("deadline")
-        else materialize(n, sfDir)
-      (n, r, again.toOption)
+        else materialize(n, sfDir).left.map(_ => "failed")
+      (n, r, again)
     }
     def confirmedBar(env: Double): Double = hfHead * math.max(2 * env, env + 1.0)
     val (headClr, headSus) = retried.partition { case (n, _, again) =>
-      again.exists(_ <= confirmedBar(BenchEnvelopes.envelopeSec(n)))
+      again.toOption.exists(_ <= confirmedBar(BenchEnvelopes.envelopeSec(n)))
     }
     // line budget: at most 4 confirmed suspects inline, the rest as an
     // overflow COUNT (never silently dropped — the artifact carries all)
@@ -155,23 +158,24 @@ object Bench {
     // the budget can't reach land in "skipped" — no silent caps.
     val extendedNames = SparkEntry.allDefs.map(_.name).filterNot(names.toSet)
     val extResults = scala.collection.mutable.LinkedHashMap[String, Either[String, Double]]()
-    // the headline adjudication is settled by now — serialize it once
-    def pairs(m: Seq[(String, Double)]): String =
-      m.map { case (n, r) => s""""$n":${f"$r%.2f"}""" }.mkString("{", ",", "}")
-    def clearedJson(m: Seq[(String, Double, Option[Double])]): String =
+    // the headline adjudication is settled by now — serialize it once.
+    // Suspect AND cleared entries share ONE shape: name → [first-run
+    // SECONDS, retry outcome], where the outcome is the retry's seconds
+    // (same unit — the two values are directly comparable), or "deadline"
+    // (never re-ran), "failed" (re-ran and crashed/timed out), "pending"
+    // (a mid-sweep snapshot before the retry pass) — tellable apart by a
+    // reader, never conflated under null (r15 review #2).
+    def retryPairs(m: Seq[(String, Double, Either[String, Double])]): String =
       m.map { case (n, first, again) =>
-        s""""$n":[${f"$first%.2f"},${again.map(a => f"$a%.2f").getOrElse("null")}]"""
+        val out = again.fold(tag => "\"" + tag + "\"", v => f"$v%.2f")
+        s""""$n":[${f"$first%.2f"},$out]"""
       }.mkString("{", ",", "}")
-    val headSusJson = pairs(headSus.map { case (n, r, _) => n -> r })
-    val headClrJson = clearedJson(headClr.map { case (n, r, a) =>
-      (n, r * BenchEnvelopes.envelopeSec(n), a) }) // cleared keeps SECONDS
-    // confirmed suspects keep their retry evidence too: "retried and still
-    // slow" and "retry skipped for deadline" (null) must be tellable apart
-    val headRetryJson = headSus.map { case (n, _, a) =>
-      s""""$n":${a.map(v => f"$v%.2f").getOrElse("null")}"""
-    }.mkString("{", ",", "}")
+    val headSusJson = retryPairs(headSus.map { case (n, r, a) =>
+      (n, r * BenchEnvelopes.envelopeSec(n), a) })
+    val headClrJson = retryPairs(headClr.map { case (n, r, a) =>
+      (n, r * BenchEnvelopes.envelopeSec(n), a) })
     def writeFull(skipped: Seq[String],
-                  sweepRetry: Map[String, Double] = Map.empty): Unit = {
+                  sweepRetry: Map[String, Either[String, Double]] = Map.empty): Unit = {
       val all = results ++ extResults.toSeq
       val fqs = all.collect { case (n, Right(sec)) => s""""$n":${f"$sec%.2f"}""" }
         .mkString("{", ",", "}")
@@ -188,16 +192,16 @@ object Bench {
       def sweepBar(n: String): Double =
         hfSweep * math.max(2 * BenchEnvelopes.fullSweepSec(n),
           BenchEnvelopes.fullSweepSec(n) + 1.5)
+      def outcome(n: String): Either[String, Double] =
+        sweepRetry.getOrElse(n, Left("pending"))
       val (swClr, swSus) = rawSweep.partition { case (n, _) =>
-        sweepRetry.get(n).exists(_ <= sweepBar(n)) }
-      val fsus = pairs(swSus)
-      val fsusRetry = swSus.map { case (n, _) =>
-        s""""$n":${sweepRetry.get(n).map(v => f"$v%.2f").getOrElse("null")}"""
-      }.mkString("{", ",", "}")
-      val fclr = clearedJson(swClr.map { case (n, r) =>
-        (n, r * BenchEnvelopes.fullSweepSec(n), sweepRetry.get(n)) })
+        outcome(n).toOption.exists(_ <= sweepBar(n)) }
+      val fsus = retryPairs(swSus.map { case (n, r) =>
+        (n, r * BenchEnvelopes.fullSweepSec(n), outcome(n)) })
+      val fclr = retryPairs(swClr.map { case (n, r) =>
+        (n, r * BenchEnvelopes.fullSweepSec(n), outcome(n)) })
       val body =
-        s"""{"sf":"$sf","headline_total":${f"$total%.1f"},"headline_n":${names.size},"hf":${f"$hfHead%.2f"},"hf_sweep":${f"$hfSweep%.2f"},"queries":$fqs,"failed":$ffl,"skipped":$fsk,"suspect":$fsus,"suspect_retry":$fsusRetry,"sweep_cleared":$fclr,"headline_suspect":$headSusJson,"headline_suspect_retry":$headRetryJson,"headline_cleared":$headClrJson}"""
+        s"""{"sf":"$sf","headline_total":${f"$total%.1f"},"headline_n":${names.size},"hf":${f"$hfHead%.2f"},"hf_sweep":${f"$hfSweep%.2f"},"queries":$fqs,"failed":$ffl,"skipped":$fsk,"suspect":$fsus,"sweep_cleared":$fclr,"headline_suspect":$headSusJson,"headline_cleared":$headClrJson}"""
       val tmpF = new java.io.File("BENCH_FULL.json.tmp")
       java.nio.file.Files.write(tmpF.toPath, (body + "\n").getBytes("UTF-8"))
       java.nio.file.Files.move(tmpF.toPath, new java.io.File("BENCH_FULL.json").toPath,
@@ -218,9 +222,9 @@ object Bench {
       val sok = extResults.toSeq.collect { case (n, Right(sec)) => n -> sec }
       val hfSweep = BenchEnvelopes.hostFactor(sok, BenchEnvelopes.sweepCanaries,
         BenchEnvelopes.fullSweepSec)
-      val retry = BenchEnvelopes.sweepSuspects(sok, hfSweep).flatMap { case (n, _) =>
-        if (System.nanoTime() > deadline) None
-        else materialize(n, sfDir).toOption.map(n -> _)
+      val retry = BenchEnvelopes.sweepSuspects(sok, hfSweep).map { case (n, _) =>
+        n -> (if (System.nanoTime() > deadline) Left("deadline")
+              else materialize(n, sfDir).left.map(_ => "failed"))
       }.toMap
       writeFull(remaining, retry)
     }

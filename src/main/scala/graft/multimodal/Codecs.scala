@@ -2084,14 +2084,20 @@ object Codecs {
     * resolution — no hidden resampling, so block-flat planes round-trip
     * bit-exact exactly as in the grayscale case.
     */
-  def encodeJpegYcc(img: YccImage, restartInterval: Int = 0): Array[Byte] = {
-    val w = img.width; val h = img.height
-    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff)
-    require(restartInterval >= 0 && restartInterval <= 0xffff)
-    val cw = img.cw; val ch = img.ch
-    require(img.y.length == w * h && img.cb.length == cw * ch &&
-      img.cr.length == cw * ch, "plane sizes must match 4:2:0 dims")
-    val out = new java.io.ByteArrayOutputStream()
+  /** Shared JFIF header emission for the interleaved COLOR encoders (r15
+    * review: 4:2:0 and 4:4:4 differ only in the SOF sampling bytes and
+    * the MCU loop, so the byte-level segment emission lives once): SOI,
+    * APP0, both all-ones quant slots (luma Tq=0, chroma Tq=1 — separate
+    * slots because that is the production table layout; identical values
+    * because bit-exact fixtures are the point, E127), SOF0 from the
+    * caller's (id, samplingByte, Tq) triples, the canonical DHT pair,
+    * optional DRI, and the SOS (all components share the table pair —
+    * legal: the scan header selects tables per component). Returns the
+    * entropy coder's canonical code maps.
+    */
+  private def writeColorJpegHeaders(out: java.io.ByteArrayOutputStream,
+      w: Int, h: Int, sof: Seq[(Int, Int, Int)], restartInterval: Int)
+      : (Map[Int, (Int, Int)], Map[Int, (Int, Int)]) = {
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, payload: Array[Int]): Unit = {
       marker(m)
@@ -2101,25 +2107,30 @@ object Codecs {
     }
     marker(0xd8) // SOI
     seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
-    // two quant tables (luma Tq=0, chroma Tq=1), both all-ones — separate
-    // slots because that is the production table layout; identical values
-    // because bit-exact fixtures are the point (E127)
     seg(0xdb, 0 +: ZigZag.indices.map(k => JQuant(ZigZag(k))).toArray)
     seg(0xdb, 1 +: ZigZag.indices.map(k => JQuant(ZigZag(k))).toArray)
     seg(0xc0, Array(8, (h >>> 8) & 0xff, h & 0xff, (w >>> 8) & 0xff, w & 0xff,
-      3,
-      1, 0x22, 0, // Y:  2x2 sampling, quant table 0
-      2, 0x11, 1, // Cb: 1x1, quant table 1
-      3, 0x11, 1)) // Cr
+      sof.length) ++ sof.flatMap { case (id, samp, tq) => Seq(id, samp, tq) })
     seg(0xc4, (0x00 +: (jBits(JDcSyms, 4) ++ JDcSyms)).toArray) // DC class 0 id 0
     seg(0xc4, (0x10 +: (jBits(JAcSyms, 9) ++ JAcSyms)).toArray) // AC class 1 id 0
     if (restartInterval > 0)
       seg(0xdd, Array((restartInterval >>> 8) & 0xff, restartInterval & 0xff))
-    // all three components share the canonical table pair (legal: the
-    // scan header selects tables per component)
-    seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
-    val dcCodes = canonical(jBits(JDcSyms, 4), JDcSyms)
-    val acCodes = canonical(jBits(JAcSyms, 9), JAcSyms)
+    seg(0xda, ((sof.length +: sof.flatMap(c => Seq(c._1, 0x00))) :+ 0 :+ 63 :+ 0).toArray)
+    (canonical(jBits(JDcSyms, 4), JDcSyms), canonical(jBits(JAcSyms, 9), JAcSyms))
+  }
+
+  def encodeJpegYcc(img: YccImage, restartInterval: Int = 0): Array[Byte] = {
+    val w = img.width; val h = img.height
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff)
+    require(restartInterval >= 0 && restartInterval <= 0xffff)
+    val cw = img.cw; val ch = img.ch
+    require(img.y.length == w * h && img.cb.length == cw * ch &&
+      img.cr.length == cw * ch, "plane sizes must match 4:2:0 dims")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    val (dcCodes, acCodes) = writeColorJpegHeaders(out, w, h,
+      Seq((1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)), // Y 2x2; Cb, Cr 1x1
+      restartInterval)
     val bw = new BitWriter(out)
     val coef = new Array[Int](64)
     val mcw = (w + 15) / 16; val mch = (h + 15) / 16
@@ -2521,28 +2532,9 @@ object Codecs {
       img.cr.length == w * h, "plane sizes must match 4:4:4 dims")
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
-    def seg(m: Int, payload: Array[Int]): Unit = {
-      marker(m)
-      val len = payload.length + 2
-      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
-      payload.foreach(v => out.write(v & 0xff))
-    }
-    marker(0xd8) // SOI
-    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
-    seg(0xdb, 0 +: ZigZag.indices.map(k => JQuant(ZigZag(k))).toArray)
-    seg(0xdb, 1 +: ZigZag.indices.map(k => JQuant(ZigZag(k))).toArray)
-    seg(0xc0, Array(8, (h >>> 8) & 0xff, h & 0xff, (w >>> 8) & 0xff, w & 0xff,
-      3,
-      1, 0x11, 0, // Y:  1x1 sampling, quant table 0
-      2, 0x11, 1, // Cb: 1x1, quant table 1
-      3, 0x11, 1)) // Cr
-    seg(0xc4, (0x00 +: (jBits(JDcSyms, 4) ++ JDcSyms)).toArray)
-    seg(0xc4, (0x10 +: (jBits(JAcSyms, 9) ++ JAcSyms)).toArray)
-    if (restartInterval > 0)
-      seg(0xdd, Array((restartInterval >>> 8) & 0xff, restartInterval & 0xff))
-    seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
-    val dcCodes = canonical(jBits(JDcSyms, 4), JDcSyms)
-    val acCodes = canonical(jBits(JAcSyms, 9), JAcSyms)
+    val (dcCodes, acCodes) = writeColorJpegHeaders(out, w, h,
+      Seq((1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)), // all 1x1
+      restartInterval)
     val bw = new BitWriter(out)
     val coef = new Array[Int](64)
     val bw8 = (w + 7) / 8; val bh8 = (h + 7) / 8

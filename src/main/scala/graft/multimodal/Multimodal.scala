@@ -43,6 +43,20 @@ object Multimodal {
     out
   }
 
+  /** (Σ, min, max) of one sample plane — the exact-integer stats core
+    * shared by every per-plane stats mapper (r15 review: four verbatim
+    * copies collapsed).
+    */
+  private def planeAgg(p: Array[Int]): (Long, Int, Int) = {
+    var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+    var i = 0
+    while (i < p.length) {
+      val v = p(i); sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+      i += 1
+    }
+    (sum, mn, mx)
+  }
+
   /** One media record: opaque bytes + where they came from. */
   final case class MediaRecord(media_id: Long, kind: String, content: Array[Byte])
 
@@ -278,20 +292,11 @@ object Multimodal {
 
   def imageColorStats(media: Dataset[MediaRecord]): Dataset[ColorStats] = {
     import media.sparkSession.implicits._
-    def agg(p: Array[Int]): (Long, Int, Int) = {
-      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
-      var i = 0
-      while (i < p.length) {
-        val v = p(i); sum += v; if (v < mn) mn = v; if (v > mx) mx = v
-        i += 1
-      }
-      (sum, mn, mx)
-    }
     media.filter(_.kind == "image").mapPartitions(_.map { m =>
       val img = Codecs.decodeJpegYcc(m.content)
-      val (sy, ny, xy) = agg(img.y)
-      val (sb, nb, xb) = agg(img.cb)
-      val (sr, nr, xr) = agg(img.cr)
+      val (sy, ny, xy) = planeAgg(img.y)
+      val (sb, nb, xb) = planeAgg(img.cb)
+      val (sr, nr, xr) = planeAgg(img.cr)
       ColorStats(m.media_id, img.width, img.height, sy, ny, xy, sb, nb, xb, sr, nr, xr)
     })
   }
@@ -301,20 +306,11 @@ object Multimodal {
     */
   def image444Stats(media: Dataset[MediaRecord]): Dataset[ColorStats] = {
     import media.sparkSession.implicits._
-    def agg(p: Array[Int]): (Long, Int, Int) = {
-      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
-      var i = 0
-      while (i < p.length) {
-        val v = p(i); sum += v; if (v < mn) mn = v; if (v > mx) mx = v
-        i += 1
-      }
-      (sum, mn, mx)
-    }
     media.filter(_.kind == "image").mapPartitions(_.map { m =>
       val img = Codecs.decodeJpegYcc444(m.content)
-      val (sy, ny, xy) = agg(img.y)
-      val (sb, nb, xb) = agg(img.cb)
-      val (sr, nr, xr) = agg(img.cr)
+      val (sy, ny, xy) = planeAgg(img.y)
+      val (sb, nb, xb) = planeAgg(img.cb)
+      val (sr, nr, xr) = planeAgg(img.cr)
       ColorStats(m.media_id, img.width, img.height, sy, ny, xy, sb, nb, xb, sr, nr, xr)
     })
   }
@@ -358,20 +354,11 @@ object Multimodal {
 
   def imageRgbStats(media: Dataset[MediaRecord]): Dataset[RgbStats] = {
     import media.sparkSession.implicits._
-    def agg(p: Array[Int]): (Long, Int, Int) = {
-      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
-      var i = 0
-      while (i < p.length) {
-        val v = p(i); sum += v; if (v < mn) mn = v; if (v > mx) mx = v
-        i += 1
-      }
-      (sum, mn, mx)
-    }
     media.filter(_.kind == "image").mapPartitions(_.map { m =>
       val img = Codecs.decodePngRgb(m.content)
-      val (sr, nr, xr) = agg(img.r)
-      val (sg, ng, xg) = agg(img.g)
-      val (sb, nb, xb) = agg(img.b)
+      val (sr, nr, xr) = planeAgg(img.r)
+      val (sg, ng, xg) = planeAgg(img.g)
+      val (sb, nb, xb) = planeAgg(img.b)
       RgbStats(m.media_id, img.width, img.height, img.r.length,
         sr, nr, xr, sg, ng, xg, sb, nb, xb)
     })
@@ -387,21 +374,12 @@ object Multimodal {
 
   def imageRgbaStats(media: Dataset[MediaRecord]): Dataset[RgbaStats] = {
     import media.sparkSession.implicits._
-    def agg(p: Array[Int]): (Long, Int, Int) = {
-      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
-      var i = 0
-      while (i < p.length) {
-        val v = p(i); sum += v; if (v < mn) mn = v; if (v > mx) mx = v
-        i += 1
-      }
-      (sum, mn, mx)
-    }
     media.filter(_.kind == "image").mapPartitions(_.map { m =>
       val img = Codecs.decodePngRgba(m.content)
-      val (sr, nr, xr) = agg(img.r)
-      val (sg, ng, xg) = agg(img.g)
-      val (sb, nb, xb) = agg(img.b)
-      val (sa, na, xa) = agg(img.a)
+      val (sr, nr, xr) = planeAgg(img.r)
+      val (sg, ng, xg) = planeAgg(img.g)
+      val (sb, nb, xb) = planeAgg(img.b)
+      val (sa, na, xa) = planeAgg(img.a)
       RgbaStats(m.media_id, img.width, img.height, img.r.length,
         sr, nr, xr, sg, ng, xg, sb, nb, xb, sa, na, xa)
     })
