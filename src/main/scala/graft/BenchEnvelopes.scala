@@ -303,6 +303,8 @@ object BenchEnvelopes {
     "mm_png16_stats" -> 1.3,
     // r15 24-bit FLAC (E153) — fresh-JVM 1.47/1.12/0.79 at sf0.1
     "mm_flac24_energy" -> 1.5,
+    // r15 FLAC seektable (E155) — fresh-JVM 1.35/0.81/0.73 at sf0.1
+    "mm_flac_seek" -> 1.4,
     // r15 4:4:4 JPEG (E154) — fresh-JVM 7.06/5.73/6.25 at sf0.1: three
     // full-resolution planes × (encode-side full DCT + decode) per doc,
     // the same cost class as mm_jpeg_color_stats' 4.1

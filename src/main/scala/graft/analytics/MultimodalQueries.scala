@@ -489,6 +489,39 @@ object MultimodalQueries {
     }
   }
 
+  /** RANDOM-ACCESS frame energy through the FLAC SEEKTABLE (r15): each
+    * stream carries a type-3 seek table (every 1+m%2 frames — sparse on
+    * odd m, so the path lands on a PRECEDING point and walks forward);
+    * the query decodes ONLY the target frame k = m%3 through
+    * `decodeFlacFrameAt` — sampling long audio without a full decode,
+    * the 100-TB access pattern. Per-frame CRCs verify everything read;
+    * the oracle recomputes the frame's exact energy from the chain.
+    */
+  val flacSeekEnergy: QueryDef = {
+    def sample(i: String): String = {
+      val v = s"(${byteAt(s"2*($i)")} + 256 * ${byteAt(s"2*($i)+1")})"
+      s"(CASE WHEN $v >= 32768 THEN $v - 65536 ELSE $v END)"
+    }
+    QueryDef(
+      "mm_flac_seek",
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')
+         |      || md5(text || 'd') || md5(text || 'e') AS hx,
+         |    33 + CAST((doc_id // 3) % 16 AS INTEGER) AS n,
+         |    CAST((doc_id // 3) % 3 AS INTEGER) AS k
+         |  FROM documents WHERE doc_id % 3 = 1)
+         |SELECT doc_id AS media_id, k AS frame_idx,
+         |  CAST(16*k AS BIGINT) AS first_sample,
+         |  CAST(least(16*k + 16, n) - 16*k AS INTEGER) AS n_samples,
+         |  CAST(list_sum([ ${sample("i")} * ${sample("i")}
+         |                  for i in range(16*k, least(16*k + 16, n)) ]) AS BIGINT) AS energy
+         |FROM src""".stripMargin) { (s, dir) =>
+      val media = Multimodal.flacSeekMedia(s, Tables.documents(s, dir))
+      Multimodal.flacSeekFrameEnergy(media).toDF()
+    }
+  }
+
   /** Per-frame per-CHANNEL energy through STEREO FLAC (r14, E145): the
     * fixtures pair a smooth quadratic LEFT with a RIGHT that alternates
     * between chain noise (even m — independent channels) and
@@ -713,5 +746,6 @@ object MultimodalQueries {
   val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash,
     imageStats, resizeGrid, mediaDedup, pngStats, pngHash, jpegStats, jpegHash,
     jpegColorStats, pngColorStats, pngColorHash, flacEnergy, flacStereoEnergy,
-    pngAlphaStats, mjpegStats, mjpegHash, png16Stats, flac24Energy, jpeg444Stats)
+    pngAlphaStats, mjpegStats, mjpegHash, png16Stats, flac24Energy, jpeg444Stats,
+    flacSeekEnergy)
 }

@@ -829,9 +829,9 @@ object Codecs {
 
   private def writeStreamInfo(out: java.io.ByteArrayOutputStream,
       blockSize: Int, sampleRate: Int, channels: Int, total: Long,
-      md5: Array[Byte], bps: Int = 16): Unit = {
+      md5: Array[Byte], bps: Int = 16, lastBlock: Boolean = true): Unit = {
     val info = new FlacBitWriter
-    info.put(1, 1); info.put(0, 7); info.put(34, 24) // last block, STREAMINFO
+    info.put(if (lastBlock) 1 else 0, 1); info.put(0, 7); info.put(34, 24) // STREAMINFO
     info.put(blockSize.toLong, 16); info.put(blockSize.toLong, 16)
     info.put(0, 24); info.put(0, 24) // frame sizes unknown
     info.put(sampleRate.toLong, 20)
@@ -866,27 +866,52 @@ object Codecs {
     * shapes exercise different subframe types while the choice stays
     * deterministic.
     */
-  def encodeFlac(clip: PcmClip, blockSize: Int = 16): Array[Byte] = {
+  def encodeFlac(clip: PcmClip, blockSize: Int = 16,
+                 seekEvery: Int = 0): Array[Byte] = {
     val s = clip.samples
     require(s.nonEmpty && blockSize >= 1 && blockSize <= 256)
     require(s.forall(v => v >= -32768 && v <= 32767), "16-bit PCM only")
-    val out = new java.io.ByteArrayOutputStream
-    out.write("fLaC".getBytes("US-ASCII"))
-    writeStreamInfo(out, blockSize, clip.sampleRate, 1, s.length.toLong, md5OfPcm(s))
+    require(seekEvery >= 0)
+    // frames buffer first: SEEKTABLE offsets are bytes from the FIRST
+    // frame header, known only after encoding (two-phase assembly)
+    val frames = new java.io.ByteArrayOutputStream
+    val points = Seq.newBuilder[(Long, Long, Int)]
     var frameIdx = 0L
     var off = 0
     while (off < s.length) {
       val n = math.min(blockSize, s.length - off)
+      if (seekEvery > 0 && frameIdx % seekEvery == 0)
+        points += ((off.toLong, frames.size.toLong, n))
       val blk = java.util.Arrays.copyOfRange(s, off, off + n)
       val w = new FlacBitWriter
       writeFrameHeader(w, clip.sampleRate, 0, frameIdx, n)
       planSubframe(blk, 16)._3(w)
       val frameBytes = w.toBytes // aligns
       val c16 = crc16(frameBytes, 0, frameBytes.length)
-      out.write(frameBytes)
-      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+      frames.write(frameBytes, 0, frameBytes.length)
+      frames.write((c16 >> 8) & 0xff); frames.write(c16 & 0xff)
       off += n; frameIdx += 1
     }
+    val out = new java.io.ByteArrayOutputStream
+    out.write("fLaC".getBytes("US-ASCII"))
+    writeStreamInfo(out, blockSize, clip.sampleRate, 1, s.length.toLong,
+      md5OfPcm(s), lastBlock = seekEvery == 0)
+    if (seekEvery > 0) {
+      // SEEKTABLE (type 3, last metadata block): 18-byte points — first
+      // sample, byte offset from the first frame header, frame samples
+      val pts = points.result()
+      val t = new FlacBitWriter
+      t.put(1, 1); t.put(3, 7); t.put(pts.size * 18, 24)
+      pts.foreach { case (sample, o, n) =>
+        t.put(sample >>> 32, 32); t.put(sample & 0xffffffffL, 32)
+        t.put(o >>> 32, 32); t.put(o & 0xffffffffL, 32)
+        t.put(n.toLong, 16)
+      }
+      val tb = t.toBytes
+      out.write(tb, 0, tb.length)
+    }
+    val fb = frames.toByteArray
+    out.write(fb, 0, fb.length)
     out.toByteArray
   }
 
@@ -1101,13 +1126,26 @@ object Codecs {
     (rate, chans)
   }
 
-  private def decodeFlacAll(bytes: Array[Byte],
-      requireBps: Option[Int] = None): (Int, Int, Array[Array[Int]]) = {
+  /** Everything the metadata section yields: STREAMINFO fields, the
+    * SEEKTABLE's points (sample, byte offset from the first frame, frame
+    * samples — placeholders dropped), and where the frames start.
+    */
+  private final case class FlacMeta(sampleRate: Int, channels: Int, bps: Int,
+      total: Long, md5: Array[Byte], seekpoints: Seq[(Long, Long, Int)],
+      framesAt: Int)
+
+  /** The metadata walk shared by the sequential decoders and the seek
+    * path (r15): STREAMINFO parsed and gated, SEEKTABLE (type 3) points
+    * collected, other blocks skipped.
+    */
+  private def parseFlacMeta(bytes: Array[Byte],
+      requireBps: Option[Int] = None): FlacMeta = {
     require(bytes.length >= 42 && new String(bytes, 0, 4, "US-ASCII") == "fLaC",
       "not a FLAC stream: missing magic")
     var pos = 4
     var sampleRate = -1; var total = -1L; var channels = -1; var bps = -1
     var md5Stored: Array[Byte] = null
+    var seekpoints = Seq.empty[(Long, Long, Int)]
     var last = false
     while (!last) {
       require(pos + 4 <= bytes.length, "truncated FLAC metadata header")
@@ -1132,6 +1170,18 @@ object Codecs {
           s"FLAC bit depth $bps: use the matching decoder")
         total = r.take(36)
         md5Stored = Array.tabulate(16)(i => r.take(8).toByte)
+      } else if (tpe == 3) {
+        // SEEKTABLE: 18-byte points — first sample (u64), byte offset
+        // from the first frame header (u64), samples in the frame (u16);
+        // all-ones sample number marks a placeholder (skipped)
+        require(len % 18 == 0, "bad SEEKTABLE length")
+        val r = new FlacBitReader(bytes, pos + 4)
+        seekpoints = (0 until len / 18).flatMap { _ =>
+          val s = (r.take(32) << 32) | r.take(32)
+          val off = (r.take(32) << 32) | r.take(32)
+          val n = r.take(16).toInt
+          if (s == -1L) None else Some((s, off, n))
+        }
       }
       pos += 4 + len
     }
@@ -1144,99 +1194,155 @@ object Codecs {
     // (B/12 + 1)·65535 samples.
     require(total <= (bytes.length.toLong / 12 + 1) * 65535 && total <= Int.MaxValue,
       "implausible FLAC total-samples field — corrupt container")
+    FlacMeta(sampleRate, channels, bps, total, md5Stored, seekpoints, pos)
+  }
+
+  /** Decode ONE frame at the reader's position — header through its
+    * CRC-8, subframes per the channel assignment, trailing CRC-16 —
+    * returning (blockSize, per-channel samples). Shared by the
+    * sequential decoders and the seek path (r15).
+    */
+  private def decodeFlacFrame(bytes: Array[Byte], r: FlacBitReader,
+      sampleRate: Int, channels: Int, bps: Int): (Int, Array[Array[Int]]) = {
+    val frameStart = r.bytePos
+    require(r.take(14) == 0x3ffe, "lost FLAC frame sync")
+    r.take(1)
+    require(r.take(1) == 0, "variable-blocking FLAC unsupported")
+    val bsCode = r.take(4).toInt
+    val srCode = r.take(4).toInt
+    val chanAssign = r.take(4).toInt
+    require(r.take(3) == (if (bps == 24) 6L else 4L),
+      "frame/STREAMINFO sample-size mismatch")
+    r.take(1)
+    // UTF-8 coded frame number (full multi-byte form)
+    val first = r.take(8).toInt
+    if (first >= 0x80) {
+      var cont = 0; var probe = first
+      while ((probe & 0x40) != 0) { cont += 1; probe <<= 1 }
+      require(cont >= 1 && cont <= 6, "bad FLAC frame-number coding")
+      var i = 0
+      while (i < cont) { require((r.take(8) & 0xc0) == 0x80, "bad continuation"); i += 1 }
+    }
+    val blockSize = bsCode match {
+      case 1 => 192
+      case c if c >= 2 && c <= 5 => 576 << (c - 2)
+      case 6 => r.take(8).toInt + 1
+      case 7 => r.take(16).toInt + 1
+      case c if c >= 8 => 256 << (c - 8)
+      case _ => throw new IllegalArgumentException("reserved FLAC block-size code")
+    }
+    srCode match {
+      case 0 => // from STREAMINFO
+      case 4 => require(sampleRate == 8000, "frame/STREAMINFO sample-rate mismatch")
+      case _ => throw new IllegalArgumentException(s"unsupported FLAC sample-rate code $srCode")
+    }
+    require(crc8(bytes, frameStart, r.bytePos) == r.take(8).toInt,
+      "FLAC frame header fails its CRC-8 — corrupt container")
+
+    val chans: Array[Array[Int]] = chanAssign match {
+      case 0 =>
+        require(channels == 1, "mono frame in a stereo stream")
+        Array(decodeSubframe(r, blockSize, bps))
+      case 1 =>
+        require(channels == 2, "stereo frame in a mono stream")
+        Array(decodeSubframe(r, blockSize, bps), decodeSubframe(r, blockSize, bps))
+      case 8 => // left/side: ch0 = L (bps), ch1 = side (bps+1); R = L - side
+        require(channels == 2, "stereo frame in a mono stream")
+        val lch = decodeSubframe(r, blockSize, bps)
+        val sch = decodeSubframe(r, blockSize, bps + 1)
+        Array(lch, Array.tabulate(blockSize)(i => lch(i) - sch(i)))
+      case 9 => // right/side: ch0 = side (bps+1), ch1 = R (bps); L = side + R
+        require(channels == 2, "stereo frame in a mono stream")
+        val sch = decodeSubframe(r, blockSize, bps + 1)
+        val rch = decodeSubframe(r, blockSize, bps)
+        Array(Array.tabulate(blockSize)(i => sch(i) + rch(i)), rch)
+      case 10 => // mid/side: the lost low bit of L+R rides the side's parity
+        require(channels == 2, "stereo frame in a mono stream")
+        val mch = decodeSubframe(r, blockSize, bps)
+        val sch = decodeSubframe(r, blockSize, bps + 1)
+        val lch = Array.tabulate(blockSize) { i =>
+          val m2 = (mch(i).toLong << 1) | (sch(i).toLong & 1)
+          ((m2 + sch(i)) >> 1).toInt
+        }
+        val rch = Array.tabulate(blockSize)(i => lch(i) - sch(i))
+        Array(lch, rch)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported FLAC channel assignment $other")
+    }
+    r.alignByte()
+    val c16 = crc16(bytes, frameStart, r.bytePos)
+    val stored = (r.take(8).toInt << 8) | r.take(8).toInt
+    require(c16 == stored, "FLAC frame fails its CRC-16 — corrupt container")
+    val sLo = -(1 << (bps - 1)); val sHi = (1 << (bps - 1)) - 1
+    var c = 0
+    while (c < channels) {
+      var i = 0
+      while (i < blockSize) {
+        val v = chans(c)(i)
+        require(v >= sLo && v <= sHi, s"FLAC sample out of $bps-bit range")
+        i += 1
+      }
+      c += 1
+    }
+    (blockSize, chans)
+  }
+
+  private def decodeFlacAll(bytes: Array[Byte],
+      requireBps: Option[Int] = None): (Int, Int, Array[Array[Int]]) = {
+    val meta = parseFlacMeta(bytes, requireBps)
+    import meta.{sampleRate, channels, bps, total}
     val out = Array.fill(channels)(new Array[Int](total.toInt))
     var got = 0
-    val r = new FlacBitReader(bytes, pos)
+    val r = new FlacBitReader(bytes, meta.framesAt)
     while (got < total) {
-      val frameStart = r.bytePos
-      require(r.take(14) == 0x3ffe, "lost FLAC frame sync")
-      r.take(1)
-      require(r.take(1) == 0, "variable-blocking FLAC unsupported")
-      val bsCode = r.take(4).toInt
-      val srCode = r.take(4).toInt
-      val chanAssign = r.take(4).toInt
-      require(r.take(3) == (if (bps == 24) 6L else 4L),
-        "frame/STREAMINFO sample-size mismatch")
-      r.take(1)
-      // UTF-8 coded frame number (full multi-byte form)
-      val first = r.take(8).toInt
-      if (first >= 0x80) {
-        var cont = 0; var probe = first
-        while ((probe & 0x40) != 0) { cont += 1; probe <<= 1 }
-        require(cont >= 1 && cont <= 6, "bad FLAC frame-number coding")
-        var i = 0
-        while (i < cont) { require((r.take(8) & 0xc0) == 0x80, "bad continuation"); i += 1 }
-      }
-      val blockSize = bsCode match {
-        case 1 => 192
-        case c if c >= 2 && c <= 5 => 576 << (c - 2)
-        case 6 => r.take(8).toInt + 1
-        case 7 => r.take(16).toInt + 1
-        case c if c >= 8 => 256 << (c - 8)
-        case _ => throw new IllegalArgumentException("reserved FLAC block-size code")
-      }
-      srCode match {
-        case 0 => // from STREAMINFO
-        case 4 => require(sampleRate == 8000, "frame/STREAMINFO sample-rate mismatch")
-        case _ => throw new IllegalArgumentException(s"unsupported FLAC sample-rate code $srCode")
-      }
-      require(crc8(bytes, frameStart, r.bytePos) == r.take(8).toInt,
-        "FLAC frame header fails its CRC-8 — corrupt container")
-
-      val chans: Array[Array[Int]] = chanAssign match {
-        case 0 =>
-          require(channels == 1, "mono frame in a stereo stream")
-          Array(decodeSubframe(r, blockSize, bps))
-        case 1 =>
-          require(channels == 2, "stereo frame in a mono stream")
-          Array(decodeSubframe(r, blockSize, bps), decodeSubframe(r, blockSize, bps))
-        case 8 => // left/side: ch0 = L (bps), ch1 = side (bps+1); R = L - side
-          require(channels == 2, "stereo frame in a mono stream")
-          val lch = decodeSubframe(r, blockSize, bps)
-          val sch = decodeSubframe(r, blockSize, bps + 1)
-          Array(lch, Array.tabulate(blockSize)(i => lch(i) - sch(i)))
-        case 9 => // right/side: ch0 = side (bps+1), ch1 = R (bps); L = side + R
-          require(channels == 2, "stereo frame in a mono stream")
-          val sch = decodeSubframe(r, blockSize, bps + 1)
-          val rch = decodeSubframe(r, blockSize, bps)
-          Array(Array.tabulate(blockSize)(i => sch(i) + rch(i)), rch)
-        case 10 => // mid/side: the lost low bit of L+R rides the side's parity
-          require(channels == 2, "stereo frame in a mono stream")
-          val mch = decodeSubframe(r, blockSize, bps)
-          val sch = decodeSubframe(r, blockSize, bps + 1)
-          val lch = Array.tabulate(blockSize) { i =>
-            val m2 = (mch(i).toLong << 1) | (sch(i).toLong & 1)
-            ((m2 + sch(i)) >> 1).toInt
-          }
-          val rch = Array.tabulate(blockSize)(i => lch(i) - sch(i))
-          Array(lch, rch)
-        case other =>
-          throw new IllegalArgumentException(s"unsupported FLAC channel assignment $other")
-      }
-      r.alignByte()
-      val c16 = crc16(bytes, frameStart, r.bytePos)
-      val stored = (r.take(8).toInt << 8) | r.take(8).toInt
-      require(c16 == stored, "FLAC frame fails its CRC-16 — corrupt container")
+      val (blockSize, chans) = decodeFlacFrame(bytes, r, sampleRate, channels, bps)
       val take = math.min(blockSize.toLong, total - got).toInt
-      val sLo = -(1 << (bps - 1)); val sHi = (1 << (bps - 1)) - 1
       var c = 0
       while (c < channels) {
-        var i = 0
-        while (i < take) {
-          val v = chans(c)(i)
-          require(v >= sLo && v <= sHi, s"FLAC sample out of $bps-bit range")
-          out(c)(got + i) = v
-          i += 1
-        }
+        System.arraycopy(chans(c), 0, out(c), got, take)
         c += 1
       }
       got += take
     }
     val md5Got =
       if (channels == 1) md5OfPcm(out(0), bps / 8) else md5OfStereo(out(0), out(1))
-    require(java.util.Arrays.equals(md5Got, md5Stored),
+    require(java.util.Arrays.equals(md5Got, meta.md5),
       "decoded PCM fails STREAMINFO's MD5 — corrupt container")
     (sampleRate, bps, out)
+  }
+
+  /** RANDOM-ACCESS frame decode through the SEEKTABLE (r15): return the
+    * mono frame CONTAINING `targetSample` — (the frame's first sample,
+    * its samples, cropped at stream end) — decoding from the latest
+    * seekpoint at or before the target, never the frames before it. This
+    * is the 100-TB access path: sampling the middle of long audio costs
+    * O(distance from a seekpoint), not O(stream). Per-frame CRC-8/CRC-16
+    * still verify everything the seek path READS; the stream-level PCM
+    * MD5 is by definition a full-decode check and does not apply. A
+    * stream with no SEEKTABLE degrades to decoding forward from the
+    * first frame — same answer, sequential cost.
+    */
+  def decodeFlacFrameAt(bytes: Array[Byte], targetSample: Long): (Long, Array[Int]) = {
+    val meta = parseFlacMeta(bytes)
+    require(meta.channels == 1, "seek decode is the mono access path")
+    require(targetSample >= 0 && targetSample < meta.total,
+      s"sample $targetSample outside [0, ${meta.total})")
+    val entry = meta.seekpoints.filter(_._1 <= targetSample)
+      .sortBy(_._1).lastOption.getOrElse((0L, 0L, 0))
+    require(meta.framesAt + entry._2 <= bytes.length - 12,
+      "seekpoint offset outside the stream")
+    val r = new FlacBitReader(bytes, meta.framesAt + entry._2.toInt)
+    var firstSample = entry._1
+    while (true) {
+      val (blockSize, chans) = decodeFlacFrame(bytes, r, meta.sampleRate,
+        meta.channels, meta.bps)
+      if (targetSample < firstSample + blockSize) {
+        val take = math.min(blockSize.toLong, meta.total - firstSample).toInt
+        return (firstSample, java.util.Arrays.copyOf(chans(0), take))
+      }
+      firstSample += blockSize
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Parse a MONO FLAC stream back to PCM (the strict single-channel

@@ -855,6 +855,51 @@ object Multimodal {
     })
   }
 
+  /** flacMedia with a SEEKTABLE (r15): same chain-sample rule, seekpoints
+    * every 1 + m%2 frames — odd m's sparse table forces the seek path to
+    * land on a PRECEDING seekpoint and walk forward, the real access
+    * pattern; even m's dense table hits the target frame directly.
+    */
+  def flacSeekMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val m = docId / 3
+        val n = 33 + (m % 16).toInt
+        val chain = md5Chain(text, 2 * n)
+        val samples = Array.tabulate(n) { i =>
+          val v = chain(2 * i) + 256 * chain(2 * i + 1)
+          if (v >= 32768) v - 65536 else v
+        }
+        MediaRecord(docId, "audio", Codecs.encodeFlac(
+          Codecs.PcmClip(8000, samples), seekEvery = 1 + (m % 2).toInt))
+      })
+  }
+
+  /** One RANDOM-ACCESS decoded frame: the target frame's bounds + exact
+    * energy, recovered through the SEEKTABLE without decoding the frames
+    * before the landing seekpoint.
+    */
+  final case class SeekFrame(media_id: Long, frame_idx: Int,
+      first_sample: Long, n_samples: Int, energy: Long)
+
+  /** Seek-decode frame k = (doc_id/3) % 3 of each stream and emit its
+    * energy — the sampling-without-full-decode access path at 100 TB.
+    */
+  def flacSeekFrameEnergy(media: Dataset[MediaRecord]): Dataset[SeekFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions(_.map { m =>
+      val k = ((m.media_id / 3) % 3).toInt
+      val (first, px) = Codecs.decodeFlacFrameAt(m.content, 16L * k)
+      var e = 0L
+      var i = 0
+      while (i < px.length) { e += px(i).toLong * px(i); i += 1 }
+      SeekFrame(m.media_id, k, first, px.length, e)
+    })
+  }
+
   /** Build REAL 24-BIT mono FLAC streams (r15 stretch — studio/field
     * depth): n = 33 + m%16 samples, each from THREE chain bytes LE
     * (full ±2^23 range), block size 16 → multi-frame streams whose

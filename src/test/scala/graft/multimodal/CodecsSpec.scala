@@ -494,6 +494,59 @@ class CodecsSpec extends AnyFunSuite {
       || exFrame.getMessage.contains("sync") || exFrame.getMessage.contains("FLAC"))
   }
 
+  test("FLAC SEEKTABLE: seek decode equals the full decode's frame, across targets and densities (r15)") {
+    val s = Array.tabulate(77)(i => ((i * 2654435761L) % 65536L - 32768L).toInt)
+    for (seekEvery <- Seq(1, 2, 3)) {
+      val b = encodeFlac(PcmClip(8000, s), seekEvery = seekEvery)
+      // the stream still FULL-decodes identically (seektable is walkable)
+      assert(decodeFlac(b).samples.sameElements(s))
+      for (target <- Seq(0L, 15L, 16L, 40L, 63L, 76L)) {
+        val (first, px) = decodeFlacFrameAt(b, target)
+        val k = (target / 16).toInt
+        assert(first == 16L * k, s"seekEvery=$seekEvery target=$target")
+        assert(px.sameElements(s.slice(16 * k, math.min(16 * k + 16, s.length))))
+      }
+    }
+    // no seektable: degrades to sequential-from-start, same answer
+    val plain = encodeFlac(PcmClip(8000, s))
+    val (f2, px2) = decodeFlacFrameAt(plain, 40L)
+    assert(f2 == 32L && px2.sameElements(s.slice(32, 48)))
+    // out-of-range targets reject
+    intercept[IllegalArgumentException] { decodeFlacFrameAt(plain, 77L) }
+    intercept[IllegalArgumentException] { decodeFlacFrameAt(plain, -1L) }
+  }
+
+  test("FLAC seek decode really skips the frames before the seekpoint (corrupt-early-frame proof)") {
+    val s = Array.tabulate(64)(i => ((i * 40503L) % 65536L - 32768L).toInt)
+    val b = encodeFlac(PcmClip(8000, s), seekEvery = 1)
+    // find the SECOND frame's offset from the seektable itself: corrupt a
+    // byte inside frame 0's payload (after frame 1's header bytes begin is
+    // too late; pick a byte strictly between frame 0's header and frame
+    // 1's start). Frames start after the metadata: locate frame 1 via the
+    // stream's own seektable by decoding its point table — simplest robust
+    // route: corrupt the byte RIGHT BEFORE the last frame's landing area
+    // by searching for the second 0xFFF8+ sync word.
+    def syncAt(from: Int): Int = {
+      var i = from
+      while (i + 1 < b.length &&
+        !((b(i) & 0xff) == 0xff && (b(i + 1) & 0xf8) == 0xf8)) i += 1
+      i
+    }
+    val f0 = syncAt(42) // first frame sync (past fLaC + STREAMINFO + table)
+    val f1 = syncAt(f0 + 2)
+    require(f1 + 1 < b.length, "fixture must have a second frame")
+    val corrupt = b.clone()
+    corrupt(f0 + 6) = (corrupt(f0 + 6) ^ 0x35).toByte // inside frame 0
+    // full decode walks frame 0 and rejects (CRC layers)
+    intercept[Exception] { decodeFlac(corrupt) }
+    // seek decode of a LATER frame lands on its seekpoint and never reads
+    // frame 0 — it still succeeds and returns the exact samples
+    val (first, px) = decodeFlacFrameAt(corrupt, 48L)
+    assert(first == 48L && px.sameElements(s.slice(48, 64)))
+    // but seeking INTO the corrupted frame itself rejects loudly
+    intercept[Exception] { decodeFlacFrameAt(corrupt, 0L) }
+  }
+
   test("24-BIT FLAC round-trips the full deep range; strict decoders refuse each other (r15)") {
     val shapes = Seq(
       Array.fill(20)(-8388608),                       // CONSTANT at the floor
