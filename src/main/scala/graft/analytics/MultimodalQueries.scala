@@ -743,9 +743,106 @@ object MultimodalQueries {
     Multimodal.image444Stats(media).toDF()
   }
 
+  /** Shared oracle CTEs for the audio-fingerprint fixtures (r16, E157):
+    * `recs` reconstructs every fingerprint record — the primaries plus the
+    * m ≡ 0 mod 5 other-container TWINS (media_id + 1e6, IDENTICAL
+    * samples: the same recording ripped to both WAV and FLAC) — and
+    * `codes` recomputes the 56-bit sign-of-band-energy-delta code from
+    * the seed: 8 time segments × 8 sub-bands, exact integer boundary
+    * arithmetic, E(k,b) = Σ s², bit k·8+b iff E(k+1,b) > E(k,b). The
+    * Spark side must recover the SAME code from real container BYTES
+    * (sniffing WAV vs FLAC per record), so a decode, framing or bit-order
+    * slip hash-mismatches. COALESCE(…, 0) pins the empty-band convention
+    * (DuckDB's list_sum([]) is NULL; the engine's empty Σ is 0).
+    */
+  private val audioFpCodesCte: String = {
+    val hx = (Seq("md5(text)") ++ ('a' to 'n').map(c => s"md5(text || '$c')"))
+      .mkString(" || ")
+    def sample(i: String): String = {
+      val v = s"(${byteAt(s"2*($i)")} + 256 * ${byteAt(s"2*($i)+1")})"
+      s"(CASE WHEN $v >= 32768 THEN $v - 65536 ELSE $v END)"
+    }
+    s"""WITH src AS (
+       |  SELECT doc_id, $hx AS hx, doc_id // 3 AS m,
+       |         72 + CAST((doc_id // 3) % 5 AS INTEGER) * 12 AS n
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |recs AS (
+       |  SELECT doc_id AS media_id, hx, n FROM src
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, hx, n FROM src WHERE m % 5 = 0),
+       |e AS (
+       |  SELECT media_id, k, b,
+       |    CAST(COALESCE(list_sum(
+       |      [ ${sample("i")} * ${sample("i")}
+       |        for i in range((k*n)//8 + (b*(((k+1)*n)//8 - (k*n)//8))//8,
+       |                       (k*n)//8 + ((b+1)*(((k+1)*n)//8 - (k*n)//8))//8) ]
+       |    ), 0) AS BIGINT) AS en
+       |  FROM recs, unnest(range(0, 8)) t1(k), unnest(range(0, 8)) t2(b)),
+       |bits AS (
+       |  SELECT a.media_id, CAST(a.k*8 + a.b AS INTEGER) AS idx
+       |  FROM e a JOIN e c ON a.media_id = c.media_id AND a.b = c.b
+       |                   AND c.k = a.k + 1
+       |  WHERE a.k < 7 AND c.en > a.en),
+       |codes AS (
+       |  SELECT r.media_id,
+       |    CAST(COALESCE(SUM(CAST(1 AS BIGINT) << b.idx), 0) AS BIGINT) AS code,
+       |    CAST(COUNT(b.idx) AS INTEGER) AS n_set
+       |  FROM recs r LEFT JOIN bits b ON r.media_id = b.media_id
+       |  GROUP BY r.media_id)""".stripMargin
+  }
+
+  /** Audio perceptual fingerprint through BOTH real containers (r16,
+    * E157 — the r15 verdict's missing #4): Chromaprint's integer core in
+    * the aHash mold over container-sniffed PCM. See
+    * [[Multimodal.audioFpBits]] for the geometry and why delta signs (not
+    * raw energies) are the perceptual identity.
+    */
+  val audioHash: QueryDef = QueryDef(
+    "mm_audio_hash",
+    s"""$audioFpCodesCte
+       |SELECT media_id, code, n_set FROM codes""".stripMargin) { (s, dir) =>
+    val media = Multimodal.audioFpMedia(s, Tables.documents(s, dir))
+    Multimodal.audioFingerprint(media).toDF()
+  }
+
+  /** Audio near-dedup — dd_media_dedup's pair stage riding the audio
+    * fingerprint (r16, E158): 57 XOR probes per clip (the 56 bits + self),
+    * every Hamming ≤ 1 pair meets in exactly one equi-bucket. The pairs
+    * this MUST find are the other-container twins (same recording as WAV
+    * and FLAC → identical code → Hamming 0): finding them through two
+    * different entropy layers is the proof the code is a property of the
+    * audio. Σ bucket² work, never all-pairs; scale notes at
+    * dd_media_dedup apply verbatim.
+    */
+  val audioDedup: QueryDef = {
+    val masks = 0L +: (0 until 56).map(1L << _)
+    QueryDef(
+      "dd_audio_dedup",
+      s"""$audioFpCodesCte,
+         |probed AS (
+         |  SELECT media_id, code,
+         |    unnest([xor(code, m) for m in [${masks.mkString(", ")}]]) AS bucket
+         |  FROM codes)
+         |SELECT a.media_id AS id_a, c.media_id AS id_b,
+         |  CAST(bit_count(xor(a.code, c.code)) AS BIGINT) AS hamming
+         |FROM probed a JOIN codes c
+         |  ON a.bucket = c.code AND a.media_id < c.media_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.audioFpMedia(s, Tables.documents(s, dir))
+      val codes = Multimodal.audioFingerprint(media).toDF().select("media_id", "code")
+      val maskCol = array(masks.map(lit): _*)
+      val probed = codes.select(col("media_id"), col("code"),
+        explode(transform(maskCol, m => col("code").bitwiseXOR(m))).as("bucket"))
+      probed.as("a")
+        .join(codes.as("c"),
+          col("a.bucket") === col("c.code") && col("a.media_id") < col("c.media_id"))
+        .select(col("a.media_id").as("id_a"), col("c.media_id").as("id_b"),
+          bit_count(col("a.code").bitwiseXOR(col("c.code"))).cast("long").as("hamming"))
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash,
     imageStats, resizeGrid, mediaDedup, pngStats, pngHash, jpegStats, jpegHash,
     jpegColorStats, pngColorStats, pngColorHash, flacEnergy, flacStereoEnergy,
     pngAlphaStats, mjpegStats, mjpegHash, png16Stats, flac24Energy, jpeg444Stats,
-    flacSeekEnergy)
+    flacSeekEnergy, audioHash, audioDedup)
 }

@@ -86,6 +86,19 @@ object Purge {
     *                      history table — the price of erasing from a
     *                      composite-keyed table without an entity-keyed
     *                      inverse) and then row-deletes by that key
+    * @param verifyScd2    opt-in COMPLIANCE mode (r16, the r15 advice):
+    *                      after the SCD2 delete, one entity-column-pruned
+    *                      scan asserts NO history row of any purged entity
+    *                      survived. The geometric key probe rests on the
+    *                      dense-1..N version contract, and a gap ABOVE the
+    *                      dense prefix (a producer that skipped a version
+    *                      after a failed batch) stops the probe early —
+    *                      undetectable without a scan, and silent
+    *                      under-deletion is the worst failure mode a
+    *                      privacy-delete path has. The scan costs O(table)
+    *                      on two columns; a compliance run pays it so
+    *                      contract drift fails LOUDLY instead of leaking
+    *                      history
     */
   def purgeDocuments(
       s: SparkSession, dir: String, dropIds: DataFrame,
@@ -95,7 +108,8 @@ object Purge {
       vecIds: Option[DataFrame] = None,
       docStore: Option[String] = None,
       factSinks: Seq[(String, String)] = Nil,
-      scd2History: Option[(String, String, Seq[String])] = None): Unit = {
+      scd2History: Option[(String, String, Seq[String])] = None,
+      verifyScd2: Boolean = false): Unit = {
     val ids0 = dropIds.select(col("doc_id")).distinct()
     // the tombstone filter the dedup tier applies, lifted to the WHOLE
     // purge: ids a prior purge completed skip every tier (re-delivery is
@@ -153,6 +167,19 @@ object Purge {
       val (keys, _) = scd2VictimKeys(s, path,
         ids.select(col("doc_id").as(entityCol)), entityCol, fullKey)
       MergeSink.delete(s, path, keys, fullKey)
+      if (verifyScd2) {
+        // the anti-probe the probe cannot do for itself: any surviving row
+        // for a purged entity — e.g. versions above a density gap the
+        // geometric windows stopped under — fails the purge loudly
+        val survivors = MergeSink.read(s, path)
+          .select(col(entityCol))
+          .join(ids.select(col("doc_id").as(entityCol)), Seq(entityCol),
+            "left_semi")
+        require(survivors.isEmpty,
+          s"SCD2 purge verification failed: $path retains history rows for " +
+            "purged entities — the dense-1..N version contract has drifted; " +
+            "derive keys by scan for this table")
+      }
     }
 
     // dedup / curation / cluster tiers LAST — deleteDocs commits the

@@ -796,11 +796,16 @@ object StreamQueries {
     sentinel("flush1", 2)
     sentinel("flush2", 4)
     // pin the delivery order the one-query protocol relies on: strictly
-    // increasing mtimes, whatever granularity the fs copies preserved
-    val inOrder = new java.io.File(src).listFiles().sortBy(_.getName match {
+    // increasing mtimes, whatever granularity the fs copies preserved.
+    // Every staged file must rank EXPLICITLY (r16, the r15 advice): a
+    // stray file silently sharing flush2's rank would get an arbitrary
+    // relative mtime — fail loudly instead
+    val inOrder = new java.io.File(src).listFiles().sortBy(f => f.getName match {
       case n if n.contains("corpus") => 0
       case n if n.contains("flush1") => 1
-      case _                         => 2
+      case n if n.contains("flush2") => 2
+      case n => throw new IllegalStateException(
+        s"unexpected staged file $n in the session-timeout delivery")
     })
     inOrder.zipWithIndex.foreach { case (f, i) =>
       // loud, not best-effort: a failed mtime write would let the file
@@ -809,7 +814,21 @@ object StreamQueries {
       require(f.setLastModified(((System.currentTimeMillis() / 1000) + i) * 1000),
         s"could not order delivery mtime for $f") }
     EventsStream.sessionTimeout(s, src, sink, ckpt, maxFilesPerTrigger = Some(1))
-    s.read.parquet(sink).select("user_id", "start_ms", "end_ms", "n_events")
+    val out = s.read.parquet(sink).select("user_id", "start_ms", "end_ms", "n_events")
+    // Assert the externality the protocol rests on AT RUN TIME (r16, the
+    // r15 advice): mtime-ordered file admission is an undocumented Spark
+    // default — if `latestFirst` or a Spark upgrade ever changed it, a
+    // flush admitted BEFORE the corpus would advance the watermark hours
+    // past every event and the whole corpus would drop as late, silently.
+    // A wrong admission order cannot produce a full sink, so requiring the
+    // drained session events to account for the complete corpus converts
+    // that silent zero into a loud failure.
+    val drained = out.agg(coalesce(sum("n_events"), lit(0L))).collect()(0).getLong(0)
+    val corpusN = Tables.events(s, dir).count()
+    require(drained == corpusN,
+      s"session-timeout drain accounted for $drained of $corpusN corpus " +
+        "events — file-source admission order violated the staged-mtime protocol")
+    out
   }
 
   val defs: Seq[QueryDef] =

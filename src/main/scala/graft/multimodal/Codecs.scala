@@ -114,8 +114,14 @@ object Codecs {
     require(u16(bytes, 28) == 24, s"unsupported BMP bit depth ${u16(bytes, 28)}")
     require(i32(bytes, 30) == 0, "compressed BMP unsupported")
     require(w > 0 && h > 0, s"bad BMP dims ${w}x$hRaw")
-    val stride = ((w * 3) + 3) / 4 * 4
-    require(bytes.length >= offBits + stride * h, "truncated BMP pixel data")
+    require(offBits >= 0, s"bad BMP pixel-data offset $offBits")
+    // stride·h in LONG (r16 dim-math sweep): crafted headers with dims
+    // near Int.MaxValue overflow the Int product — the truncation check
+    // passes on garbage and the row walk crashes raw instead of rejecting.
+    // Accepted images are bounded by the file length via this comparison.
+    val strideL = (w.toLong * 3 + 3) / 4 * 4
+    require(bytes.length >= offBits.toLong + strideL * h, "truncated BMP pixel data")
+    val stride = strideL.toInt
     val px = new Array[Int](w * h)
     var r = 0
     while (r < h) {
@@ -305,8 +311,14 @@ object Codecs {
       require(width != 0 && hRaw != 0, "AVI frame chunk before strf header")
       val bottomUp = hRaw > 0
       val h = math.abs(hRaw)
-      val stride = ((width * 3) + 3) / 4 * 4
-      require(size >= stride * h, s"truncated AVI frame: $size < ${stride * h}")
+      // stride·h in LONG (r16 dim-math sweep): crafted strf dims near
+      // Int.MaxValue overflow the Int product, turning the truncation
+      // check into a pass and the row walk into a raw out-of-bounds crash.
+      // size is a real chunk's length (≤ file bytes), so the comparison
+      // itself bounds width·h·3 to Int range for every accepted frame.
+      val strideL = (width.toLong * 3 + 3) / 4 * 4
+      require(size >= strideL * h, s"truncated AVI frame: $size < ${strideL * h}")
+      val stride = strideL.toInt
       val px = new Array[Int](width * h)
       var r = 0
       while (r < h) {
@@ -335,7 +347,13 @@ object Codecs {
             s"unsupported AVI bit depth ${u16(bytes, off + 14)}")
           require(i32(bytes, off + 16) == 0, "compressed AVI unsupported")
           require(width > 0 && hRaw != 0, s"bad AVI dims ${width}x$hRaw")
-        case "00db" | "00dc" => decodeFrame(off, size)
+        case "00db" => decodeFrame(off, size)
+        case "00dc" =>
+          // the mirror of the MJPEG walk's '00db' rejection: a COMPRESSED
+          // frame chunk inside a BI_RGB-declared stream is a container
+          // defect, named here instead of a garbled row walk
+          throw new IllegalArgumentException(
+            "compressed frame chunk '00dc' in an uncompressed DIB stream")
         case _ => // strh/JUNK/idx1/unknown: walk over
       }
     }
@@ -472,7 +490,15 @@ object Codecs {
           require(i32(bytes, off + 16) == MjpgFourcc,
             "strf biCompression is not MJPG")
           require(width > 0 && height > 0, s"bad MJPEG dims ${width}x$height")
-        case "00db" | "00dc" =>
+        case "00db" =>
+          // '00db' is the UNCOMPRESSED-DIB chunk id — malformed inside an
+          // MJPG-declared stream; reject with a CONTAINER error instead of
+          // letting decodeJpeg report a confusing missing-SOI failure
+          // (r16, the r15 advice: the DIB/MJPEG decoders refuse each
+          // other's shapes with named errors everywhere else)
+          throw new IllegalArgumentException(
+            "uncompressed frame chunk '00db' in an MJPG-declared stream")
+        case "00dc" =>
           require(width > 0, "MJPEG frame chunk before strf header")
           val img = decodeJpeg(java.util.Arrays.copyOfRange(bytes, off, off + size))
           require(img.width == width && img.height == height,
@@ -1132,7 +1158,7 @@ object Codecs {
     */
   private final case class FlacMeta(sampleRate: Int, channels: Int, bps: Int,
       total: Long, md5: Array[Byte], seekpoints: Seq[(Long, Long, Int)],
-      framesAt: Int)
+      framesAt: Int, minBlock: Int, maxBlock: Int)
 
   /** The metadata walk shared by the sequential decoders and the seek
     * path (r15): STREAMINFO parsed and gated, SEEKTABLE (type 3) points
@@ -1144,6 +1170,7 @@ object Codecs {
       "not a FLAC stream: missing magic")
     var pos = 4
     var sampleRate = -1; var total = -1L; var channels = -1; var bps = -1
+    var minBlock = -1; var maxBlock = -1
     var md5Stored: Array[Byte] = null
     var seekpoints = Seq.empty[(Long, Long, Int)]
     var last = false
@@ -1157,7 +1184,8 @@ object Codecs {
       if (tpe == 0) {
         require(len == 34, "bad STREAMINFO length")
         val r = new FlacBitReader(bytes, pos + 4)
-        r.take(16); r.take(16); r.take(24); r.take(24)
+        minBlock = r.take(16).toInt; maxBlock = r.take(16).toInt
+        r.take(24); r.take(24)
         sampleRate = r.take(20).toInt
         channels = r.take(3).toInt + 1
         require(channels <= 2, "more-than-stereo FLAC unsupported")
@@ -1194,16 +1222,20 @@ object Codecs {
     // (B/12 + 1)·65535 samples.
     require(total <= (bytes.length.toLong / 12 + 1) * 65535 && total <= Int.MaxValue,
       "implausible FLAC total-samples field — corrupt container")
-    FlacMeta(sampleRate, channels, bps, total, md5Stored, seekpoints, pos)
+    FlacMeta(sampleRate, channels, bps, total, md5Stored, seekpoints, pos,
+      minBlock, maxBlock)
   }
 
   /** Decode ONE frame at the reader's position — header through its
     * CRC-8, subframes per the channel assignment, trailing CRC-16 —
-    * returning (blockSize, per-channel samples). Shared by the
-    * sequential decoders and the seek path (r15).
+    * returning (codedFrameNo, blockSize, per-channel samples). The coded
+    * frame number is DECODED, not just walked over (r16, the r15 advice):
+    * it is the only CRC-protected statement of WHERE a frame sits in the
+    * stream, and the seek path cross-checks it against the un-CRC'd
+    * SEEKTABLE. Shared by the sequential decoders and the seek path.
     */
   private def decodeFlacFrame(bytes: Array[Byte], r: FlacBitReader,
-      sampleRate: Int, channels: Int, bps: Int): (Int, Array[Array[Int]]) = {
+      sampleRate: Int, channels: Int, bps: Int): (Long, Int, Array[Array[Int]]) = {
     val frameStart = r.bytePos
     require(r.take(14) == 0x3ffe, "lost FLAC frame sync")
     r.take(1)
@@ -1214,14 +1246,22 @@ object Codecs {
     require(r.take(3) == (if (bps == 24) 6L else 4L),
       "frame/STREAMINFO sample-size mismatch")
     r.take(1)
-    // UTF-8 coded frame number (full multi-byte form)
+    // UTF-8 coded frame number (full multi-byte form), value assembled
     val first = r.take(8).toInt
+    var frameNo = first.toLong
     if (first >= 0x80) {
       var cont = 0; var probe = first
       while ((probe & 0x40) != 0) { cont += 1; probe <<= 1 }
       require(cont >= 1 && cont <= 6, "bad FLAC frame-number coding")
+      var v = (first & (0x3f >> cont)).toLong
       var i = 0
-      while (i < cont) { require((r.take(8) & 0xc0) == 0x80, "bad continuation"); i += 1 }
+      while (i < cont) {
+        val b = r.take(8).toInt
+        require((b & 0xc0) == 0x80, "bad continuation")
+        v = (v << 6) | (b & 0x3f)
+        i += 1
+      }
+      frameNo = v
     }
     val blockSize = bsCode match {
       case 1 => 192
@@ -1284,7 +1324,7 @@ object Codecs {
       }
       c += 1
     }
-    (blockSize, chans)
+    (frameNo, blockSize, chans)
   }
 
   private def decodeFlacAll(bytes: Array[Byte],
@@ -1293,9 +1333,17 @@ object Codecs {
     import meta.{sampleRate, channels, bps, total}
     val out = Array.fill(channels)(new Array[Int](total.toInt))
     var got = 0
+    var expectIdx = 0L
     val r = new FlacBitReader(bytes, meta.framesAt)
     while (got < total) {
-      val (blockSize, chans) = decodeFlacFrame(bytes, r, sampleRate, channels, bps)
+      val (frameNo, blockSize, chans) =
+        decodeFlacFrame(bytes, r, sampleRate, channels, bps)
+      // fixed blocking numbers frames sequentially from 0 — a skipped or
+      // repeated frame is container corruption the per-frame CRCs can't
+      // see (each frame is individually intact)
+      require(frameNo == expectIdx,
+        s"FLAC frame number $frameNo where $expectIdx expected — corrupt container")
+      expectIdx += 1
       val take = math.min(blockSize.toLong, total - got).toInt
       var c = 0
       while (c < channels) {
@@ -1329,18 +1377,35 @@ object Codecs {
       s"sample $targetSample outside [0, ${meta.total})")
     val entry = meta.seekpoints.filter(_._1 <= targetSample)
       .sortBy(_._1).lastOption.getOrElse((0L, 0L, 0))
-    require(meta.framesAt + entry._2 <= bytes.length - 12,
+    // the SEEKTABLE is the ONE metadata block with no CRC protection, so
+    // nothing in it is trusted on faith (r16, the r15 advice): the u64
+    // byte offset is read into a signed Long — a top-bit-set value is
+    // negative and would index the bit reader at a raw negative position —
+    // and the sample number is cross-checked below against the landing
+    // frame's own CRC-8-protected coded frame number, so a stale or
+    // corrupt table rejects loudly instead of returning the wrong frame.
+    require(entry._2 >= 0 && meta.framesAt + entry._2 <= bytes.length - 12,
       "seekpoint offset outside the stream")
+    require(meta.minBlock == meta.maxBlock && meta.minBlock > 0,
+      "seek decode needs a fixed-block-size stream (STREAMINFO min != max)")
+    val nominal = meta.minBlock.toLong
+    require(entry._1 % nominal == 0,
+      s"seekpoint sample ${entry._1} not frame-aligned (block size $nominal)")
     val r = new FlacBitReader(bytes, meta.framesAt + entry._2.toInt)
+    var expectFrame = entry._1 / nominal
     var firstSample = entry._1
     while (true) {
-      val (blockSize, chans) = decodeFlacFrame(bytes, r, meta.sampleRate,
-        meta.channels, meta.bps)
+      val (frameNo, blockSize, chans) = decodeFlacFrame(bytes, r,
+        meta.sampleRate, meta.channels, meta.bps)
+      require(frameNo == expectFrame,
+        s"seekpoint landed on frame $frameNo where $expectFrame expected — " +
+          "stale or corrupt SEEKTABLE")
       if (targetSample < firstSample + blockSize) {
         val take = math.min(blockSize.toLong, meta.total - firstSample).toInt
         return (firstSample, java.util.Arrays.copyOf(chans(0), take))
       }
       firstSample += blockSize
+      expectFrame += 1
     }
     throw new IllegalStateException("unreachable")
   }
@@ -2395,6 +2460,19 @@ object Codecs {
     }
     require(w > 0 && h > 0 && quant.nonEmpty && comps.nonEmpty,
       "incomplete JPEG headers")
+    // Allocation plausibility gate (r16 dim-math sweep — the FLAC
+    // total-samples / PNG IHDR precedent): SOF dims are u16 each, so w·h
+    // reaches 2^32 — past Int-indexable range for the pixel planes — and
+    // every 8×8 block costs at least a DC code and an EOB in the entropy
+    // segment, so a stream of B bytes cannot carry more blocks than its
+    // bits. The block count below over-counts subsampled components (full
+    // resolution per component), so the ≥2-bits-per-real-block floor
+    // leaves the 1-bit-per-counted-block bound comfortably conservative:
+    // no valid stream is lost, a crafted SOF over a junk payload rejects
+    // here instead of a NegativeArraySizeException or a multi-GB plane.
+    val blocksL = ((w.toLong + 7) / 8) * ((h.toLong + 7) / 8) * comps.length
+    require(w.toLong * h <= Int.MaxValue && blocksL <= 8L * bytes.length,
+      s"implausible JPEG dims ${w}x$h for ${bytes.length}-byte stream")
     require(scan.map(_._1) == comps.map(_.id),
       "scan component order must match SOF (non-interleaved scans unsupported)")
     JHeaders(quant, huff, w, h, comps, scan, restartInterval, sosAt)

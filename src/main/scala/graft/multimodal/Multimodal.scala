@@ -987,4 +987,126 @@ object Multimodal {
       }
     })
   }
+
+  // ---- audio perceptual fingerprint (r16, E157) ------------------------
+
+  /** Audio fingerprint geometry: SEG time segments × BANDS sub-bands,
+    * bits = sign of segment-to-segment band-energy delta → (SEG−1)·BANDS
+    * = 56 bits. 56 keeps every bit below the BIGINT sign position, the
+    * same ≤63-bit posture as the 40-bit image aHash (the oracle packs
+    * bits with `1::BIGINT << i`).
+    */
+  private val FpSegments = 8
+  private val FpBands = 8
+
+  /** The Haitsma–Kalker sign-of-band-energy-delta fingerprint over
+    * decoded PCM — Chromaprint's integer core in the aHash mold (r16, the
+    * r15 verdict's missing #4): split the clip into [[FpSegments]] time
+    * segments, each segment into [[FpBands]] contiguous sub-bands, take
+    * exact Long energies E(k,b) = Σ s², and set bit k·8+b iff
+    * E(k+1,b) > E(k,b). Signs of energy DELTAS survive volume scaling and
+    * small local perturbations where raw energies do not — which is what
+    * makes the code a perceptual identity, not a byte hash. A production
+    * deployment computes E over FFT spectral bands; the time-domain
+    * sub-band energies here keep every value an exact integer the DuckDB
+    * oracle recomputes from the seed, and the bit layout + pair machinery
+    * are identical either way.
+    *
+    * Segment/band boundaries are pure integer arithmetic ((k·n)/SEG etc.),
+    * so both engines agree for every clip length; an empty band (shorter
+    * segment than 8 samples) contributes E = 0 on both sides.
+    */
+  private[multimodal] def audioFpBits(samples: Array[Int]): (Long, Int) = {
+    val n = samples.length
+    val e = Array.ofDim[Long](FpSegments, FpBands)
+    var k = 0
+    while (k < FpSegments) {
+      val st = k * n / FpSegments
+      val en = (k + 1) * n / FpSegments
+      var b = 0
+      while (b < FpBands) {
+        val bs = st + b * (en - st) / FpBands
+        val be = st + (b + 1) * (en - st) / FpBands
+        var s = 0L
+        var i = bs
+        while (i < be) { s += samples(i).toLong * samples(i); i += 1 }
+        e(k)(b) = s
+        b += 1
+      }
+      k += 1
+    }
+    var code = 0L
+    var nset = 0
+    k = 0
+    while (k < FpSegments - 1) {
+      var b = 0
+      while (b < FpBands) {
+        if (e(k + 1)(b) > e(k)(b)) { code |= 1L << (k * FpBands + b); nset += 1 }
+        b += 1
+      }
+      k += 1
+    }
+    (code, nset)
+  }
+
+  /** Decode WHICHEVER audio container the bytes carry — the reader
+    * dispatches on the magic, because a real corpus mixes rips: 'RIFF'
+    * (WAV PCM) and 'fLaC' both yield the same PCM, and the fingerprint
+    * must be a property of the AUDIO, not of the container.
+    */
+  private def decodeAudio(bytes: Array[Byte]): Array[Int] = {
+    require(bytes.length >= 4, "audio payload too short for any magic")
+    val magic = new String(bytes, 0, 4, "US-ASCII")
+    magic match {
+      case "RIFF" => Codecs.decodeWav(bytes).samples
+      case "fLaC" => Codecs.decodeFlac(bytes).samples
+      case other => throw new IllegalArgumentException(
+        s"no audio codec claims magic '$other'")
+    }
+  }
+
+  /** Fingerprint every audio record (container-sniffed decode → 56-bit
+    * delta-sign code). Embarrassingly parallel over the binary column —
+    * the mapPartitions contract every codec feature here shares.
+    */
+  def audioFingerprint(media: Dataset[MediaRecord]): Dataset[AvgHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions(_.map { m =>
+      val (code, nset) = audioFpBits(decodeAudio(m.content))
+      AvgHash(m.media_id, code, nset)
+    })
+  }
+
+  /** Fingerprint fixtures (r16): audio docs (doc_id ≡ 1 mod 3) carry
+    * n = 72 + (m%5)·12 chain samples — long enough that all 8 segments
+    * hold ≥ 8 samples — as WAV for even m, FLAC for odd m (the sniffing
+    * dispatch is load-bearing on every run). Every m ≡ 0 mod 5 doc also
+    * ships a TWIN record (media_id + 1e6) with the IDENTICAL samples in
+    * the OTHER container: the same recording ripped twice. The twins are
+    * what the dedup pair stage must find at Hamming 0 — and finding them
+    * proves the fingerprint sees through the container, the property that
+    * makes it perceptual rather than a byte hash.
+    */
+  def audioFpMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (docId, text) =>
+        val m = docId / 3
+        val n = 72 + ((m % 5) * 12).toInt
+        val chain = md5Chain(text, 2 * n)
+        val samples = Array.tabulate(n) { i =>
+          val v = chain(2 * i) + 256 * chain(2 * i + 1)
+          if (v >= 32768) v - 65536 else v
+        }
+        def wav = Codecs.encodeWav(Codecs.PcmClip(8000, samples))
+        def flac = Codecs.encodeFlac(Codecs.PcmClip(8000, samples))
+        val primary = MediaRecord(docId, "audio", if (m % 2 == 0) wav else flac)
+        if (m % 5 == 0)
+          Seq(primary, MediaRecord(docId + 1000000L, "audio",
+            if (m % 2 == 0) flac else wav))
+        else Seq(primary)
+      })
+  }
 }

@@ -32,13 +32,13 @@ class BenchLineSpec extends AnyFunSuite {
       assert(a.length < n.length, s"alias '$a' does not shorten '$n'") }
   }
 
-  // worst-case suspect block under the r15 contract: 4 inline confirmed
-  // suspects (the longest emitted names) + the overflow count + the host
-  // factor field
+  // worst-case suspect block under the r16 contract: 4 inline confirmed
+  // suspects (the longest emitted names) + the overflow count + BOTH host
+  // factor fields (batch + streaming)
   private def worstSuspectBlock(names: Seq[String]): String = {
     val sus = names.sortBy(-_.length).take(4)
       .map(n => s""""$n":99.9""").mkString(""","suspect":{""", ",", "}")
-    s"""$sus,"suspect_more":99,"hf":4.00"""
+    s"""$sus,"suspect_more":99,"hf":4.00,"hf_stream":4.00"""
   }
 
   test("worst-case bench JSON line fits the 2000-char capture tail") {
@@ -144,6 +144,47 @@ class BenchLineSpec extends AnyFunSuite {
     // and the host factor scales the sweep bar too (6.5 < 2.5x the 2x bar)
     assert(BenchEnvelopes.sweepSuspects(
       Seq("tpch_q16_parts_supplier" -> 6.5), hf = 2.5).isEmpty)
+  }
+
+  test("streaming host factor: floored at batch, scales only streaming bars") {
+    // membership is explicit and total: every declared streaming entry is
+    // a declared query, and the canary sets live inside it
+    val declared = SparkEntry.allDefs.map(_.name).toSet
+    assert((BenchEnvelopes.streamingEntries -- declared).isEmpty)
+    assert(BenchEnvelopes.headlineStreamCanaries.forall(BenchEnvelopes.streamingEntries))
+    assert(BenchEnvelopes.sweepStreamCanaries.forall(BenchEnvelopes.streamingEntries))
+    // canaries carry envelopes in their own maps, and enough of them that
+    // the <3-survivor dropout guard has headroom
+    assert(BenchEnvelopes.headlineStreamCanaries
+      .forall(BenchEnvelopes.envelopeSec.contains))
+    assert(BenchEnvelopes.sweepStreamCanaries
+      .forall(BenchEnvelopes.fullSweepSec.contains))
+    assert(BenchEnvelopes.headlineStreamCanaries.size >= 4)
+    assert(BenchEnvelopes.sweepStreamCanaries.size >= 5)
+    // floor: a streaming window FASTER than batch hands back the batch
+    // factor (never below today's behavior); <3 surviving canaries ditto
+    val env = Map("x" -> 1.0, "y" -> 1.0, "z" -> 1.0)
+    assert(BenchEnvelopes.hostFactorStream(
+      Seq("x" -> 0.5, "y" -> 0.5, "z" -> 0.5), Seq("x", "y", "z"), env, 1.7) == 1.7)
+    assert(BenchEnvelopes.hostFactorStream(
+      Seq("x" -> 9.0), Seq("x", "y", "z"), env, 1.3) == 1.3)
+    // and a 3x streaming window scales streaming bars past batch's reach
+    assert(BenchEnvelopes.hostFactorStream(
+      Seq("x" -> 3.0, "y" -> 3.1, "z" -> 2.9), Seq("x", "y", "z"), env, 1.2) == 3.0)
+    // bar selection: the same measured seconds flag a BATCH entry but not
+    // a STREAMING one when only the streaming window is slow —
+    // ev_stream_scd2 (env 4.5) at 13.6s is 3.0x: over the hf=1 bar, under
+    // the hfStream=1.6 bar; dd_exact (env 0.3) at 1.4s keeps flagging
+    val sus = BenchEnvelopes.suspects(
+      Seq("ev_stream_scd2" -> 13.6, "dd_exact" -> 1.4), hf = 1.0, hfStream = 1.6)
+    assert(sus.map(_._1) == Seq("dd_exact"))
+    // sweep analogue: ev_stream_dedup_wm (env 1.4) at 4.5s is 3.2x —
+    // exactly the r15 confirmed-suspect shape — cleared by a measured 1.7x
+    // streaming window (bar 1.7*2.9=4.9), still flagged under batch-only
+    assert(BenchEnvelopes.sweepSuspects(
+      Seq("ev_stream_dedup_wm" -> 4.5), hf = 1.0, hfStream = 1.7).isEmpty)
+    assert(BenchEnvelopes.sweepSuspects(
+      Seq("ev_stream_dedup_wm" -> 4.5), hf = 1.0).nonEmpty)
   }
 
   test("every headline entry carries a committed self-adjudication envelope") {

@@ -222,6 +222,51 @@ class PurgeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("version-0"))
   }
 
+  test("SCD2 compliance verification catches a version gap ABOVE the dense prefix (r16, r15 advice)") {
+    import spark.implicits._
+    // a producer that skipped version 3 after a failed batch: the
+    // geometric probe stops at the [2,3] window (top miss) and derives
+    // only versions 1..2 — versions 4..5 would silently survive the
+    // delete. The opt-in verify scan converts that silent under-deletion
+    // into a loud failure; the default path stays silent BY CONTRACT
+    // (documented), which this test also pins so the trade is visible.
+    val d = Files.createTempDirectory("graft_purge_verify").toFile
+    d.deleteOnExit()
+    for (t <- Seq("documents", "embeddings"))
+      Files.copy(Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        Paths.get(d.getAbsolutePath, s"$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    val fdir = d.getAbsolutePath
+    val base = Files.createTempDirectory("graft_purge_verify_sinks").toString
+    val gapped = s"$base/scd2_gapped"
+    MergeSink.merge(spark, gapped,
+      (Seq(1, 2, 4, 5).map(v => (3L, v)) ++ Seq(1, 2).map(v => (8L, v)))
+        .toDF("entity_id", "ver"),
+      Seq("entity_id", "ver"), Seq(col("entity_id")), targetFileRows = 4)
+    val ex = intercept[IllegalArgumentException] {
+      Purge.purgeDocuments(spark, fdir, Seq(3L).toDF("doc_id"),
+        scd2History = Some((gapped, "entity_id", Seq("entity_id", "ver"))),
+        verifyScd2 = true)
+    }
+    assert(ex.getMessage.contains("verification failed"))
+    // the probe-derived prefix really was deleted, the gap's tail really
+    // did survive — exactly the leak the verify mode exists to name
+    val left = MergeSink.read(spark, gapped)
+      .filter(col("entity_id") === 3L)
+      .select("ver").collect().map(_.getInt(0)).toSet
+    assert(left == Set(4, 5), s"expected the above-gap tail to survive, got $left")
+    // a dense table verifies clean end-to-end (fresh corpus dir: the
+    // failed purge above never tombstoned, but ids must not collide)
+    val dense = s"$base/scd2_dense"
+    MergeSink.merge(spark, dense,
+      Seq(1, 2, 3).map(v => (8L, v)).toDF("entity_id", "ver"),
+      Seq("entity_id", "ver"), Seq(col("entity_id")), targetFileRows = 4)
+    Purge.purgeDocuments(spark, fdir, Seq(8L).toDF("doc_id"),
+      scd2History = Some((dense, "entity_id", Seq("entity_id", "ver"))),
+      verifyScd2 = true)
+    assert(MergeSink.read(spark, dense).filter(col("entity_id") === 8L).isEmpty)
+  }
+
   test("vacuumed tombstone/intent tables still block re-delivered purges (r13 ask #7)") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_purge_vac").toFile

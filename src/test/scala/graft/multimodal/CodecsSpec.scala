@@ -738,4 +738,142 @@ class CodecsSpec extends AnyFunSuite {
     assert(viaRgb.r.sameElements(px) && viaRgb.g.sameElements(px)
       && viaRgb.b.sameElements(px))
   }
+
+  // ---- r16 crafted-container hardening ---------------------------------
+
+  test("FLAC: a stale/corrupt SEEKTABLE rejects instead of returning the wrong frame (r16)") {
+    // 48 samples, blockSize 16 → frames 0,1,2; a point per frame.
+    // Layout: fLaC(4) + STREAMINFO hdr(4)+34 + SEEKTABLE hdr(4) + 18/point
+    val s = Array.tabulate(48)(i => ((i * 2654435761L) % 65536L - 32768L).toInt)
+    val good = encodeFlac(PcmClip(8000, s), seekEvery = 1)
+    val tableAt = 4 + 4 + 34 + 4
+    def pointAt(k: Int): Int = tableAt + 18 * k
+    // the SEEKTABLE is the one metadata block with NO CRC — both
+    // corruptions below leave every other integrity layer green.
+    // (a) stale byte offset: point 2 still claims sample 32 but its
+    //     offset now targets frame 1 (copied from point 1) — the landing
+    //     frame's CRC-8-protected coded number must veto the table
+    val stale = good.clone()
+    System.arraycopy(good, pointAt(1) + 8, stale, pointAt(2) + 8, 8)
+    val exStale = intercept[IllegalArgumentException] { decodeFlacFrameAt(stale, 33L) }
+    assert(exStale.getMessage.contains("SEEKTABLE"))
+    // (a') unaligned sample number: a point claiming a mid-frame sample
+    //     cannot name a frame boundary — named rejection
+    val unaligned = good.clone()
+    unaligned(pointAt(1) + 7) = 17.toByte
+    assert(intercept[IllegalArgumentException] { decodeFlacFrameAt(unaligned, 17L) }
+      .getMessage.contains("frame-aligned"))
+    // (b) top-bit-set u64 byte offset reads negative in a signed Long:
+    //     must reject as out-of-stream, not index the bit reader negative
+    val neg = good.clone()
+    neg(pointAt(1) + 8) = 0x80.toByte
+    val exNeg = intercept[IllegalArgumentException] { decodeFlacFrameAt(neg, 16L) }
+    assert(exNeg.getMessage.contains("seekpoint offset"))
+  }
+
+  test("FLAC: duplicated frame (valid CRCs, valid MD5) rejects on the frame-number walk (r16)") {
+    // two IDENTICAL blocks → frames differ only in their coded frame
+    // number (+CRCs). Splicing frame 0's bytes over frame 1's yields a
+    // stream where EVERY per-frame CRC passes and the stream MD5 passes
+    // (same samples!) — the sequential frame-number check is the only
+    // layer that can see the duplication.
+    val blk = Array.tabulate(16)(i => ((i * 40503L) % 65536L - 32768L).toInt)
+    // seekEvery=1 so frame 1's offset comes from the stream's own
+    // SEEKTABLE (deterministic — no sync-word heuristics over payload
+    // bytes that could contain a false 0xFFF8 pattern)
+    val b = encodeFlac(PcmClip(8000, blk ++ blk), seekEvery = 1)
+    val tableAt = 4 + 4 + 34 + 4
+    def be64(off: Int): Long = {
+      var v = 0L; for (k <- 0 until 8) v = (v << 8) | (b(off + k) & 0xff); v
+    }
+    val framesAt = tableAt + 2 * 18
+    val f0 = framesAt + be64(tableAt + 8).toInt
+    val f1 = framesAt + be64(tableAt + 18 + 8).toInt
+    val frameLen = f1 - f0
+    assert(f1 + frameLen <= b.length, "fixture: identical blocks, equal frame sizes")
+    val spliced = b.clone()
+    System.arraycopy(b, f0, spliced, f1, frameLen)
+    assert(decodeFlac(b).samples.sameElements(blk ++ blk)) // the original is fine
+    val ex = intercept[IllegalArgumentException] { decodeFlac(spliced) }
+    assert(ex.getMessage.contains("frame number"))
+  }
+
+  test("AVI: wrong frame-chunk id for the declared compression rejects with a CONTAINER error (r16)") {
+    // '00db' (uncompressed DIB) inside an MJPG-declared stream
+    val jp = encodeJpeg(GrayImage(8, 8, Array.fill(64)(99)))
+    val mj = encodeAviMjpeg(8, 8, Array(jp))
+    def retag(b: Array[Byte], from: String, to: String): Array[Byte] = {
+      val out = b.clone()
+      var i = 12 // past RIFF header; find the MOVI frame chunk tag
+      var done = false
+      while (!done && i + 4 <= out.length) {
+        if (new String(out, i, 4, "US-ASCII") == from) {
+          for (k <- 0 until 4) out(i + k) = to.charAt(k).toByte
+          done = true
+        } else i += 1
+      }
+      assert(done, s"fixture: no $from chunk found"); out
+    }
+    val exDb = intercept[IllegalArgumentException] {
+      decodeAviMjpeg(retag(mj, "00dc", "00db")) }
+    assert(exDb.getMessage.contains("uncompressed frame chunk"))
+    // mirror: '00dc' (compressed) inside a BI_RGB-declared DIB stream
+    val dib = encodeAvi(GrayVideo(4, 2, Array(Array.fill(8)(7))))
+    val exDc = intercept[IllegalArgumentException] {
+      decodeAvi(retag(dib, "00db", "00dc")) }
+    assert(exDc.getMessage.contains("compressed frame chunk"))
+  }
+
+  test("crafted near-Int.MaxValue dims reject cleanly across BMP/AVI/JPEG (r16 dim-math sweep)") {
+    def wle32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    // BMP: dims whose stride·h overflows Int would previously pass the
+    // truncation check on garbage and crash in the row walk
+    val bmp = encodeBmp(GrayImage(4, 4, Array.fill(16)(7)))
+    val hugeBmp = bmp.clone()
+    wle32(hugeBmp, 18, 0x20000000); wle32(hugeBmp, 22, 0x20000000)
+    val exBmp = intercept[IllegalArgumentException] { decodeBmp(hugeBmp) }
+    assert(exBmp.getMessage.contains("truncated BMP"))
+    val negOff = bmp.clone(); wle32(negOff, 10, -8)
+    assert(intercept[IllegalArgumentException] { decodeBmp(negOff) }
+      .getMessage.contains("offset"))
+    // AVI strf: same stride·h overflow class inside the container
+    val avi = encodeAvi(GrayVideo(4, 2, Array(Array.fill(8)(7))))
+    val hugeAvi = avi.clone()
+    var i = 12
+    var strfAt = -1
+    while (strfAt < 0 && i + 4 <= hugeAvi.length) {
+      if (new String(hugeAvi, i, 4, "US-ASCII") == "strf") strfAt = i
+      i += 1
+    }
+    assert(strfAt > 0)
+    wle32(hugeAvi, strfAt + 8 + 4, 0x30000000)  // biWidth
+    wle32(hugeAvi, strfAt + 8 + 8, 1000)        // biHeight
+    val exAvi = intercept[IllegalArgumentException] { decodeAvi(hugeAvi) }
+    assert(exAvi.getMessage.contains("truncated AVI frame"))
+    // JPEG SOF: u16 dims reach 2^32 pixels — past Int-indexable planes —
+    // and a junk-payload stream cannot plausibly carry the blocks
+    val jp = encodeJpeg(GrayImage(8, 8, Array.fill(64)(50)))
+    def sofAt(b: Array[Byte]): Int = {
+      var k = 2
+      while (!((b(k) & 0xff) == 0xff && (b(k + 1) & 0xff) == 0xc0)) k += 1
+      k + 4 // body: past marker + length
+    }
+    val huge = jp.clone()
+    val body = sofAt(huge)
+    huge(body + 1) = 0xff.toByte; huge(body + 2) = 0xff.toByte // h = 65535
+    huge(body + 3) = 0xff.toByte; huge(body + 4) = 0xff.toByte // w = 65535
+    assert(intercept[IllegalArgumentException] { decodeJpeg(huge) }
+      .getMessage.contains("implausible JPEG dims"))
+    // under Int.MaxValue pixels but implausible for a few-hundred-byte
+    // payload: the ≥1-bit-per-block floor rejects it
+    val big = jp.clone()
+    val body2 = sofAt(big)
+    big(body2 + 1) = 0x75.toByte; big(body2 + 2) = 0x30.toByte // h = 30000
+    big(body2 + 3) = 0x75.toByte; big(body2 + 4) = 0x30.toByte // w = 30000
+    assert(intercept[IllegalArgumentException] { decodeJpeg(big) }
+      .getMessage.contains("implausible JPEG dims"))
+  }
 }
