@@ -366,6 +366,11 @@ object BenchEnvelopes {
     // full-resolution planes × (encode-side full DCT + decode) per doc,
     // the same cost class as mm_jpeg_color_stats' 4.1
     "mm_jpeg444_stats" -> 7.1,
+    // r16 audio fingerprint tier (E157/E158) — container-sniffed
+    // WAV+FLAC decode + 56-bit delta-sign code; the dedup adds the 57-way
+    // multiprobe self-join (fresh-JVM 3-runs, BASELINE.md r16)
+    "mm_audio_hash" -> 1.3,
+    "dd_audio_dedup" -> 1.7,
     "mm_png_hash" -> 0.2,
     "mm_png_stats" -> 0.2,
     "mm_resize" -> 0.2,
@@ -394,6 +399,9 @@ object BenchEnvelopes {
     "tpch_q8_market_share" -> 0.9,
     "tx_bpe_incr_lake" -> 0.4,
     "tx_corpus_filter" -> 0.4,
+    // r16 gzip-JSONL shard source (E156) — per-shard gunzip + from_json
+    // recovery + rollup (fresh-JVM 3-runs, BASELINE.md r16)
+    "tx_gzip_shards" -> 1.2,
     // r15 main-content extraction (E148) — fresh-JVM 1.50/1.07/0.91 at
     // sf0.1 (page synth + DOM walk in one mapPartitions pass)
     "tx_html_extract" -> 1.5,

@@ -840,6 +840,34 @@ object MultimodalQueries {
     }
   }
 
+  private val mediaFpSinks = VersionedMemo.paths[String](Seq(_))
+
+  /** The maintained MEDIA FINGERPRINT table (r16, E159 — the r15
+    * verdict's missing-tier #5): image aHash codes ∪ audio delta-sign
+    * codes persisted as a MergeSink keyed (and digest-clustered) on
+    * media_id — the lake artifact an incremental media-dedup probes
+    * instead of re-fingerprinting the corpus per batch (dd_incr_lsh_lake's
+    * posting-table contract applied to media). Its purge story is what
+    * E159 closes: [[Purge.purgeDocuments]] row-deletes a dropped doc's
+    * fingerprint rows — through the caller's doc→media mapping, which is
+    * where multi-rip records (the audio twins) are named — so the code
+    * table absorbs GDPR drops like every other index family:
+    * content-idempotent, file-pruned, tombstone-gated.
+    */
+  private[graft] def ensureMediaFpSink(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): String =
+    mediaFpSinks.get(s, dir) {
+      val sink = s"${Staging.freshBase("graft_mfp", dir).getPath}/sink"
+      val img = Multimodal.imageHash(Multimodal.bmpMedia(s, Tables.documents(s, dir)))
+        .toDF().select(col("media_id"), lit("image").as("kind"), col("code"))
+      val aud = Multimodal.audioFingerprint(
+        Multimodal.audioFpMedia(s, Tables.documents(s, dir)))
+        .toDF().select(col("media_id"), lit("audio").as("kind"), col("code"))
+      graft.ingest.MergeSink.merge(s, sink, img.unionByName(aud),
+        Seq("media_id"), Seq(col("media_id")), targetFileRows = 64)
+      sink
+    }
+
   val defs: Seq[QueryDef] = Seq(byteHistogram, frameSample, audioEnergy, avgHash,
     imageStats, resizeGrid, mediaDedup, pngStats, pngHash, jpegStats, jpegHash,
     jpegColorStats, pngColorStats, pngColorHash, flacEnergy, flacStereoEnergy,

@@ -99,6 +99,14 @@ object Purge {
     *                      on two columns; a compliance run pays it so
     *                      contract drift fails LOUDLY instead of leaking
     *                      history
+    * @param mediaFpSink   the maintained media-fingerprint table
+    *                      ([[MultimodalQueries.ensureMediaFpSink]]'s
+    *                      shape: media_id-keyed perceptual codes), if the
+    *                      deployment keeps one — dropped docs' codes are
+    *                      row-deleted (r16, E159)
+    * @param mediaIds      (doc_id, media_id) mapping when one document
+    *                      owns several media records (multi-rip audio,
+    *                      image variants); identity convention by default
     */
   def purgeDocuments(
       s: SparkSession, dir: String, dropIds: DataFrame,
@@ -109,7 +117,9 @@ object Purge {
       docStore: Option[String] = None,
       factSinks: Seq[(String, String)] = Nil,
       scd2History: Option[(String, String, Seq[String])] = None,
-      verifyScd2: Boolean = false): Unit = {
+      verifyScd2: Boolean = false,
+      mediaFpSink: Option[String] = None,
+      mediaIds: Option[DataFrame] = None): Unit = {
     val ids0 = dropIds.select(col("doc_id")).distinct()
     // the tombstone filter the dedup tier applies, lifted to the WHOLE
     // purge: ids a prior purge completed skip every tier (re-delivery is
@@ -148,6 +158,21 @@ object Purge {
     // it needs (cells, neighbors) from its own tables + reverse postings
     graphIndex.foreach { h =>
       AnnGraphLake.deleteVectors(s, h, mapped)
+    }
+
+    // media fingerprint table (r16, E159): the dropped docs' perceptual
+    // codes leave the maintained (media_id, kind, code) sink. The doc →
+    // media mapping is the caller's (the vecIds convention): one document
+    // can own SEVERAL media records — the audio fixtures' other-container
+    // twins are exactly that shape — and identity is the default. Keyed
+    // row-delete via MergeSink: content-idempotent, O(touched files),
+    // tombstone-gated like every tier here.
+    mediaFpSink.foreach { path =>
+      val mids = (mediaIds match {
+        case Some(m) => ids.join(m, Seq("doc_id")).select("media_id")
+        case None    => ids.select(col("doc_id").as("media_id"))
+      }).distinct()
+      MergeSink.delete(s, path, mids, Seq("media_id"))
     }
 
     // DATA plane: the doc store, the platform fact sinks, and the SCD2

@@ -1005,8 +1005,57 @@ object TextQueries {
       .toDF("doc_id", "main_text", "n_blocks", "n_chars")
   }
 
+  private val gzipShardStage = VersionedMemo.paths[String](Seq(_))
+
+  /** Stage the documents corpus as 8 gzip JSONL shards — the compressed
+    * text container real corpora arrive in (done ONCE per (session, dir):
+    * the staging is the upstream exporter's role, not part of the
+    * operator under test).
+    */
+  private[graft] def ensureGzipShards(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): String =
+    gzipShardStage.get(s, dir) {
+      val shards = s"${Staging.freshBase("graft_gz", dir).getPath}/shards"
+      graft.sources.GzipJsonl.writeShards(
+        Tables.documents(s, dir).select("doc_id", "text", "lang", "n_chars"),
+        shards, shards = 8)
+      shards
+    }
+
+  /** Corpus recovery through the COMPRESSED TEXT container (r16, E156):
+    * the engine must reconstruct the documents table from real
+    * `*.jsonl.gz` bytes — per-shard gunzip (CRC-checked, named failures),
+    * newline record framing, `from_json` schema-on-read — and aggregate
+    * it; the oracle computes the same aggregate from the parquet
+    * original, so ANY loss or corruption in the byte → record path
+    * (missing rows, broken escaping, truncated members, charset slips)
+    * hash-mismatches. sum_len recomputes length from the RECOVERED text,
+    * not the carried n_chars column: the text payload itself is verified,
+    * not just the metadata fields.
+    */
+  val gzipShards: QueryDef = QueryDef(
+    "tx_gzip_shards",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+    val lines = graft.sources.GzipJsonl.readLines(s, ensureGzipShards(s, dir))
+    lines
+      .select(from_json(col("line"),
+        "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT",
+        Map.empty[String, String]).as("d"))
+      .select("d.*")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(length(col("text")).cast(LongType)).as("sum_len"),
+        sum("doc_id").as("sum_ids"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(qualityScore, langId, tokenCount, fingerprint, rollingHash, sentiment,
       corpusFilter, bm25Rank, editDist, repetition, ngramNovelty, familiarity,
-      bpeMerge, tfidfKeywords, bpeTokenize, rrfHybrid, bpeIncrLake, htmlExtract)
+      bpeMerge, tfidfKeywords, bpeTokenize, rrfHybrid, bpeIncrLake, htmlExtract,
+      gzipShards)
 }

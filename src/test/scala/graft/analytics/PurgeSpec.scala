@@ -267,6 +267,36 @@ class PurgeSpec extends AnyFunSuite {
     assert(MergeSink.read(spark, dense).filter(col("entity_id") === 8L).isEmpty)
   }
 
+  test("purge prunes the media fingerprint sink — through the doc→media mapping, twins included (r16, E159)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_purge_media").toFile
+    d.deleteOnExit()
+    for (t <- Seq("documents", "embeddings"))
+      Files.copy(Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        Paths.get(d.getAbsolutePath, s"$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    val fdir = d.getAbsolutePath
+    val sink = MultimodalQueries.ensureMediaFpSink(spark, fdir)
+    def fpIds(): Set[Long] = MergeSink.read(spark, sink)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    val before = fpIds()
+    // doc 1 is an audio doc WITH a cross-container twin (m = 0 ≡ 0 mod 5
+    // → media 1 and 1000001); doc 6 is an image doc (media 6)
+    assert(Set(1L, 1000001L, 6L).subsetOf(before), "fixture shape drifted")
+    val mapping = Seq((1L, 1L), (1L, 1000001L), (6L, 6L)).toDF("doc_id", "media_id")
+    Purge.purgeDocuments(spark, fdir, Seq(1L, 6L).toDF("doc_id"),
+      mediaFpSink = Some(sink), mediaIds = Some(mapping))
+    val after = fpIds()
+    assert(after == before -- Set(1L, 1000001L, 6L),
+      "media fingerprint rows not pruned exactly (twins must go with their doc)")
+    // re-delivery: tombstone-gated — no new version on the fp sink either
+    val v1 = MergeSink.currentVersion(sink)
+    Purge.purgeDocuments(spark, fdir, Seq(1L, 6L).toDF("doc_id"),
+      mediaFpSink = Some(sink), mediaIds = Some(mapping))
+    assert(MergeSink.currentVersion(sink) == v1,
+      "a re-delivered purge committed to the media fingerprint sink")
+  }
+
   test("vacuumed tombstone/intent tables still block re-delivered purges (r13 ask #7)") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft_purge_vac").toFile

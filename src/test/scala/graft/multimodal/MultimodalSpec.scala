@@ -132,6 +132,53 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio fingerprint: container-invariant and volume-invariant (r16, E157)") {
+    import spark.implicits._
+    val base = Array.tabulate(96)(i => ((i * 2654435761L) % 16384L - 8192L).toInt)
+    // container invariance: the same PCM ripped to WAV and to FLAC must
+    // fingerprint identically — the code is a property of the AUDIO
+    val wav = Codecs.encodeWav(Codecs.PcmClip(8000, base))
+    val flac = Codecs.encodeFlac(Codecs.PcmClip(8000, base))
+    val media = Seq(MediaRecord(1L, "audio", wav), MediaRecord(2L, "audio", flac),
+      MediaRecord(3L, "image", Array[Byte](1, 2, 3))).toDS()
+    val h = audioFingerprint(media).collect().map(x => x.media_id -> x).toMap
+    assert(!h.contains(3L)) // images are not audio-fingerprinted
+    assert(h(1L).code == h(2L).code && h(1L).n_set == h(2L).n_set)
+    assert(h(1L).n_set > 0 && h(1L).n_set < 56, "degenerate fingerprint")
+    // volume invariance: scaling every sample x2 scales every band energy
+    // x4 — delta SIGNS (the bits) are unchanged; raw energies would not be
+    val loud = base.map(_ * 2)
+    assert(audioFpBits(loud)._1 == audioFpBits(base)._1)
+    // and the bits really are energy-ordering statements: reversing the
+    // clip reverses the segment energy sequence — a different code (the
+    // fingerprint hears structure, not just content)
+    assert(audioFpBits(base.reverse)._1 != audioFpBits(base)._1)
+  }
+
+  test("audio dedup: bucket join lossless vs brute force; cross-container twins at Hamming 0 (r16, E158)") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = graft.analytics.MultimodalQueries.audioDedup.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exact brute-force baseline over the same codes: every Hamming ≤ 1
+    // pair, found once — the multiprobe bucket join must equal it
+    val codes = audioFingerprint(
+      audioFpMedia(spark, graft.Tables.documents(spark, dir)))
+      .collect().map(x => x.media_id -> x.code).sortBy(_._1)
+    val brute = (for {
+      (ia, ca) <- codes; (ib, cb) <- codes if ia < ib
+      hm = java.lang.Long.bitCount(ca ^ cb) if hm <= 1
+    } yield (ia, ib, hm.toLong)).toSet
+    assert(pairs == brute, s"bucket join lost/invented pairs: ${pairs.diff(brute)} / ${brute.diff(pairs)}")
+    // the by-construction twins (same recording, OTHER container) all meet
+    // at Hamming 0 — found through two different entropy layers
+    val twins = codes.map(_._1).filter(_ >= 1000000L)
+    assert(twins.nonEmpty, "fixture staged no cross-container twins")
+    twins.foreach { t =>
+      assert(pairs.contains((t - 1000000L, t, 0L)),
+        s"twin pair ($t) not found at Hamming 0")
+    }
+  }
+
   test("synthetic media round-trips through binary parquet with metadata") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
