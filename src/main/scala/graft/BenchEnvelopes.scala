@@ -126,7 +126,14 @@ object BenchEnvelopes {
     "dd_incr_substr_lake" -> 2.3,  // (h, fp) lake probe
     "dd_incr_span_lake" -> 1.1,
     "mm_frame_sample" -> 0.2,      // real-AVI decode
-    "ann_ivfpq_incr" -> 1.3,       // lake probe, index build prestaged
+    "ann_ivfpq_incr" -> 1.7,       // lake probe, index build prestaged.
+                                   // r16 re-pin from the driver series
+                                   // (1.4 → 1.9 → 2.8 on hf 1.66 ≈ 1.7
+                                   // normalized, never flagged) + two
+                                   // committed fresh-JVM 3-runs
+                                   // (3.3–5.8 s solo — first-touch lake
+                                   // IO the warm bench context amortizes;
+                                   // BASELINE.md r16)
     // r13 graph tier — fresh-JVM 3-run rows at sf0.1 (BASELINE.md r13):
     // beam walk 1.89/1.63/1.56 (graph build prestaged); lake walk
     // 5.55/5.14/5.09 (the pruned-read constant: ~8 readOverlapping
@@ -296,7 +303,16 @@ object BenchEnvelopes {
     "a9_grouping_sets" -> 0.5,
     "ann_bruteforce_topk" -> 0.5,
     "ann_ivf_lake" -> 0.6,
-    "ann_ivfpq_delete" -> 1.2,
+    // r16 adjudication of the r15 confirmed suspect (verdict "what's
+    // wrong" #1): two committed fresh-JVM 3-runs at sf0.1 — 1.56/1.65/
+    // 1.60 in a 1.5× batch window (canaries tpch_q1 2.73/1.71/1.83,
+    // l3 1.36/1.17/0.90) and 4.22/4.43/3.42 in a 1.9× window with cold
+    // FS (canaries tpch_q1 3.10/2.08/2.06, l3 1.63/1.19/1.05) — the
+    // steady probe is its r12 row (1.57/1.56/1.55) and the r15 driver
+    // 7.33 was window + cold-probe IO, not a plan change (same-JVM it
+    // runs CHEAPER than ann_ivfpq_incr, whose plan it is minus the
+    // dropped ids). Pinned at the committed steady max.
+    "ann_ivfpq_delete" -> 1.6,
     "ann_ivfpq_lake" -> 0.9,
     "cu_decontaminate" -> 1.1,
     "cu_embed_decontaminate" -> 0.3,
@@ -369,7 +385,7 @@ object BenchEnvelopes {
     // r16 audio fingerprint tier (E157/E158) — container-sniffed
     // WAV+FLAC decode + 56-bit delta-sign code; the dedup adds the 57-way
     // multiprobe self-join (fresh-JVM 3-runs, BASELINE.md r16)
-    "mm_audio_hash" -> 1.3,
+    "mm_audio_hash" -> 1.8,
     "dd_audio_dedup" -> 1.7,
     "mm_png_hash" -> 0.2,
     "mm_png_stats" -> 0.2,
@@ -402,6 +418,9 @@ object BenchEnvelopes {
     // r16 gzip-JSONL shard source (E156) — per-shard gunzip + from_json
     // recovery + rollup (fresh-JVM 3-runs, BASELINE.md r16)
     "tx_gzip_shards" -> 1.2,
+    // r16 WARC/WET record walk (E162) — multi-member gunzip + record
+    // framing + per-doc md5 (fresh-JVM 3-runs, BASELINE.md r16)
+    "tx_warc_records" -> 1.0,
     // r15 main-content extraction (E148) — fresh-JVM 1.50/1.07/0.91 at
     // sf0.1 (page synth + DOM walk in one mapPartitions pass)
     "tx_html_extract" -> 1.5,

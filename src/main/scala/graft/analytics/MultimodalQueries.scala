@@ -828,7 +828,11 @@ object MultimodalQueries {
          |FROM probed a JOIN codes c
          |  ON a.bucket = c.code AND a.media_id < c.media_id""".stripMargin) { (s, dir) =>
       val media = Multimodal.audioFpMedia(s, Tables.documents(s, dir))
-      val codes = Multimodal.audioFingerprint(media).toDF().select("media_id", "code")
+      // the code table feeds BOTH sides of the self-join: checkpoint it so
+      // the fixture encode + container decode runs ONCE, not twice (it is
+      // |audio docs| rows of (id, code) — trivially materializable)
+      val codes = Multimodal.audioFingerprint(media).toDF()
+        .select("media_id", "code").localCheckpoint(true)
       val maskCol = array(masks.map(lit): _*)
       val probed = codes.select(col("media_id"), col("code"),
         explode(transform(maskCol, m => col("code").bitwiseXOR(m))).as("bucket"))

@@ -1053,9 +1053,48 @@ object TextQueries {
         sum("doc_id").as("sum_ids"))
   }
 
+  private val wetStage = VersionedMemo.paths[String](Seq(_))
+
+  /** Stage the corpus as 8 WET shards (warcinfo leader + one gzip member
+    * per conversion record — the crawl-tooling shape), once per
+    * (session, dir).
+    */
+  private[graft] def ensureWetShards(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): String =
+    wetStage.get(s, dir) {
+      val shards = s"${Staging.freshBase("graft_wet", dir).getPath}/shards"
+      graft.sources.Warc.writeWetShards(
+        Tables.documents(s, dir).select("doc_id", "text"), shards, shards = 8)
+      shards
+    }
+
+  /** Corpus recovery through the WARC/WET crawl archive (r16, E162 — the
+    * E156 stretch): the engine walks real WET bytes — multi-member
+    * gunzip, version line, named headers, Content-Length-framed payloads,
+    * record separators, the warcinfo leader filtered by type — and must
+    * reproduce every document VERBATIM: the oracle emits one row per doc
+    * straight from parquet and the md5 fingerprint is over the RECOVERED
+    * payload, so a one-byte framing slip (header drift, length
+    * off-by-one, separator misparse) mismatches that record's hash.
+    */
+  val warcRecords: QueryDef = QueryDef(
+    "tx_warc_records",
+    """SELECT doc_id, 'http://example.com/doc/' || doc_id AS uri,
+      |  CAST(length(text) AS BIGINT) AS n_chars, md5(text) AS fp
+      |FROM documents""".stripMargin) { (s, dir) =>
+    graft.sources.Warc.readRecords(s, ensureWetShards(s, dir))
+      .filter(col("warc_type") === "conversion")
+      .select(
+        regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast(LongType)
+          .as("doc_id"),
+        col("target_uri").as("uri"),
+        length(col("payload")).cast(LongType).as("n_chars"),
+        md5(col("payload").cast(BinaryType)).as("fp"))
+  }
+
   val defs: Seq[QueryDef] =
     Seq(qualityScore, langId, tokenCount, fingerprint, rollingHash, sentiment,
       corpusFilter, bm25Rank, editDist, repetition, ngramNovelty, familiarity,
       bpeMerge, tfidfKeywords, bpeTokenize, rrfHybrid, bpeIncrLake, htmlExtract,
-      gzipShards)
+      gzipShards, warcRecords)
 }

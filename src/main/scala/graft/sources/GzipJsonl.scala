@@ -31,12 +31,11 @@ import org.apache.spark.sql.functions._
   */
 object GzipJsonl {
 
-  /** Gunzip one shard to its records: all members, UTF-8, one record per
-    * newline-terminated line (a trailing newline closes the last record,
-    * it does not open an empty one; blank lines are skipped — JSONL has
-    * no legitimate empty record).
+  /** Gunzip one shard to its raw bytes — all members, named failures.
+    * Shared by the JSONL line framing here and the WARC record walk
+    * ([[Warc]]), which reads the same multi-member shape.
     */
-  private[graft] def gunzipLines(shard: String, bytes: Array[Byte]): Seq[String] = {
+  private[graft] def gunzip(shard: String, bytes: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream
     try {
       val in = new java.util.zip.GZIPInputStream(
@@ -50,8 +49,16 @@ object GzipJsonl {
         throw new IllegalArgumentException(
           s"corrupt gzip shard $shard: ${e.getMessage}", e)
     }
-    new String(out.toByteArray, "UTF-8").split("\n", -1).toSeq.filter(_.nonEmpty)
+    out.toByteArray
   }
+
+  /** Gunzip one shard to its records: all members, UTF-8, one record per
+    * newline-terminated line (a trailing newline closes the last record,
+    * it does not open an empty one; blank lines are skipped — JSONL has
+    * no legitimate empty record).
+    */
+  private[graft] def gunzipLines(shard: String, bytes: Array[Byte]): Seq[String] =
+    new String(gunzip(shard, bytes), "UTF-8").split("\n", -1).toSeq.filter(_.nonEmpty)
 
   /** Read a directory of `*.jsonl.gz` shards as (shard, line_no, line)
     * rows — per-shard gunzip inside `mapPartitions` over the binary
