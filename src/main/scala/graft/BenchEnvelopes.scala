@@ -382,6 +382,9 @@ object BenchEnvelopes {
     // full-resolution planes × (encode-side full DCT + decode) per doc,
     // the same cost class as mm_jpeg_color_stats' 4.1
     "mm_jpeg444_stats" -> 7.1,
+    // r16 4:2:2 JPEG (E163) — two Y + half-width chroma per MCU, between
+    // the 4:2:0 and 4:4:4 cost classes (fresh-JVM 3-runs, BASELINE.md r16)
+    "mm_jpeg422_stats" -> 5.0,
     // r16 audio fingerprint tier (E157/E158) — container-sniffed
     // WAV+FLAC decode + 56-bit delta-sign code; the dedup adds the 57-way
     // multiprobe self-join (fresh-JVM 3-runs, BASELINE.md r16)

@@ -844,6 +844,44 @@ object MultimodalQueries {
     }
   }
 
+  /** Per-plane stats through the 4:2:2 container (r16 — the last cell of
+    * the sampling matrix next to 4:2:0 and 4:4:4): luma 2·bwM×bh blocks,
+    * chroma bwM×bh at HALF WIDTH, MCU = two Y blocks + Cb + Cr. Same
+    * oracle scheme as the other JPEG tiers: block-flat planes from the
+    * chain, stats recomputed seed-side.
+    */
+  val jpeg422Stats: QueryDef = QueryDef(
+    "mm_jpeg422_stats",
+    s"""WITH src AS (
+       |  SELECT doc_id, md5(text) || md5(text || 'a') AS hx,
+       |         doc_id // 3 AS m
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |dims AS (
+       |  SELECT doc_id, hx, 1 + CAST(m % 2 AS INTEGER) AS bwm,
+       |         1 + CAST(m % 2 AS INTEGER) AS bh
+       |  FROM src),
+       |bx AS (
+       |  SELECT doc_id, bwm, bh,
+       |    [${byteAt("i")} for i in range(0, 2*bwm*bh)] AS yb,
+       |    [${byteAt("2*bwm*bh + i")} for i in range(0, bwm*bh)] AS cbb,
+       |    [${byteAt("3*bwm*bh + i")} for i in range(0, bwm*bh)] AS crb
+       |  FROM dims)
+       |SELECT doc_id AS media_id, CAST(bwm*16 AS INTEGER) AS width,
+       |  CAST(bh*8 AS INTEGER) AS height,
+       |  CAST(list_sum(yb)*64 AS BIGINT) AS sum_y,
+       |  CAST(list_min(yb) AS INTEGER) AS min_y,
+       |  CAST(list_max(yb) AS INTEGER) AS max_y,
+       |  CAST(list_sum(cbb)*64 AS BIGINT) AS sum_cb,
+       |  CAST(list_min(cbb) AS INTEGER) AS min_cb,
+       |  CAST(list_max(cbb) AS INTEGER) AS max_cb,
+       |  CAST(list_sum(crb)*64 AS BIGINT) AS sum_cr,
+       |  CAST(list_min(crb) AS INTEGER) AS min_cr,
+       |  CAST(list_max(crb) AS INTEGER) AS max_cr
+       |FROM bx""".stripMargin) { (s, dir) =>
+    val media = Multimodal.jpeg422Media(s, Tables.documents(s, dir))
+    Multimodal.image422Stats(media).toDF()
+  }
+
   private val mediaFpSinks = VersionedMemo.paths[String](Seq(_))
 
   /** The maintained MEDIA FINGERPRINT table (r16, E159 — the r15
@@ -876,5 +914,5 @@ object MultimodalQueries {
     imageStats, resizeGrid, mediaDedup, pngStats, pngHash, jpegStats, jpegHash,
     jpegColorStats, pngColorStats, pngColorHash, flacEnergy, flacStereoEnergy,
     pngAlphaStats, mjpegStats, mjpegHash, png16Stats, flac24Energy, jpeg444Stats,
-    flacSeekEnergy, audioHash, audioDedup)
+    flacSeekEnergy, audioHash, audioDedup, jpeg422Stats)
 }

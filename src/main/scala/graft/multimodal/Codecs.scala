@@ -2799,6 +2799,129 @@ object Codecs {
     Ycc444Image(w, h, planes(0), planes(1), planes(2))
   }
 
+  /** A 4:2:2 planar YCbCr image (r16): luma w×h, chroma at HALF WIDTH and
+    * FULL height ((w+1)/2 × h) — the broadcast/interlace-heritage sampling
+    * (DV, ProRes, most capture hardware) that completes the engine's
+    * chroma matrix alongside 4:2:0 and 4:4:4.
+    */
+  final case class Ycc422Image(width: Int, height: Int,
+      y: Array[Int], cb: Array[Int], cr: Array[Int]) {
+    def cw: Int = (width + 1) / 2
+  }
+
+  /** Encode a 4:2:2 planar YCbCr image as an INTERLEAVED baseline JFIF
+    * JPEG (r16): luma H=2,V=1 against 1×1 chroma, so an MCU covers
+    * 16×8 pixels — TWO side-by-side Y blocks, then one Cb and one Cr
+    * block of the half-width plane (T.81 A.2.3). Everything else —
+    * per-component DC prediction, separate quant slots, restart-marker
+    * predictor resets, the shared canonical tables and header emission —
+    * is the 4:2:0/4:4:4 machinery unchanged.
+    */
+  def encodeJpegYcc422(img: Ycc422Image, restartInterval: Int = 0): Array[Byte] = {
+    val w = img.width; val h = img.height
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff)
+    require(restartInterval >= 0 && restartInterval <= 0xffff)
+    val cw = img.cw
+    require(img.y.length == w * h && img.cb.length == cw * h &&
+      img.cr.length == cw * h, "plane sizes must match 4:2:2 dims")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    val (dcCodes, acCodes) = writeColorJpegHeaders(out, w, h,
+      Seq((1, 0x21, 0), (2, 0x11, 1), (3, 0x11, 1)), // Y 2x1; Cb, Cr 1x1
+      restartInterval)
+    val bw = new BitWriter(out)
+    val coef = new Array[Int](64)
+    val mcw = (w + 15) / 16; val mch = (h + 7) / 8
+    var dcY = 0; var dcCb = 0; var dcCr = 0
+    var mcu = 0
+    var rst = 0
+    var mr = 0
+    while (mr < mch) {
+      var mc = 0
+      while (mc < mcw) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          out.write(0xff); out.write(0xd0 | rst)
+          rst = (rst + 1) % 8
+          dcY = 0; dcCb = 0; dcCr = 0
+        }
+        var dx = 0
+        while (dx < 2) {
+          fdctQuantBlock(img.y, w, h, mc * 2 + dx, mr, coef)
+          dcY = emitBlock(bw, dcCodes, acCodes, coef, dcY)
+          dx += 1
+        }
+        fdctQuantBlock(img.cb, cw, h, mc, mr, coef)
+        dcCb = emitBlock(bw, dcCodes, acCodes, coef, dcCb)
+        fdctQuantBlock(img.cr, cw, h, mc, mr, coef)
+        dcCr = emitBlock(bw, dcCodes, acCodes, coef, dcCr)
+        mcu += 1
+        mc += 1
+      }
+      mr += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Decode an interleaved 4:2:2 baseline YCbCr JPEG back to its planes
+    * (r16): SOF0 must declare exactly (2×1, 1×1, 1×1) sampling — 4:2:0
+    * goes through [[decodeJpegYcc]], 4:4:4 through [[decodeJpegYcc444]],
+    * and all three refuse each other's sampling with named errors (a
+    * silently misassembled image is the failure mode that matters).
+    * Chroma comes back at its stored half-width resolution.
+    */
+  def decodeJpegYcc422(bytes: Array[Byte]): Ycc422Image = {
+    val hd = parseJpegHeaders(bytes)
+    require(hd.comps.length == 3,
+      "3-component YCbCr expected — use decodeJpeg for grayscale")
+    val Seq(yc, cbc, crc) = hd.comps
+    require(yc.hs == 2 && yc.vs == 1 &&
+      cbc.hs == 1 && cbc.vs == 1 && crc.hs == 1 && crc.vs == 1,
+      "not 4:2:2 (need luma 2x1 vs chroma 1x1) — use decodeJpegYcc/decodeJpegYcc444")
+    val w = hd.w; val h = hd.h
+    val cw = (w + 1) / 2
+    val qt = hd.comps.map(c => hd.quant.getOrElse(c.tq,
+      throw new IllegalArgumentException("SOF references a missing quant table")))
+    val dcT = hd.scan.map(sc => hd.huff((0, sc._2)))
+    val acT = hd.scan.map(sc => hd.huff((1, sc._3)))
+    val yP = new Array[Int](w * h)
+    val cbP = new Array[Int](cw * h)
+    val crP = new Array[Int](cw * h)
+    val r = new JBitReader(bytes, hd.sosAt)
+    val coef = new Array[Int](64)
+    val mcw = (w + 15) / 16; val mch = (h + 7) / 8
+    val prevDc = new Array[Int](3)
+    var mcu = 0
+    var rst = 0
+    var mr = 0
+    while (mr < mch) {
+      var mc = 0
+      while (mc < mcw) {
+        if (hd.restartInterval > 0 && mcu > 0 && mcu % hd.restartInterval == 0) {
+          r.expectRestart(rst)
+          rst = (rst + 1) % 8
+          prevDc(0) = 0; prevDc(1) = 0; prevDc(2) = 0
+        }
+        var dx = 0
+        while (dx < 2) {
+          prevDc(0) = readBlockInto(r, dcT(0), acT(0), qt(0), prevDc(0), coef)
+          idctInto(coef, yP, w, h, mc * 2 + dx, mr)
+          dx += 1
+        }
+        prevDc(1) = readBlockInto(r, dcT(1), acT(1), qt(1), prevDc(1), coef)
+        idctInto(coef, cbP, cw, h, mc, mr)
+        prevDc(2) = readBlockInto(r, dcT(2), acT(2), qt(2), prevDc(2), coef)
+        idctInto(coef, crP, cw, h, mc, mr)
+        mcu += 1
+        mc += 1
+      }
+      mr += 1
+    }
+    Ycc422Image(w, h, yP, cbP, crP)
+  }
+
   /** BT.601 full-range RGB → 4:2:0 planar YCbCr — the EXPLICIT lossy step
     * in front of encodeJpegYcc (rounding + 2×2 box-filter chroma
     * downsample; edge-replicated on odd dims). Kept out of the codec so

@@ -342,6 +342,50 @@ object Multimodal {
       })
   }
 
+  /** imageColorStats through the 4:2:2 decoder (r16): luma full-res,
+    * chroma at stored half-width — the last cell of the sampling matrix.
+    */
+  def image422Stats(media: Dataset[MediaRecord]): Dataset[ColorStats] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions(_.map { m =>
+      val img = Codecs.decodeJpegYcc422(m.content)
+      val (sy, ny, xy) = planeAgg(img.y)
+      val (sb, nb, xb) = planeAgg(img.cb)
+      val (sr, nr, xr) = planeAgg(img.cr)
+      ColorStats(m.media_id, img.width, img.height, sy, ny, xy, sb, nb, xb, sr, nr, xr)
+    })
+  }
+
+  /** Build REAL 4:2:2 color JPEGs (r16): m = doc_id/3 gives an MCU grid
+    * of bwM = 1+m%2 × bh = 1+m%2 — luma 2·bwM×bh blocks (16·bwM ×
+    * 8·bh pixels), chroma bwM×bh blocks at half width. The chain
+    * supplies 4·bwM·bh block bytes — Y row-major (2·bwM wide), then Cb,
+    * then Cr — and block-flat planes decode bit-exact (the E127
+    * argument), so the oracle recomputes every plane's stats straight
+    * from the chain.
+    */
+  def jpeg422Media(spark: SparkSession, documents: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (docId, text) =>
+        val m = docId / 3
+        val bwM = 1 + (m % 2).toInt
+        val bh = 1 + (m % 2).toInt
+        val nY = 2 * bwM * bh
+        val nC = bwM * bh
+        val blocks = md5Chain(text, nY + 2 * nC)
+        val w = 16 * bwM; val h = 8 * bh
+        val cw = 8 * bwM
+        val y = Array.tabulate(w * h)(i => blocks((i / w / 8) * 2 * bwM + (i % w / 8)))
+        def chroma(off: Int): Array[Int] =
+          Array.tabulate(cw * h)(i => blocks(off + (i / cw / 8) * bwM + (i % cw / 8)))
+        MediaRecord(docId, "image", Codecs.encodeJpegYcc422(
+          Codecs.Ycc422Image(w, h, y, chroma(nY), chroma(nY + nC))))
+      })
+  }
+
   /** Per-CHANNEL stats of a decoded color PNG (r14): R/G/B at full
     * resolution — PNG is lossless, so every field is exact over arbitrary
     * channel bytes (no block-flat constraint, unlike the JPEG tier).

@@ -276,4 +276,53 @@ class JpegSpec extends AnyFunSuite {
       Codecs.decodeJpegYcc444(Codecs.encodeJpegYcc(ycc420)))
     assert(e2.getMessage.contains("4:4:4"))
   }
+
+  private def ycc422(w: Int, h: Int)(f: (Int, Int, Int) => Int): Codecs.Ycc422Image = {
+    val cw = (w + 1) / 2
+    Codecs.Ycc422Image(w, h,
+      Array.tabulate(w * h)(i => f(0, i / w, i % w)),
+      Array.tabulate(cw * h)(i => f(1, i / cw, i % cw)),
+      Array.tabulate(cw * h)(i => f(2, i / cw, i % cw)))
+  }
+
+  test("422: block-flat planes round-trip BIT-EXACT; chroma is half-width, full-height (r16)") {
+    val img = ycc422(32, 16)((c, r, col) => 20 + 40 * c + 16 * (r / 8) + 4 * (col / 8))
+    val back = Codecs.decodeJpegYcc422(Codecs.encodeJpegYcc422(img))
+    assert(back.width == 32 && back.height == 16)
+    assert(back.y.sameElements(img.y) && back.cb.sameElements(img.cb)
+      && back.cr.sameElements(img.cr))
+    // the sampling really is 4:2:2: chroma planes carry half the luma
+    // columns at EVERY row (vs 4:2:0's quarter, 4:4:4's full)
+    assert(back.cb.length == 16 * 16)
+  }
+
+  test("422: arbitrary planes round-trip within the coefficient-rounding bound (r16)") {
+    val img = ycc422(13, 11)((c, r, col) => (r * 29 + col * 19 + c * 67) % 256)
+    val back = Codecs.decodeJpegYcc422(Codecs.encodeJpegYcc422(img))
+    for ((a, b) <- Seq((img.y, back.y), (img.cb, back.cb), (img.cr, back.cr)))
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) <= 2) }
+  }
+
+  test("422: restart predictor resets; the THREE samplings refuse each other by name (r16)") {
+    val img = ycc422(48, 8)((c, r, col) => 10 + 50 * c + 5 * (col / 8))
+    val withRst = Codecs.encodeJpegYcc422(img, restartInterval = 2)
+    assert(withRst.containsSlice(Array(0xff.toByte, 0xd0.toByte)))
+    val back = Codecs.decodeJpegYcc422(withRst)
+    assert(back.y.sameElements(img.y) && back.cr.sameElements(img.cr))
+    val b422 = Codecs.encodeJpegYcc422(img)
+    assert(intercept[IllegalArgumentException](Codecs.decodeJpegYcc(b422))
+      .getMessage.contains("4:2:0"))
+    assert(intercept[IllegalArgumentException](Codecs.decodeJpegYcc444(b422))
+      .getMessage.contains("4:4:4"))
+    val ycc420 = Codecs.YccImage(16, 16, Array.fill(256)(99),
+      Array.fill(64)(12), Array.fill(64)(200))
+    assert(intercept[IllegalArgumentException](
+      Codecs.decodeJpegYcc422(Codecs.encodeJpegYcc(ycc420)))
+      .getMessage.contains("4:2:2"))
+    val f444 = Codecs.Ycc444Image(8, 8, Array.fill(64)(1), Array.fill(64)(2),
+      Array.fill(64)(3))
+    assert(intercept[IllegalArgumentException](
+      Codecs.decodeJpegYcc422(Codecs.encodeJpegYcc444(f444)))
+      .getMessage.contains("4:2:2"))
+  }
 }
