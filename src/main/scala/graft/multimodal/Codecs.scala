@@ -2088,10 +2088,22 @@ object Codecs {
     }
   }
 
-  private def jCos(a: Int, b: Int): Double =
-    math.cos((2 * a + 1) * b * math.Pi / 16)
+  // cos((2a+1)·b·π/16) and the DC normalizer, PRECOMPUTED (r16 optimization
+  // round): the forward DCT evaluated math.cos in its innermost loop — 8192
+  // transcendental calls per 8×8 block, the measured hot spot of the whole
+  // JPEG family at sf0.1 — and the IDCT paid the same per nonzero
+  // coefficient. The table entries are the IDENTICAL expressions evaluated
+  // once, so every sum sees bit-identical operands in the same order and
+  // decode output is unchanged to the last ulp.
+  private val jCosT: Array[Double] =
+    Array.tabulate(64)(i => math.cos((2 * (i >> 3) + 1) * (i & 7) * math.Pi / 16))
 
-  private def jC(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+  private val jCT: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  private def jCos(a: Int, b: Int): Double = jCosT((a << 3) | b)
+
+  private def jC(u: Int): Double = jCT(u)
 
   /** Size category of a DC difference / AC value (bits needed). */
   private def jCat(v: Int): Int = {
@@ -2121,6 +2133,22 @@ object Codecs {
     */
   private def fdctQuantBlock(plane: Array[Int], pw: Int, ph: Int,
       bx: Int, by: Int, coef: Array[Int]): Unit = {
+    // gather the level-shifted block ONCE (the edge-replication min() pair
+    // per sample was recomputed for all 64 (u,v) coefficients); the (u,v)
+    // sums below consume the same values in the same x-inner/y-outer order,
+    // so the result is bit-identical
+    val blk = new Array[Int](64)
+    var gy = 0
+    while (gy < 8) {
+      val py = math.min(by * 8 + gy, ph - 1)
+      var gx = 0
+      while (gx < 8) {
+        val px = math.min(bx * 8 + gx, pw - 1)
+        blk((gy << 3) | gx) = plane(py * pw + px) - 128
+        gx += 1
+      }
+      gy += 1
+    }
     var u = 0
     while (u < 8) {
       var v = 0
@@ -2130,9 +2158,7 @@ object Codecs {
         while (y < 8) {
           var x = 0
           while (x < 8) {
-            val py = math.min(by * 8 + y, ph - 1)
-            val px = math.min(bx * 8 + x, pw - 1)
-            sum += (plane(py * pw + px) - 128) * jCos(x, v) * jCos(y, u)
+            sum += blk((y << 3) | x) * jCos(x, v) * jCos(y, u)
             x += 1
           }
           y += 1
