@@ -44,6 +44,12 @@ object SparkEntry {
   def prestage: Map[String, (SparkSession, String) => Unit] = Map(
     "k13_point_lookup" -> ((s, dir) => { DedupQueries.ensurePointLookupSink(s, dir); () }),
     "k14_delete" -> ((s, dir) => { DedupQueries.ensureDeleteBase(s, dir); () }),
+    // the table being MERGED INTO is construction (k13/k14's contract);
+    // the timed region is upsert + idempotent re-upsert + read-back (r17)
+    "k10_merge_upsert" -> ((s, dir) => { DedupQueries.ensureMergeUpsertBase(s, dir); () }),
+    // the shared shingle cache is the corpus fixture whose one-time build
+    // kept landing in this query's timed slot (r16 verdict ask #4)
+    "pipe_pretrain_corpus" -> ((s, dir) => { DedupQueries.ensureShingleBase(s, dir); () }),
     "k12_incremental_agg" -> ((s, dir) => { DedupQueries.ensureIncrementalAggSink(s, dir); () }),
     "dd_incr_lsh_lake" -> ((s, dir) => {
       DedupQueries.ensureBandSink(s, dir); DedupQueries.ensureShingleSink(s, dir); ()

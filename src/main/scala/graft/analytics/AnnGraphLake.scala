@@ -625,9 +625,14 @@ object AnnGraphLake {
     val cents = MergeSink.read(s, sk.centroids)
     val pc = probeCells(probes.select(col("probe_id"), col("pen").as("en")),
       cents.select("cell", "ce"), nprobeFor(h.cells))
+    // entry is tiny (≤ probes · nprobe · GraphEntries rows) but feeds TWO
+    // consumers — score()'s digest collect and its vector join — each of
+    // which would re-run the probe-routing subtree (r17, guide §2.4):
+    // checkpoint once, both read the materialized rows
     val entry = MergeSink.readOverlapping(s, sk.medoids, pc.select("cell"), Seq("cell"))
       .join(pc, Seq("cell"))
       .select(col("probe_id"), explode(col("entries")).as("nid")).distinct()
+      .localCheckpoint(true)
     // exact cosine of a candidate set: the candidates' vectors come from
     // the manifest-pruned files their digests land in, never the table
     def score(cand: DataFrame): DataFrame = {
@@ -640,12 +645,23 @@ object AnnGraphLake {
           Vec.cosinePre(Vec.dot(col("pe"), col("e")),
             col("pnrm"), col("nrm")).as("cosine"))
     }
+    // r17 loop shape (guide §2.4/§5): each round checkpoints the tiny
+    // per-round frames — beam (≤ probes·ef), fresh (≤ beam·M), and the
+    // scored DELTA — instead of re-materializing the whole accumulated
+    // score set every round. The historical `sc.union(...).localCheckpoint`
+    // rewrote all prior rounds' rows each round, and the un-checkpointed
+    // beam/fresh subtrees were each executed ~3× (once for the manifest
+    // digest collect inside readOverlapping, once per join consumer).
+    // `sc` stays a union of ≤ rounds+1 checkpointed frames: lineage depth
+    // is constant, nothing is recomputed, and every readOverlapping's
+    // digest collect reads materialized rows.
     var sc = score(entry).localCheckpoint(true)
     for (_ <- 1 to BeamRounds) {
       val beamW = Window.partitionBy("probe_id")
         .orderBy(col("cosine").desc, col("nid"))
       val beam = sc.withColumn("rn", row_number().over(beamW))
         .filter(col("rn") <= BeamEf).select("probe_id", "nid")
+        .localCheckpoint(true)
       val es = MergeSink.readOverlapping(s, sk.edges,
           beam.select(col("nid").as("src")), Seq("src"))
         .select(col("src").as("nid"), col("dsts"))
@@ -653,7 +669,8 @@ object AnnGraphLake {
         .select(col("probe_id"), explode(col("dsts")).as("nid")).distinct()
       val fresh = expanded.join(sc.select("probe_id", "nid"),
         Seq("probe_id", "nid"), "left_anti")
-      sc = sc.union(score(fresh)).localCheckpoint(true)
+        .localCheckpoint(true)
+      sc = sc.union(score(fresh).localCheckpoint(true))
     }
     val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("nid"))
     sc.filter(col("nid") =!= col("probe_id"))

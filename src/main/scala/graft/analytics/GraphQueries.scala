@@ -73,37 +73,64 @@ object GraphQueries {
     val edges = Tables.lineitem(s, dir)
       .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
       .distinct()
-    // The persist is hash-partitioned on the join key: a cached scan keeps
-    // its outputPartitioning, so all three iteration joins (and deg's
-    // groupBy) consume sym shuffle-free — the only exchange per iteration
-    // is the contribution groupBy(dst), which no layout can avoid.
-    // MEMORY_ONLY, deliberately: sym+deg are ~1.2 M longs (a few MB
-    // columnar-compressed), and MEMORY_AND_DISK was paying real disk
-    // writes on an IO-throttled host — the documented source of
-    // gr_pagerank's driver-run variance. If the cache ever didn't fit,
-    // Spark recomputes the partition (correct, just slower) instead of
-    // spilling through the throttled disk.
+    // The persist is hash-partitioned on the join key so the iteration
+    // joins (and deg's groupBy) consume sym exchange-free. r17: the
+    // keyless `repartition(col("src"))` form let AQE coalesce the cached
+    // exchange (`canChangeCachedPlanOutputPartitioning=true`, set for the
+    // label-prop loops) — the InMemoryRelation's final plan ended in
+    // `AQEShuffleRead coalesced`, its outputPartitioning degraded to
+    // UNKNOWN, and every iteration re-Exchanged AND re-sorted the full
+    // edge table for its sort-merge join (measured: ~35 s of task time,
+    // 60 MB re-shuffled per run at sf0.1, plan committed in plans/r17).
+    // An EXPLICIT partition count pins the layout against AQE (user-
+    // demanded N is never coalesced) and `sortWithinPartitions` bakes the
+    // SMJ's sort order into the cache, so per-iteration cost drops to the
+    // node-sized contribs side plus the one groupBy(dst) exchange no
+    // layout can avoid. N tracks defaultParallelism, not a constant.
+    // EAGER localCheckpoint instead of lazy persist (r17): AQE
+    // materializes shuffle stages in concurrent futures, and the three
+    // iterations' first scans RACED to populate the lazy cache — the same
+    // partitions were computed several times over (measured 113 s of task
+    // time on the build run). localCheckpoint materializes exactly once,
+    // synchronously, and its LogicalRDD carries the partitioning and the
+    // sort order through to every consumer.
     val sym = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .repartition(s.sparkContext.defaultParallelism, col("src"))
+      .sortWithinPartitions("src")
+      .localCheckpoint(true)
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .localCheckpoint(true)
     val stats = deg.agg(count(lit(1)).cast(DoubleType).as("n"))
 
     // contributions shuffle once per iteration; deg/rank ride the same
     // node-keyed exchange. The tiny stats row is broadcast.
-    def step(prev: DataFrame): DataFrame =
+    // r17 (guide §2.3/§3): the quantized contribution rank/deg depends
+    // only on the SOURCE node, so it is computed on the node-sized
+    // (prev ⋈ deg) frame BEFORE meeting sym — the historical shape
+    // joined sym→prev and then the sym-SIZED intermediate →deg, paying a
+    // second edge-sized join per iteration; and it attached the broadcast
+    // stats scalar before the aggregate, carrying the constant `n`
+    // through the contribution exchange on every edge row. Now the only
+    // edge-sized operation per iteration is sym ⋈ contribs + the
+    // groupBy(dst) exchange no layout can avoid; stats joins onto the
+    // |nodes|-row aggregate. The per-edge quantization expression is
+    // unchanged (floor((rank/deg)·1e15) as long), so summation grids —
+    // and results — are bit-identical.
+    def step(prev: DataFrame): DataFrame = {
+      val contribs = prev.withColumnRenamed("node", "src")
+        .join(deg.withColumnRenamed("node", "src"), "src")
+        .select(col("src"),
+          floor((col("rank") / col("deg")) * lit(1.0e15)).cast("long").as("cq"))
       sym
-        .join(prev.withColumnRenamed("node", "src"), "src")
-        .join(deg.withColumnRenamed("node", "src").withColumnRenamed("deg", "sdeg"), "src")
+        .join(contribs, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("cq")).as("contrib_q"))
         .join(broadcast(stats))
-        .groupBy(col("dst").as("node"), col("n"))
-        .agg(sum(floor((col("rank") / col("sdeg")) * lit(1.0e15)).cast("long"))
-          .as("contrib_q"))
         .select(col("node"),
           ((lit(1.0) - lit(Damping)) / col("n") +
             lit(Damping) * (col("contrib_q").cast(DoubleType) / lit(1.0e15))).as("rank"))
+    }
 
     val r0 = deg.join(broadcast(stats))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
