@@ -230,6 +230,17 @@ object Bench {
       java.nio.file.Files.write(tmpF.toPath, (body + "\n").getBytes("UTF-8"))
       java.nio.file.Files.move(tmpF.toPath, new java.io.File("BENCH_FULL.json").toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // per-core-count copy (r17, the r16 verdict's ask #3): graft.Bench
+      // rewrites BENCH_FULL.json in place, so a same-round scaling run at
+      // a different core count used to overwrite the binding run's full
+      // artifact — destroying exactly the retry/cleared evidence a
+      // suspect adjudication needs. The copy is keyed by the core count
+      // the run bound, so multiple same-round runs each leave their own
+      // forensics. Additions-only: the canonical artifact and the stdout
+      // line are unchanged.
+      java.nio.file.Files.copy(new java.io.File("BENCH_FULL.json").toPath,
+        new java.io.File(s"BENCH_FULL_${Sessions.cpus}c.json").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
     }
     var remaining = extendedNames

@@ -50,6 +50,11 @@ object SparkEntry {
     // the shared shingle cache is the corpus fixture whose one-time build
     // kept landing in this query's timed slot (r16 verdict ask #4)
     "pipe_pretrain_corpus" -> ((s, dir) => { DedupQueries.ensureShingleBase(s, dir); () }),
+    // the staged 3-file delivery (corpus + two flush sentinels, mtime-
+    // ordered) is construction; the timed region is the 3-batch drain (r17)
+    "ev_stream_session_timeout" -> ((s, dir) => {
+      StreamQueries.ensureSessionTimeoutDelivery(s, dir); ()
+    }),
     "k12_incremental_agg" -> ((s, dir) => { DedupQueries.ensureIncrementalAggSink(s, dir); () }),
     "dd_incr_lsh_lake" -> ((s, dir) => {
       DedupQueries.ensureBandSink(s, dir); DedupQueries.ensureShingleSink(s, dir); ()

@@ -1158,7 +1158,11 @@ object AnnQueries {
       .select(col("probe_id"), col("entry").as("nid")).distinct()
     // each round materializes eagerly (the BPE-loop posture): the frames
     // are |probes|·ef-sized, and the checkpoint keeps the iterated plan
-    // from nesting R joins deep
+    // from nesting R joins deep. r17 note: the lake walk's delta-only
+    // checkpoint shape (walkOn) was tried here and MEASURED SLOWER
+    // (1.1 → 1.9 s at sf0.1) — the in-plan rounds re-derive everything
+    // from two plain frames, so the whole-set checkpoint is what keeps
+    // each round's window input a single materialized scan; kept as is.
     var sc = score(entry).localCheckpoint(true)
     for (_ <- 1 to BeamRounds) {
       val beamW = Window.partitionBy("probe_id")

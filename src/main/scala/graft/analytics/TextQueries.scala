@@ -492,10 +492,18 @@ object TextQueries {
     val w = Tables.documents(s, dir)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 8)
+    // within-doc dedupe MAP-SIDE (r17, guide §2.3): distinct over
+    // (doc_id, gram) only ever merges rows of the SAME document — the
+    // array_distinct inside the projection computes exactly that set
+    // before the explode, so the corpus-sized exchange of 8-word gram
+    // strings the old `.distinct()` paid (half the query's 16.5 MB
+    // shuffle) disappears outright; the window exchange below is the one
+    // gram-keyed shuffle left. Set semantics are identical by
+    // construction (cross-doc duplicates were never merged — doc_id is in
+    // the key).
     val grams = w.select(col("doc_id"),
-      explode(transform(sequence(lit(1), size(col("ws")) - 7),
-        i => array_join(slice(col("ws"), i, lit(8)), " "))).as("gram"))
-      .distinct()
+      explode(array_distinct(transform(sequence(lit(1), size(col("ws")) - 7),
+        i => array_join(slice(col("ws"), i, lit(8)), " ")))).as("gram"))
     // Document frequency via count-over-window on the gram partition, NOT
     // a groupBy+self-join: the join form computed the whole
     // Scan→Generate→distinct subtree twice (the r7 verdict's cheapest big

@@ -992,6 +992,14 @@ object Multimodal {
     import spark.implicits._
     documents.select(col("doc_id"), col("text"))
       .filter(pmod(col("doc_id"), lit(3)) === 2)
+      // r17 (guide §2.5, input skew): the documents scan yields ~2 input
+      // splits at test SF, so the encode+decode chain — the heaviest
+      // per-row codec work in the audio tier — ran on 2 tasks (measured
+      // 0.9 s of task time, near-serial). Spread the rows across the
+      // cores before the per-row work; the shuffled payload is the same
+      // text the encoder was about to consume, moved once. At scale the
+      // media rows arrive pre-sharded and AQE sizes the scan instead.
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions(_.map { case (docId, text) =>
         val m = docId / 3

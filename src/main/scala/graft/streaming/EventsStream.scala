@@ -63,6 +63,29 @@ object EventsStream {
     }
   }
 
+  /** Run `body` under the RocksDB state-store provider (transformWithState
+    * requires it), restoring the conf afterwards — one helper instead of
+    * three drifting copies (r17). Measured and rejected here: RocksDB
+    * changelog checkpointing (per-batch delta logs instead of snapshot
+    * uploads) — it REGRESSED the session-timeout drain 5.5 → 7.1 s at
+    * sf0.1, since these drains are 1-3 batches over tiny state where the
+    * changelog machinery is pure overhead; on a long-lived production
+    * query with many batches it is the right knob, so it belongs in
+    * deployment conf, not the operator.
+    */
+  private def withRocksDbState[T](spark: SparkSession)(body: => T): T = {
+    val conf = spark.conf
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = conf.getOption(ProviderKey)
+    conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStateTunedConf(spark)(body)
+    finally prevProvider match {
+      case Some(v) => conf.set(ProviderKey, v)
+      case None    => conf.unset(ProviderKey)
+    }
+  }
+
   /** Events stream over a staged dir: schema derived from the staged
     * files' own footers, ts-unit normalization shared with the batch path —
     * see EventsSource (round 6 lost the whole streaming tier to a
@@ -211,12 +234,7 @@ object EventsStream {
   def transformWithStateCounts(spark: SparkSession, sourceDir: String,
       sinkPath: String, checkpoint: String): Unit = {
     import spark.implicits._
-    val conf = spark.conf
-    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = conf.getOption(ProviderKey)
-    conf.set(ProviderKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try withStateTunedConf(spark) {
+    withRocksDbState(spark) {
       val stream = eventsStream(spark, sourceDir)
         .select(col("user_id"), unix_millis(col("ts")).as("ms"))
         .as[(Long, Long)]
@@ -231,9 +249,6 @@ object EventsStream {
         }
         .start()
       q.awaitTermination()
-    } finally prevProvider match {
-      case Some(v) => conf.set(ProviderKey, v)
-      case None    => conf.unset(ProviderKey)
     }
   }
 
@@ -285,12 +300,7 @@ object EventsStream {
   def streamFunnel(spark: SparkSession, sourceDir: String,
       sinkPath: String, checkpoint: String): Unit = {
     import spark.implicits._
-    val conf = spark.conf
-    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = conf.getOption(ProviderKey)
-    conf.set(ProviderKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try withStateTunedConf(spark) {
+    withRocksDbState(spark) {
       val stream = eventsStream(spark, sourceDir)
         .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
         .as[(Long, String, Long)]
@@ -305,9 +315,6 @@ object EventsStream {
         }
         .start()
       q.awaitTermination()
-    } finally prevProvider match {
-      case Some(v) => conf.set(ProviderKey, v)
-      case None    => conf.unset(ProviderKey)
     }
   }
 
@@ -616,12 +623,7 @@ object EventsStream {
                      checkpoint: String,
                      maxFilesPerTrigger: Option[Int] = None): Unit = {
     import spark.implicits._
-    val conf = spark.conf
-    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = conf.getOption(ProviderKey)
-    conf.set(ProviderKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try withStateTunedConf(spark) {
+    withRocksDbState(spark) {
       val srcOpts = maxFilesPerTrigger
         .map(n => Map("maxFilesPerTrigger" -> n.toString)).getOrElse(Map.empty)
       val stream = graft.sources.EventsSource.stream(spark, sourceDir, srcOpts)
@@ -641,9 +643,6 @@ object EventsStream {
         }
         .start()
       q.awaitTermination()
-    } finally prevProvider match {
-      case Some(v) => conf.set(ProviderKey, v)
-      case None    => conf.unset(ProviderKey)
     }
   }
 

@@ -198,8 +198,15 @@ class PlanContractSpec extends AnyFunSuite {
     val p = initialPlan("tx_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(1500))
-    // the distinct and the final per-doc groupBy both partial-aggregate
-    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4, p.take(2000))
+    // the final per-doc groupBy partial-aggregates; the within-doc dedupe
+    // is MAP-SIDE (r17): array_distinct in the projection, never a
+    // distinct-aggregate exchange of gram strings — exactly ONE gram-keyed
+    // exchange (the df window) plus the doc_id rollup may shuffle
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(2000))
+    assert(p.contains("array_distinct"),
+      "within-doc gram dedupe must stay map-side (array_distinct):\n" + p.take(2000))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      "more exchanges than the df window + doc rollup:\n" + p.take(2000))
   }
 
   test("ngram novelty: the 8-gram explode runs ONCE (df via window, not a self-join)") {
