@@ -154,8 +154,17 @@ object DedupQueries {
     * docs that the oracle (whose `|| NULL` nulls the whole key) never
     * generates. No shingles → no n-gram similarity defined.
     */
+  // memo-and-persisted like the shingle table under it (r17): six dedup
+  // queries consume the band table per session and each re-derived the
+  // K-signature minhash/banding transform from the cached shingles — the
+  // scaladoc has always called this "at 100 TB a precomputed lake table
+  // bucketed by band_key"; the process-local persist is that table's
+  // in-JVM stand-in (shingleBase's pattern, PlanCache's invalidation
+  // contract).
   private[analytics] def bandTable(s: org.apache.spark.sql.SparkSession, dir: String) =
-    bandsOf(shingleBase(s, dir).filter(size(col("shingles")) > 0))
+    PlanCache.cached(s, dir, "bands") {
+      bandsOf(shingleBase(s, dir).filter(size(col("shingles")) > 0))
+    }
 
   /** The minhash/banding transform over an arbitrary (doc_id, shingles)
     * frame — factored out of [[bandTable]] so doc-scoped maintenance

@@ -6,7 +6,8 @@ import org.apache.spark.scheduler._
 /** Dev tool: run named queries (after a sf0.001 warmup and prestage) and
   * print, per query, the JOB/STAGE/TASK counts and aggregate task time of
   * the timed region — the measurement iterative queries need, where a
-  * single `explain` cannot show the per-round loop cost.
+  * single `explain` cannot show the per-round loop cost. Set
+  * GRAFT_PROFILE_STAGES=1 for a per-stage breakdown (stages > 200 ms).
   * Usage: runMain graft.tools.JobProfile <sfDir> <q1>[,<q2>...]
   */
 object JobProfile {
