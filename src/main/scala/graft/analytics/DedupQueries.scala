@@ -166,6 +166,19 @@ object DedupQueries {
       bandsOf(shingleBase(s, dir).filter(size(col("shingles")) > 0))
     }
 
+  /** BATCH-side band rows (doc_id % 5 = 0), banded directly from the
+    * batch's own shingles: banding is per-doc, so filtering before the
+    * transform equals filtering the full band table — and the O(batch)
+    * incremental probes must not depend on (or first-touch-build) the
+    * corpus-wide band persist, whose construction is 5× their own work
+    * (r17: the bandTable memo above briefly made dd_incr_lsh_lake pay the
+    * full-corpus banding, 1.9 → 3.8 s — this helper restores the pruned
+    * subtree while the full-table consumers keep the shared persist).
+    */
+  private def batchBands(s: org.apache.spark.sql.SparkSession, dir: String) =
+    bandsOf(shingleBase(s, dir)
+      .filter(size(col("shingles")) > 0 && col("doc_id") % 5 === 0))
+
   /** The minhash/banding transform over an arbitrary (doc_id, shingles)
     * frame — factored out of [[bandTable]] so doc-scoped maintenance
     * (deleteDocs) can band ONLY the docs it touches, reading their
@@ -636,7 +649,7 @@ object DedupQueries {
   private[analytics] def deltaPairsLake(s: org.apache.spark.sql.SparkSession,
                                         dir: String): DataFrame = {
     val bandSink = ensureBandSink(s, dir)
-    val newBands = bandTable(s, dir).filter(col("doc_id") % 5 === 0)
+    val newBands = batchBands(s, dir)
     val bb = newBands.as("a")
       .join(newBands.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
@@ -1223,7 +1236,7 @@ object DedupQueries {
   private[analytics] def incrLshCandidatesLake(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val sink = ensureBandSink(s, dir)
-    val newBands = bandTable(s, dir).filter(col("doc_id") % 5 === 0)
+    val newBands = batchBands(s, dir)
     // manifest-pruned corpus read: ONLY files overlapping the batch's
     // band-key digests are listed in this scan
     val corpus = MergeSink.readOverlapping(

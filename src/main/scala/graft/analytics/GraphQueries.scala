@@ -32,6 +32,29 @@ object GraphQueries {
   private val Damping = 0.85
   private val TopN = 50
 
+  /** The symmetric order↔part edge table, memo-and-CHECKPOINTED once per
+    * (session, dir) with a PINNED layout — explicit-N hash partitioning on
+    * the join key plus a within-partition sort, so both iterative
+    * consumers (pagerank's contribution joins, BFS's frontier joins) read
+    * it exchange-free AND sort-free every round; the explicit N keeps
+    * AQE from coalescing the layout away (r17 — the keyless-repartition
+    * persist was degraded to UnknownPartitioning by
+    * `canChangeCachedPlanOutputPartitioning` and every iteration paid a
+    * full re-exchange + re-sort of the edge table). N tracks
+    * defaultParallelism, not a constant.
+    */
+  private[analytics] def symTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    PlanCache.checkpointed(s, dir, "graph_sym") {
+      val edges = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .distinct()
+      edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(s.sparkContext.defaultParallelism, col("src"))
+        .sortWithinPartitions("src")
+    }
+
   val pagerank: QueryDef = QueryDef(
     "gr_pagerank", {
       // AS MATERIALIZED on every CTE: DuckDB inlines single-reference
@@ -67,38 +90,15 @@ object GraphQueries {
          |WHERE pos <= $TopN""".stripMargin
     }) { (s, dir) =>
     // Node ids are NUMERIC (even = order, odd = part): long join keys
-    // shuffle a fraction of what 'o123'-style strings would. sym and deg
-    // feed every iteration, so they are materialized once — without the
-    // persist, each of the 3 steps re-runs the 600 k-row distinct.
-    val edges = Tables.lineitem(s, dir)
-      .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-      .distinct()
-    // The persist is hash-partitioned on the join key so the iteration
-    // joins (and deg's groupBy) consume sym exchange-free. r17: the
-    // keyless `repartition(col("src"))` form let AQE coalesce the cached
-    // exchange (`canChangeCachedPlanOutputPartitioning=true`, set for the
-    // label-prop loops) — the InMemoryRelation's final plan ended in
-    // `AQEShuffleRead coalesced`, its outputPartitioning degraded to
-    // UNKNOWN, and every iteration re-Exchanged AND re-sorted the full
-    // edge table for its sort-merge join (measured: ~35 s of task time,
-    // 60 MB re-shuffled per run at sf0.1, plan committed in plans/r17).
-    // An EXPLICIT partition count pins the layout against AQE (user-
-    // demanded N is never coalesced) and `sortWithinPartitions` bakes the
-    // SMJ's sort order into the cache, so per-iteration cost drops to the
-    // node-sized contribs side plus the one groupBy(dst) exchange no
-    // layout can avoid. N tracks defaultParallelism, not a constant.
-    // EAGER localCheckpoint instead of lazy persist (r17): AQE
-    // materializes shuffle stages in concurrent futures, and the three
-    // iterations' first scans RACED to populate the lazy cache — the same
-    // partitions were computed several times over (measured 113 s of task
-    // time on the build run). localCheckpoint materializes exactly once,
-    // synchronously, and its LogicalRDD carries the partitioning and the
-    // sort order through to every consumer.
-    val sym = edges.unionByName(
-      edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(s.sparkContext.defaultParallelism, col("src"))
-      .sortWithinPartitions("src")
-      .localCheckpoint(true)
+    // shuffle a fraction of what 'o123'-style strings would. sym feeds
+    // every iteration — see symTable (r17): layout-pinned, eagerly
+    // checkpointed once per (session, dir), shared with gr_bfs_distance.
+    // The historical keyless-repartition persist was degraded to
+    // UnknownPartitioning by AQE and every iteration re-Exchanged AND
+    // re-sorted the full edge table (~35 s task time, 60 MB re-shuffled
+    // per run — plan committed in plans/r17); the lazy persist also raced
+    // concurrent AQE stage futures into duplicated cache builds.
+    val sym = GraphQueries.symTable(s, dir)
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     val stats = deg.agg(count(lit(1)).cast(DoubleType).as("n"))
@@ -251,17 +251,13 @@ object GraphQueries {
          |${iter(3)}
          |SELECT node, dist FROM d3""".stripMargin
     }) { (s, dir) =>
-    // memo-and-persisted via PlanCache (one cached copy per session/dir,
-    // unpersisted on data change) — the bare per-invocation persist leaked
-    // a new cached copy every bench/verify run (r8 advice)
-    val sym = PlanCache.cached(s, dir, "bfs_sym") {
-      val edges = Tables.lineitem(s, dir)
-        .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-        .distinct()
-      edges.unionByName(
-        edges.select(col("dst").as("src"), col("src").as("dst")))
-        .repartition(col("src"))
-    }
+    // the SHARED layout-pinned symmetric edge table (r17 — symTable):
+    // one checkpointed copy per (session, dir) serves pagerank and BFS,
+    // and the pinned (hash(src), sorted) layout makes each round's
+    // frontier join exchange- and sort-free on the sym side (the old
+    // keyless-repartition persist was AQE-degraded to UnknownPartitioning
+    // — every round re-exchanged the edge table)
+    val sym = GraphQueries.symTable(s, dir)
     val d0 = sym.filter(col("src").isin(BfsSeeds: _*))
       .select(col("src").as("node")).distinct()
       .withColumn("dist", lit(0L))

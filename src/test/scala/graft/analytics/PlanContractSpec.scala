@@ -568,11 +568,15 @@ class PlanContractSpec extends AnyFunSuite {
     // subtree re-expands 2^rounds times (ScanAudit caught 30 echoed scans)
     assert(p.contains("Scan ExistingRDD"),
       s"relaxation rounds are not checkpointed:\n${p.take(1500)}")
-    assert(p.contains("InMemoryTableScan"),
-      "the final round must read the persisted sym table")
+    // r17: the sym table is the SHARED layout-pinned checkpoint
+    // (GraphQueries.symTable → LogicalRDD), no longer an InMemoryRelation —
+    // the final round reads it as a second ExistingRDD scan, and no live
+    // lineitem scan may appear anywhere in the round's plan
+    assert(p.linesIterator.count(_.contains("Scan ExistingRDD")) >= 2,
+      "the final round must read the checkpointed sym table:\n" + p.take(1500))
     val outer = stripCachedSubtrees(p)
     assert(!outer.exists(l => l.contains("FileScan parquet") && l.contains("lineitem.parquet")),
-      "a live lineitem scan escaped the edge cache — a round re-derives edges")
+      "a live lineitem scan escaped the edge checkpoint — a round re-derives edges")
   }
 
   test("ev_ewma_smooth: one events scan, partial collect below the exchange") {
